@@ -1,0 +1,1 @@
+"""Dataflow operators (SURVEY.md §2 inventory, re-expressed Spark-first)."""

@@ -1,0 +1,113 @@
+"""Audit operators (SURVEY §2.4 A1-A4).
+
+ - grain uniqueness: COUNT(*) vs COUNT(DISTINCT grain) in one aggregate pass
+   (reference audit/postgresql.py:20-26 and dialect twins). Composite grain is
+   native — no string-concat hacks needed.
+ - duplicate examples: top-5 duplicated grains (reference db_utils.py:331-351)
+ - custom audit contract: user SQL over ``{table}``; single-row result; every
+   column is a named boolean audit, value 0 => failed (reference
+   audit/base.py:96-121). Reproduced exactly via temp view + ``spark.sql``.
+ - validation threshold: errors/records >= threshold => fail, first-5 samples
+   (reference validator.py:45, 130-169)
+
+Scale: the grain check is one hash-aggregate shuffle on the grain key —
+map-side partial aggregation makes the shuffled data proportional to distinct
+grains, not rows. The duplicate-examples query reuses the same shuffle shape;
+`limit(5)` keeps the driver transfer bounded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.config import sanitize_identifier
+from etl_file_loader_spark.exceptions import (
+    AuditFailedError,
+    GrainValidationError,
+    ValidationThresholdExceededError,
+)
+
+
+def grain_counts(df: DataFrame, grain: list[str]) -> DataFrame:
+    """Single-row frame: total_rows, distinct_grains, is_unique (0/1)."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_distinct(*[F.col(g) for g in grain]).alias("distinct_grains"),
+    )
+    return agg.withColumn(
+        "is_unique", (F.col("total_rows") == F.col("distinct_grains")).cast("int")
+    )
+
+
+def duplicate_grain_examples(df: DataFrame, grain: list[str], limit: int = 5) -> DataFrame:
+    """Top-N duplicated grains with counts, deterministic order (count desc, grain asc)."""
+    return (
+        df.groupBy(*grain)
+        .agg(F.count(F.lit(1)).alias("duplicate_count"))
+        .filter(F.col("duplicate_count") > 1)
+        .orderBy(F.col("duplicate_count").desc(), *[F.col(g) for g in grain])
+        .limit(limit)
+    )
+
+
+def check_grain(df: DataFrame, grain: list[str], filename: str | None = None) -> None:
+    """Raise GrainValidationError with top-5 examples if the grain duplicates."""
+    row = grain_counts(df, grain).collect()[0]
+    if row["is_unique"] != 1:
+        examples = [r.asDict() for r in duplicate_grain_examples(df, grain).collect()]
+        raise GrainValidationError(grain, examples, filename)
+
+
+def run_audit_query(
+    spark: SparkSession, df: DataFrame, audit_query: str, view_name: str = "stage_audit"
+) -> DataFrame:
+    """Run the user audit SQL with ``{table}`` bound to a temp view of df."""
+    view = sanitize_identifier(view_name)
+    df.createOrReplaceTempView(view)
+    return spark.sql(audit_query.format(table=view))
+
+
+def check_audits(
+    spark: SparkSession, df: DataFrame, audit_query: str | None, filename: str | None = None
+) -> dict[str, int]:
+    """Evaluate the audit contract; raise AuditFailedError on any 0-valued column."""
+    if not audit_query:
+        return {}
+    result = run_audit_query(spark, df, audit_query)
+    rows = result.collect()
+    if len(rows) != 1:
+        raise AuditFailedError([f"audit query returned {len(rows)} rows, expected 1"], filename)
+    values = rows[0].asDict()
+    failed = [name for name, v in values.items() if v == 0]
+    if failed:
+        raise AuditFailedError(failed, filename)
+    return values
+
+
+@dataclass
+class ValidationStats:
+    total_rows: int
+    error_rows: int
+
+    @property
+    def error_rate(self) -> float:
+        return round(self.error_rows / self.total_rows, 2) if self.total_rows else 0.0
+
+
+def check_threshold(
+    stats: ValidationStats,
+    threshold: float,
+    invalid_df: DataFrame | None = None,
+    filename: str | None = None,
+) -> None:
+    """errors/records >= threshold => fail with first-5 samples (reference validator.py:149-169)."""
+    if stats.error_rows and stats.error_rate >= threshold:
+        samples = (
+            [r.asDict(recursive=True) for r in invalid_df.limit(5).collect()]
+            if invalid_df is not None
+            else []
+        )
+        raise ValidationThresholdExceededError(stats.error_rate, threshold, samples, filename)

@@ -1,0 +1,237 @@
+"""Per-file pipeline runner + multi-file processor (SURVEY §3).
+
+Reference run plan, fixed per file (reference runner.py:213-221):
+
+    check_if_processed -> archive -> read -> validate -> write(stage+DLQ)
+    -> audit (grain + custom) -> publish (MERGE) -> cleanup_dlq -> drop stage
+
+Spark re-expression: the read->rename->validate->split chain is ONE lazy plan;
+"stage" is never materialized (it stays a cached DataFrame — reference's stage
+table is an artifact of row-at-a-time DB loading). Actions, in order:
+
+    1. duplicate-file check     filter+limit on target        (J1)
+    2. validate + cache; one groupBy(_is_valid).count() pass  (P1-P9, A4)
+    3. DLQ append for invalid rows                            (K2, P5)
+    4. threshold check -> maybe fail                          (A4)
+    5. grain audit + custom audit SQL on the valid side       (A1-A3)
+    6. MERGE into target + insert/update counts               (J2-J4, A5)
+    7. DLQ cleanup of earlier runs for this file              (J5)
+
+Failure at any step raises the taxonomy error; the run log records per-stage
+timings either way. Multi-file parallelism: the reference uses a thread pool
+over physical cores (processor.py:49-51); in Spark each file is already
+processed by many tasks, so the Processor runs files sequentially by default
+(per-file fail-fast) — at scale you union many files with input_file_name()
+lineage or submit concurrent jobs via FAIR scheduler pools.
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.config import SourceConfig
+from etl_file_loader_spark.exceptions import DuplicateFileError, FileError
+from etl_file_loader_spark.operators import audit as audit_ops
+from etl_file_loader_spark.operators import dlq as dlq_ops
+from etl_file_loader_spark.operators import publish as publish_ops
+from etl_file_loader_spark.operators import validate as validate_ops
+from etl_file_loader_spark.operators.hashing import with_row_hash
+from etl_file_loader_spark.operators.publish import (
+    FILENAME_COL,
+    LOG_ID_COL,
+    PublishCounts,
+)
+from etl_file_loader_spark.plans.runlog import RunLog, next_log_id
+from etl_file_loader_spark.plans.warehouse import Warehouse
+from etl_file_loader_spark.registry import SourceRegistry
+from etl_file_loader_spark.sources import read_source
+
+DLQ_TABLE = "file_load_dlq"
+
+
+@dataclass
+class RunResult:
+    success: bool
+    filename: str
+    error_type: str | None = None
+    error: str | None = None
+    counts: PublishCounts | None = None
+
+
+class PipelineRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: Warehouse,
+        config: SourceConfig,
+        path: str,
+        archive_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.config = config
+        self.path = path
+        self.filename = Path(path).name
+        self.archive_dir = archive_dir
+        self.log = RunLog(
+            log_id=next_log_id(warehouse),
+            filename=self.filename,
+            target_table=config.target_table,
+        )
+
+    def run(self) -> RunResult:
+        cfg = self.config
+        validated = None
+        try:
+            target_schema = None
+            with self.log.stage("check_if_processed"):
+                if self.warehouse.exists(cfg.target_table):
+                    target = self.warehouse.read_table(cfg.target_table)
+                    target_schema = target.schema
+                    if publish_ops.is_file_loaded(target, self.filename):
+                        raise DuplicateFileError(
+                            f"{self.filename} already published", self.filename
+                        )
+
+            if self.archive_dir:
+                with self.log.stage("archive_file"):
+                    Path(self.archive_dir).mkdir(parents=True, exist_ok=True)
+                    shutil.copy2(self.path, Path(self.archive_dir) / self.filename)
+
+            with self.log.stage("read_data") as st:
+                raw = read_source(self.spark, self.path, cfg)
+                renamed = validate_ops.rename_and_prune(raw, cfg)
+
+            with self.log.stage("validate_data") as st:
+                validated = validate_ops.validate(renamed, cfg).cache()
+                counts = {
+                    r[validate_ops.VALID_COL]: r["count"]
+                    for r in validated.groupBy(validate_ops.VALID_COL).count().collect()
+                }
+                n_valid = counts.get(True, 0)
+                n_invalid = counts.get(False, 0)
+                st.row_count = n_valid + n_invalid
+                valid, invalid = validate_ops.split(validated)
+
+            with self.log.stage("write_data") as st:
+                if n_invalid:
+                    dlq_records = dlq_ops.build_dlq(
+                        invalid, cfg, self.filename, self.log.log_id
+                    )
+                    self.warehouse.append(DLQ_TABLE, dlq_records)
+                st.row_count = n_invalid
+                stats = audit_ops.ValidationStats(
+                    total_rows=n_valid + n_invalid, error_rows=n_invalid
+                )
+                audit_ops.check_threshold(
+                    stats, cfg.validation_error_threshold, invalid, self.filename
+                )
+
+            stage = (
+                with_row_hash(valid, cfg)
+                .withColumn(FILENAME_COL, F.lit(self.filename))
+                .withColumn(LOG_ID_COL, F.lit(self.log.log_id).cast("long"))
+                .drop(validate_ops.FILE_ROW_COL)
+            )
+
+            with self.log.stage("audit_data"):
+                audit_ops.check_grain(stage, cfg.grain, self.filename)
+                audit_ops.check_audits(self.spark, stage, cfg.audit_query, self.filename)
+
+            with self.log.stage("publish_data") as st:
+                target = self.warehouse.read_table(
+                    cfg.target_table,
+                    schema=target_schema
+                    or publish_ops.merge_upsert(
+                        _empty_target(stage), stage, cfg.grain, cfg.business_columns
+                    ).schema,
+                )
+                pub_counts = publish_ops.publish_counts(target, stage, cfg.grain)
+                merged = publish_ops.merge_upsert(
+                    target, stage, cfg.grain, cfg.business_columns
+                )
+                self.warehouse.overwrite(cfg.target_table, merged)
+                st.row_count = pub_counts.inserts + pub_counts.updates
+
+            with self.log.stage("cleanup_dlq_records"):
+                if self.warehouse.exists(DLQ_TABLE):
+                    cleaned = dlq_ops.cleanup_dlq(
+                        self.warehouse.read_table(DLQ_TABLE),
+                        self.filename,
+                        self.log.log_id,
+                    )
+                    self.warehouse.overwrite(DLQ_TABLE, cleaned)
+
+            return RunResult(True, self.filename, counts=pub_counts)
+        finally:
+            if validated is not None:
+                validated.unpersist()
+            self.log.flush(self.warehouse)
+
+
+def _empty_target(stage):
+    """Zero-row target with full system-column schema, for first loads."""
+    from etl_file_loader_spark.operators.publish import CREATED_COL, UPDATED_COL
+
+    return (
+        stage.limit(0)
+        .withColumn(CREATED_COL, F.current_timestamp())
+        .withColumn(UPDATED_COL, F.lit(None).cast("timestamp"))
+    )
+
+
+@dataclass
+class Processor:
+    """Directory-scan multi-file driver (reference processor.py:24-157)."""
+
+    spark: SparkSession
+    warehouse: Warehouse
+    registry: SourceRegistry
+    archive_dir: str | None = None
+    results: list[RunResult] = field(default_factory=list)
+
+    def process_file(self, path: str) -> RunResult:
+        from etl_file_loader_spark.exceptions import (
+            MultipleSourceMatchError,
+            NoSourceMatchError,
+        )
+
+        filename = Path(path).name
+        try:
+            config = self.registry.find_source_for_file(filename)
+        except (NoSourceMatchError, MultipleSourceMatchError) as e:
+            result = RunResult(False, filename, type(e).__name__, str(e))
+            self.results.append(result)
+            return result
+        try:
+            result = PipelineRunner(
+                self.spark, self.warehouse, config, path, self.archive_dir
+            ).run()
+        except FileError as e:
+            result = RunResult(False, filename, type(e).__name__, str(e))
+        self.results.append(result)
+        return result
+
+    def process_directory(self, directory: str) -> list[RunResult]:
+        files = sorted(
+            str(p) for p in Path(directory).iterdir() if p.is_file() and not p.name.startswith(".")
+        )
+        for f in files:
+            self.process_file(f)
+        return self.results
+
+    def results_summary(self) -> dict:
+        """Success/failure/no-source rollup (reference processor.py:113-157)."""
+        ok = [r for r in self.results if r.success]
+        failed = [r for r in self.results if not r.success]
+        return {
+            "total": len(self.results),
+            "succeeded": len(ok),
+            "failed": len(failed),
+            "errors": {r.filename: r.error_type for r in failed},
+        }

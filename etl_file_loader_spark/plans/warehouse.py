@@ -1,0 +1,72 @@
+"""Copy-on-write parquet warehouse.
+
+The reference's targets are DB tables (reference process/db.py:92-213). Here a
+table is a directory of versioned parquet snapshots ``<table>/_v<N>`` with the
+highest N current — a minimal copy-on-write format (Delta-without-the-log):
+a MERGE writes the *new* snapshot by executing a plan that reads the old one,
+then flips the version; readers never see a partial write and the "read your
+own input while overwriting it" parquet hazard is avoided by construction.
+
+Scale: snapshot writes are fully parallel; old versions are pruned to
+``keep_versions``. On a real cluster you'd swap this for Delta/Iceberg —
+the engine only uses read_table/overwrite/append, so the swap is local.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, path: str, keep_versions: int = 2):
+        self.spark = spark
+        self.path = Path(path)
+        self.keep_versions = keep_versions
+        self.path.mkdir(parents=True, exist_ok=True)
+
+    def _versions(self, table: str) -> list[int]:
+        tdir = self.path / table
+        if not tdir.exists():
+            return []
+        out = []
+        for p in tdir.iterdir():
+            m = re.fullmatch(r"_v(\d+)", p.name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def exists(self, table: str) -> bool:
+        return bool(self._versions(table))
+
+    def read_table(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        """Current snapshot; empty frame with ``schema`` if the table doesn't exist."""
+        versions = self._versions(table)
+        if not versions:
+            if schema is None:
+                raise FileNotFoundError(f"table {table} does not exist and no schema given")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        versions = self._versions(table)
+        new_v = (versions[-1] + 1) if versions else 0
+        out = self.path / table / f"_v{new_v}"
+        df.write.mode("overwrite").parquet(str(out))
+        for v in versions[: -self.keep_versions + 1] if self.keep_versions > 0 else versions:
+            shutil.rmtree(self.path / table / f"_v{v}", ignore_errors=True)
+
+    def append(self, table: str, df: DataFrame) -> None:
+        """Append = union with current snapshot into a new snapshot."""
+        if self.exists(table):
+            current = self.read_table(table)
+            self.overwrite(table, current.unionByName(df, allowMissingColumns=True))
+        else:
+            self.overwrite(table, df)
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self.path / table, ignore_errors=True)

@@ -1,0 +1,33 @@
+"""SparkSession factory with engine defaults.
+
+Scale notes: settings below are tuned for the local[32] test harness but the
+*shape* is what a 1000-executor cluster wants too — AQE on (runtime shuffle
+coalescing + skew-join splitting), session TZ pinned to UTC (oracle parity and
+cross-cluster determinism), Arrow enabled for the few Pandas-UDF operators.
+``spark.sql.shuffle.partitions`` is a local default; on a real cluster AQE
+coalesces from a deliberately-high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "etl-file-loader-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )

@@ -1,0 +1,77 @@
+"""CSV source (SURVEY §2.1 S1, S2, S7, S8, S10).
+
+Reference: DictReader over a (possibly gzip) text stream, header required,
+delimiter/encoding/skip_rows config, 1-based file row numbers with data
+starting at 2+skip_rows (reference read/csv.py:34-84).
+
+Spark-first design: the header line is read driver-side (one line, gzip-aware)
+to get column names; the body is read distributed as text lines, given
+deterministic *file-order* row numbers via ``zipWithIndex`` (partition order =
+byte-offset order for splittable text, single partition for .gz — matching the
+reference's single-stream semantics), then parsed with ``from_csv`` into
+all-string columns so cast failures are captured by the validator, never
+silently nulled.
+
+Scale: text scan + from_csv stays in whole-stage codegen; zipWithIndex adds
+one lightweight count-per-partition job. Known divergence: quoted embedded
+newlines are not supported by the line-based path (document; DictReader
+supports them) — use the parquet path for such data.
+"""
+
+from __future__ import annotations
+
+import csv as pycsv
+import gzip
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.config import SourceConfig
+from etl_file_loader_spark.exceptions import MissingHeaderError, NoDataInFileError
+from etl_file_loader_spark.operators.validate import FILE_ROW_COL
+from etl_file_loader_spark.sources.base import check_required_columns
+
+
+def _read_header_line(path: str, encoding: str) -> str:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as fh:
+        line = fh.readline()
+    return line.decode(encoding, errors="replace").rstrip("\r\n")
+
+
+def read_csv(spark: SparkSession, path: str, config: SourceConfig) -> DataFrame:
+    header_line = _read_header_line(path, config.encoding)
+    if not header_line.strip() or not any(
+        h.strip() for h in header_line.split(config.delimiter)
+    ):
+        raise MissingHeaderError("missing or blank header row", path)
+    headers = next(
+        pycsv.reader(io.StringIO(header_line), delimiter=config.delimiter)
+    )
+    headers = [h.strip() or f"_c{i}" for i, h in enumerate(headers)]
+    check_required_columns(headers, config, path)
+
+    lines = spark.read.text(path)
+    # deterministic file-order index: zipWithIndex respects partition order
+    # (= byte-offset order) and within-partition line order
+    indexed = (
+        lines.rdd.zipWithIndex()
+        .map(lambda pair: (pair[0]["value"], pair[1] + 1))  # 1-based: header = 1
+        .toDF(["value", FILE_ROW_COL])
+    )
+    first_data_row = 2 + config.skip_rows
+    data = indexed.filter(F.col(FILE_ROW_COL) >= first_data_row)
+    if data.isEmpty():
+        raise NoDataInFileError("no data rows after header/skip_rows", path)
+
+    schema_ddl = ", ".join(f"`{h}` string" for h in headers)
+    parsed = data.select(
+        F.from_csv(
+            F.col("value"),
+            schema_ddl,
+            {"sep": config.delimiter, "mode": "PERMISSIVE"},
+        ).alias("_r"),
+        F.col(FILE_ROW_COL),
+    )
+    return parsed.select(*[F.col(f"_r.`{h}`").alias(h) for h in headers], F.col(FILE_ROW_COL))
