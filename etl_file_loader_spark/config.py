@@ -42,6 +42,14 @@ class FieldSpec:
     excel_serial: bool = False  # Excel serial-number date/datetime (reference excel.py:44-84)
     cleaner: Callable[[Column], Column] | None = None
 
+    def __post_init__(self):
+        # normalize bounds to float so error messages render consistently
+        # ("value above 45.0") regardless of int/float config input
+        if self.min_value is not None:
+            self.min_value = float(self.min_value)
+        if self.max_value is not None:
+            self.max_value = float(self.max_value)
+
     @property
     def file_alias(self) -> str:
         return (self.alias or self.name).lower()

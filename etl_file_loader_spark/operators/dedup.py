@@ -1,0 +1,206 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond the reference's surface (its only dedup is the grain-uniqueness audit),
+these are the training-data-pipeline dedup primitives, each designed
+partitioning-first:
+
+ - exact:    one hash-aggregate on md5(text) — shuffle ∝ distinct texts
+ - minhash:  shingle -> 32-bit hash -> k permutation-min signature -> LSH
+             band buckets -> candidate pairs via band-bucket equi-join.
+             Shuffles on (band_idx, band_hash): near-dup clusters co-locate,
+             everything else stays tiny. No pairwise blowup outside buckets.
+ - simhash:  per-token bit votes -> 32-bit fingerprint; one explode + one
+             aggregate, shuffle ∝ docs
+ - n-gram jaccard: inverted-index self-join on (block_key, shingle) —
+             block on a natural key (e.g. lang) to bound the candidate set
+
+All hashes derive from md5 (JVM-native, engine-portable): token hash is the
+first 8 hex chars as int64 — identical in DuckDB as
+``CAST('0x' || substr(md5(x),1,8) AS BIGINT)`` so every step is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.functions import token_hash32, tokens
+
+# Mersenne prime 2^31-1; (a*x + b) % p stays well inside int64 for 32-bit x
+_MH_PRIME = 2147483647
+# deterministic permutation parameters (seed-free: fixed engine constants)
+_MH_A = [2654435761, 2246822519, 3266489917, 668265263, 374761393, 1103515245,
+         1299709, 15485863, 32452843, 49979687, 67867967, 86028121,
+         104395301, 122949823, 141650939, 160481183]
+_MH_B = [1013904223, 12345, 2531011, 10139042, 11400714, 14313749,
+         17624813, 20996011, 24036583, 25964951, 30402457, 32582657,
+         37156667, 42643801, 43112609, 45212353]
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts: (text_hash, representative min id, dup_count)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Distinct n-word shingles of whitespace-tokenized text."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+    )
+
+
+def exploded_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, shingle_hash int64) — one row per distinct shingle per doc."""
+    return df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("_shingle"),
+    ).select(F.col(id_col), token_hash32(F.col("_shingle")).alias("shingle_hash"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 5
+) -> DataFrame:
+    """Doc -> minhash signature (array of num_hashes int64).
+
+    One explode + ONE aggregate with num_hashes min() expressions — the
+    k-permutation blowup happens in registers, not in shuffled rows.
+    """
+    assert num_hashes <= len(_MH_A)
+    ex = exploded_shingle_hashes(df, id_col, text_col, n)
+    # reduce the 32-bit hash mod p before multiplying: a < 2^32, (h % p) < 2^31
+    # keeps a*(h%p)+b < 2^63 (no int64 overflow; same expression in the oracle)
+    mins = [
+        F.min(
+            (F.lit(_MH_A[i]) * (F.col("shingle_hash") % _MH_PRIME) + F.lit(_MH_B[i]))
+            % _MH_PRIME
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = ex.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Docs sharing any LSH band bucket -> distinct (id_a < id_b) pairs.
+
+    Shuffle key is (band_idx, band_hash) — only docs with an identical band
+    slice meet, so the join degree tracks true near-duplicate density.
+    """
+    band_rows = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("_band"),
+    ).select(id_col, "_band.band_idx", "_band.band_hash")
+    a = band_rows.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = band_rows.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash fingerprint per doc: sign of per-bit token votes."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok")
+    ).select(F.col(id_col), token_hash32(F.col("_tok")).alias("th"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs with shingle-set Jaccard >= threshold via inverted-index join.
+
+    ``block_col`` (e.g. language) bounds candidates to same-block docs —
+    at 100 TB this is the difference between a join keyed on (block, shingle)
+    and an all-pairs disaster.
+    """
+    keys = [block_col] if block_col else []
+    ex = df.select(
+        F.col(id_col), *[F.col(c) for c in keys],
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = ex.select(F.col(id_col).alias("id_a"), *[F.col(c) for c in keys], "shingle")
+    b = ex.select(F.col(id_col).alias("id_b"), *[F.col(c) for c in keys], "shingle")
+    inter = (
+        a.join(b, keys + ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "intersection", "size_a", "size_b", "jaccard")
+    )

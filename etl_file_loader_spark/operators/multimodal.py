@@ -1,0 +1,114 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Contract: media travels as an opaque ``binary`` column + typed metadata
+struct. Decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` operators — per-partition batch iterators, never per-row
+Python — so a 1000-executor cluster streams binary batches through the
+decoder with zero shuffle.
+
+The actual codec step is STUBBED in this container (no PIL/ffmpeg):
+``decode_image`` raises ``NotImplementedError`` unless ``fake=True``, in
+which case a deterministic fake decoder parses our 12-byte synthetic header.
+The Spark-side plumbing — schema, batch shape, partitioning — is real and
+tested; swapping in PIL is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("byte_len", T.LongType()),
+                    T.StructField("mime", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FAKE_MAGIC = b"FAKEIMG!"
+
+
+def pack_fake_image(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic synthetic image payload: magic + w/h (2 bytes each) + pixels."""
+    body = bytes((media_id * 31 + i) % 256 for i in range(min(width * height, 64)))
+    return FAKE_MAGIC + width.to_bytes(2, "big") + height.to_bytes(2, "big") + body
+
+
+def attach_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Column-expression metadata (no decode): byte length + sniffed mime."""
+    c = F.col(content_col)
+    mime = (
+        F.when(F.substring(c, 1, 8) == F.lit(FAKE_MAGIC), "image/x-fake")
+        .when(F.substring(c, 1, 3) == F.lit(b"\xff\xd8\xff"), "image/jpeg")
+        .when(F.substring(c, 1, 4) == F.lit(b"\x89PNG"), "image/png")
+        .otherwise("application/octet-stream")
+    )
+    return df.withColumn(
+        "meta",
+        F.struct(F.length(c).cast("long").alias("byte_len"), mime.alias("mime")),
+    )
+
+
+_DECODE_SCHEMA = (
+    "media_id long, width int, height int, mean_pixel double, decode_ok boolean"
+)
+
+
+def decode_image(df: DataFrame, fake: bool = False, batch_hint: int = 0) -> DataFrame:
+    """Decode image binaries to (width, height, mean_pixel) via mapInPandas.
+
+    Real decode requires an image library not present in this container —
+    call with ``fake=True`` to use the deterministic FAKEIMG header parser
+    (tests do); ``fake=False`` raises NotImplementedError at plan time.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv (not in this container); "
+            "use fake=True for the deterministic test decoder"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is not None and bytes(content[:8]) == FAKE_MAGIC:
+                    w = int.from_bytes(bytes(content[8:10]), "big")
+                    h = int.from_bytes(bytes(content[10:12]), "big")
+                    body = bytes(content[12:])
+                    mean = (sum(body) / len(body)) if body else 0.0
+                    out.append((int(mid), w, h, round(mean, 6), True))
+                else:
+                    out.append((int(mid), None, None, None, False))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "mean_pixel", "decode_ok"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(decode_batches, _DECODE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan* shape: one row per sampled frame index.
+
+    The decode of each frame is the stubbed step; the fan-out (posexplode of
+    the sampled index list) is the real Spark plumbing and is what matters
+    for partitioning: frames of one video stay in one partition.
+    """
+    n_frames = (F.length("content") / 16).cast("int")  # fake: 16 bytes/frame
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return df.select(
+        "media_id", F.posexplode(idx).alias("sample_pos", "frame_index")
+    )

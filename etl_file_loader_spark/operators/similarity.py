@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+ - brute-force cosine top-k: JVM-side fold (zip_with + aggregate), no UDF,
+   no shuffle until the final top-k — the baseline and the oracle-checkable
+   path.
+ - LSH-bucketed (random hyperplane signs): deterministic hyperplanes derived
+   from md5 so results are reproducible without a seed; candidates meet on a
+   bucket equi-join. The 100 TB path: score only same-bucket rows.
+ - IVF (k-means coarse quantizer) via pyspark.ml KMeans: fit on a sample,
+   assign every vector a centroid bucket, probe the closest n_probe buckets.
+
+Scoring stays in Column expressions: per-row dot product over a broadcast
+literal query vector is a narrow projection — 1000 executors scan their
+partitions, a single top-k (TakeOrdered) reduces; no all-to-all anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i as a left-to-right double fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    Scores are rounded before ranking so ordering is engine-stable; ties
+    break on id. Plan: scan -> project(score) -> TakeOrdered(k) — no shuffle.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_to).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8
+) -> DataFrame:
+    """Sign-random-projection bucket per vector (deterministic hyperplanes).
+
+    Plane p's j-th component is derived from md5(p,j) mapped to [-0.5, 0.5] —
+    reproducible on any engine, no RNG state. Bucket = bit-packed signs.
+    """
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def plane_component(p: int, j: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.lit(str(p)), j.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return (h.cast("double") / F.lit(float(2**32))) - 0.5
+
+    bucket = None
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(dim_idx, lambda j: plane_component(p, j)),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    Recall is tunable via num_planes (fewer planes -> bigger buckets).
+    At scale, persist the bucketed table partitioned by bucket -> the
+    search prunes to one partition.
+    """
+    bucketed = hyperplane_lsh_buckets(df, id_col, vec_col, num_planes)
+    # compute the query's bucket with the same plane derivation, driver-side
+    import hashlib
+
+    def comp(p: int, j: int) -> float:
+        h = int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:8], 16)
+        return h / float(2**32) - 0.5
+
+    qb = 0
+    for p in range(num_planes):
+        proj = sum(x * comp(p, j) for j, x in enumerate(query_vec))
+        if proj >= 0:
+            qb += 1 << p
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        bucketed.filter(F.col("bucket") == qb)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), round_to).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+class IVFIndex:
+    """IVF coarse-quantizer ANN: k-means centroids -> bucket assignment -> probe.
+
+    fit() trains pyspark.ml KMeans on (a sample of) the vectors; search()
+    scores only rows whose centroid is among the n_probe closest to the
+    query. The assigned table should be persisted partitioned by _ivf_bucket
+    at scale so probes prune partitions.
+    """
+
+    def __init__(self, n_lists: int = 16, seed: int = 42):
+        self.n_lists = n_lists
+        self.seed = seed
+        self.model = None
+
+    def fit(self, df: DataFrame, vec_col: str) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+        self.model = KMeans(k=self.n_lists, seed=self.seed).fit(vecs)
+        return self
+
+    def assign(self, df: DataFrame, vec_col: str) -> DataFrame:
+        from pyspark.ml.functions import array_to_vector
+
+        pred = self.model.transform(
+            df.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
+        )
+        return pred.withColumnRenamed("prediction", "_ivf_bucket").drop("features")
+
+    def search(
+        self,
+        assigned: DataFrame,
+        id_col: str,
+        vec_col: str,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 3,
+        round_to: int = 4,
+    ) -> DataFrame:
+        import numpy as np
+
+        centers = self.model.clusterCenters()
+        qv = np.asarray(query_vec, dtype="float64")
+        dists = [float(np.linalg.norm(qv - c)) for c in centers]
+        probe = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        return (
+            assigned.filter(F.col("_ivf_bucket").isin(probe))
+            .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), round_to).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k)
+        )

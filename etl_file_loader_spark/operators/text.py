@@ -1,0 +1,135 @@
+"""Text-analysis operators for document pipelines.
+
+All pure Column expressions (whole-stage codegen, no UDFs): language-ID
+(stopword-marker heuristic), quality scoring (length/punctuation/stopword
+ratios), token counting (whitespace + BPE-ish subword estimate), document
+fingerprinting (canonicalized word-set hash). Each is a narrow projection —
+at 100 TB these run at scan speed with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.functions import tokens
+
+# tiny per-language stopword marker sets (heuristic language ID)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "es": ["el", "la", "que", "los", "es"],
+    "fr": ["le", "la", "les", "est", "une"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text -> 0."""
+    return F.size(tokens(text))
+
+
+def subword_estimate(text: Column) -> Column:
+    """BPE-ish token estimate: word-boundary pieces + long words split ~4 chars.
+
+    count = Σ ceil(len(word)/4) over whitespace words — a deterministic,
+    vocabulary-free stand-in for a real tokenizer's piece count.
+    """
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = [s.lower() for s in (stopwords or EN_STOPWORDS)]
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda w: F.lower(w).isin(sw)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.round(n_stop / F.size(toks), 6)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.round(n_punct / F.length(text), 6)
+    )
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.round(total / F.size(toks), 6)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic.
+
+    0.4 * length-band score (50..5000 chars full credit)
+    + 0.3 * (1 - punct_ratio clipped at 0.3 scale)
+    + 0.3 * stopword presence band (0.02..0.6 full credit)
+    Deterministic, expression-only; thresholds are engine constants.
+    """
+    n = F.length(text)
+    len_score = (
+        F.when(n <= 0, 0.0)
+        .when(n < 50, n / F.lit(50.0))
+        .when(n <= 5000, F.lit(1.0))
+        .otherwise(F.greatest(F.lit(0.2), F.lit(5000.0) / n))
+    )
+    p = punct_ratio(text)
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - p / F.lit(0.3))
+    s = stopword_ratio(text)
+    stop_score = F.when((s >= 0.02) & (s <= 0.6), 1.0).otherwise(0.5)
+    return F.round(0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score, 6)
+
+
+def language_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Argmax of per-language stopword-marker hit counts; tie/zero -> 'und'.
+
+    Ties break by language code ascending (deterministic).
+    """
+    markers = markers or LANG_MARKERS
+    toks = F.transform(tokens(text), lambda w: F.lower(w))
+    scores = [
+        (lang, F.size(F.filter(toks, lambda w: w.isin(words))))
+        for lang, words in sorted(markers.items())
+    ]
+    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    result = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties -> apply last
+        result = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical word-set fingerprint: md5 of sorted distinct lowercased words.
+
+    The classic key-collapsing fingerprint (case/order/duplication invariant).
+    """
+    canon = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.transform(tokens(text), lambda w: F.lower(w))))
+    )
+    return F.md5(canon)
+
+
+def profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass text profile with all analysis columns."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        subword_estimate(t).alias("n_subwords"),
+        F.length(t).alias("n_chars"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+        mean_word_length(t).alias("mean_word_len"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

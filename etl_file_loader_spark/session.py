@@ -27,6 +27,9 @@ def get_spark(app_name: str = "etl-file-loader-spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as int64 nanos
+        # and convert explicitly (suite._t) — Spark has no nanos timestamp type
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .getOrCreate()

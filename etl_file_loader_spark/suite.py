@@ -1,0 +1,1236 @@
+"""Query suite: every operator exposed as a (spark, sf_dir) -> DataFrame
+builder with a DuckDB-oracle ANSI-SQL twin (driver correctness gate).
+
+Engine-parity rules that make value-hash comparison possible:
+ - aggregates over doubles go through DECIMAL (exact, order-independent) and
+   are cast back to double at the end — float summation order never leaks
+ - timestamps/dates render to strings with one pinned format
+ - every computed column is aliased identically in Spark and SQL
+ - md5 hex + '0x'-hex-parse int64 are bit-identical across engines
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from etl_file_loader_spark.config import FieldSpec, SourceConfig
+from etl_file_loader_spark.functions import (
+    clean_email,
+    clean_phone,
+    excel_serial_to_date,
+    excel_serial_to_timestamp,
+    row_hash,
+)
+from etl_file_loader_spark.operators import audit as audit_ops
+from etl_file_loader_spark.operators import dedup as dedup_ops
+from etl_file_loader_spark.operators import publish as publish_ops
+from etl_file_loader_spark.operators import similarity as sim_ops
+from etl_file_loader_spark.operators import text as text_ops
+from etl_file_loader_spark.operators import validate as validate_ops
+from etl_file_loader_spark.operators.hashing import HASH_COL
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS) -> read as int64 nanos (session
+    # sets spark.sql.legacy.parquet.nanosAsLong) -> truncate to micros with
+    # integer division (1e18 nanos exceeds double's exact range; DIV stays
+    # in int64), matching DuckDB's ns->us truncation
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(
+        f"decimal(18,{scale})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics queries (the engine's OLAP surface on the star schema)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped rollup on lineitem; decimal-exact aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice")).alias("_sp"),
+            F.sum(disc_price).alias("_sd"),
+            F.sum(charge).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sp").cast("double").alias("sum_base_price"),
+            F.col("_sd").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + revenue rollup + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(revenue).alias("_rev"))
+        .select("o_orderkey", F.col("_rev").cast("double").alias("revenue"))
+        .orderBy(F.col("_rev").desc(), "o_orderkey")
+        .limit(10)
+    )
+    return out
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order rollup joined back to the dimension (broadcast)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    agg = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("_sum"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_order_at"
+            ),
+        )
+    )
+    out = (
+        agg.join(F.broadcast(cust), agg.o_custkey == cust.c_custkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "n_orders",
+            F.col("_sum").cast("double").alias("total_spend"),
+            "last_order_at",
+        )
+        .orderBy(F.col("_sum").desc(), "custkey")
+        .limit(10)
+    )
+    return out
+
+
+Q_CUSTOMER_ORDER_STATS_SQL = """
+SELECT o_custkey AS custkey, c_name AS name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order_at
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) DESC, custkey
+LIMIT 10
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped windowed aggregate, batch form: hour x event_type."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sv"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+            "n_users",
+        )
+        .orderBy("hour", "event_type")
+    )
+    return out
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (deterministic tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "value")
+        .orderBy("user_id", "rank")
+    )
+
+
+Q_TOP_EVENTS_PER_USER_SQL = """
+SELECT user_id, rank, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 3
+ORDER BY user_id, rank
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative gap count), 30-min gap."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision on both engines (cast-to-long would floor seconds)
+    gap = F.when(
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w))
+        > 1800 * 1_000_000,
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("_gap", gap)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("_gap") + 1).cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_SESSIONIZATION_SQL = """
+SELECT user_id, sum(g) + 1 AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              THEN 1 ELSE 0 END AS g
+  FROM events
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline-parity queries (SURVEY §2 operators on the synthetic tables)
+# ---------------------------------------------------------------------------
+
+CUSTOMER_HASH_FIELDS = {
+    "c_acctbal": T.DoubleType(),
+    "c_custkey": T.LongType(),
+    "c_mktsegment": T.StringType(),
+    "c_name": T.StringType(),
+    "c_nationkey": T.IntegerType(),
+}
+
+
+def q_row_hash_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 row hash: md5 over sorted business columns, '|' joined, null->''."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", row_hash(CUSTOMER_HASH_FIELDS).alias("etl_row_hash")
+    ).orderBy("c_custkey")
+
+
+Q_ROW_HASH_CUSTOMER_SQL = """
+SELECT c_custkey,
+       md5(concat_ws('|',
+           coalesce(printf('%.6f', c_acctbal), ''),
+           coalesce(CAST(c_custkey AS VARCHAR), ''),
+           coalesce(c_mktsegment, ''),
+           coalesce(c_name, ''),
+           coalesce(CAST(c_nationkey AS VARCHAR), ''))) AS etl_row_hash
+FROM customer ORDER BY c_custkey
+"""
+
+
+def _lineitem_raw_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem rendered to raw strings with injected bad cells (validation input)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bad = (F.col("l_linenumber") % 2 == 0) & (F.col("l_orderkey") % 7 == 0)
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("l_orderkey"),
+        F.col("l_linenumber").cast("string").alias("l_linenumber"),
+        F.when(bad, F.lit("not_a_number"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("l_quantity"),
+        F.col("l_discount").cast("string").alias("l_discount"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
+    )
+
+
+_LINEITEM_RAW_SQL = """
+  SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+         CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+         CASE WHEN l_linenumber % 2 = 0 AND l_orderkey % 7 = 0 THEN 'not_a_number'
+              ELSE CAST(l_quantity AS VARCHAR) END AS l_quantity,
+         CAST(l_discount AS VARCHAR) AS l_discount,
+         strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate
+  FROM lineitem
+"""
+
+LINEITEM_VALIDATE_CONFIG = SourceConfig(
+    name="lineitem_validate",
+    file_pattern="*",
+    file_format="parquet",
+    fields=[
+        FieldSpec("l_orderkey", T.LongType(), nullable=False),
+        FieldSpec("l_linenumber", T.LongType(), nullable=False),
+        FieldSpec("l_quantity", T.DoubleType(), nullable=False, min_value=1, max_value=45),
+        FieldSpec("l_discount", T.DoubleType(), nullable=False, min_value=0, max_value=1),
+        FieldSpec("l_shipdate", T.TimestampType(), nullable=False),
+    ],
+    grain=["l_orderkey", "l_linenumber"],
+)
+
+
+def q_validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-P4: try-cast + range constraints, per-row error count + validity."""
+    raw = _lineitem_raw_strings(spark, sf_dir)
+    validated = validate_ops.validate(raw, LINEITEM_VALIDATE_CONFIG)
+    return validated.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.size(F.col(validate_ops.ERRORS_COL)).alias("n_errors"),
+        F.col(validate_ops.VALID_COL).cast("int").alias("is_valid"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+Q_VALIDATE_SPLIT_SQL = f"""
+WITH raw AS ({_LINEITEM_RAW_SQL})
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       (CASE WHEN try_cast(l_quantity AS DOUBLE) IS NULL THEN 1
+             WHEN try_cast(l_quantity AS DOUBLE) < 1 THEN 1
+             WHEN try_cast(l_quantity AS DOUBLE) > 45 THEN 1 ELSE 0 END)
+       + (CASE WHEN try_cast(l_discount AS DOUBLE) < 0 THEN 1
+               WHEN try_cast(l_discount AS DOUBLE) > 1 THEN 1 ELSE 0 END)
+       AS n_errors,
+       CASE WHEN (try_cast(l_quantity AS DOUBLE) IS NOT NULL
+                  AND try_cast(l_quantity AS DOUBLE) BETWEEN 1 AND 45
+                  AND try_cast(l_discount AS DOUBLE) BETWEEN 0 AND 1)
+            THEN 1 ELSE 0 END AS is_valid
+FROM raw
+ORDER BY 1, 2
+"""
+
+
+def q_dlq_error_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: invalid rows exploded to per-field error records."""
+    raw = _lineitem_raw_strings(spark, sf_dir)
+    validated = validate_ops.validate(raw, LINEITEM_VALIDATE_CONFIG)
+    _, invalid = validate_ops.split(validated)
+    return (
+        invalid.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.explode(F.col(validate_ops.ERRORS_COL)).alias("e"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("e.column_name").alias("column_name"),
+            F.col("e.column_value").alias("column_value"),
+            F.col("e.error_type").alias("error_type"),
+            F.col("e.error_msg").alias("error_msg"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "column_name")
+    )
+
+
+Q_DLQ_ERROR_RECORDS_SQL = f"""
+WITH raw AS ({_LINEITEM_RAW_SQL})
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'l_quantity' AS column_name,
+       l_quantity AS column_value,
+       CASE WHEN try_cast(l_quantity AS DOUBLE) IS NULL THEN 'cast_error'
+            WHEN try_cast(l_quantity AS DOUBLE) < 1 THEN 'min_value'
+            ELSE 'max_value' END AS error_type,
+       CASE WHEN try_cast(l_quantity AS DOUBLE) IS NULL THEN 'could not parse as double'
+            WHEN try_cast(l_quantity AS DOUBLE) < 1 THEN 'value below 1.0'
+            ELSE 'value above 45.0' END AS error_msg
+FROM raw
+WHERE try_cast(l_quantity AS DOUBLE) IS NULL
+   OR try_cast(l_quantity AS DOUBLE) < 1 OR try_cast(l_quantity AS DOUBLE) > 45
+ORDER BY 1, 2, 3
+"""
+
+
+def q_grain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: composite-grain uniqueness counts in one aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return audit_ops.grain_counts(li, ["l_orderkey", "l_linenumber"])
+
+
+Q_GRAIN_AUDIT_SQL = """
+SELECT count(*) AS total_rows,
+       count(DISTINCT (l_orderkey, l_linenumber)) AS distinct_grains,
+       CASE WHEN count(*) = count(DISTINCT (l_orderkey, l_linenumber)) THEN 1 ELSE 0 END AS is_unique
+FROM lineitem
+"""
+
+
+def q_dup_grain_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: top-5 duplicated grains, deterministic order."""
+    li = _t(spark, sf_dir, "lineitem")
+    return audit_ops.duplicate_grain_examples(li, ["l_orderkey", "l_linenumber"], 5)
+
+
+Q_DUP_GRAIN_EXAMPLES_SQL = """
+SELECT l_orderkey, l_linenumber, count(*) AS duplicate_count
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+ORDER BY count(*) DESC, l_orderkey, l_linenumber
+LIMIT 5
+"""
+
+LINEITEM_AUDIT_SQL = """
+SELECT CASE WHEN SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) = COUNT(*) THEN 1 ELSE 0 END AS quantity_positive,
+       CASE WHEN SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) = COUNT(*) THEN 1 ELSE 0 END AS price_positive,
+       CASE WHEN SUM(CASE WHEN l_discount BETWEEN 0 AND 0.5 THEN 1 ELSE 0 END) = COUNT(*) THEN 1 ELSE 0 END AS discount_in_range
+FROM {table}
+"""
+
+
+def q_audit_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the user audit-SQL contract — single row, 0-valued column = fail."""
+    li = _t(spark, sf_dir, "lineitem")
+    return audit_ops.run_audit_query(spark, li, LINEITEM_AUDIT_SQL, "lineitem_audit_view")
+
+
+Q_AUDIT_CONTRACT_SQL = LINEITEM_AUDIT_SQL.format(table="lineitem")
+
+
+def q_threshold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: validation error-rate vs threshold (0.05), round-2 rate."""
+    raw = _lineitem_raw_strings(spark, sf_dir)
+    validated = validate_ops.validate(raw, LINEITEM_VALIDATE_CONFIG)
+    return validated.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum((~F.col(validate_ops.VALID_COL)).cast("long")).alias("error_rows"),
+    ).select(
+        "total_rows",
+        "error_rows",
+        F.round(F.col("error_rows") / F.col("total_rows"), 2).alias("error_rate"),
+        (F.round(F.col("error_rows") / F.col("total_rows"), 2) < 0.05)
+        .cast("int")
+        .alias("passed"),
+    )
+
+
+Q_THRESHOLD_STATS_SQL = f"""
+WITH raw AS ({_LINEITEM_RAW_SQL}),
+flags AS (
+  SELECT CASE WHEN (try_cast(l_quantity AS DOUBLE) IS NOT NULL
+                    AND try_cast(l_quantity AS DOUBLE) BETWEEN 1 AND 45
+                    AND try_cast(l_discount AS DOUBLE) BETWEEN 0 AND 1)
+              THEN 0 ELSE 1 END AS is_err
+  FROM raw
+)
+SELECT count(*) AS total_rows, sum(is_err) AS error_rows,
+       round(sum(is_err) / count(*), 2) AS error_rate,
+       CASE WHEN round(sum(is_err) / count(*), 2) < 0.05 THEN 1 ELSE 0 END AS passed
+FROM flags
+"""
+
+
+ORDERS_HASH_FIELDS = {
+    "o_custkey": T.LongType(),
+    "o_orderdate": T.TimestampType(),
+    "o_orderkey": T.LongType(),
+    "o_orderpriority": T.StringType(),
+    "o_orderstatus": T.StringType(),
+    "o_totalprice": T.DoubleType(),
+}
+
+_ORDERS_BUSINESS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_ORDERS_HASH_SQL = """md5(concat_ws('|',
+    coalesce(CAST(o_custkey AS VARCHAR), ''),
+    coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), ''),
+    coalesce(CAST(o_orderkey AS VARCHAR), ''),
+    coalesce(o_orderpriority, ''),
+    coalesce(o_orderstatus, ''),
+    coalesce(printf('%.6f', o_totalprice), '')))"""
+
+
+def _merge_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Simulated target (2/3 of orders, loaded earlier) + stage (1/2, half changed)."""
+    orders = _t(spark, sf_dir, "orders")
+    target = (
+        orders.filter(F.col("o_orderkey") % 3 != 0)
+        .withColumn(HASH_COL, row_hash(ORDERS_HASH_FIELDS))
+        .withColumn(publish_ops.FILENAME_COL, F.lit("initial_load.parquet"))
+        .withColumn(publish_ops.LOG_ID_COL, F.lit(1).cast("long"))
+        .withColumn(
+            publish_ops.CREATED_COL, F.lit("2024-01-01 00:00:00").cast("timestamp")
+        )
+        .withColumn(publish_ops.UPDATED_COL, F.lit(None).cast("timestamp"))
+    )
+    stage = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn(HASH_COL, row_hash(ORDERS_HASH_FIELDS))
+        .withColumn(publish_ops.FILENAME_COL, F.lit("reload.parquet"))
+        .withColumn(publish_ops.LOG_ID_COL, F.lit(2).cast("long"))
+    )
+    return target, stage
+
+
+_MERGE_FRAMES_SQL = f"""
+target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+         {_ORDERS_HASH_SQL} AS etl_row_hash,
+         'initial_load.parquet' AS source_filename, CAST(1 AS BIGINT) AS file_load_log_id,
+         TIMESTAMP '2024-01-01 00:00:00' AS etl_created_at, CAST(NULL AS TIMESTAMP) AS etl_updated_at
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+stage AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+         {_ORDERS_HASH_SQL} AS etl_row_hash,
+         'reload.parquet' AS source_filename, CAST(2 AS BIGINT) AS file_load_log_id
+  FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0)
+)"""
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: hash-guarded MERGE (full-outer-join rewrite), fixed 'now'."""
+    target, stage = _merge_frames(spark, sf_dir)
+    merged = publish_ops.merge_upsert(
+        target,
+        stage,
+        ["o_orderkey"],
+        _ORDERS_BUSINESS,
+        now=F.lit("2024-06-01 00:00:00").cast("timestamp"),
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.col(publish_ops.FILENAME_COL),
+        F.col(publish_ops.LOG_ID_COL),
+        F.date_format(publish_ops.CREATED_COL, "yyyy-MM-dd HH:mm:ss").alias("created_at"),
+        F.date_format(publish_ops.UPDATED_COL, "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
+        F.col(HASH_COL),
+    ).orderBy("o_orderkey")
+
+
+Q_MERGE_UPSERT_SQL = f"""
+WITH {_MERGE_FRAMES_SQL}
+SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL AND (t.o_orderkey IS NULL OR s.etl_row_hash <> t.etl_row_hash)
+            THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL AND (t.o_orderkey IS NULL OR s.etl_row_hash <> t.etl_row_hash)
+            THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN s.o_orderkey IS NOT NULL AND (t.o_orderkey IS NULL OR s.etl_row_hash <> t.etl_row_hash)
+            THEN s.source_filename ELSE t.source_filename END AS source_filename,
+       CASE WHEN s.o_orderkey IS NOT NULL AND (t.o_orderkey IS NULL OR s.etl_row_hash <> t.etl_row_hash)
+            THEN s.file_load_log_id ELSE t.file_load_log_id END AS file_load_log_id,
+       strftime(CASE WHEN t.o_orderkey IS NOT NULL THEN t.etl_created_at
+                     ELSE TIMESTAMP '2024-06-01 00:00:00' END, '%Y-%m-%d %H:%M:%S') AS created_at,
+       strftime(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                          AND s.etl_row_hash <> t.etl_row_hash
+                     THEN TIMESTAMP '2024-06-01 00:00:00' ELSE t.etl_updated_at END,
+                '%Y-%m-%d %H:%M:%S') AS updated_at,
+       CASE WHEN s.o_orderkey IS NOT NULL AND (t.o_orderkey IS NULL OR s.etl_row_hash <> t.etl_row_hash)
+            THEN s.etl_row_hash ELSE t.etl_row_hash END AS etl_row_hash
+FROM stage s FULL OUTER JOIN target t ON s.o_orderkey = t.o_orderkey
+ORDER BY 1
+"""
+
+
+def q_publish_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/J3: insert/update/unchanged counts in one outer-join pass."""
+    target, stage = _merge_frames(spark, sf_dir)
+    s = stage.select("o_orderkey", F.col(HASH_COL).alias("s_hash"))
+    t = target.select("o_orderkey", F.col(HASH_COL).alias("t_hash"))
+    j = s.join(t, "o_orderkey", "full_outer")
+    return j.agg(
+        F.sum((F.col("s_hash").isNotNull() & F.col("t_hash").isNull()).cast("long")).alias(
+            "inserts"
+        ),
+        F.sum(
+            (
+                F.col("s_hash").isNotNull()
+                & F.col("t_hash").isNotNull()
+                & (F.col("s_hash") != F.col("t_hash"))
+            ).cast("long")
+        ).alias("updates"),
+        F.sum(
+            (
+                F.col("s_hash").isNotNull()
+                & F.col("t_hash").isNotNull()
+                & (F.col("s_hash") == F.col("t_hash"))
+            ).cast("long")
+        ).alias("unchanged"),
+    )
+
+
+Q_PUBLISH_COUNTS_SQL = f"""
+WITH {_MERGE_FRAMES_SQL}
+SELECT sum(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NULL THEN 1 ELSE 0 END) AS inserts,
+       sum(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                     AND s.etl_row_hash <> t.etl_row_hash THEN 1 ELSE 0 END) AS updates,
+       sum(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                     AND s.etl_row_hash = t.etl_row_hash THEN 1 ELSE 0 END) AS unchanged
+FROM stage s FULL OUTER JOIN target t ON s.o_orderkey = t.o_orderkey
+"""
+
+
+def q_file_loaded_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 shape: has this filename been published already?"""
+    orders = _t(spark, sf_dir, "orders")
+    tagged = orders.withColumn(
+        "source_filename",
+        F.concat(F.lit("orders_"), (F.col("o_orderkey") % 5).cast("string"), F.lit(".csv")),
+    )
+    return tagged.agg(
+        F.max((F.col("source_filename") == "orders_3.csv").cast("int")).alias(
+            "already_loaded"
+        )
+    )
+
+
+Q_FILE_LOADED_CHECK_SQL = """
+SELECT max(CASE WHEN source_filename = 'orders_3.csv' THEN 1 ELSE 0 END) AS already_loaded
+FROM (SELECT 'orders_' || CAST(o_orderkey % 5 AS VARCHAR) || '.csv' AS source_filename FROM orders)
+"""
+
+
+def q_dlq_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: drop same-file DLQ rows from earlier runs (log_id < current)."""
+    from etl_file_loader_spark.operators.dlq import cleanup_dlq
+
+    ev = _t(spark, sf_dir, "events")
+    dlq = ev.select(
+        F.col("event_id").alias("dlq_id"),
+        F.concat(F.lit("f"), (F.col("user_id") % 3).cast("string"), F.lit(".csv")).alias(
+            "source_filename"
+        ),
+        (F.col("event_id") % 10).cast("long").alias("file_load_log_id"),
+    )
+    return cleanup_dlq(dlq, "f1.csv", 5).orderBy("dlq_id")
+
+
+Q_DLQ_CLEANUP_SQL = """
+SELECT event_id AS dlq_id,
+       'f' || CAST(user_id % 3 AS VARCHAR) || '.csv' AS source_filename,
+       CAST(event_id % 10 AS BIGINT) AS file_load_log_id
+FROM events
+WHERE NOT ('f' || CAST(user_id % 3 AS VARCHAR) || '.csv' = 'f1.csv' AND event_id % 10 < 5)
+ORDER BY 1
+"""
+
+
+def q_cleaners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: phone regexp-strip + email trim/lowercase cleaners."""
+    cust = _t(spark, sf_dir, "customer")
+    phone_raw = F.concat(
+        F.lit("("), (F.col("c_custkey") % 1000).cast("string"), F.lit(") 555-"),
+        (F.col("c_custkey") % 10000).cast("string"),
+    )
+    email_raw = F.concat(F.lit("  "), F.upper(F.col("c_name")), F.lit("@Example.COM  "))
+    return cust.select(
+        "c_custkey",
+        clean_phone(phone_raw).alias("phone_clean"),
+        clean_email(email_raw).alias("email_clean"),
+    ).orderBy("c_custkey")
+
+
+Q_CLEANERS_SQL = r"""
+SELECT c_custkey,
+       regexp_replace('(' || CAST(c_custkey % 1000 AS VARCHAR) || ') 555-' || CAST(c_custkey % 10000 AS VARCHAR),
+                      '[^\d+]', '', 'g') AS phone_clean,
+       lower(trim('  ' || upper(c_name) || '@Example.COM  ')) AS email_clean
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_excel_serial_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: Excel 1899-12-30-epoch serial -> date / timestamp conversion."""
+    orders = _t(spark, sf_dir, "orders")
+    serial_int = (F.col("o_orderkey") % 50000).cast("double")
+    serial_frac = serial_int + (F.col("o_orderkey") % 86400) / F.lit(86400.0)
+    return orders.select(
+        "o_orderkey",
+        F.date_format(excel_serial_to_date(serial_int), "yyyy-MM-dd").alias("serial_date"),
+        F.date_format(excel_serial_to_timestamp(serial_frac), "yyyy-MM-dd HH:mm:ss").alias(
+            "serial_ts"
+        ),
+    ).orderBy("o_orderkey")
+
+
+Q_EXCEL_SERIAL_DATES_SQL = """
+SELECT o_orderkey,
+       strftime(DATE '1899-12-30' + CAST(o_orderkey % 50000 AS INT), '%Y-%m-%d') AS serial_date,
+       strftime(CAST(DATE '1899-12-30' + CAST(floor(o_orderkey % 50000 + (o_orderkey % 86400) / 86400.0) AS INT) AS TIMESTAMP)
+                + to_seconds(CAST(floor(((o_orderkey % 50000 + (o_orderkey % 86400) / 86400.0)
+                                          - floor(o_orderkey % 50000 + (o_orderkey % 86400) / 86400.0)) * 86400) AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS serial_ts
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-adjacent: JSON path extraction from a string column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_value"),
+    ).orderBy("event_id")
+
+
+Q_JSON_EXTRACT_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events ORDER BY event_id
+"""
+
+
+def q_file_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S10 shape: deterministic row numbering + skip-rows filter."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        ev.select("event_id", F.row_number().over(w).cast("long").alias("file_row_number"))
+        .filter(F.col("file_row_number") > 3)
+        .orderBy("event_id")
+    )
+
+
+Q_FILE_ROW_NUMBER_SQL = """
+SELECT event_id, file_row_number FROM (
+  SELECT event_id, CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS file_row_number
+  FROM events
+) WHERE file_row_number > 3 ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup queries (training-data-pipeline extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: identical-text groups with representative + count."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_duplicates(docs, "doc_id", "text").orderBy("text_hash")
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS representative_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text) ORDER BY 1
+"""
+
+# shared oracle CTEs: 5-gram shingles + 32-bit portable hash
+_SHINGLE_CTE = r"""
+words AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, unnest(list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 5 + 2), i -> array_to_string(w[i:i+4], ' ')) END
+  )) AS shingle
+  FROM words
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS sh FROM sh
+)"""
+
+from etl_file_loader_spark.operators.dedup import _MH_A, _MH_B, _MH_PRIME  # noqa: E402
+
+_SIG_MINS_SQL = ",\n         ".join(
+    f"min(({_MH_A[i]} * (sh % {_MH_PRIME}) + {_MH_B[i]}) % {_MH_PRIME}) AS h{i}"
+    for i in range(16)
+)
+_SIG_CTE = f"""sig AS (
+  SELECT doc_id,
+         {_SIG_MINS_SQL}
+  FROM h GROUP BY doc_id
+)"""
+_SIG_CONCAT_SQL = ", ".join(f"CAST(h{i} AS VARCHAR)" for i in range(16))
+
+
+def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 permutations over 5-gram shingles), digested."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=5)
+    return sigs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("signature"), lambda x: x.cast("string")))
+        ).alias("sig_hash"),
+    ).orderBy("doc_id")
+
+
+Q_DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_SIG_CTE}
+SELECT doc_id, md5(concat_ws(',', {_SIG_CONCAT_SQL})) AS sig_hash
+FROM sig ORDER BY doc_id
+"""
+
+_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', "
+    + ", ".join(f"CAST(h{b * 4 + r} AS VARCHAR)" for r in range(4))
+    + ")) AS band_hash FROM sig"
+    for b in range(4)
+)
+
+
+def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any of 4 bands x 4 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=5)
+    return dedup_ops.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+Q_DEDUP_LSH_CANDIDATES_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_SIG_CTE},
+bands AS (
+{_BANDS_SQL}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY 1, 2
+"""
+
+_SIMHASH_VOTES_SQL = ",\n         ".join(
+    f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+)
+_SIMHASH_ASSEMBLE_SQL = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32)
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints over distinct tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs, "doc_id", "text", bits=32).orderBy("doc_id")
+
+
+Q_DEDUP_SIMHASH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES_SQL}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_ASSEMBLE_SQL} AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: 5-gram Jaccard >= 0.5, language-blocked inverted index."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.5, block_col="lang"
+    ).orderBy("id_a", "id_b")
+
+
+Q_DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, intersection, sa.set_size AS size_a, sb.set_size AS size_b,
+       round(intersection / (sa.set_size + sb.set_size - intersection), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(intersection / (sa.set_size + sb.set_size - intersection), 6) >= 0.5
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").collect()
+    )
+    return list(row[0][0])
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs vec_id=0's embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
+
+
+Q_SIMILARITY_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+FROM embeddings e, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via hyperplane-LSH bucket pruning (approximate; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, num_planes=6
+    )
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF k-means coarse quantizer (approximate; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = sim_ops.IVFIndex(n_lists=8).fit(emb, "embedding")
+    assigned = idx.assign(emb, "embedding")
+    return idx.search(assigned, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text_ops.EN_STOPWORDS)
+_MARKER_SCORES_SQL = ",\n       ".join(
+    "len(list_filter(toks, w -> w IN ("
+    + ", ".join(f"'{m}'" for m in text_ops.LANG_MARKERS[lang])
+    + f"))) AS s_{lang}"
+    for lang in sorted(text_ops.LANG_MARKERS)
+)
+_BEST_SQL = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(text_ops.LANG_MARKERS)) + ")"
+_LANG_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = {_BEST_SQL} AND {_BEST_SQL} > 0 THEN '{lang}'"
+        for lang in sorted(text_ops.LANG_MARKERS)
+    )
+    + " ELSE 'und' END"
+)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/subword counts + ratio metrics per document."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(t).cast("long").alias("n_tokens"),
+        text_ops.subword_estimate(t).alias("n_subwords"),
+        F.length(t).cast("long").alias("n_chars"),
+        text_ops.stopword_ratio(t).alias("stopword_ratio"),
+        text_ops.punct_ratio(t).alias("punct_ratio"),
+        text_ops.mean_word_length(t).alias("mean_word_len"),
+    ).orderBy("doc_id")
+
+
+Q_TEXT_STATS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(toks, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(len(list_filter(toks, w -> lower(w) IN ({_STOPWORDS_SQL}))) / len(toks), 6) END AS stopword_ratio,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text), 6) END AS punct_ratio,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(list_sum(list_transform(toks, w -> length(w))) / len(toks), 6) END AS mean_word_len
+FROM base ORDER BY doc_id
+"""
+
+
+def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + heuristic language ID + canonical fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text_ops.quality_score(t).alias("quality"),
+        text_ops.language_id(t).alias("lang_pred"),
+        text_ops.fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+Q_TEXT_QUALITY_LANG_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END,
+           w -> lower(w)) AS toks,
+         length(text) AS n
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, toks, n,
+       CASE WHEN n <= 0 THEN 0.0
+            WHEN n < 50 THEN n / 50.0
+            WHEN n <= 5000 THEN 1.0
+            ELSE greatest(0.2, 5000.0 / n) END AS len_score,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE round((n - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / n, 6) END AS p,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(len(list_filter(toks, w -> w IN ({_STOPWORDS_SQL}))) / len(toks), 6) END AS s,
+       {_MARKER_SCORES_SQL}
+  FROM base
+)
+SELECT doc_id,
+       round(0.4 * len_score
+             + 0.3 * greatest(0.0, 1.0 - p / 0.3)
+             + 0.3 * (CASE WHEN s >= 0.02 AND s <= 0.6 THEN 1.0 ELSE 0.5 END), 6) AS quality,
+       {_LANG_CASE_SQL} AS lang_pred,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (decimal-exact averages)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).alias("_sc"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("_sc").cast("double") / F.col("n_docs")).alias("avg_chars"),
+            "min_chars",
+            "max_chars",
+        )
+        .orderBy("lang")
+    )
+
+
+Q_DOC_LENGTH_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (byte length + derived dims), no decode."""
+    docs = _t(spark, sf_dir, "documents")
+    content = F.col("text").cast("binary")
+    byte_len = F.length(content).cast("long")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        byte_len.alias("byte_len"),
+        (byte_len % 640).cast("long").alias("fake_width"),
+        (byte_len % 480).cast("long").alias("fake_height"),
+    ).orderBy("media_id")
+
+
+Q_MULTIMODAL_META_SQL = """
+SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS fake_width,
+       CAST(octet_length(CAST(text AS BLOB)) % 480 AS BIGINT) AS fake_height
+FROM documents ORDER BY media_id
+"""
+
+
+def q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode of deterministic fake image payloads (rows-only)."""
+    import pandas as pd
+
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "n_chars"
+    )
+
+    def pack(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        mm.pack_fake_image(int(m), int(n) % 640 + 1, int(n) % 480 + 1)
+                        for m, n in zip(pdf["media_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(pack, "media_id long, content binary")
+    return mm.decode_image(media, fake=True).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "customer_order_stats": q_customer_order_stats,
+    "events_hourly": q_events_hourly,
+    "top_events_per_user": q_top_events_per_user,
+    "sessionization": q_sessionization,
+    "row_hash_customer": q_row_hash_customer,
+    "validate_split": q_validate_split,
+    "dlq_error_records": q_dlq_error_records,
+    "grain_audit": q_grain_audit,
+    "dup_grain_examples": q_dup_grain_examples,
+    "audit_contract": q_audit_contract,
+    "threshold_stats": q_threshold_stats,
+    "merge_upsert": q_merge_upsert,
+    "publish_counts": q_publish_counts,
+    "file_loaded_check": q_file_loaded_check,
+    "dlq_cleanup": q_dlq_cleanup,
+    "cleaners": q_cleaners,
+    "excel_serial_dates": q_excel_serial_dates,
+    "json_extract": q_json_extract,
+    "file_row_number": q_file_row_number,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signature": q_dedup_minhash_signature,
+    "dedup_lsh_candidates": q_dedup_lsh_candidates,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "similarity_topk": q_similarity_topk,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
+    "text_stats": q_text_stats,
+    "text_quality_lang": q_text_quality_lang,
+    "doc_length_stats": q_doc_length_stats,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode_fake": q_multimodal_decode_fake,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "customer_order_stats": Q_CUSTOMER_ORDER_STATS_SQL,
+    "events_hourly": Q_EVENTS_HOURLY_SQL,
+    "top_events_per_user": Q_TOP_EVENTS_PER_USER_SQL,
+    "sessionization": Q_SESSIONIZATION_SQL,
+    "row_hash_customer": Q_ROW_HASH_CUSTOMER_SQL,
+    "validate_split": Q_VALIDATE_SPLIT_SQL,
+    "dlq_error_records": Q_DLQ_ERROR_RECORDS_SQL,
+    "grain_audit": Q_GRAIN_AUDIT_SQL,
+    "dup_grain_examples": Q_DUP_GRAIN_EXAMPLES_SQL,
+    "audit_contract": Q_AUDIT_CONTRACT_SQL,
+    "threshold_stats": Q_THRESHOLD_STATS_SQL,
+    "merge_upsert": Q_MERGE_UPSERT_SQL,
+    "publish_counts": Q_PUBLISH_COUNTS_SQL,
+    "file_loaded_check": Q_FILE_LOADED_CHECK_SQL,
+    "dlq_cleanup": Q_DLQ_CLEANUP_SQL,
+    "cleaners": Q_CLEANERS_SQL,
+    "excel_serial_dates": Q_EXCEL_SERIAL_DATES_SQL,
+    "json_extract": Q_JSON_EXTRACT_SQL,
+    "file_row_number": Q_FILE_ROW_NUMBER_SQL,
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "dedup_minhash_signature": Q_DEDUP_MINHASH_SQL,
+    "dedup_lsh_candidates": Q_DEDUP_LSH_CANDIDATES_SQL,
+    "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": Q_DEDUP_NGRAM_JACCARD_SQL,
+    "similarity_topk": Q_SIMILARITY_TOPK_SQL,
+    # similarity_lsh_topk / similarity_ivf_topk: approximate, rows-only check
+    "text_stats": Q_TEXT_STATS_SQL,
+    "text_quality_lang": Q_TEXT_QUALITY_LANG_SQL,
+    "doc_length_stats": Q_DOC_LENGTH_STATS_SQL,
+    "multimodal_meta": Q_MULTIMODAL_META_SQL,
+    # multimodal_decode_fake: mapInPandas decode, rows-only check
+}
