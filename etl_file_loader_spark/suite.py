@@ -202,7 +202,6 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_sv").cast("double").alias("sum_value"),
             "n_users",
         )
-        .orderBy("hour", "event_type")
     )
     return out
 
@@ -226,7 +225,6 @@ def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("user_id", "rank", "event_id", "value")
-        .orderBy("user_id", "rank")
     )
 
 
@@ -257,7 +255,6 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("_gap") + 1).cast("long").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -289,7 +286,7 @@ def q_row_hash_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     return cust.select(
         "c_custkey", row_hash(CUSTOMER_HASH_FIELDS).alias("etl_row_hash")
-    ).orderBy("c_custkey")
+    )
 
 
 Q_ROW_HASH_CUSTOMER_SQL = """
@@ -353,7 +350,7 @@ def q_validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber"),
         F.size(F.col(validate_ops.ERRORS_COL)).alias("n_errors"),
         F.col(validate_ops.VALID_COL).cast("int").alias("is_valid"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 Q_VALIDATE_SPLIT_SQL = f"""
@@ -394,7 +391,6 @@ def q_dlq_error_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.error_type").alias("error_type"),
             F.col("e.error_msg").alias("error_msg"),
         )
-        .orderBy("l_orderkey", "l_linenumber", "column_name")
     )
 
 
@@ -581,7 +577,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(publish_ops.CREATED_COL, "yyyy-MM-dd HH:mm:ss").alias("created_at"),
         F.date_format(publish_ops.UPDATED_COL, "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
         F.col(HASH_COL),
-    ).orderBy("o_orderkey")
+    )
 
 
 Q_MERGE_UPSERT_SQL = f"""
@@ -678,7 +674,7 @@ def q_dlq_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("event_id") % 10).cast("long").alias("file_load_log_id"),
     )
-    return cleanup_dlq(dlq, "f1.csv", 5).orderBy("dlq_id")
+    return cleanup_dlq(dlq, "f1.csv", 5)
 
 
 Q_DLQ_CLEANUP_SQL = """
@@ -703,7 +699,7 @@ def q_cleaners(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         clean_phone(phone_raw).alias("phone_clean"),
         clean_email(email_raw).alias("email_clean"),
-    ).orderBy("c_custkey")
+    )
 
 
 Q_CLEANERS_SQL = r"""
@@ -726,7 +722,7 @@ def q_excel_serial_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(excel_serial_to_timestamp(serial_frac), "yyyy-MM-dd HH:mm:ss").alias(
             "serial_ts"
         ),
-    ).orderBy("o_orderkey")
+    )
 
 
 Q_EXCEL_SERIAL_DATES_SQL = """
@@ -746,7 +742,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_value"),
-    ).orderBy("event_id")
+    )
 
 
 Q_JSON_EXTRACT_SQL = """
@@ -762,7 +758,6 @@ def q_file_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("event_id", F.row_number().over(w).cast("long").alias("file_row_number"))
         .filter(F.col("file_row_number") > 3)
-        .orderBy("event_id")
     )
 
 
@@ -782,7 +777,7 @@ SELECT event_id, file_row_number FROM (
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: identical-text groups with representative + count."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.exact_duplicates(docs, "doc_id", "text").orderBy("text_hash")
+    return dedup_ops.exact_duplicates(docs, "doc_id", "text")
 
 
 Q_DEDUP_EXACT_SQL = """
@@ -829,7 +824,7 @@ def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(",", F.transform(F.col("signature"), lambda x: x.cast("string")))
         ).alias("sig_hash"),
-    ).orderBy("doc_id")
+    )
 
 
 Q_DEDUP_MINHASH_SQL = f"""
@@ -851,9 +846,7 @@ def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing any of 4 bands x 4 rows."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup_ops.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=5)
-    return dedup_ops.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup_ops.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
 
 
 Q_DEDUP_LSH_CANDIDATES_SQL = f"""
@@ -879,7 +872,7 @@ _SIMHASH_ASSEMBLE_SQL = " + ".join(
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints over distinct tokens."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.simhash(docs, "doc_id", "text", bits=32).orderBy("doc_id")
+    return dedup_ops.simhash(docs, "doc_id", "text", bits=32)
 
 
 Q_DEDUP_SIMHASH_SQL = rf"""
@@ -905,7 +898,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=5, threshold=0.5, block_col="lang"
-    ).orderBy("id_a", "id_b")
+    )
 
 
 Q_DEDUP_NGRAM_JACCARD_SQL = f"""
@@ -1007,7 +1000,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops.stopword_ratio(t).alias("stopword_ratio"),
         text_ops.punct_ratio(t).alias("punct_ratio"),
         text_ops.mean_word_length(t).alias("mean_word_len"),
-    ).orderBy("doc_id")
+    )
 
 
 Q_TEXT_STATS_SQL = rf"""
@@ -1040,7 +1033,7 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops.quality_score(t).alias("quality"),
         text_ops.language_id(t).alias("lang_pred"),
         text_ops.fingerprint(t).alias("fingerprint"),
-    ).orderBy("doc_id")
+    )
 
 
 Q_TEXT_QUALITY_LANG_SQL = rf"""
@@ -1094,7 +1087,6 @@ def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_chars",
             "max_chars",
         )
-        .orderBy("lang")
     )
 
 
@@ -1121,7 +1113,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         byte_len.alias("byte_len"),
         (byte_len % 640).cast("long").alias("fake_width"),
         (byte_len % 480).cast("long").alias("fake_height"),
-    ).orderBy("media_id")
+    )
 
 
 Q_MULTIMODAL_META_SQL = """
@@ -1155,7 +1147,7 @@ def q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(pack, "media_id long, content binary")
-    return mm.decode_image(media, fake=True).orderBy("media_id")
+    return mm.decode_image(media, fake=True)
 
 
 # ---------------------------------------------------------------------------
