@@ -1,0 +1,252 @@
+"""JSON / Excel / Parquet pipeline behavior (reference test_json.py,
+test_excel.py, test_parquet.py)."""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_file_loader_spark.config import FieldSpec, SourceConfig
+from etl_file_loader_spark.exceptions import (
+    GrainValidationError,
+    MissingColumnsError,
+    NoDataInFileError,
+)
+from etl_file_loader_spark.plans.pipeline import PipelineRunner
+from tests.xlsx_helper import write_xlsx
+
+
+def ledger_source(**overrides) -> SourceConfig:
+    defaults = dict(
+        name="ledger_entries",
+        file_pattern="ledger_*.json",
+        file_format="json",
+        fields=[
+            FieldSpec("entry_id", T.LongType(), nullable=False),
+            FieldSpec("account_code", T.StringType(), nullable=False, max_length=100),
+            FieldSpec("account_name", T.StringType(), nullable=False, max_length=100),
+            FieldSpec("debit_amount", T.DoubleType(), nullable=True),
+            FieldSpec("credit_amount", T.DoubleType(), nullable=True),
+            FieldSpec("description", T.StringType(), nullable=False, max_length=500),
+            FieldSpec("transaction_date", T.DateType(), nullable=False),
+            FieldSpec("reference_number", T.StringType(), nullable=False, max_length=100),
+        ],
+        grain=["entry_id"],
+        validation_error_threshold=0.0,
+    )
+    defaults.update(overrides)
+    return SourceConfig(**defaults)
+
+
+def ledger_record(i: int, **over) -> dict:
+    rec = {
+        "entry_id": i,
+        "account_code": f"AC{i:03d}",
+        "account_name": f"Account {i}",
+        "debit_amount": 100.0 + i,
+        "credit_amount": None,
+        "description": f"entry number {i}",
+        "transaction_date": "2024-02-01",
+        "reference_number": f"REF-{i}",
+    }
+    rec.update(over)
+    return rec
+
+
+def write_ledger(tmp_path, records, name="ledger_2024.json"):
+    p = tmp_path / name
+    p.write_text(json.dumps({"entries": {"item": records}}))
+    return str(p)
+
+
+def test_json_happy_path(spark, warehouse, tmp_path):
+    path = write_ledger(tmp_path, [ledger_record(i) for i in range(1, 6)])
+    cfg = ledger_source(array_path="entries.item")
+    result = PipelineRunner(spark, warehouse, cfg, path).run()
+    assert result.success and result.counts.inserts == 5
+    target = warehouse.read_table("ledger_entries")
+    row = target.filter("entry_id = 3").collect()[0]
+    assert row["debit_amount"] == 103.0
+    assert row["credit_amount"] is None
+    assert str(row["transaction_date"]) == "2024-02-01"
+
+
+def test_json_duplicates(spark, warehouse, tmp_path):
+    recs = [ledger_record(1), ledger_record(1), ledger_record(2)]
+    path = write_ledger(tmp_path, recs)
+    with pytest.raises(GrainValidationError):
+        PipelineRunner(spark, warehouse, ledger_source(array_path="entries.item"), path).run()
+
+
+def test_json_missing_columns(spark, warehouse, tmp_path):
+    recs = [
+        {k: v for k, v in ledger_record(i).items() if k not in ("transaction_date", "reference_number")}
+        for i in range(1, 4)
+    ]
+    path = write_ledger(tmp_path, recs)
+    with pytest.raises(MissingColumnsError) as exc:
+        PipelineRunner(spark, warehouse, ledger_source(array_path="entries.item"), path).run()
+    assert set(exc.value.missing) == {"transaction_date", "reference_number"}
+
+
+def test_json_no_data(spark, warehouse, tmp_path):
+    path = write_ledger(tmp_path, [])
+    with pytest.raises(NoDataInFileError):
+        PipelineRunner(spark, warehouse, ledger_source(array_path="entries.item"), path).run()
+
+
+def test_json_nested_flatten(spark, warehouse, tmp_path):
+    """Nested dicts flatten to parent_child lowercase columns (S4)."""
+    recs = [
+        {
+            "entry_id": i,
+            "account_code": f"AC{i}",
+            "account_name": f"A{i}",
+            "debit_amount": 1.0,
+            "credit_amount": None,
+            "description": "x",
+            "transaction_date": "2024-02-01",
+            "reference_number": "R",
+            "meta": {"Source": {"System": f"sys{i}"}},
+        }
+        for i in range(1, 3)
+    ]
+    path = write_ledger(tmp_path, recs)
+    fields = ledger_source().fields + [
+        FieldSpec("meta_source_system", T.StringType(), nullable=True)
+    ]
+    cfg = ledger_source(array_path="entries.item", fields=fields)
+    result = PipelineRunner(spark, warehouse, cfg, path).run()
+    assert result.success
+    rows = warehouse.read_table("ledger_entries").orderBy("entry_id").collect()
+    assert rows[0]["meta_source_system"] == "sys1"
+
+
+EXCEL_HEADER = ["SKU", "Product Name", "Category", "Price", "Stock Qty", "Supplier", "Last Date", "Last Updated"]
+
+
+def products_source(**overrides) -> SourceConfig:
+    defaults = dict(
+        name="products",
+        file_pattern="inventory_*.xlsx",
+        file_format="excel",
+        fields=[
+            FieldSpec("sku", T.StringType(), alias="SKU", nullable=False, max_length=100),
+            FieldSpec("name", T.StringType(), alias="Product Name", nullable=False),
+            FieldSpec("category", T.StringType(), alias="Category", nullable=False),
+            FieldSpec("price", T.DoubleType(), alias="Price", nullable=False),
+            FieldSpec("stock_quantity", T.LongType(), alias="Stock Qty", nullable=False),
+            FieldSpec("supplier", T.StringType(), alias="Supplier", nullable=False),
+            FieldSpec("last_date", T.DateType(), alias="Last Date", nullable=False, excel_serial=True),
+            FieldSpec("last_updated", T.TimestampType(), alias="Last Updated", nullable=False, excel_serial=True),
+        ],
+        grain=["sku"],
+        audit_query=(
+            "SELECT CASE WHEN SUM(CASE WHEN price > 0 THEN 1 ELSE 0 END) = COUNT(*) "
+            "THEN 1 ELSE 0 END AS price_positive FROM {table}"
+        ),
+    )
+    defaults.update(overrides)
+    return SourceConfig(**defaults)
+
+
+def product_row(i: int):
+    # serial 45292 = 2024-01-01; .5 fraction = 12:00:00
+    return [f"SKU-{i}", f"Product {i}", "Tools", 9.99 + i, 10 * i, "Acme", 45292 + i, 45292 + i + 0.5]
+
+
+def test_excel_happy_path_with_serial_dates(spark, warehouse, tmp_path):
+    path = write_xlsx(
+        str(tmp_path / "inventory_jan.xlsx"),
+        {"Products": [EXCEL_HEADER] + [product_row(i) for i in range(1, 4)]},
+    )
+    result = PipelineRunner(spark, warehouse, products_source(sheet_name="Products"), path).run()
+    assert result.success and result.counts.inserts == 3
+    row = warehouse.read_table("products").filter("sku = 'SKU-1'").collect()[0]
+    assert row["price"] == 10.99
+    assert row["stock_quantity"] == 10
+    assert str(row["last_date"]) == "2024-01-02"  # 45293
+    assert str(row["last_updated"]) == "2024-01-02 12:00:00"
+
+
+def test_excel_sheet_selection(spark, warehouse, tmp_path):
+    path = write_xlsx(
+        str(tmp_path / "inventory_multi.xlsx"),
+        {
+            "Summary": [["ignore me"]],
+            "Products": [EXCEL_HEADER] + [product_row(i) for i in range(1, 3)],
+        },
+    )
+    result = PipelineRunner(spark, warehouse, products_source(sheet_name="Products"), path).run()
+    assert result.success and result.counts.inserts == 2
+
+
+def test_excel_skip_rows(spark, warehouse, tmp_path):
+    rows = [EXCEL_HEADER, ["junk"] + [None] * 7] + [product_row(i) for i in range(1, 3)]
+    path = write_xlsx(str(tmp_path / "inventory_skip.xlsx"), {"Products": rows})
+    result = PipelineRunner(
+        spark, warehouse, products_source(sheet_name="Products", skip_rows=1), path
+    ).run()
+    assert result.success and result.counts.inserts == 2
+
+
+def test_excel_missing_columns(spark, warehouse, tmp_path):
+    path = write_xlsx(
+        str(tmp_path / "inventory_bad.xlsx"),
+        {"Products": [EXCEL_HEADER[:-1]] + [product_row(1)[:-1]]},
+    )
+    with pytest.raises(MissingColumnsError) as exc:
+        PipelineRunner(spark, warehouse, products_source(sheet_name="Products"), path).run()
+    assert exc.value.missing == ["last updated"]
+
+
+def customers_parquet_source():
+    return SourceConfig(
+        name="customers",
+        file_pattern="customers-*.parquet",
+        file_format="parquet",
+        fields=[
+            FieldSpec("customer_id", T.StringType(), alias="Customer Id", nullable=False, max_length=50),
+            FieldSpec("first_name", T.StringType(), alias="First Name", nullable=False, max_length=100),
+            FieldSpec("email", T.StringType(), nullable=False, email=True, max_length=100),
+        ],
+        grain=["customer_id"],
+    )
+
+
+def test_parquet_happy_path_and_row_numbers(spark, warehouse, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "Customer Id": [f"C{i}" for i in range(1, 6)],
+            "First Name": [f"Name{i}" for i in range(1, 6)],
+            "email": [f"user{i}@example.com" if i != 3 else "not-an-email" for i in range(1, 6)],
+        }
+    )
+    path = str(tmp_path / "customers-100.parquet")
+    pq.write_table(table, path)
+    cfg = customers_parquet_source()
+    from etl_file_loader_spark.exceptions import ValidationThresholdExceededError
+
+    with pytest.raises(ValidationThresholdExceededError):
+        PipelineRunner(spark, warehouse, cfg, path).run()
+    dlq = warehouse.read_table("file_load_dlq").collect()
+    assert len(dlq) == 1
+    assert dlq[0]["file_row_number"] == 3  # parquet rows are 1-based
+    errors = json.loads(dlq[0]["validation_errors"])
+    assert errors[0]["error_type"] == "email"
+
+
+def test_parquet_empty_file(spark, warehouse, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({"Customer Id": pa.array([], type=pa.string()),
+                      "First Name": pa.array([], type=pa.string()),
+                      "email": pa.array([], type=pa.string())})
+    path = str(tmp_path / "customers-empty.parquet")
+    pq.write_table(table, path)
+    with pytest.raises(NoDataInFileError):
+        PipelineRunner(spark, warehouse, customers_parquet_source(), path).run()

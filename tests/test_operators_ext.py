@@ -1,0 +1,164 @@
+"""Extension operators: dedup, similarity, text analysis, multimodal, warehouse."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today", "en"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today", "en"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bank yesterday", "en"),  # near dup
+        (4, "completely different content about spark query engines and shuffles", "en"),
+        (5, "der schnelle braune fuchs springt ueber den faulen hund am fluss", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(docs):
+    groups = {r["representative_id"]: r["dup_count"] for r in dedup.exact_duplicates(docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # docs 1+2 identical
+    assert groups[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated don't
+    # identical docs -> identical signatures
+    s = {r["doc_id"]: tuple(r["signature"]) for r in sigs.collect()}
+    assert s[1] == s[2]
+    assert s[1] != s[4]
+
+
+def test_simhash_distance(docs):
+    h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert h[1] == h[2]  # identical
+    near = bin(h[1] ^ h[3]).count("1")
+    far = bin(h[1] ^ h[4]).count("1")
+    assert near < far  # near-dup closer in hamming space
+
+
+def test_ngram_jaccard(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4, block_col="lang").collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert by_pair[(1, 2)] == 1.0
+    assert 0.4 <= by_pair[(1, 3)] < 1.0
+    assert (1, 4) not in by_pair
+    assert all(a != 5 and b != 5 for a, b in by_pair)  # lang-blocked
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = similarity.cosine_topk(df, "vec_id", "embedding", [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["score"] == 1.0
+
+
+def test_lsh_topk_contains_exact_match(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = similarity.lsh_topk(df, "vec_id", "embedding", [1.0] + [0.0] * 7, k=3, num_planes=4)
+    ids = [r["vec_id"] for r in res.collect()]
+    assert 0 in ids  # the identical vector lands in the query's bucket
+
+
+def test_ivf_topk(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(40, 8).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = similarity.IVFIndex(n_lists=4).fit(df, "embedding")
+    assigned = idx.assign(df, "embedding")
+    q = [float(x) for x in base[5]]
+    res = idx.search(assigned, "vec_id", "embedding", q, k=3, n_probe=2).collect()
+    assert res[0]["vec_id"] == 5 and res[0]["score"] == 1.0
+
+
+def test_text_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, it is the best!"), (2, ""), (3, "word")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.profile(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 8
+    assert rows[1]["lang_pred"] == "en"
+    assert 0 < rows[1]["punct_ratio"] < 0.2
+    # len 0: len_score 0, punct_score 1.0, stop_score 0.5 -> 0.3 + 0.15
+    assert rows[2]["n_tokens"] == 0 and rows[2]["quality"] == 0.45
+    assert rows[3]["n_tokens"] == 1
+    # fingerprint is case/order invariant
+    df2 = spark.createDataFrame(
+        [(1, "fox Brown THE quick"), (2, "the quick brown fox")], "doc_id long, text string"
+    )
+    fps = [r["fingerprint"] for r in text.profile(df2, "doc_id", "text").collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_pack_decode_roundtrip(spark):
+    payloads = [(i, multimodal.pack_fake_image(i, 64 + i, 48 + i)) for i in range(3)]
+    df = spark.createDataFrame(payloads, "media_id long, content binary")
+    decoded = {r["media_id"]: r for r in multimodal.decode_image(df, fake=True).collect()}
+    assert decoded[1]["width"] == 65 and decoded[1]["height"] == 49
+    assert decoded[1]["decode_ok"]
+    body = bytes((1 * 31 + i) % 256 for i in range(64))
+    assert decoded[1]["mean_pixel"] == round(sum(body) / len(body), 6)
+
+
+def test_multimodal_decode_requires_fake_flag(spark):
+    df = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(df, fake=False)
+
+
+def test_multimodal_meta_sniff(spark):
+    rows = [
+        (1, multimodal.pack_fake_image(1, 4, 4)),
+        (2, b"\xff\xd8\xff rest"),
+        (3, b"\x89PNG rest"),
+        (4, b"plain"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    metas = {r["media_id"]: r["meta"] for r in multimodal.attach_media_meta(df).collect()}
+    assert metas[1]["mime"] == "image/x-fake"
+    assert metas[2]["mime"] == "image/jpeg"
+    assert metas[3]["mime"] == "image/png"
+    assert metas[4]["mime"] == "application/octet-stream"
+    assert metas[4]["byte_len"] == 5
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, bytes(160))], "media_id long, content binary")
+    frames = multimodal.frame_sample_plan(df, every_n=3).collect()
+    assert [r["frame_index"] for r in frames] == [0, 3, 6, 9]
+
+
+def test_warehouse_versioning(spark, warehouse):
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    warehouse.overwrite("t", df1)
+    assert warehouse.read_table("t").count() == 1
+    warehouse.append("t", df2)
+    assert warehouse.read_table("t").count() == 2
+    # overwrite from a plan that reads the current version (the merge shape)
+    doubled = warehouse.read_table("t").withColumn("v", F.concat("v", F.lit("!")))
+    warehouse.overwrite("t", doubled)
+    assert sorted(r["v"] for r in warehouse.read_table("t").collect()) == ["a!", "b!"]
+    warehouse.drop("t")
+    assert not warehouse.exists("t")
+
+
+_ = pd  # keep import used

@@ -1,0 +1,94 @@
+"""Structured Streaming ingest + windowed aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.streaming.ingest import StreamingIngest, windowed_event_counts
+from tests.sources_fixtures import CSV_GOOD, transactions_source
+
+
+@pytest.fixture
+def stream_dirs(tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    return src, str(tmp_path / "checkpoint")
+
+
+def test_streaming_ingest_and_incremental_merge(spark, warehouse, stream_dirs, tmp_path):
+    src, checkpoint = stream_dirs
+    (src / "sales_1.csv").write_text(CSV_GOOD)
+
+    ingest = StreamingIngest(
+        spark, transactions_source(), warehouse, str(src), checkpoint
+    )
+    q = ingest.start()
+    q.awaitTermination(120)
+    assert warehouse.read_table("transactions").count() == 3
+
+    # drop a second file: one changed row + one new row; restart (availableNow)
+    changed = CSV_GOOD.replace(
+        "TXN001,CUST01,SKU-1,2,10.50", "TXN001,CUST01,SKU-1,7,10.50"
+    ) + "TXN004,CUST03,SKU-4,1,3.00,3.00,2024-01-08,carol\n"
+    (src / "sales_2.csv").write_text(changed)
+    q2 = ingest.start()
+    q2.awaitTermination(120)
+
+    target = warehouse.read_table("transactions")
+    assert target.count() == 4
+    updated = target.filter(F.col("transaction_id") == "TXN001").collect()[0]
+    assert updated["quantity"] == 7
+    assert updated["etl_updated_at"] is not None
+    untouched = target.filter(F.col("transaction_id") == "TXN002").collect()[0]
+    assert untouched["etl_updated_at"] is None
+
+
+def test_streaming_invalid_rows_to_dlq(spark, warehouse, stream_dirs):
+    src, checkpoint = stream_dirs
+    bad = CSV_GOOD.replace("TXN002,CUST02,SKU-2,1,5.25", "TXN002,CUST02,SKU-2,1,oops")
+    (src / "sales_bad.csv").write_text(bad)
+    cfg = transactions_source(validation_error_threshold=0.9)
+    q = StreamingIngest(spark, cfg, warehouse, str(src), checkpoint).start()
+    q.awaitTermination(120)
+    assert warehouse.read_table("transactions").count() == 2
+    dlq = warehouse.read_table("file_load_dlq").collect()
+    assert len(dlq) == 1
+    assert "oops" in dlq[0]["validation_errors"]
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:01:00", "click", 1.0),
+        (2, "2024-01-01 00:02:00", "click", 2.0),
+        (3, "2024-01-01 00:07:00", "view", 3.0),
+        (4, "2024-01-01 01:00:00", "click", 4.0),
+    ]
+    batch = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "events_stream")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("winout")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM winout ORDER BY window_start, event_type").collect()
+    # watermark has passed the first windows once the 01:00 event arrives
+    got = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"]) for r in out}
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 00:05:00", "view")] == (1, 3.0)
+
+
+def test_windowed_event_counts_batch_shape(spark):
+    rows = [(1, "2024-01-01 00:01:00", "click", 1.0)]
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = windowed_event_counts(df).collect()
+    assert out[0]["n_events"] == 1
