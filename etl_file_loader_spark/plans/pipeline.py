@@ -226,12 +226,20 @@ class Processor:
         return self.results
 
     def results_summary(self) -> dict:
-        """Success/failure/no-source rollup (reference processor.py:113-157)."""
+        """Success/failure/no-source rollup (reference processor.py:113-157).
+
+        Files matching no source are *skipped*, not failed — the reference's
+        registry returns None for them and the run continues (registry.py:36).
+        """
         ok = [r for r in self.results if r.success]
-        failed = [r for r in self.results if not r.success]
+        skipped = [r for r in self.results if r.error_type == "NoSourceMatchError"]
+        failed = [
+            r for r in self.results if not r.success and r not in skipped
+        ]
         return {
             "total": len(self.results),
             "succeeded": len(ok),
             "failed": len(failed),
+            "no_source": len(skipped),
             "errors": {r.filename: r.error_type for r in failed},
         }

@@ -1226,3 +1226,149 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": Q_MULTIMODAL_META_SQL,
     # multimodal_decode_fake: mapInPandas decode, rows-only check
 }
+
+
+# ---------------------------------------------------------------------------
+# advanced joins / grouping sets
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest purchase at-or-before each event, per user."""
+    from etl_file_loader_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_event_id"),
+            F.max("value").alias("purchase_value"),
+        )
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    joined = asof_join(
+        left,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["purchase_event_id", "purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("purchase_event_id_asof"),
+        F.col("purchase_value_asof"),
+    )
+
+
+Q_ASOF_JOIN_SQL = """
+WITH r AS (
+  SELECT user_id, ts, max(event_id) AS purchase_event_id, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       r.purchase_event_id AS purchase_event_id_asof,
+       r.purchase_value AS purchase_value_asof
+FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
+def q_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: events per user in the preceding hour."""
+    from etl_file_loader_spark.operators.joins import bucketized_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select(
+        F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_event_id")
+    )
+    joined = bucketized_range_join(
+        left, right, on="user_id", left_time="ts", right_time="r_ts",
+        window_seconds=3600,
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_in_window")
+    )
+
+
+Q_RANGE_JOIN_COUNT_SQL = """
+SELECT a.event_id, count(*) AS n_in_window
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
+ AND epoch_us(b.ts) <= epoch_us(a.ts)
+GROUP BY 1
+"""
+
+
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus rows x returnflag columns, decimal-exact qty sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(_dec("l_quantity")))
+    )
+    return out.select(
+        "l_linestatus",
+        F.coalesce(F.col("A").cast("double"), F.lit(0.0)).alias("qty_a"),
+        F.coalesce(F.col("N").cast("double"), F.lit(0.0)).alias("qty_n"),
+        F.coalesce(F.col("R").cast("double"), F.lit(0.0)).alias("qty_r"),
+    )
+
+
+Q_PIVOT_RETURNFLAG_SQL = """
+SELECT l_linestatus,
+       coalesce(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_a,
+       coalesce(CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_n,
+       coalesce(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): subtotal + grand-total rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("_s"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            F.col("_s").cast("double").alias("total_price"),
+        )
+    )
+
+
+Q_ROLLUP_ORDERS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+QUERIES.update(
+    {
+        "asof_join": q_asof_join,
+        "range_join_count": q_range_join_count,
+        "pivot_returnflag": q_pivot_returnflag,
+        "rollup_orders": q_rollup_orders,
+    }
+)
+ORACLES.update(
+    {
+        "asof_join": Q_ASOF_JOIN_SQL,
+        "range_join_count": Q_RANGE_JOIN_COUNT_SQL,
+        "pivot_returnflag": Q_PIVOT_RETURNFLAG_SQL,
+        "rollup_orders": Q_ROLLUP_ORDERS_SQL,
+    }
+)
