@@ -33,11 +33,19 @@ BENCH_QUERIES = [
     "grain_audit",
     "merge_upsert",
     "publish_counts",
-    # training-data extensions
+    # advanced joins
+    "asof_join",
+    "range_join_count",
+    "pivot_returnflag",
+    "rollup_orders",
+    # training-data extensions (documents-table ops + scale-path variants
+    # over sf-growing tables)
     "dedup_exact",
     "dedup_minhash_signature",
     "dedup_lsh_candidates",
     "dedup_simhash",
+    "dedup_exact_lineitem",
+    "dedup_minhash_orders",
     "similarity_topk",
     "text_stats",
     "text_quality_lang",

@@ -187,13 +187,19 @@ def _empty_target(stage):
 
 @dataclass
 class Processor:
-    """Directory-scan multi-file driver (reference processor.py:24-157)."""
+    """Directory-scan multi-file driver (reference processor.py:24-157).
+
+    On handled file errors, stakeholders from the source's
+    ``notification_emails`` are notified; a run summary notification fires
+    after ``process_directory`` (reference notify/email.py, webhook.py).
+    """
 
     spark: SparkSession
     warehouse: Warehouse
     registry: SourceRegistry
     archive_dir: str | None = None
     results: list[RunResult] = field(default_factory=list)
+    notifier: "Notifier | None" = None
 
     def process_file(self, path: str) -> RunResult:
         from etl_file_loader_spark.exceptions import (
@@ -214,6 +220,13 @@ class Processor:
             ).run()
         except FileError as e:
             result = RunResult(False, filename, type(e).__name__, str(e))
+            if self.notifier is not None:
+                from etl_file_loader_spark.notify import notify_file_error
+
+                notify_file_error(
+                    self.notifier, filename, type(e).__name__, str(e),
+                    config.notification_emails,
+                )
         self.results.append(result)
         return result
 
@@ -223,6 +236,10 @@ class Processor:
         )
         for f in files:
             self.process_file(f)
+        if self.notifier is not None:
+            from etl_file_loader_spark.notify import notify_summary
+
+            notify_summary(self.notifier, self.results_summary())
         return self.results
 
     def results_summary(self) -> dict:

@@ -1372,3 +1372,105 @@ ORACLES.update(
         "rollup_orders": Q_ROLLUP_ORDERS_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup at scale: the documents table caps at 500 rows, so the scale-path
+# demos run the same operators over star-schema-derived corpora (lineitem /
+# orders grow with sf)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a lineitem-derived text rendering (600k rows at sf0.1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    text = F.concat_ws(
+        " ",
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        (F.col("l_quantity") % 10).cast("long").cast("string"),
+        (F.col("l_partkey") % 100).cast("string"),
+    )
+    docs = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("doc_id"),
+        text.alias("text"),
+    )
+    return dedup_ops.exact_duplicates(docs, "doc_id", "text")
+
+
+Q_DEDUP_EXACT_LINEITEM_SQL = """
+WITH docs AS (
+  SELECT l_orderkey * 10 + l_linenumber AS doc_id,
+         concat_ws(' ', l_returnflag, l_linestatus,
+                   CAST(CAST(l_quantity % 10 AS BIGINT) AS VARCHAR),
+                   CAST(l_partkey % 100 AS VARCHAR)) AS text
+  FROM lineitem
+)
+SELECT md5(text) AS text_hash, min(doc_id) AS representative_id, count(*) AS dup_count
+FROM docs GROUP BY md5(text)
+"""
+
+_ORDERS_CORPUS_SPARK_TEXT = (
+    "concat_ws(' ', o_orderstatus, o_orderpriority, "
+    "CAST(o_custkey % 50 AS STRING), CAST(o_orderkey % 7 AS STRING), "
+    "CAST(o_custkey % 3 AS STRING), CAST(o_orderkey % 11 AS STRING))"
+)
+_ORDERS_CORPUS_SQL_TEXT = (
+    "concat_ws(' ', o_orderstatus, o_orderpriority, "
+    "CAST(o_custkey % 50 AS VARCHAR), CAST(o_orderkey % 7 AS VARCHAR), "
+    "CAST(o_custkey % 3 AS VARCHAR), CAST(o_orderkey % 11 AS VARCHAR))"
+)
+
+
+def q_dedup_minhash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over an orders-derived corpus (grows with sf)."""
+    orders = _t(spark, sf_dir, "orders")
+    docs = orders.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.expr(_ORDERS_CORPUS_SPARK_TEXT).alias("text"),
+    )
+    sigs = dedup_ops.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
+    return sigs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("signature"), lambda x: x.cast("string")))
+        ).alias("sig_hash"),
+    )
+
+
+_ORDERS_SHINGLE_CTE = rf"""
+words AS (
+  SELECT o_orderkey AS doc_id, string_split_regex(trim({_ORDERS_CORPUS_SQL_TEXT}), '\s+') AS w
+  FROM orders
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 3 + 2), i -> array_to_string(w[i:i+2], ' ')) END
+  )) AS shingle
+  FROM words
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS sh FROM sh
+)"""
+
+Q_DEDUP_MINHASH_ORDERS_SQL = f"""
+WITH {_ORDERS_SHINGLE_CTE},
+{_SIG_CTE}
+SELECT doc_id, md5(concat_ws(',', {_SIG_CONCAT_SQL})) AS sig_hash
+FROM sig
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_exact_lineitem": q_dedup_exact_lineitem,
+        "dedup_minhash_orders": q_dedup_minhash_orders,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_exact_lineitem": Q_DEDUP_EXACT_LINEITEM_SQL,
+        "dedup_minhash_orders": Q_DEDUP_MINHASH_ORDERS_SQL,
+    }
+)

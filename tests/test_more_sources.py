@@ -1,0 +1,107 @@
+"""Additional source behaviors: gzip JSON, CSV skip_rows, cleaners in pipeline."""
+
+import gzip
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_file_loader_spark.config import FieldSpec, SourceConfig
+from etl_file_loader_spark.functions import clean_phone
+from etl_file_loader_spark.plans.pipeline import PipelineRunner
+from tests.test_json_excel_parquet import ledger_record, ledger_source
+
+
+def test_json_gzip(spark, warehouse, tmp_path):
+    payload = json.dumps({"entries": {"item": [ledger_record(i) for i in range(1, 4)]}})
+    path = tmp_path / "ledger_2024.json.gz"
+    path.write_bytes(gzip.compress(payload.encode()))
+    cfg = ledger_source(array_path="entries.item", file_pattern="ledger_*.json")
+    result = PipelineRunner(spark, warehouse, cfg, str(path)).run()
+    assert result.success and result.counts.inserts == 3
+
+
+def test_csv_skip_rows_and_row_numbers(spark, warehouse, tmp_path):
+    content = (
+        "transaction_id,quantity\n"
+        "SKIP-ME,999\n"
+        "T1,1\n"
+        "T2,oops\n"
+    )
+    path = tmp_path / "sales_skip.csv"
+    path.write_text(content)
+    cfg = SourceConfig(
+        name="skiprows",
+        file_pattern="sales_*.csv",
+        file_format="csv",
+        fields=[
+            FieldSpec("transaction_id", T.StringType(), nullable=False),
+            FieldSpec("quantity", T.LongType(), nullable=False),
+        ],
+        grain=["transaction_id"],
+        skip_rows=1,
+        validation_error_threshold=0.9,
+    )
+    result = PipelineRunner(spark, warehouse, cfg, str(path)).run()
+    assert result.success
+    target = warehouse.read_table("skiprows")
+    ids = {r["transaction_id"] for r in target.collect()}
+    assert ids == {"T1"}  # SKIP-ME skipped, T2 went to DLQ
+    dlq = warehouse.read_table("file_load_dlq").collect()
+    assert dlq[0]["file_row_number"] == 4  # 1 header + 1 skipped + T1 -> T2 is row 4
+
+
+def test_cleaner_applied_before_cast(spark, warehouse, tmp_path):
+    content = "id,phone\nA1,(555) 123-4567 ext9\n"
+    path = tmp_path / "contacts_1.csv"
+    path.write_text(content)
+    cfg = SourceConfig(
+        name="contacts",
+        file_pattern="contacts_*.csv",
+        file_format="csv",
+        fields=[
+            FieldSpec("id", T.StringType(), nullable=False),
+            FieldSpec("phone", T.StringType(), nullable=False, cleaner=clean_phone, max_length=25),
+        ],
+        grain=["id"],
+    )
+    result = PipelineRunner(spark, warehouse, cfg, str(path)).run()
+    assert result.success
+    row = warehouse.read_table("contacts").collect()[0]
+    assert row["phone"] == "55512345679"
+
+
+def test_registry_gz_pattern_match(spark):
+    from etl_file_loader_spark.registry import SourceRegistry
+
+    cfg = SourceConfig(
+        name="x", file_pattern="sales_*.csv", file_format="csv",
+        fields=[FieldSpec("a")], grain=["a"],
+    )
+    reg = SourceRegistry([cfg])
+    assert reg.find_source_for_file("SALES_2024.CSV").name == "x"
+    assert reg.find_source_for_file("sales_jan.csv.gz").name == "x"
+    _ = F  # imported for parity with sibling tests
+
+
+def test_notifier_hooks(spark, warehouse, tmp_path):
+    from etl_file_loader_spark.notify import CallableNotifier
+    from etl_file_loader_spark.plans.pipeline import Processor
+    from etl_file_loader_spark.registry import SourceRegistry
+    from tests.sources_fixtures import CSV_FAIL_AUDIT, transactions_source
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "sales_bad.csv").write_text(CSV_FAIL_AUDIT)
+    got = []
+    proc = Processor(
+        spark, warehouse,
+        SourceRegistry([transactions_source(notification_emails=["ops@example.com"])]),
+        notifier=CallableNotifier(got.append),
+    )
+    proc.process_directory(str(drop))
+    kinds = [n.kind for n in got]
+    assert kinds == ["file_error", "summary"]
+    assert got[0].recipients == ["ops@example.com"]
+    assert "AuditFailedError" in got[0].subject
+    assert "1 failed" in got[1].subject
