@@ -71,12 +71,21 @@ def run_audit_query(
 
 
 def check_audits(
-    spark: SparkSession, df: DataFrame, audit_query: str | None, filename: str | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    audit_query: str | None,
+    filename: str | None = None,
+    view_name: str = "stage_audit",
 ) -> dict[str, int]:
-    """Evaluate the audit contract; raise AuditFailedError on any 0-valued column."""
+    """Evaluate the audit contract; raise AuditFailedError on any 0-valued column.
+
+    ``view_name`` follows the reference's transient stage-table naming
+    (``stage__<sanitized filename>``, db_utils.py:204-224) so the audit SQL's
+    ``{table}`` binding is file-scoped — safe under parallel file processing.
+    """
     if not audit_query:
         return {}
-    result = run_audit_query(spark, df, audit_query)
+    result = run_audit_query(spark, df, audit_query, view_name)
     rows = result.collect()
     if len(rows) != 1:
         raise AuditFailedError([f"audit query returned {len(rows)} rows, expected 1"], filename)

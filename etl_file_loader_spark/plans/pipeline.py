@@ -71,6 +71,7 @@ class PipelineRunner:
         config: SourceConfig,
         path: str,
         archive_dir: str | None = None,
+        log_id: int | None = None,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -79,7 +80,7 @@ class PipelineRunner:
         self.filename = Path(path).name
         self.archive_dir = archive_dir
         self.log = RunLog(
-            log_id=next_log_id(warehouse),
+            log_id=log_id if log_id is not None else next_log_id(warehouse),
             filename=self.filename,
             target_table=config.target_table,
         )
@@ -140,32 +141,39 @@ class PipelineRunner:
             )
 
             with self.log.stage("audit_data"):
+                from etl_file_loader_spark.config import stage_table_name
+
                 audit_ops.check_grain(stage, cfg.grain, self.filename)
-                audit_ops.check_audits(self.spark, stage, cfg.audit_query, self.filename)
+                audit_ops.check_audits(
+                    self.spark, stage, cfg.audit_query, self.filename,
+                    view_name=stage_table_name(self.filename),
+                )
 
             with self.log.stage("publish_data") as st:
-                target = self.warehouse.read_table(
-                    cfg.target_table,
-                    schema=target_schema
-                    or publish_ops.merge_upsert(
-                        _empty_target(stage), stage, cfg.grain, cfg.business_columns
-                    ).schema,
-                )
-                pub_counts = publish_ops.publish_counts(target, stage, cfg.grain)
-                merged = publish_ops.merge_upsert(
-                    target, stage, cfg.grain, cfg.business_columns
-                )
-                self.warehouse.overwrite(cfg.target_table, merged)
+                with self.warehouse.mutate():
+                    target = self.warehouse.read_table(
+                        cfg.target_table,
+                        schema=target_schema
+                        or publish_ops.merge_upsert(
+                            _empty_target(stage), stage, cfg.grain, cfg.business_columns
+                        ).schema,
+                    )
+                    pub_counts = publish_ops.publish_counts(target, stage, cfg.grain)
+                    merged = publish_ops.merge_upsert(
+                        target, stage, cfg.grain, cfg.business_columns
+                    )
+                    self.warehouse.overwrite(cfg.target_table, merged)
                 st.row_count = pub_counts.inserts + pub_counts.updates
 
             with self.log.stage("cleanup_dlq_records"):
-                if self.warehouse.exists(DLQ_TABLE):
-                    cleaned = dlq_ops.cleanup_dlq(
-                        self.warehouse.read_table(DLQ_TABLE),
-                        self.filename,
-                        self.log.log_id,
-                    )
-                    self.warehouse.overwrite(DLQ_TABLE, cleaned)
+                with self.warehouse.mutate():
+                    if self.warehouse.exists(DLQ_TABLE):
+                        cleaned = dlq_ops.cleanup_dlq(
+                            self.warehouse.read_table(DLQ_TABLE),
+                            self.filename,
+                            self.log.log_id,
+                        )
+                        self.warehouse.overwrite(DLQ_TABLE, cleaned)
 
             return RunResult(True, self.filename, counts=pub_counts)
         finally:
@@ -201,7 +209,7 @@ class Processor:
     results: list[RunResult] = field(default_factory=list)
     notifier: "Notifier | None" = None
 
-    def process_file(self, path: str) -> RunResult:
+    def process_file(self, path: str, log_id: int | None = None) -> RunResult:
         from etl_file_loader_spark.exceptions import (
             MultipleSourceMatchError,
             NoSourceMatchError,
@@ -216,7 +224,8 @@ class Processor:
             return result
         try:
             result = PipelineRunner(
-                self.spark, self.warehouse, config, path, self.archive_dir
+                self.spark, self.warehouse, config, path, self.archive_dir,
+                log_id=log_id,
             ).run()
         except FileError as e:
             result = RunResult(False, filename, type(e).__name__, str(e))
@@ -229,6 +238,49 @@ class Processor:
                 )
         self.results.append(result)
         return result
+
+    def process_files_in_parallel(
+        self, directory: str, max_workers: int | None = None
+    ) -> list[RunResult]:
+        """Thread-pool over files (reference processor.py:49-51, 98-111).
+
+        Each thread submits independent Spark jobs (read/validate run
+        concurrently across files); warehouse mutations serialize on the
+        warehouse lock; log ids are pre-assigned under a counter so they
+        stay unique. Per-file fail-fast semantics are preserved.
+        """
+        import os
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        from etl_file_loader_spark.plans.runlog import next_log_id
+
+        files = sorted(
+            str(p)
+            for p in Path(directory).iterdir()
+            if p.is_file() and not p.name.startswith(".")
+        )
+        max_workers = max_workers or min(len(files) or 1, (os.cpu_count() or 4) // 2 or 1)
+        counter_lock = threading.Lock()
+        next_id = next_log_id(self.warehouse)
+
+        def alloc_id() -> int:
+            nonlocal next_id
+            with counter_lock:
+                nid = next_id
+                next_id += 1
+                return nid
+
+        def work(path: str) -> RunResult:
+            return self.process_file(path, log_id=alloc_id())
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            list(pool.map(work, files))
+        if self.notifier is not None:
+            from etl_file_loader_spark.notify import notify_summary
+
+            notify_summary(self.notifier, self.results_summary())
+        return self.results
 
     def process_directory(self, directory: str) -> list[RunResult]:
         files = sorted(

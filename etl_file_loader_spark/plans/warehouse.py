@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import re
 import shutil
+import threading
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +29,11 @@ class Warehouse:
         self.path = Path(path)
         self.keep_versions = keep_versions
         self.path.mkdir(parents=True, exist_ok=True)
+        # serializes table mutations so concurrent per-file pipelines
+        # (Processor.process_files_in_parallel) can't interleave a
+        # read-modify-write append; reads stay lock-free (snapshot isolation
+        # via versioned dirs)
+        self._lock = threading.RLock()
 
     def _versions(self, table: str) -> list[int]:
         tdir = self.path / table
@@ -53,6 +59,10 @@ class Warehouse:
         return self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
 
     def overwrite(self, table: str, df: DataFrame) -> None:
+        with self._lock:
+            self._overwrite_locked(table, df)
+
+    def _overwrite_locked(self, table: str, df: DataFrame) -> None:
         versions = self._versions(table)
         new_v = (versions[-1] + 1) if versions else 0
         out = self.path / table / f"_v{new_v}"
@@ -62,11 +72,19 @@ class Warehouse:
 
     def append(self, table: str, df: DataFrame) -> None:
         """Append = union with current snapshot into a new snapshot."""
-        if self.exists(table):
-            current = self.read_table(table)
-            self.overwrite(table, current.unionByName(df, allowMissingColumns=True))
-        else:
-            self.overwrite(table, df)
+        with self._lock:
+            if self.exists(table):
+                current = self.read_table(table)
+                self._overwrite_locked(
+                    table, current.unionByName(df, allowMissingColumns=True)
+                )
+            else:
+                self._overwrite_locked(table, df)
+
+    def mutate(self):
+        """Context manager serializing a multi-step read-modify-write
+        (e.g. merge: read target -> counts -> overwrite) across threads."""
+        return self._lock
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path / table, ignore_errors=True)

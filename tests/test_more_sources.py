@@ -105,3 +105,29 @@ def test_notifier_hooks(spark, warehouse, tmp_path):
     assert got[0].recipients == ["ops@example.com"]
     assert "AuditFailedError" in got[0].subject
     assert "1 failed" in got[1].subject
+
+
+def test_parallel_directory_processing(spark, warehouse, tmp_path):
+    """Thread-pool multi-file runs: unique log ids, consistent target/DLQ."""
+    from etl_file_loader_spark.plans.pipeline import Processor
+    from etl_file_loader_spark.registry import SourceRegistry
+    from tests.sources_fixtures import CSV_HEADER, transactions_source
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for f in range(4):
+        rows = "\n".join(
+            f"TX{f}_{i},C1,S1,1,2.50,2.50,2024-01-0{f + 1},rep"
+            for i in range(5)
+        )
+        (drop / f"sales_{f}.csv").write_text(CSV_HEADER + "\n" + rows + "\n")
+    proc = Processor(spark, warehouse, SourceRegistry([transactions_source()]))
+    results = proc.process_files_in_parallel(str(drop), max_workers=4)
+    assert all(r.success for r in results)
+    target = warehouse.read_table("transactions")
+    assert target.count() == 20
+    # every file's rows present, each run got a distinct log id
+    log_ids = {r["file_load_log_id"] for r in target.select("file_load_log_id").distinct().collect()}
+    assert len(log_ids) == 4
+    log = warehouse.read_table("file_load_log")
+    assert log.select("file_load_log_id").distinct().count() == 4
