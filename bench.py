@@ -59,6 +59,74 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_pipeline_e2e(spark, sf_dir: str) -> tuple[float, int]:
+    """Full ingest pipeline (read -> validate -> hash -> grain audit -> custom
+    audit -> MERGE publish -> run log) over a grain-deduped copy of lineitem —
+    the reference's benchmark shape (README.md:334-343: 2M-row parquet through
+    the whole pipeline at ~16.1k rows/s on Postgres). Prep (dedupe+copy) is
+    untimed; the timed region is PipelineRunner.run().
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_file_loader_spark.config import FieldSpec, SourceConfig
+    from etl_file_loader_spark.plans.pipeline import PipelineRunner
+    from etl_file_loader_spark.plans.warehouse import Warehouse
+
+    tmp = tempfile.mkdtemp(prefix="efls_bench_")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        deduped = li.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("l_orderkey", "l_linenumber")
+                .orderBy(F.monotonically_increasing_id())
+            ),
+        ).filter("_rn = 1").drop("_rn")
+        deduped.coalesce(1).write.parquet(f"{tmp}/out.dir")
+        # single-file source like the reference's benchmark input (one 2M-row
+        # parquet file); Spark still parallelizes the scan by row-group ranges
+        part_files = list(__import__("pathlib").Path(f"{tmp}/out.dir").glob("*.parquet"))
+        n_rows = deduped.count()
+        cfg = SourceConfig(
+            name="lineitem_bench",
+            file_pattern="lineitem_*.parquet",
+            file_format="parquet",
+            fields=[
+                FieldSpec("l_orderkey", T.LongType(), nullable=False),
+                FieldSpec("l_partkey", T.LongType(), nullable=False),
+                FieldSpec("l_suppkey", T.LongType(), nullable=False),
+                FieldSpec("l_linenumber", T.LongType(), nullable=False),
+                FieldSpec("l_quantity", T.DoubleType(), nullable=False, min_value=0, max_value=100),
+                FieldSpec("l_extendedprice", T.DoubleType(), nullable=False, min_value=0),
+                FieldSpec("l_discount", T.DoubleType(), nullable=False, min_value=0, max_value=1),
+                FieldSpec("l_tax", T.DoubleType(), nullable=False, min_value=0, max_value=1),
+                FieldSpec("l_returnflag", T.StringType(), nullable=False, max_length=1),
+                FieldSpec("l_linestatus", T.StringType(), nullable=False, max_length=1),
+                FieldSpec("l_shipdate", T.TimestampType(), nullable=False),
+            ],
+            grain=["l_orderkey", "l_linenumber"],
+            audit_query=(
+                "SELECT CASE WHEN SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) = COUNT(*) "
+                "THEN 1 ELSE 0 END AS quantity_positive FROM {table}"
+            ),
+        )
+        wh = Warehouse(spark, f"{tmp}/warehouse")
+        dst = f"{tmp}/lineitem_0.parquet"
+        shutil.copy(part_files[0], dst)
+        t0 = time.perf_counter()
+        result = PipelineRunner(spark, wh, cfg, dst).run()
+        dt = time.perf_counter() - t0
+        assert result.success and result.counts.inserts == n_rows
+        return dt, n_rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -70,6 +138,8 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         times[name] = round(run_one(spark, name, sf_dir), 3)
+    e2e_sec, e2e_rows = bench_pipeline_e2e(spark, sf_dir)
+    times["pipeline_e2e_ingest"] = round(e2e_sec, 3)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -79,6 +149,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "pipeline_e2e_rows": e2e_rows,
+                "pipeline_e2e_rows_per_sec": round(e2e_rows / e2e_sec, 1),
             }
         )
     )

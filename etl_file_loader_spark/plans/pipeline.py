@@ -151,18 +151,29 @@ class PipelineRunner:
 
             with self.log.stage("publish_data") as st:
                 with self.warehouse.mutate():
-                    target = self.warehouse.read_table(
-                        cfg.target_table,
-                        schema=target_schema
-                        or publish_ops.merge_upsert(
-                            _empty_target(stage), stage, cfg.grain, cfg.business_columns
-                        ).schema,
-                    )
-                    pub_counts = publish_ops.publish_counts(target, stage, cfg.grain)
-                    merged = publish_ops.merge_upsert(
-                        target, stage, cfg.grain, cfg.business_columns
-                    )
-                    self.warehouse.overwrite(cfg.target_table, merged)
+                    if not self.warehouse.exists(cfg.target_table):
+                        # first load: everything inserts — skip the three
+                        # empty-target joins (counts + merge) entirely
+                        merged = stage.withColumn(
+                            publish_ops.CREATED_COL, F.current_timestamp()
+                        ).withColumn(
+                            publish_ops.UPDATED_COL, F.lit(None).cast("timestamp")
+                        )
+                        self.warehouse.overwrite(cfg.target_table, merged)
+                        pub_counts = PublishCounts(
+                            inserts=self.warehouse.read_table(cfg.target_table).count(),
+                            updates=0,
+                            unchanged=0,
+                        )
+                    else:
+                        target = self.warehouse.read_table(
+                            cfg.target_table, schema=target_schema
+                        )
+                        pub_counts = publish_ops.publish_counts(target, stage, cfg.grain)
+                        merged = publish_ops.merge_upsert(
+                            target, stage, cfg.grain, cfg.business_columns
+                        )
+                        self.warehouse.overwrite(cfg.target_table, merged)
                 st.row_count = pub_counts.inserts + pub_counts.updates
 
             with self.log.stage("cleanup_dlq_records"):

@@ -1474,3 +1474,138 @@ ORACLES.update(
         "dedup_minhash_orders": Q_DEDUP_MINHASH_ORDERS_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# multi-join analytics over the full star schema (region/nation/supplier/part)
+# ---------------------------------------------------------------------------
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table join: revenue by nation within a region.
+
+    Dimension chain (region -> nation -> customer/supplier) broadcasts; the
+    fact-side join lineitem x orders is the only real shuffle.
+    """
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+    return out
+
+
+Q5_SQL = """
+SELECT r_name AS region, n_name AS nation,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: share of revenue from a part-type class (conditional agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    out = joined.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("_promo"),
+        F.sum(revenue).alias("_total"),
+    ).select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double") / F.col("_total").cast("double"), 6
+        ).alias("promo_share_pct"),
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+    )
+    return out
+
+
+Q14_SQL = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_share_pct,
+       CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier x part-brand rollup (two broadcast dims on the fact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    out = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).alias("_q"),
+        )
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.col("p_brand").alias("brand"),
+            "n_items",
+            F.col("_q").cast("double").alias("total_qty"),
+        )
+    )
+    return out
+
+
+Q_SUPPLIER_PART_STATS_SQL = """
+SELECT s_name AS supplier, p_brand AS brand, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name, p_brand
+"""
+
+
+QUERIES.update(
+    {
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q14_promo_share": q14_promo_share,
+        "supplier_part_stats": q_supplier_part_stats,
+    }
+)
+ORACLES.update(
+    {
+        "q5_local_supplier_volume": Q5_SQL,
+        "q14_promo_share": Q14_SQL,
+        "supplier_part_stats": Q_SUPPLIER_PART_STATS_SQL,
+    }
+)
