@@ -35,12 +35,22 @@ from etl_file_loader_spark.operators import validate as validate_ops
 from etl_file_loader_spark.operators.hashing import HASH_COL
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Suite queries may run under the DRIVER's SparkSession (entry/queries
+    contract), which won't have our builder configs — set the two that
+    correctness depends on at runtime (both are runtime-settable SQL confs):
+    nanos parquet reads (events.ts) and UTC rendering of LTZ timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS) -> read as int64 nanos (session
-    # sets spark.sql.legacy.parquet.nanosAsLong) -> truncate to micros with
-    # integer division (1e18 nanos exceeds double's exact range; DIV stays
-    # in int64), matching DuckDB's ns->us truncation
+    # events.ts is parquet TIMESTAMP(NANOS) -> read as int64 nanos
+    # (nanosAsLong) -> truncate to micros with integer division (1e18 nanos
+    # exceeds double's exact range; DIV stays in int64), matching DuckDB's
+    # ns->us truncation
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
