@@ -204,3 +204,62 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "intersection", "size_a", "size_b", "jaccard")
     )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact embedding near-dup pairs: cosine >= threshold, id_a < id_b.
+
+    Brute-force baseline: block-nested self-join (O(n^2) comparisons but
+    JVM-side fold, no UDF). The scale path is ``embedding_cosine_pairs_lsh``
+    (bucketed candidates); this exact form is the oracle-checkable baseline
+    and the verifier for LSH recall.
+    """
+    from etl_file_loader_spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-dup pairs at scale: hyperplane-LSH bucket join + exact rescore.
+
+    Only same-bucket vectors are compared — the shuffle key is the bucket,
+    so candidate volume tracks near-dup density (high-cosine pairs land in
+    the same bucket with probability (1 - theta/pi)^planes). Approximate:
+    recall < 1; verified against the exact operator in tests.
+    """
+    from etl_file_loader_spark.operators.similarity import (
+        cosine,
+        hyperplane_lsh_buckets,
+    )
+
+    bucketed = hyperplane_lsh_buckets(df, id_col, vec_col, num_planes)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= threshold).distinct()

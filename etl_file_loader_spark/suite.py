@@ -1619,3 +1619,41 @@ ORACLES.update(
         "supplier_part_stats": Q_SUPPLIER_PART_STATS_SQL,
     }
 )
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine >= 0.4), oracle-checked.
+
+    (The synthetic embeddings are near-orthogonal — max pairwise cosine
+    ~0.51 — so the demo threshold sits below a production 0.9+.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup_ops.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+Q_DEDUP_EMBEDDING_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= 0.4
+"""
+
+
+def q_dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (approximate; rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup_ops.embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=6
+    )
+
+
+QUERIES.update(
+    {
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "dedup_embedding_pairs_lsh": q_dedup_embedding_pairs_lsh,
+    }
+)
+ORACLES.update({"dedup_embedding_pairs": Q_DEDUP_EMBEDDING_PAIRS_SQL})

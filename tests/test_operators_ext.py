@@ -162,3 +162,22 @@ def test_warehouse_versioning(spark, warehouse):
 
 
 _ = pd  # keep import used
+
+
+def test_embedding_cosine_pairs_and_lsh_subset(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.05, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.99, 0.05, 0.0]),   # near-dup of 3
+        (5, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in dedup.embedding_cosine_pairs(df, "vec_id", "embedding", 0.95).collect()}
+    assert set(exact) == {(1, 2), (3, 4)}
+    assert all(c >= 0.95 for c in exact.values())
+    # LSH variant returns a subset of the exact pairs (possibly missing some)
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.embedding_cosine_pairs_lsh(df, "vec_id", "embedding", 0.95, num_planes=2).collect()}
+    assert lsh <= set(exact)

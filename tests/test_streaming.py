@@ -92,3 +92,40 @@ def test_windowed_event_counts_batch_shape(spark):
     )
     out = windowed_event_counts(df).collect()
     assert out[0]["n_events"] == 1
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState: sessions close on gap; open session stays in state."""
+    from etl_file_loader_spark.streaming.stateful import sessionize_stream
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # same session (10 min gap)
+        (1, "2024-01-01 02:00:00"),   # closes session 1 (gap > 30 min)
+        (1, "2024-01-01 02:05:00"),   # open session
+        (2, "2024-01-01 01:00:00"),   # user 2: single open session
+    ]
+    batch = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "stateful_events")
+    # single file -> single micro-batch; huge timeout so only gap-closes emit
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    sessions = sessionize_stream(stream, gap_seconds=1800, timeout_ms=600_000)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sessions_out").collect()
+    # only user 1's first session closed within the batch
+    assert len(out) == 1
+    s = out[0]
+    assert s["user_id"] == 1
+    assert s["n_events"] == 2
+    assert s["session_end_us"] - s["session_start_us"] == 600 * 1_000_000
