@@ -269,7 +269,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_SESSIONIZATION_SQL = """
-SELECT user_id, sum(g) + 1 AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, CAST(sum(g) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
               THEN 1 ELSE 0 END AS g
@@ -493,7 +493,7 @@ flags AS (
               THEN 0 ELSE 1 END AS is_err
   FROM raw
 )
-SELECT count(*) AS total_rows, sum(is_err) AS error_rows,
+SELECT count(*) AS total_rows, CAST(sum(is_err) AS BIGINT) AS error_rows,
        round(sum(is_err) / count(*), 2) AS error_rate,
        CASE WHEN round(sum(is_err) / count(*), 2) < 0.05 THEN 1 ELSE 0 END AS passed
 FROM flags
@@ -643,11 +643,11 @@ def q_publish_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_PUBLISH_COUNTS_SQL = f"""
 WITH {_MERGE_FRAMES_SQL}
-SELECT sum(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NULL THEN 1 ELSE 0 END) AS inserts,
-       sum(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
-                     AND s.etl_row_hash <> t.etl_row_hash THEN 1 ELSE 0 END) AS updates,
-       sum(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
-                     AND s.etl_row_hash = t.etl_row_hash THEN 1 ELSE 0 END) AS unchanged
+SELECT CAST(sum(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS inserts,
+       CAST(sum(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                     AND s.etl_row_hash <> t.etl_row_hash THEN 1 ELSE 0 END) AS BIGINT) AS updates,
+       CAST(sum(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                     AND s.etl_row_hash = t.etl_row_hash THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
 FROM stage s FULL OUTER JOIN target t ON s.o_orderkey = t.o_orderkey
 """
 
