@@ -263,3 +263,48 @@ def embedding_cosine_pairs_lsh(
         "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine")
     )
     return scored.filter(F.col("cosine") >= threshold).distinct()
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Duplicate-cluster assignment: (doc_id, cluster_id=min id in component).
+
+    Input: undirected edges as (id_a, id_b). Iterative min-label propagation
+    (the simple variant of large-star/small-star): each round every node
+    adopts the smallest label among itself and its neighbors; converges in
+    O(diameter) rounds. Each round is one shuffle on the node id — no driver
+    data, only a converged? count per round. Dedup components are tiny
+    (near-dup clusters), so this converges in 2-3 rounds in practice.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label"),
+            )
+        ).cache()
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).isEmpty()
+        labels = new_labels.select(F.col("id"), F.col("new_label").alias("label"))
+        if changed:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -71,15 +71,21 @@ class Warehouse:
             shutil.rmtree(self.path / table / f"_v{v}", ignore_errors=True)
 
     def append(self, table: str, df: DataFrame) -> None:
-        """Append = union with current snapshot into a new snapshot."""
+        """True append: new part files into the current snapshot directory.
+
+        O(appended rows), not O(table) — a run ingesting N files appends to
+        the run log / DLQ N times; rewriting the whole table each time would
+        be quadratic. Readers of the current snapshot list files at plan
+        time, so concurrent readers see either the old or the new file set.
+        Deletes/updates still go through ``overwrite`` (new snapshot).
+        """
         with self._lock:
-            if self.exists(table):
-                current = self.read_table(table)
-                self._overwrite_locked(
-                    table, current.unionByName(df, allowMissingColumns=True)
-                )
-            else:
+            versions = self._versions(table)
+            if not versions:
                 self._overwrite_locked(table, df)
+            else:
+                out = self.path / table / f"_v{versions[-1]}"
+                df.write.mode("append").parquet(str(out))
 
     def mutate(self):
         """Context manager serializing a multi-step read-modify-write

@@ -1657,3 +1657,45 @@ QUERIES.update(
     }
 )
 ORACLES.update({"dedup_embedding_pairs": Q_DEDUP_EMBEDDING_PAIRS_SQL})
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH candidate pairs -> connected components.
+
+    Iterative min-label propagation (omit-oracle category per the driver
+    contract is allowed for iterative algorithms, but a DuckDB recursive-CTE
+    transitive closure oracles it exactly here).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=5)
+    pairs = dedup_ops.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    return dedup_ops.connected_components(pairs)
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+{_SIG_CTE},
+bands AS (
+{_BANDS_SQL}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+QUERIES.update({"dedup_clusters": q_dedup_clusters})
+ORACLES.update({"dedup_clusters": Q_DEDUP_CLUSTERS_SQL})

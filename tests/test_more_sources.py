@@ -131,3 +131,32 @@ def test_parallel_directory_processing(spark, warehouse, tmp_path):
     assert len(log_ids) == 4
     log = warehouse.read_table("file_load_log")
     assert log.select("file_load_log_id").distinct().count() == 4
+
+
+def test_multiple_source_match(spark):
+    from etl_file_loader_spark.exceptions import MultipleSourceMatchError
+    from etl_file_loader_spark.registry import SourceRegistry
+    import pytest as _pytest
+
+    mk = lambda n, pat: SourceConfig(
+        name=n, file_pattern=pat, file_format="csv",
+        fields=[FieldSpec("a")], grain=["a"],
+    )
+    reg = SourceRegistry([mk("one", "sales_*.csv"), mk("two", "sales_2024*.csv")])
+    with _pytest.raises(MultipleSourceMatchError):
+        reg.find_source_for_file("sales_2024.csv")
+
+
+def test_excel_blank_header(spark, warehouse, tmp_path):
+    import pytest as _pytest
+
+    from etl_file_loader_spark.exceptions import MissingHeaderError
+    from tests.test_json_excel_parquet import products_source
+    from tests.xlsx_helper import write_xlsx
+
+    path = write_xlsx(
+        str(tmp_path / "inventory_blank.xlsx"),
+        {"Products": [["", "", ""], ["SKU-1", "X", "Y"]]},
+    )
+    with _pytest.raises(MissingHeaderError):
+        PipelineRunner(spark, warehouse, products_source(sheet_name="Products"), path).run()

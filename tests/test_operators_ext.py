@@ -181,3 +181,12 @@ def test_embedding_cosine_pairs_and_lsh_subset(spark):
     lsh = {(r["id_a"], r["id_b"])
            for r in dedup.embedding_cosine_pairs_lsh(df, "vec_id", "embedding", 0.95, num_planes=2).collect()}
     assert lsh <= set(exact)
+
+
+def test_connected_components(spark):
+    # components: {1,2,3,9} (chain), {5,6}; singleton nodes don't appear
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], "id_a long, id_b long"
+    )
+    cc = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
