@@ -1699,3 +1699,115 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 
 QUERIES.update({"dedup_clusters": q_dedup_clusters})
 ORACLES.update({"dedup_clusters": Q_DEDUP_CLUSTERS_SQL})
+
+
+def q_skewed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over hot keys (skew pattern).
+
+    Results are identical to a plain groupBy (algebraic aggregates commute
+    with the salt split) — the oracle checks exactly that.
+    """
+    from etl_file_loader_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("sum", F.count(F.lit(1))),
+            "sum_value": ("sum", F.sum(F.col("value").cast("decimal(18,6)"))),
+            "n_users_min": ("min", F.min("user_id")),
+        },
+        salt=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("n_users_min").alias("n_users_min"),
+    )
+
+
+Q_SKEWED_EVENT_COUNTS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       min(user_id) AS n_users_min
+FROM events GROUP BY event_type
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation: quality-filter -> exact dedup ->
+    per-language survivor stats. The composite flow a 100 TB text pipeline
+    runs before tokenization."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        text_ops.quality_score(t).alias("q"),
+        text_ops.token_count(t).cast("long").alias("n_tokens"),
+    ).filter(F.col("q") >= 0.5)
+    reps = (
+        scored.groupBy(F.md5("text").alias("th"), F.col("lang"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+    return (
+        reps.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("decimal(18,0)")).alias("_tok"),
+            F.sum((F.col("copies") - 1).cast("long")).alias("dups_removed"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.col("_tok").cast("double").alias("total_tokens"),
+            "dups_removed",
+        )
+    )
+
+
+Q_CORPUS_CURATION_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         round(0.4 * (CASE WHEN length(text) <= 0 THEN 0.0
+                           WHEN length(text) < 50 THEN length(text) / 50.0
+                           WHEN length(text) <= 5000 THEN 1.0
+                           ELSE greatest(0.2, 5000.0 / length(text)) END)
+               + 0.3 * greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text), 6) END) / 0.3)
+               + 0.3 * (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+                     ELSE round(len(list_filter(list_transform(string_split_regex(trim(text), '\s+'), w -> lower(w)),
+                                                w -> w IN ({_STOPWORDS_SQL}))) / len(string_split_regex(trim(text), '\s+')), 6) END)
+                     BETWEEN 0.02 AND 0.6 THEN 1.0 ELSE 0.5 END), 6) AS q,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+reps AS (
+  SELECT md5(text) AS th, lang, min(doc_id) AS doc_id,
+         count(*) AS copies, min(n_tokens) AS n_tokens
+  FROM scored WHERE q >= 0.5 GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CAST(n_tokens AS DECIMAL(18,0))) AS DOUBLE) AS total_tokens,
+       CAST(sum(copies - 1) AS BIGINT) AS dups_removed
+FROM reps GROUP BY lang
+"""
+
+
+QUERIES.update(
+    {
+        "skewed_event_counts": q_skewed_event_counts,
+        "corpus_curation": q_corpus_curation,
+    }
+)
+ORACLES.update(
+    {
+        "skewed_event_counts": Q_SKEWED_EVENT_COUNTS_SQL,
+        "corpus_curation": Q_CORPUS_CURATION_SQL,
+    }
+)

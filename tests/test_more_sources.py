@@ -160,3 +160,20 @@ def test_excel_blank_header(spark, warehouse, tmp_path):
     )
     with _pytest.raises(MissingHeaderError):
         PipelineRunner(spark, warehouse, products_source(sheet_name="Products"), path).run()
+
+
+def test_no_notification_on_success(spark, warehouse, tmp_path):
+    from etl_file_loader_spark.notify import CallableNotifier
+    from etl_file_loader_spark.plans.pipeline import Processor
+    from etl_file_loader_spark.registry import SourceRegistry
+    from tests.sources_fixtures import CSV_GOOD, transactions_source
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "sales_ok.csv").write_text(CSV_GOOD)
+    got = []
+    Processor(
+        spark, warehouse, SourceRegistry([transactions_source()]),
+        notifier=CallableNotifier(got.append),
+    ).process_directory(str(drop))
+    assert [n.kind for n in got] == ["summary"]  # no file_error for clean runs

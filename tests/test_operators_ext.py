@@ -190,3 +190,29 @@ def test_connected_components(spark):
     )
     cc = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_salted_agg_matches_plain(spark):
+    from etl_file_loader_spark.operators.skew import salted_agg
+
+    rows = [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    salted = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in salted_agg(
+            df, ["k"],
+            {"n": ("sum", F.count(F.lit(1))),
+             "s": ("sum", F.sum(F.col("v").cast("decimal(18,2)"))),
+             "mx": ("max", F.max("v"))},
+            salt=7,
+        ).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert salted == plain
