@@ -35,6 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--directory")
     p.add_argument("--file")
     p.add_argument("--archive")
+    p.add_argument("--delete-source", action="store_true", help="remove drop files after processing (reference behavior)")
     p.add_argument("--cpus", type=int, default=None)
     args = parser.parse_args(argv)
 
@@ -48,6 +49,7 @@ def main(argv: list[str] | None = None) -> int:
             warehouse=Warehouse(spark, args.warehouse),
             registry=SourceRegistry(list(load_sources(args.sources))),
             archive_dir=args.archive,
+            delete_source=args.delete_source,
         )
         if args.directory:
             processor.process_directory(args.directory)

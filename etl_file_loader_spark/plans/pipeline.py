@@ -72,6 +72,7 @@ class PipelineRunner:
         path: str,
         archive_dir: str | None = None,
         log_id: int | None = None,
+        delete_source: bool = False,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -79,6 +80,9 @@ class PipelineRunner:
         self.path = path
         self.filename = Path(path).name
         self.archive_dir = archive_dir
+        # reference deletes the drop-directory file success or fail
+        # (runner.py:269-271); default off for library safety
+        self.delete_source = delete_source
         self.log = RunLog(
             log_id=log_id if log_id is not None else next_log_id(warehouse),
             filename=self.filename,
@@ -191,6 +195,8 @@ class PipelineRunner:
             if validated is not None:
                 validated.unpersist()
             self.log.flush(self.warehouse)
+            if self.delete_source:
+                Path(self.path).unlink(missing_ok=True)
 
 
 def _empty_target(stage):
@@ -219,6 +225,7 @@ class Processor:
     archive_dir: str | None = None
     results: list[RunResult] = field(default_factory=list)
     notifier: "Notifier | None" = None
+    delete_source: bool = False
 
     def process_file(self, path: str, log_id: int | None = None) -> RunResult:
         from etl_file_loader_spark.exceptions import (
@@ -236,7 +243,7 @@ class Processor:
         try:
             result = PipelineRunner(
                 self.spark, self.warehouse, config, path, self.archive_dir,
-                log_id=log_id,
+                log_id=log_id, delete_source=self.delete_source,
             ).run()
         except FileError as e:
             result = RunResult(False, filename, type(e).__name__, str(e))

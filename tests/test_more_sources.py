@@ -177,3 +177,22 @@ def test_no_notification_on_success(spark, warehouse, tmp_path):
         notifier=CallableNotifier(got.append),
     ).process_directory(str(drop))
     assert [n.kind for n in got] == ["summary"]  # no file_error for clean runs
+
+
+def test_delete_source_after_processing(spark, warehouse, tmp_path):
+    from etl_file_loader_spark.plans.pipeline import Processor
+    from etl_file_loader_spark.registry import SourceRegistry
+    from tests.sources_fixtures import CSV_GOOD, CSV_FAIL_AUDIT, transactions_source
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    good = drop / "sales_ok.csv"
+    bad = drop / "sales_bad.csv"
+    good.write_text(CSV_GOOD)
+    bad.write_text(CSV_FAIL_AUDIT)
+    Processor(
+        spark, warehouse, SourceRegistry([transactions_source()]), delete_source=True
+    ).process_directory(str(drop))
+    # deleted in both the success and the handled-failure case (reference
+    # runner.py:269-271 semantics)
+    assert not good.exists() and not bad.exists()
