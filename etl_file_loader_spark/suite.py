@@ -1811,3 +1811,69 @@ ORACLES.update(
         "corpus_curation": Q_CORPUS_CURATION_SQL,
     }
 )
+
+
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function sweep: running total, lag delta, rank, ntile —
+    per-customer order history."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec).over(w_cum).cast("double").alias("running_spend"),
+        (price_dec - F.lag(price_dec).over(w)).cast("double").alias("delta_vs_prev"),
+        F.row_number().over(w).alias("order_seq"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+Q_WINDOW_FUNCTIONS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            - lag(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS delta_vs_prev,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+       ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+FROM orders
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: purchasers INTERSECT clickers, EXCEPT error-users."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users(t):
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    heavy_error = (
+        users("error").groupBy("user_id").count().filter(F.col("count") > 13).select("user_id")
+    )
+    engaged = users("purchase").intersect(users("click"))
+    return engaged.exceptAll(heavy_error).distinct().select(
+        F.col("user_id").alias("engaged_clean_user")
+    )
+
+
+Q_SET_OPS_SQL = """
+SELECT user_id AS engaged_clean_user FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'click'
+)
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' GROUP BY user_id HAVING count(*) > 13
+"""
+
+
+QUERIES.update(
+    {"window_functions": q_window_functions, "set_ops": q_set_ops}
+)
+ORACLES.update(
+    {"window_functions": Q_WINDOW_FUNCTIONS_SQL, "set_ops": Q_SET_OPS_SQL}
+)
