@@ -110,6 +110,13 @@ class PipelineRunner:
 
             with self.log.stage("read_data") as st:
                 raw = read_source(self.spark, self.path, cfg)
+                # a single small file scans as one partition (< maxPartitionBytes)
+                # -> validation/hash/write would run on one core; fan out to the
+                # cluster's parallelism (cheap round-robin shuffle, row numbers
+                # are already materialized columns at this point)
+                parallelism = self.spark.sparkContext.defaultParallelism
+                if raw.rdd.getNumPartitions() < max(2, parallelism // 2):
+                    raw = raw.repartition(parallelism)
                 renamed = validate_ops.rename_and_prune(raw, cfg)
 
             with self.log.stage("validate_data") as st:
