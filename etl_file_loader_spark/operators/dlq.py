@@ -23,7 +23,7 @@ from etl_file_loader_spark.operators.validate import ERRORS_COL, FILE_ROW_COL, a
 def build_dlq(
     invalid_df: DataFrame,
     config: SourceConfig,
-    filename: str,
+    filename: str | Column,
     log_id: int,
     now: Column | None = None,
 ) -> DataFrame:
@@ -50,8 +50,9 @@ def build_dlq(
         if FILE_ROW_COL in invalid_df.columns
         else F.lit(None).cast("long")
     )
+    filename_col = F.lit(filename) if isinstance(filename, str) else filename
     return invalid_df.select(
-        F.lit(filename).alias("source_filename"),
+        filename_col.alias("source_filename"),
         row_num.cast("long").alias("file_row_number"),
         F.to_json(payload).alias("file_record_data"),
         F.to_json(F.col(ERRORS_COL)).alias("validation_errors"),

@@ -41,12 +41,16 @@ FILE_ROW_COL = "_file_row_number"
 _ERROR_STRUCT = "struct<column_name:string,column_value:string,error_type:string,error_msg:string>"
 
 
-def rename_and_prune(df: DataFrame, config: SourceConfig) -> DataFrame:
+def rename_and_prune(
+    df: DataFrame, config: SourceConfig, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Alias->name projection + column pruning (reference model_utils.py:26-33).
 
-    Case-insensitive header match; unmapped file columns are dropped; missing
-    required (non-nullable) columns raise ``MissingColumnsError`` (reference
-    read/base.py:42-64); missing optional columns become typed nulls.
+    Case-insensitive header match; unmapped file columns are dropped
+    (``passthrough`` names survive verbatim — e.g. file lineage in batch
+    mode); missing required (non-nullable) columns raise
+    ``MissingColumnsError`` (reference read/base.py:42-64); missing optional
+    columns become typed nulls.
     """
     actual = {c.lower(): c for c in df.columns}
     missing = [
@@ -64,6 +68,9 @@ def rename_and_prune(df: DataFrame, config: SourceConfig) -> DataFrame:
             cols.append(F.lit(None).cast(f.dtype).alias(f.name))
     if FILE_ROW_COL in df.columns:
         cols.append(F.col(FILE_ROW_COL))
+    for extra in passthrough:
+        if extra in df.columns:
+            cols.append(F.col(f"`{extra}`"))
     return df.select(*cols)
 
 
@@ -88,11 +95,14 @@ def _cast_expr(field: FieldSpec, raw: Column, raw_type: T.DataType) -> Column:
     return cleaned.try_cast(field.dtype)
 
 
-def validate(df: DataFrame, config: SourceConfig) -> DataFrame:
+def validate(
+    df: DataFrame, config: SourceConfig, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Add casted columns + ``_validation_errors`` + ``_is_valid``.
 
     Input: post-``rename_and_prune`` DataFrame (columns = field names, raw
     types — all-string for CSV/Excel, native for Parquet/JSON).
+    ``passthrough`` columns are carried unchanged.
     """
     raw_types = dict(df.dtypes)
     out_cols: list[Column] = []
@@ -147,10 +157,11 @@ def validate(df: DataFrame, config: SourceConfig) -> DataFrame:
     _ = raw_types
 
     errors = F.array_compact(F.array(*[e.cast(_ERROR_STRUCT) for e in err_cols]))
-    passthrough = [F.col(FILE_ROW_COL)] if FILE_ROW_COL in df.columns else []
+    extra_cols = [F.col(FILE_ROW_COL)] if FILE_ROW_COL in df.columns else []
+    extra_cols += [F.col(f"`{c}`") for c in passthrough if c in df.columns]
     return df.select(
         *out_cols,
-        *passthrough,
+        *extra_cols,
         errors.alias(ERRORS_COL),
     ).withColumn(VALID_COL, F.size(F.col(ERRORS_COL)) == 0)
 

@@ -92,5 +92,20 @@ class Warehouse:
         (e.g. merge: read target -> counts -> overwrite) across threads."""
         return self._lock
 
+    def compact(self, table: str, target_files: int | None = None) -> None:
+        """Rewrite the current snapshot with fewer, larger files.
+
+        Append-heavy tables (run log, DLQ) accumulate one small part file per
+        append; periodic compaction restores scan efficiency — the COW
+        equivalent of Delta OPTIMIZE. ``target_files`` defaults to the
+        cluster's parallelism capped by current file count.
+        """
+        with self._lock:
+            if not self.exists(table):
+                return
+            df = self.read_table(table)
+            n = target_files or max(1, min(len(df.inputFiles()), self.spark.sparkContext.defaultParallelism))
+            self._overwrite_locked(table, df.coalesce(n))
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path / table, ignore_errors=True)
