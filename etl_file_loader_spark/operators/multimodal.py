@@ -112,3 +112,46 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.select(
         "media_id", F.posexplode(idx).alias("sample_pos", "frame_index")
     )
+
+
+_RESIZE_SCHEMA = "media_id long, content binary, width int, height int"
+
+
+def resize_image(df: DataFrame, target_w: int, target_h: int, fake: bool = False) -> DataFrame:
+    """Resize images to (target_w, target_h) via mapInPandas.
+
+    Stubbed codec (no PIL in this container): ``fake=True`` rewrites the
+    FAKEIMG header dims and nearest-neighbor-samples the fake pixel body;
+    the Spark plumbing (binary batches in -> binary batches out, schema,
+    partitioning) is the real part.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv (not in this container); "
+            "use fake=True for the deterministic test resizer"
+        )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                if b[:8] == FAKE_MAGIC:
+                    body = b[12:]
+                    n = min(len(body), target_w * target_h, 64)
+                    step = max(1, len(body) // n) if n else 1
+                    new_body = body[::step][:n]
+                    new = (
+                        FAKE_MAGIC
+                        + target_w.to_bytes(2, "big")
+                        + target_h.to_bytes(2, "big")
+                        + new_body
+                    )
+                    out.append((int(mid), new, target_w, target_h))
+                else:
+                    out.append((int(mid), None, None, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "content", "width", "height"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(resize_batches, _RESIZE_SCHEMA)

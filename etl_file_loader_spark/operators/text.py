@@ -133,3 +133,18 @@ def profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         language_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def rolling_fingerprint(text: Column, prime: int = 2147483647) -> Column:
+    """Polynomial (Rabin-Karp-style) rolling hash over the character stream.
+
+    acc = (acc * 31 + codepoint) mod p — order-sensitive (unlike the
+    word-set ``fingerprint``), so it distinguishes permuted documents.
+    Pure expression fold; identical in any engine with a list reduce.
+    """
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % prime,
+    )

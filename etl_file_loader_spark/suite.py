@@ -1877,3 +1877,25 @@ QUERIES.update(
 ORACLES.update(
     {"window_functions": Q_WINDOW_FUNCTIONS_SQL, "set_ops": Q_SET_OPS_SQL}
 )
+
+
+def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (Rabin-Karp fold)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.rolling_fingerprint(F.col("text")).alias("rolling_fp")
+    )
+
+
+Q_TEXT_ROLLING_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp
+FROM documents
+"""
+
+QUERIES.update({"text_rolling_fingerprint": q_text_rolling_fingerprint})
+ORACLES.update({"text_rolling_fingerprint": Q_TEXT_ROLLING_FINGERPRINT_SQL})

@@ -216,3 +216,28 @@ def test_salted_agg_matches_plain(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_resize_image_roundtrip(spark):
+    payloads = [(1, multimodal.pack_fake_image(1, 100, 100))]
+    df = spark.createDataFrame(payloads, "media_id long, content binary")
+    resized = multimodal.resize_image(df, 8, 8, fake=True).collect()[0]
+    assert resized["width"] == 8 and resized["height"] == 8
+    # re-decode the resized payload: header reflects new dims
+    redecoded = multimodal.decode_image(
+        spark.createDataFrame([(1, bytes(resized["content"]))], "media_id long, content binary"),
+        fake=True,
+    ).collect()[0]
+    assert redecoded["width"] == 8 and redecoded["decode_ok"]
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from etl_file_loader_spark.operators.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "fox quick the"), (3, "the quick fox")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[3]          # identical text -> identical hash
+    assert fps[1] != fps[2]          # permuted words -> different hash
