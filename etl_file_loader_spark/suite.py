@@ -1899,3 +1899,63 @@ FROM documents
 
 QUERIES.update({"text_rolling_fingerprint": q_text_rolling_fingerprint})
 ORACLES.update({"text_rolling_fingerprint": Q_TEXT_ROLLING_FINGERPRINT_SQL})
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: histogram of customers by order count (LEFT OUTER
+    join keeps zero-order customers)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+Q13_SQL = """
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit semi/anti join pair: customers with a big order vs without."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    with_big = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+    without_big = cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+    return (
+        with_big.select("c_custkey", F.lit(1).alias("has_big_order"))
+        .unionByName(without_big.select("c_custkey", F.lit(0).alias("has_big_order")))
+    )
+
+
+Q_SEMI_ANTI_SQL = """
+SELECT c_custkey, 1 AS has_big_order FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+UNION ALL
+SELECT c_custkey, 0 AS has_big_order FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+QUERIES.update(
+    {
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "semi_anti_join": q_semi_anti_join,
+    }
+)
+ORACLES.update(
+    {
+        "q13_order_count_distribution": Q13_SQL,
+        "semi_anti_join": Q_SEMI_ANTI_SQL,
+    }
+)
