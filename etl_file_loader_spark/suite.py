@@ -1959,3 +1959,50 @@ ORACLES.update(
         "semi_anti_join": Q_SEMI_ANTI_SQL,
     }
 )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance <= 6 on 32-bit fingerprints.
+
+    Demo-scale all-pairs (bit_count of xor); the scale path blocks on
+    fingerprint bytes first (same shape as the LSH band join).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup_ops.simhash(docs, "doc_id", "text", bits=32)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+Q_DEDUP_SIMHASH_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES_SQL}
+  FROM th GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, {_SIMHASH_ASSEMBLE_SQL} AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+QUERIES.update({"dedup_simhash_pairs": q_dedup_simhash_pairs})
+ORACLES.update({"dedup_simhash_pairs": Q_DEDUP_SIMHASH_PAIRS_SQL})

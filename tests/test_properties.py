@@ -87,3 +87,53 @@ def test_try_cast_long_error_capture(spark, raws):
                 assert row["n"] == 1
             else:
                 assert row["n"] == 0 and row["x"] == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(1, 30), st.integers(0, 100)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(1, 30), st.integers(0, 100)), min_size=1, max_size=25),
+)
+def test_merge_upsert_invariants(spark, target_rows, stage_rows):
+    """Merge invariants for any target/stage: result keys = union of keys;
+    changed rows take stage values + updated_at; unchanged keep target."""
+    from pyspark.sql import functions as F
+
+    from etl_file_loader_spark.functions import row_hash
+    from etl_file_loader_spark.operators import publish
+
+    # dedupe keys within each side (grain holds per side by contract)
+    t_map = dict(target_rows)
+    s_map = dict(stage_rows)
+    fields = {"k": T.LongType(), "v": T.LongType()}
+
+    def frame(m, fname, log):
+        df = spark.createDataFrame([(k, v) for k, v in m.items()], "k long, v long")
+        return (
+            df.withColumn("etl_row_hash", row_hash(fields))
+            .withColumn("source_filename", F.lit(fname))
+            .withColumn("file_load_log_id", F.lit(log).cast("long"))
+        )
+
+    target = (
+        frame(t_map, "t.csv", 1)
+        .withColumn("etl_created_at", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("etl_updated_at", F.lit(None).cast("timestamp"))
+    )
+    stage = frame(s_map, "s.csv", 2)
+    merged = publish.merge_upsert(
+        target, stage, ["k"], ["k", "v"], now=F.lit("2024-06-01 00:00:00").cast("timestamp")
+    )
+    rows = {r["k"]: r for r in merged.collect()}
+    assert set(rows) == set(t_map) | set(s_map)
+    for k, r in rows.items():
+        in_t, in_s = k in t_map, k in s_map
+        if in_s and (not in_t or t_map[k] != s_map[k]):
+            assert r["v"] == s_map[k] and r["source_filename"] == "s.csv"
+        else:
+            assert r["v"] == t_map[k] and r["source_filename"] == "t.csv"
+        if in_t and in_s and t_map[k] != s_map[k]:
+            assert r["etl_updated_at"] is not None
+        else:
+            assert r["etl_updated_at"] is None
+        assert (str(r["etl_created_at"]) == "2024-01-01 00:00:00") == in_t
