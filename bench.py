@@ -22,10 +22,14 @@ BENCH_QUERIES = [
     # OLAP surface
     "q1_pricing_summary",
     "q3_top_orders",
+    "q5_local_supplier_volume",
+    "q13_order_count_distribution",
+    "q14_promo_share",
     "customer_order_stats",
     "events_hourly",
     "top_events_per_user",
     "sessionization",
+    "window_functions",
     # ingestion pipeline operators (the reference's benchmark shape:
     # read + validate + hash over the full lineitem)
     "validate_split",
@@ -46,9 +50,11 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_exact_lineitem",
     "dedup_minhash_orders",
+    "dedup_clusters",
     "similarity_topk",
     "text_stats",
     "text_quality_lang",
+    "corpus_curation",
 ]
 
 

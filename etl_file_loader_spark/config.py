@@ -70,6 +70,7 @@ class SourceConfig:
     delimiter: str = ","
     encoding: str = "utf-8"
     skip_rows: int = 0
+    multiline: bool = False  # CSV fields with quoted embedded newlines
     sheet_name: str | None = None
     array_path: str | None = None  # dotted path to the JSON record array, e.g. "entries.item"
     notification_emails: list[str] = field(default_factory=list)

@@ -13,9 +13,10 @@ all-string columns so cast failures are captured by the validator, never
 silently nulled.
 
 Scale: text scan + from_csv stays in whole-stage codegen; zipWithIndex adds
-one lightweight count-per-partition job. Known divergence: quoted embedded
-newlines are not supported by the line-based path (document; DictReader
-supports them) — use the parquet path for such data.
+one lightweight count-per-partition job. Quoted embedded newlines break the
+line-based path — set ``SourceConfig.multiline=True`` to switch to Spark's
+multiLine CSV reader (whole-file, non-splittable — the reference's
+DictReader is equally single-stream) with window-derived row numbers.
 """
 
 from __future__ import annotations
@@ -40,7 +41,32 @@ def _read_header_line(path: str, encoding: str) -> str:
     return line.decode(encoding, errors="replace").rstrip("\r\n")
 
 
+def _read_csv_multiline(spark: SparkSession, path: str, config: SourceConfig) -> DataFrame:
+    """Quoted-newline-safe path: Spark multiLine CSV (whole-file read)."""
+    from pyspark.sql.window import Window
+
+    df = (
+        spark.read.option("header", "true")
+        .option("sep", config.delimiter)
+        .option("encoding", config.encoding)
+        .option("multiLine", "true")
+        .option("inferSchema", "false")
+        .csv(path)
+    )
+    check_required_columns(df.columns, config, path)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    first_data_row = 2 + config.skip_rows
+    out = df.withColumn(
+        FILE_ROW_COL, (F.row_number().over(w) + 1).cast("long")
+    ).filter(F.col(FILE_ROW_COL) >= first_data_row)
+    if out.isEmpty():
+        raise NoDataInFileError("no data rows after header/skip_rows", path)
+    return out
+
+
 def read_csv(spark: SparkSession, path: str, config: SourceConfig) -> DataFrame:
+    if config.multiline:
+        return _read_csv_multiline(spark, path, config)
     header_line = _read_header_line(path, config.encoding)
     if not header_line.strip() or not any(
         h.strip() for h in header_line.split(config.delimiter)

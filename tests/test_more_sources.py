@@ -196,3 +196,31 @@ def test_delete_source_after_processing(spark, warehouse, tmp_path):
     # deleted in both the success and the handled-failure case (reference
     # runner.py:269-271 semantics)
     assert not good.exists() and not bad.exists()
+
+
+def test_multiline_csv_quoted_newlines(spark, warehouse, tmp_path):
+    content = (
+        'transaction_id,note,quantity\n'
+        'T1,"line one\nline two",5\n'
+        'T2,"plain",6\n'
+    )
+    path = tmp_path / "sales_multi.csv"
+    path.write_text(content)
+    cfg = SourceConfig(
+        name="multiline_src",
+        file_pattern="sales_*.csv",
+        file_format="csv",
+        fields=[
+            FieldSpec("transaction_id", T.StringType(), nullable=False),
+            FieldSpec("note", T.StringType(), nullable=False),
+            FieldSpec("quantity", T.LongType(), nullable=False),
+        ],
+        grain=["transaction_id"],
+        multiline=True,
+    )
+    from etl_file_loader_spark.plans.pipeline import PipelineRunner
+
+    result = PipelineRunner(spark, warehouse, cfg, str(path)).run()
+    assert result.success and result.counts.inserts == 2
+    rows = {r["transaction_id"]: r["note"] for r in warehouse.read_table("multiline_src").collect()}
+    assert rows["T1"] == "line one\nline two"
