@@ -122,6 +122,82 @@ def test_json_nested_flatten(spark, warehouse, tmp_path):
     assert rows[0]["meta_source_system"] == "sys1"
 
 
+def test_json_ijson_item_path_plain_array(spark, warehouse, tmp_path):
+    """ijson path semantics: 'entries.item' addresses the elements of a plain
+    {"entries": [...]} array (reference read/json.py:81), not only a literal
+    {"entries": {"item": [...]}} key."""
+    p = tmp_path / "ledger_plain.json"
+    p.write_text(json.dumps({"entries": [ledger_record(i) for i in range(1, 4)]}))
+    cfg = ledger_source(array_path="entries.item")
+    result = PipelineRunner(spark, warehouse, cfg, str(p)).run()
+    assert result.success and result.counts.inserts == 3
+    rows = warehouse.read_table("ledger_entries").orderBy("entry_id").collect()
+    assert [r["entry_id"] for r in rows] == [1, 2, 3]
+
+
+def test_json_array_path_without_item_suffix(spark, warehouse, tmp_path):
+    """array_path pointing AT the array (no trailing .item) also works
+    (reference json.py:91-99 unwraps the yielded list)."""
+    p = tmp_path / "ledger_noitem.json"
+    p.write_text(json.dumps({"entries": [ledger_record(1), ledger_record(2)]}))
+    cfg = ledger_source(array_path="entries")
+    result = PipelineRunner(spark, warehouse, cfg, str(p)).run()
+    assert result.success and result.counts.inserts == 2
+
+
+def test_json_list_of_dicts_index_flatten(spark, warehouse, tmp_path):
+    """Lists of dicts flatten to indexed parent_N_child columns (reference
+    read/json.py:51-59); ragged rows null-fill; scalar lists stringify."""
+    recs = [
+        {
+            "entry_id": 1,
+            "account_code": "AC1",
+            "account_name": "A1",
+            "debit_amount": 1.0,
+            "credit_amount": None,
+            "description": "x",
+            "transaction_date": "2024-02-01",
+            "reference_number": "R",
+            "tags": ["a", "b"],
+            "splits": [
+                {"Pct": 60, "Owner": {"Name": "alice"}},
+                {"Pct": 40, "Owner": {"Name": "bob"}},
+            ],
+        },
+        {
+            "entry_id": 2,
+            "account_code": "AC2",
+            "account_name": "A2",
+            "debit_amount": 2.0,
+            "credit_amount": None,
+            "description": "y",
+            "transaction_date": "2024-02-01",
+            "reference_number": "R",
+            "tags": ["c"],
+            "splits": [{"Pct": 100, "Owner": {"Name": "carol"}}],
+        },
+    ]
+    path = write_ledger(tmp_path, recs)
+    fields = ledger_source().fields + [
+        FieldSpec("tags", T.StringType(), nullable=True),
+        FieldSpec("splits_0_pct", T.LongType(), nullable=True),
+        FieldSpec("splits_0_owner_name", T.StringType(), nullable=True),
+        FieldSpec("splits_1_pct", T.LongType(), nullable=True),
+        FieldSpec("splits_1_owner_name", T.StringType(), nullable=True),
+    ]
+    cfg = ledger_source(array_path="entries.item", fields=fields)
+    result = PipelineRunner(spark, warehouse, cfg, path).run()
+    assert result.success and result.counts.inserts == 2
+    rows = {
+        r["entry_id"]: r
+        for r in warehouse.read_table("ledger_entries").collect()
+    }
+    assert rows[1]["splits_0_pct"] == 60 and rows[1]["splits_1_owner_name"] == "bob"
+    assert rows[2]["splits_0_owner_name"] == "carol"
+    assert rows[2]["splits_1_pct"] is None and rows[2]["splits_1_owner_name"] is None
+    assert rows[1]["tags"] == '["a","b"]' and rows[2]["tags"] == '["c"]'
+
+
 EXCEL_HEADER = ["SKU", "Product Name", "Category", "Price", "Stock Qty", "Supplier", "Last Date", "Last Updated"]
 
 
