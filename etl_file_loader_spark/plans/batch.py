@@ -122,7 +122,7 @@ def batch_ingest(
         publish_ops.LOG_ID_COL, F.lit(log_id).cast("long")
     )
 
-    with warehouse.mutate():
+    with warehouse.mutate(config.target_table):
         if not warehouse.exists(config.target_table):
             merged = stage.withColumn(
                 publish_ops.CREATED_COL, F.current_timestamp()

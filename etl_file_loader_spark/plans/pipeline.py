@@ -161,7 +161,7 @@ class PipelineRunner:
                 )
 
             with self.log.stage("publish_data") as st:
-                with self.warehouse.mutate():
+                with self.warehouse.mutate(cfg.target_table):
                     if not self.warehouse.exists(cfg.target_table):
                         # first load: everything inserts — skip the three
                         # empty-target joins (counts + merge) entirely
@@ -188,7 +188,7 @@ class PipelineRunner:
                 st.row_count = pub_counts.inserts + pub_counts.updates
 
             with self.log.stage("cleanup_dlq_records"):
-                with self.warehouse.mutate():
+                with self.warehouse.mutate(DLQ_TABLE):
                     if self.warehouse.exists(DLQ_TABLE):
                         cleaned = dlq_ops.cleanup_dlq(
                             self.warehouse.read_table(DLQ_TABLE),

@@ -29,11 +29,18 @@ class Warehouse:
         self.path = Path(path)
         self.keep_versions = keep_versions
         self.path.mkdir(parents=True, exist_ok=True)
-        # serializes table mutations so concurrent per-file pipelines
+        # per-TABLE locks: concurrent per-file pipelines
         # (Processor.process_files_in_parallel) can't interleave a
-        # read-modify-write append; reads stay lock-free (snapshot isolation
-        # via versioned dirs)
-        self._lock = threading.RLock()
+        # read-modify-write on the same table, but pipelines targeting
+        # different tables mutate fully in parallel (the Delta/Iceberg
+        # analogue is per-table optimistic concurrency). Reads stay
+        # lock-free (snapshot isolation via versioned dirs).
+        self._locks: dict[str, threading.RLock] = {}
+        self._meta = threading.Lock()
+
+    def _table_lock(self, table: str) -> threading.RLock:
+        with self._meta:
+            return self._locks.setdefault(table, threading.RLock())
 
     def _versions(self, table: str) -> list[int]:
         tdir = self.path / table
@@ -59,7 +66,7 @@ class Warehouse:
         return self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
 
     def overwrite(self, table: str, df: DataFrame) -> None:
-        with self._lock:
+        with self._table_lock(table):
             self._overwrite_locked(table, df)
 
     def _overwrite_locked(self, table: str, df: DataFrame) -> None:
@@ -79,7 +86,7 @@ class Warehouse:
         time, so concurrent readers see either the old or the new file set.
         Deletes/updates still go through ``overwrite`` (new snapshot).
         """
-        with self._lock:
+        with self._table_lock(table):
             versions = self._versions(table)
             if not versions:
                 self._overwrite_locked(table, df)
@@ -87,10 +94,11 @@ class Warehouse:
                 out = self.path / table / f"_v{versions[-1]}"
                 df.write.mode("append").parquet(str(out))
 
-    def mutate(self):
-        """Context manager serializing a multi-step read-modify-write
-        (e.g. merge: read target -> counts -> overwrite) across threads."""
-        return self._lock
+    def mutate(self, table: str):
+        """Context manager serializing a multi-step read-modify-write on ONE
+        table (e.g. merge: read target -> counts -> overwrite) across
+        threads; mutations of other tables proceed concurrently."""
+        return self._table_lock(table)
 
     def compact(self, table: str, target_files: int | None = None) -> None:
         """Rewrite the current snapshot with fewer, larger files.
@@ -100,7 +108,7 @@ class Warehouse:
         equivalent of Delta OPTIMIZE. ``target_files`` defaults to the
         cluster's parallelism capped by current file count.
         """
-        with self._lock:
+        with self._table_lock(table):
             if not self.exists(table):
                 return
             df = self.read_table(table)

@@ -224,3 +224,30 @@ def test_multiline_csv_quoted_newlines(spark, warehouse, tmp_path):
     assert result.success and result.counts.inserts == 2
     rows = {r["transaction_id"]: r["note"] for r in warehouse.read_table("multiline_src").collect()}
     assert rows["T1"] == "line one\nline two"
+
+
+def test_per_table_locks_are_independent(warehouse):
+    """mutate(table) serializes only that table: a thread holding table A's
+    lock must not block table B's, but must block another A mutator."""
+    import threading
+
+    acquired_b = threading.Event()
+    blocked_a = []
+
+    with warehouse.mutate("table_a"):
+        def try_b():
+            with warehouse.mutate("table_b"):
+                acquired_b.set()
+
+        def try_a():
+            got = warehouse.mutate("table_a").acquire(timeout=0.5)
+            blocked_a.append(got)
+            if got:
+                warehouse.mutate("table_a").release()
+
+        tb = threading.Thread(target=try_b)
+        ta = threading.Thread(target=try_a)
+        tb.start(); ta.start()
+        assert acquired_b.wait(timeout=5), "different-table mutate blocked"
+        tb.join(); ta.join()
+    assert blocked_a == [False], "same-table mutate did not serialize"
