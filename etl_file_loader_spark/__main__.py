@@ -35,6 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--directory")
     p.add_argument("--file")
     p.add_argument("--archive")
+    p.add_argument("--duplicates", help="directory already-loaded files are moved to")
     p.add_argument("--delete-source", action="store_true", help="remove drop files after processing (reference behavior)")
     p.add_argument("--cpus", type=int, default=None)
     args = parser.parse_args(argv)
@@ -49,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
             warehouse=Warehouse(spark, args.warehouse),
             registry=SourceRegistry(list(load_sources(args.sources))),
             archive_dir=args.archive,
+            duplicate_dir=args.duplicates,
             delete_source=args.delete_source,
         )
         if args.directory:

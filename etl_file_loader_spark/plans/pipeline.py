@@ -73,6 +73,7 @@ class PipelineRunner:
         archive_dir: str | None = None,
         log_id: int | None = None,
         delete_source: bool = False,
+        duplicate_dir: str | None = None,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -80,6 +81,9 @@ class PipelineRunner:
         self.path = path
         self.filename = Path(path).name
         self.archive_dir = archive_dir
+        # duplicate files are MOVED here (reference runner.py:127-140,
+        # file_helper.py:50-65), timestamp-suffixed on a name clash
+        self.duplicate_dir = duplicate_dir
         # reference deletes the drop-directory file success or fail
         # (runner.py:269-271); default off for library safety
         self.delete_source = delete_source
@@ -88,6 +92,23 @@ class PipelineRunner:
             filename=self.filename,
             target_table=config.target_table,
         )
+
+    def _quarantine_duplicate(self) -> None:
+        """Move an already-loaded file to the duplicate-files directory
+        (reference file_helper.py:50-65: move, not copy; name clashes get a
+        UTC-timestamp suffix)."""
+        if not self.duplicate_dir:
+            return
+        import datetime
+
+        dest_dir = Path(self.duplicate_dir)
+        dest_dir.mkdir(parents=True, exist_ok=True)
+        dest = dest_dir / self.filename
+        if dest.exists():
+            ts = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%d_%H%M%S")
+            src = Path(self.filename)
+            dest = dest_dir / f"{src.stem}_{ts}{src.suffix}"
+        shutil.move(self.path, dest)
 
     def run(self) -> RunResult:
         cfg = self.config
@@ -99,6 +120,7 @@ class PipelineRunner:
                     target = self.warehouse.read_table(cfg.target_table)
                     target_schema = target.schema
                     if publish_ops.is_file_loaded(target, self.filename):
+                        self._quarantine_duplicate()
                         raise DuplicateFileError(
                             f"{self.filename} already published", self.filename
                         )
@@ -233,6 +255,7 @@ class Processor:
     results: list[RunResult] = field(default_factory=list)
     notifier: "Notifier | None" = None
     delete_source: bool = False
+    duplicate_dir: str | None = None
 
     def process_file(self, path: str, log_id: int | None = None) -> RunResult:
         from etl_file_loader_spark.exceptions import (
@@ -244,6 +267,11 @@ class Processor:
         try:
             config = self.registry.find_source_for_file(filename)
         except (NoSourceMatchError, MultipleSourceMatchError) as e:
+            # unmatched files are still archived so nothing in the drop
+            # directory is silently lost (reference processor.py:84)
+            if self.archive_dir and isinstance(e, NoSourceMatchError):
+                Path(self.archive_dir).mkdir(parents=True, exist_ok=True)
+                shutil.copy2(path, Path(self.archive_dir) / filename)
             result = RunResult(False, filename, type(e).__name__, str(e))
             self.results.append(result)
             return result
@@ -251,6 +279,7 @@ class Processor:
             result = PipelineRunner(
                 self.spark, self.warehouse, config, path, self.archive_dir,
                 log_id=log_id, delete_source=self.delete_source,
+                duplicate_dir=self.duplicate_dir,
             ).run()
         except FileError as e:
             result = RunResult(False, filename, type(e).__name__, str(e))

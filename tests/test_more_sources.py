@@ -251,3 +251,38 @@ def test_per_table_locks_are_independent(warehouse):
         assert acquired_b.wait(timeout=5), "different-table mutate blocked"
         tb.join(); ta.join()
     assert blocked_a == [False], "same-table mutate did not serialize"
+
+
+def test_duplicate_file_quarantine_and_unmatched_archive(spark, warehouse, tmp_path):
+    """Duplicates MOVE to duplicate_dir (timestamp suffix on clash,
+    reference file_helper.py:50-65); unmatched files COPY to archive
+    (reference processor.py:84)."""
+    from etl_file_loader_spark.plans.pipeline import Processor
+    from etl_file_loader_spark.registry import SourceRegistry
+    from tests.sources_fixtures import CSV_GOOD, transactions_source
+
+    drop = tmp_path / "drop"
+    archive = tmp_path / "archive"
+    dupdir = tmp_path / "dups"
+    drop.mkdir()
+    (drop / "sales_ok.csv").write_text(CSV_GOOD)
+    (drop / "mystery.bin").write_text("x")
+    proc = Processor(
+        spark, warehouse, SourceRegistry([transactions_source()]),
+        archive_dir=str(archive), duplicate_dir=str(dupdir),
+    )
+    proc.process_directory(str(drop))
+    assert (archive / "sales_ok.csv").exists()
+    assert (archive / "mystery.bin").exists()  # unmatched archived too
+
+    # reprocess: duplicate is MOVED out of the drop dir
+    (drop / "sales_ok.csv").write_text(CSV_GOOD)
+    proc.process_directory(str(drop))
+    assert not (drop / "sales_ok.csv").exists()
+    assert (dupdir / "sales_ok.csv").exists()
+
+    # second clash gets a timestamp-suffixed name
+    (drop / "sales_ok.csv").write_text(CSV_GOOD)
+    proc.process_directory(str(drop))
+    extras = [p.name for p in dupdir.iterdir() if p.name != "sales_ok.csv"]
+    assert len(extras) == 1 and extras[0].startswith("sales_ok_") and extras[0].endswith(".csv")
