@@ -236,29 +236,32 @@ def embedding_cosine_pairs_lsh(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_bands: int = 4,
+    planes_per_band: int = 2,
     round_to: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs at scale: hyperplane-LSH bucket join + exact rescore.
+    """Near-dup pairs at scale: banded hyperplane-LSH join + exact rescore.
 
-    Only same-bucket vectors are compared — the shuffle key is the bucket,
-    so candidate volume tracks near-dup density (high-cosine pairs land in
-    the same bucket with probability (1 - theta/pi)^planes). Approximate:
-    recall < 1; verified against the exact operator in tests.
+    Only vectors agreeing on all planes of SOME band are compared — the
+    shuffle key is (band, bucket), so candidate volume tracks near-dup
+    density. Banding OR-amplifies recall: a true pair with per-plane
+    agreement p is a candidate with prob 1-(1-p^r)^b instead of p^planes
+    (single-band misses most sub-0.9-cosine pairs). Approximate: recall < 1;
+    verified against the exact operator in tests.
     """
     from etl_file_loader_spark.operators.similarity import (
         cosine,
-        hyperplane_lsh_buckets,
+        hyperplane_lsh_bands,
     )
 
-    bucketed = hyperplane_lsh_buckets(df, id_col, vec_col, num_planes)
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
+    banded = hyperplane_lsh_bands(df, id_col, vec_col, num_bands, planes_per_band)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "band", "bucket"
     )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "band", "bucket"
     )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
         "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine")
     )

@@ -98,6 +98,104 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def hyperplane_lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_bands: int = 4,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Banded sign-random-projection: one row per (vector, band).
+
+    Band b uses global planes [b*r, (b+1)*r) with the same md5 derivation as
+    ``hyperplane_lsh_buckets``. Two vectors are candidates if they agree on
+    ALL planes of ANY band — collision prob 1-(1-p^r)^b for per-plane
+    agreement p, an OR-amplification that buys recall at the cost of b
+    candidate lookups (the classic MinHash-LSH banding, applied to cosine).
+
+    Plan shape: scan -> project(all b*r projections, one pass) -> posexplode
+    to (id, band, bucket). The candidate join shuffles on (band, bucket).
+    """
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def plane_component(p: int, j: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.lit(str(p)), j.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return (h.cast("double") / F.lit(float(2**32))) - 0.5
+
+    band_buckets = []
+    for b in range(num_bands):
+        bucket = None
+        for i in range(planes_per_band):
+            p = b * planes_per_band + i
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.transform(dim_idx, lambda j, p=p: plane_component(p, j)),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+            bucket = bit if bucket is None else bucket + bit
+        band_buckets.append(bucket)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
+    )
+
+
+def _query_projections(query_vec: list[float], num_planes: int) -> list[float]:
+    """Driver-side per-plane projections with the SAME md5 derivation as
+    ``hyperplane_lsh_buckets`` (kept in lockstep)."""
+    import hashlib
+
+    def comp(p: int, j: int) -> float:
+        h = int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:8], 16)
+        return h / float(2**32) - 0.5
+
+    return [
+        sum(x * comp(p, j) for j, x in enumerate(query_vec))
+        for p in range(num_planes)
+    ]
+
+
+def query_probe_buckets(
+    query_vec: list[float], num_planes: int, n_probe: int
+) -> list[int]:
+    """Multi-probe LSH bucket sequence (Lv et al., VLDB'07): the query's own
+    bucket first, then buckets obtained by flipping the planes whose
+    projection magnitude is smallest — those are the planes a true neighbor
+    most likely landed on the other side of. Probe cost of a flip-set is the
+    sum of flipped |projection|; buckets are emitted in ascending cost."""
+    from itertools import combinations
+
+    projs = _query_projections(query_vec, num_planes)
+    base = sum((1 << p) for p, pr in enumerate(projs) if pr >= 0)
+    if n_probe <= 1:
+        return [base]
+    # planes worth flipping, cheapest first; enumerating subsets of the ~16
+    # cheapest is plenty (n_probe is small)
+    order = sorted(range(num_planes), key=lambda p: abs(projs[p]))[: min(num_planes, 16)]
+    scored: list[tuple[float, int]] = [(0.0, base)]
+    for r in range(1, len(order) + 1):
+        for flips in combinations(order, r):
+            cost = sum(abs(projs[p]) for p in flips)
+            b = base
+            for p in flips:
+                b ^= 1 << p
+            scored.append((cost, b))
+        if len(scored) >= 4 * n_probe:  # enough candidates to sort from
+            break
+    scored.sort()
+    return [b for _, b in scored[:n_probe]]
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -106,29 +204,22 @@ def lsh_topk(
     k: int = 10,
     num_planes: int = 8,
     round_to: int = 4,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+    """Approximate top-k: score only vectors in the query's LSH bucket(s).
 
-    Recall is tunable via num_planes (fewer planes -> bigger buckets).
-    At scale, persist the bucketed table partitioned by bucket -> the
-    search prunes to one partition.
+    Recall is tunable two ways: fewer planes -> bigger buckets; higher
+    ``n_probe`` -> multi-probe into the adjacent buckets most likely to hold
+    missed neighbors (flipping low-|projection| planes). Multi-probe buys
+    recall WITHOUT growing the stored index — the scan stays pruned to
+    n_probe buckets. At scale, persist the bucketed table partitioned by
+    bucket -> the search prunes to n_probe partitions.
     """
     bucketed = hyperplane_lsh_buckets(df, id_col, vec_col, num_planes)
-    # compute the query's bucket with the same plane derivation, driver-side
-    import hashlib
-
-    def comp(p: int, j: int) -> float:
-        h = int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:8], 16)
-        return h / float(2**32) - 0.5
-
-    qb = 0
-    for p in range(num_planes):
-        proj = sum(x * comp(p, j) for j, x in enumerate(query_vec))
-        if proj >= 0:
-            qb += 1 << p
+    probes = query_probe_buckets(query_vec, num_planes, n_probe)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
-        bucketed.filter(F.col("bucket") == qb)
+        bucketed.filter(F.col("bucket").isin(probes))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), round_to).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)

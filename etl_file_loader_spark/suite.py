@@ -964,7 +964,8 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via hyperplane-LSH bucket pruning (approximate; rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.lsh_topk(
-        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, num_planes=6
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, num_planes=6,
+        n_probe=4,  # multi-probe: flip the least-confident planes for recall
     )
 
 
@@ -1646,7 +1647,7 @@ def q_dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs (approximate; rows-only)."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup_ops.embedding_cosine_pairs_lsh(
-        emb, "vec_id", "embedding", threshold=0.4, num_planes=6
+        emb, "vec_id", "embedding", threshold=0.4, num_bands=3, planes_per_band=2
     )
 
 

@@ -179,7 +179,9 @@ def test_embedding_cosine_pairs_and_lsh_subset(spark):
     assert all(c >= 0.95 for c in exact.values())
     # LSH variant returns a subset of the exact pairs (possibly missing some)
     lsh = {(r["id_a"], r["id_b"])
-           for r in dedup.embedding_cosine_pairs_lsh(df, "vec_id", "embedding", 0.95, num_planes=2).collect()}
+           for r in dedup.embedding_cosine_pairs_lsh(
+               df, "vec_id", "embedding", 0.95, num_bands=2, planes_per_band=1
+           ).collect()}
     assert lsh <= set(exact)
 
 
@@ -241,3 +243,54 @@ def test_rolling_fingerprint_order_sensitive(spark):
     fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
     assert fps[1] == fps[3]          # identical text -> identical hash
     assert fps[1] != fps[2]          # permuted words -> different hash
+
+
+def test_multiprobe_lsh_recall_improves(spark):
+    """Multi-probe probes adjacent buckets: recall vs exact top-k is
+    monotonically >= single-probe, and reaches the exact set with enough
+    probes on a small corpus."""
+    import numpy as np
+
+    from etl_file_loader_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(df, "vec_id", "embedding", q, k=5).collect()}
+    r1 = {r["vec_id"] for r in similarity.lsh_topk(df, "vec_id", "embedding", q, k=5, num_planes=6, n_probe=1).collect()}
+    r8 = {r["vec_id"] for r in similarity.lsh_topk(df, "vec_id", "embedding", q, k=5, num_planes=6, n_probe=8).collect()}
+    r64 = {r["vec_id"] for r in similarity.lsh_topk(df, "vec_id", "embedding", q, k=5, num_planes=6, n_probe=64).collect()}
+    assert len(r1 & exact) <= len(r8 & exact) <= len(r64 & exact)
+    assert r64 == exact  # probing all 64 buckets == brute force
+    assert 0 in r1  # the query vector itself is always in its own bucket
+
+
+def test_banded_lsh_recall_improves(spark):
+    """OR-amplification: b bands of r planes find at least as many true
+    pairs as one band of b*r planes."""
+    import numpy as np
+
+    from etl_file_loader_spark.operators import dedup
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(25, 8)
+    # 25 originals + 25 noisy near-duplicates
+    noisy = base + 0.15 * rng.randn(25, 8)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(25)]
+    rows += [(100 + i, [float(x) for x in noisy[i]]) for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_cosine_pairs(df, "vec_id", "embedding", 0.9).collect()}
+    one_band = {(r["id_a"], r["id_b"])
+                for r in dedup.embedding_cosine_pairs_lsh(
+                    df, "vec_id", "embedding", 0.9, num_bands=1, planes_per_band=6
+                ).collect()}
+    banded = {(r["id_a"], r["id_b"])
+              for r in dedup.embedding_cosine_pairs_lsh(
+                  df, "vec_id", "embedding", 0.9, num_bands=3, planes_per_band=2
+              ).collect()}
+    assert one_band <= exact and banded <= exact  # no false positives (rescored)
+    assert len(banded) >= len(one_band)
+    assert len(banded) >= 0.8 * len(exact)  # banding recovers most true pairs
