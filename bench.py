@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_minhash_orders",
     "dedup_clusters",
     "similarity_topk",
+    "knn_join",
     "text_stats",
     "text_quality_lang",
     "corpus_curation",

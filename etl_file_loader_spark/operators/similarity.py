@@ -226,6 +226,89 @@ def lsh_topk(
     )
 
 
+def knn_join_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors for EVERY row (exact, all-pairs).
+
+    The semantic-dedup / clustering-prep primitive. Plan: self cross join
+    (id != neighbor) -> score -> per-id window top-k. O(n²) compare — this is
+    the correctness baseline and the right choice only for modest n (e.g.
+    per-partition re-rank after candidate generation); the 100 TB path is
+    ``knn_join_lsh``. Scores round before ranking, ties break on neighbor id,
+    so ordering is engine-stable and oracle-checkable.
+    """
+    from pyspark.sql.window import Window
+
+    a = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb"))
+    scored = (
+        a.join(b, F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    num_bands: int = 4,
+    planes_per_band: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate k-NN join: banded-LSH candidates -> exact rescore -> top-k.
+
+    Candidates meet on a (band, bucket) equi-join, so compare volume tracks
+    neighborhood density instead of n² — the scale path. Rows whose bucket
+    holds no other vector get no neighbors (recall < 1; band/plane counts
+    tune the tradeoff).
+    """
+    from pyspark.sql.window import Window
+
+    banded = hyperplane_lsh_bands(df, id_col, vec_col, num_bands, planes_per_band)
+    a = banded.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_va"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", "_va", "_vb")
+        # a pair can match in several bands; dedup on the ids, not the arrays
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "vec_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 class IVFIndex:
     """IVF coarse-quantizer ANN: k-means centroids -> bucket assignment -> probe.
 

@@ -2007,3 +2007,44 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 
 QUERIES.update({"dedup_simhash_pairs": q_dedup_simhash_pairs})
 ORACLES.update({"dedup_simhash_pairs": Q_DEDUP_SIMHASH_PAIRS_SQL})
+
+
+# ---------------------------------------------------------------------------
+# k-NN join (top-k neighbors for every vector)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine k-NN join: top-3 neighbors per vector (the semantic-dedup
+    primitive; oracle-checkable baseline for the LSH scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.knn_join_exact(emb, "vec_id", "embedding", k=3)
+
+
+Q_KNN_JOIN_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN join via banded LSH candidates (rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.knn_join_lsh(
+        emb, "vec_id", "embedding", k=3, num_bands=3, planes_per_band=2
+    )
+
+
+QUERIES.update({"knn_join": q_knn_join, "knn_join_lsh": q_knn_join_lsh})
+ORACLES.update({"knn_join": Q_KNN_JOIN_SQL})

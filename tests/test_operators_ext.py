@@ -294,3 +294,26 @@ def test_banded_lsh_recall_improves(spark):
     assert one_band <= exact and banded <= exact  # no false positives (rescored)
     assert len(banded) >= len(one_band)
     assert len(banded) >= 0.8 * len(exact)  # banding recovers most true pairs
+
+
+def test_knn_join_exact_and_lsh(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.95, 0.05, 0.0]),
+        (3, [0.9, 0.1, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = similarity.knn_join_exact(df, "vec_id", "embedding", k=2).collect()
+    by_id = {}
+    for r in res:
+        by_id.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert sorted(by_id[1]) == [(1, 2), (2, 3)]  # nearest first
+    assert len(by_id) == 4 and all(len(v) == 2 for v in by_id.values())
+    # LSH variant: every returned pair exists in the exact all-pairs ranking
+    exact_pairs = {(r["vec_id"], r["neighbor_id"]): r["cosine"] for r in
+                   similarity.knn_join_exact(df, "vec_id", "embedding", k=3).collect()}
+    lsh = similarity.knn_join_lsh(df, "vec_id", "embedding", k=2,
+                                  num_bands=2, planes_per_band=1).collect()
+    for r in lsh:
+        assert exact_pairs.get((r["vec_id"], r["neighbor_id"])) == r["cosine"]
