@@ -2048,3 +2048,84 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"knn_join": q_knn_join, "knn_join_lsh": q_knn_join_lsh})
 ORACLES.update({"knn_join": Q_KNN_JOIN_SQL})
+
+
+# ---------------------------------------------------------------------------
+# ordered event funnel
+# ---------------------------------------------------------------------------
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel view -> click -> purchase, 24 h conversion window.
+
+    Step N counts users whose first step-N event strictly follows their
+    first qualifying step-(N-1) event within 24 hours. Each step is one
+    filtered aggregation joined back on user_id — filters push to the scan,
+    the shuffle key is user_id throughout, and step tables shrink
+    monotonically so the later joins broadcast at any scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        (1, "view", s1),
+        (2, "click_after_view", s2),
+        (3, "purchase_after_click", s3),
+    ]
+    out = None
+    for step, name, dfstep in rows:
+        cur = dfstep.agg(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.lit(1)).alias("users"),
+        )
+        out = cur if out is None else out.unionByName(cur)
+    return out.orderBy("step")
+
+
+Q_EVENT_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL '24 hours'
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL '24 hours'
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click_after_view', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase_after_click', CAST(count(*) AS BIGINT) FROM s3
+ORDER BY step
+"""
+
+QUERIES.update({"event_funnel": q_event_funnel})
+ORACLES.update({"event_funnel": Q_EVENT_FUNNEL_SQL})
