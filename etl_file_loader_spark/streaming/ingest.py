@@ -123,6 +123,27 @@ class StreamingIngest:
         )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires the
+    key's state once the watermark passes its event time — so state size
+    tracks the duplicate-arrival horizon, not the full stream history
+    (plain dropDuplicates on a stream grows state forever). The batch
+    analogue (same call on a batch frame) degenerates to a plain
+    dropDuplicates over the keys.
+    """
+    wm = events.withWatermark(ts_col, watermark)
+    if events.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(key_cols)
+    return events.dropDuplicates(key_cols)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

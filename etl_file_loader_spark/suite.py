@@ -2129,3 +2129,47 @@ ORDER BY step
 
 QUERIES.update({"event_funnel": q_event_funnel})
 ORACLES.update({"event_funnel": Q_EVENT_FUNNEL_SQL})
+
+
+# ---------------------------------------------------------------------------
+# order-statistics aggregation (exact percentiles)
+# ---------------------------------------------------------------------------
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of l_extendedprice per returnflag.
+
+    ``percentile`` is Spark's exact order-statistic aggregate (sort-based
+    within groups); DuckDB's quantile_cont uses the same linear
+    interpolation on the same doubles, so results hash-match after a 6dp
+    round. At 100 TB exact per-group sort is the wrong default —
+    approx_percentile (t-digest, mergeable partials) is the scale path; it
+    is intentionally NOT the oracle query because its error is engine
+    specific.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_PRICE_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+QUERIES.update({"price_percentiles": q_price_percentiles})
+ORACLES.update({"price_percentiles": Q_PRICE_PERCENTILES_SQL})

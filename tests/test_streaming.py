@@ -129,3 +129,39 @@ def test_stateful_sessionization(spark, tmp_path):
     assert s["user_id"] == 1
     assert s["n_events"] == 2
     assert s["session_end_us"] - s["session_start_us"] == 600 * 1_000_000
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    from etl_file_loader_spark.streaming.ingest import dedup_stream
+
+    rows = [
+        (1, "2024-01-01 00:01:00", "click", 1.0),
+        (1, "2024-01-01 00:01:30", "click", 1.0),   # duplicate event_id (retry)
+        (2, "2024-01-01 00:02:00", "view", 2.0),
+        (2, "2024-01-01 00:02:00", "view", 2.0),    # exact duplicate
+        (3, "2024-01-01 01:00:00", "click", 3.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "dedup_stream_src")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    deduped = dedup_stream(stream, ["event_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedupout")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT event_id FROM dedupout").collect()
+    ids = sorted(r["event_id"] for r in out)
+    assert ids == [1, 2, 3]
+
+    # batch frame degenerates to plain dropDuplicates on the keys
+    assert sorted(
+        r["event_id"] for r in dedup_stream(batch, ["event_id"]).collect()
+    ) == [1, 2, 3]
