@@ -83,13 +83,31 @@ def _error(field: FieldSpec, raw: Column, error_type: str, msg: str) -> Column:
     )
 
 
-def _cast_expr(field: FieldSpec, raw: Column, raw_type: T.DataType) -> Column:
-    """try_cast raw -> target type, honoring cleaners and Excel serials."""
+def _cast_expr(
+    field: FieldSpec,
+    raw: Column,
+    raw_type: T.DataType,
+    excel_source: bool = False,
+) -> Column:
+    """try_cast raw -> target type, honoring cleaners and Excel serials.
+
+    Serial handling is per-VALUE, matching reference excel.py:62-84: a
+    numeric value on a Date/Timestamp field is an Excel serial; anything
+    else falls through to the normal date/timestamp parse (the reference
+    hands non-numerics to pydantic the same way). Applies to every
+    Date/Timestamp field of an Excel source — the reference needs no flag —
+    and to any field explicitly marked ``excel_serial``.
+    """
     cleaned = field.cleaner(raw) if field.cleaner else raw
-    if field.excel_serial and isinstance(field.dtype, T.DateType):
-        return excel_serial_to_date(cleaned.try_cast("double"))
-    if field.excel_serial and isinstance(field.dtype, T.TimestampType):
-        return excel_serial_to_timestamp(cleaned.try_cast("double"))
+    serial = field.excel_serial or excel_source
+    if serial and isinstance(field.dtype, (T.DateType, T.TimestampType)):
+        num = cleaned.try_cast("double")
+        conv = (
+            excel_serial_to_date(num)
+            if isinstance(field.dtype, T.DateType)
+            else excel_serial_to_timestamp(num)
+        )
+        return F.when(num.isNotNull(), conv).otherwise(cleaned.try_cast(field.dtype))
     if raw_type == field.dtype:
         return cleaned
     return cleaned.try_cast(field.dtype)
@@ -105,12 +123,13 @@ def validate(
     ``passthrough`` columns are carried unchanged.
     """
     raw_types = dict(df.dtypes)
+    excel_source = config.file_format == "excel"
     out_cols: list[Column] = []
     err_cols: list[Column] = []
     for f in config.fields:
         raw = F.col(f.name)
         raw_type = df.schema[f.name].dataType
-        casted = _cast_expr(f, raw, raw_type)
+        casted = _cast_expr(f, raw, raw_type, excel_source=excel_source)
         out_cols.append(casted.alias(f.name))
 
         errs: list[Column] = []

@@ -326,3 +326,29 @@ def test_parquet_empty_file(spark, warehouse, tmp_path):
     pq.write_table(table, path)
     with pytest.raises(NoDataInFileError):
         PipelineRunner(spark, warehouse, customers_parquet_source(), path).run()
+
+
+def test_excel_dates_serial_and_string_mixed(spark, warehouse, tmp_path):
+    """Excel Date/Timestamp fields need no excel_serial flag: numeric cells
+    convert as serials, string cells parse as dates (reference excel.py:62-84
+    converts only isinstance(value, (int, float)))."""
+    from tests.xlsx_helper import write_xlsx
+
+    rows = [
+        EXCEL_HEADER,
+        ["SKU-1", "A", "c", "1.5", "3", "s", "45299", "45299.5"],          # serials
+        ["SKU-2", "B", "c", "2.5", "4", "s", "2024-01-08", "2024-01-08 06:00:00"],  # strings
+    ]
+    path = write_xlsx(str(tmp_path / "inventory_mix.xlsx"), {"Sheet1": rows})
+    fields = [
+        FieldSpec(f.name, f.dtype, alias=f.alias, nullable=f.nullable, excel_serial=False)
+        for f in products_source().fields
+    ]
+    cfg = products_source(fields=fields)
+    result = PipelineRunner(spark, warehouse, cfg, path).run()
+    assert result.success and result.counts.inserts == 2
+    got = {r["sku"]: r for r in warehouse.read_table("products").collect()}
+    assert str(got["SKU-1"]["last_date"]) == "2024-01-08"      # 45299 = 2024-01-08
+    assert str(got["SKU-1"]["last_updated"]) == "2024-01-08 12:00:00"
+    assert str(got["SKU-2"]["last_date"]) == "2024-01-08"
+    assert str(got["SKU-2"]["last_updated"]) == "2024-01-08 06:00:00"
