@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "top_events_per_user",
     "sessionization",
     "window_functions",
+    "event_funnel",
+    "price_percentiles",
     # ingestion pipeline operators (the reference's benchmark shape:
     # read + validate + hash over the full lineitem)
     "validate_split",
