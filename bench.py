@@ -22,9 +22,12 @@ BENCH_QUERIES = [
     # OLAP surface
     "q1_pricing_summary",
     "q3_top_orders",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q13_order_count_distribution",
     "q14_promo_share",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
     "customer_order_stats",
     "events_hourly",
     "top_events_per_user",
