@@ -74,6 +74,10 @@ class SourceConfig:
     sheet_name: str | None = None
     array_path: str | None = None  # dotted path to the JSON record array, e.g. "entries.item"
     notification_emails: list[str] = field(default_factory=list)
+    # hive-partition the target table by these (business) columns: readers
+    # filtering on them prune whole partitions at plan time — pick a
+    # low-cardinality natural key (a date, a region) for 100 TB tables
+    target_partition_by: list[str] = field(default_factory=list)
 
     def matches(self, filename: str) -> bool:
         """Glob match on the lowered basename (reference sources/base.py:31-38)."""

@@ -127,7 +127,7 @@ def batch_ingest(
             merged = stage.withColumn(
                 publish_ops.CREATED_COL, F.current_timestamp()
             ).withColumn(publish_ops.UPDATED_COL, F.lit(None).cast("timestamp"))
-            warehouse.overwrite(config.target_table, merged)
+            warehouse.overwrite(config.target_table, merged, config.target_partition_by)
             inserts = warehouse.read_table(config.target_table).count()
             updates = 0
         else:
@@ -137,7 +137,7 @@ def batch_ingest(
             merged = publish_ops.merge_upsert(
                 target, stage, config.grain, config.business_columns
             )
-            warehouse.overwrite(config.target_table, merged)
+            warehouse.overwrite(config.target_table, merged, config.target_partition_by)
 
     return BatchResult(
         files_published=sorted(published),

@@ -192,7 +192,9 @@ class PipelineRunner:
                         ).withColumn(
                             publish_ops.UPDATED_COL, F.lit(None).cast("timestamp")
                         )
-                        self.warehouse.overwrite(cfg.target_table, merged)
+                        self.warehouse.overwrite(
+                            cfg.target_table, merged, cfg.target_partition_by
+                        )
                         pub_counts = PublishCounts(
                             inserts=self.warehouse.read_table(cfg.target_table).count(),
                             updates=0,
@@ -206,7 +208,9 @@ class PipelineRunner:
                         merged = publish_ops.merge_upsert(
                             target, stage, cfg.grain, cfg.business_columns
                         )
-                        self.warehouse.overwrite(cfg.target_table, merged)
+                        self.warehouse.overwrite(
+                            cfg.target_table, merged, cfg.target_partition_by
+                        )
                 st.row_count = pub_counts.inserts + pub_counts.updates
 
             with self.log.stage("cleanup_dlq_records"):

@@ -65,15 +65,25 @@ class Warehouse:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
 
-    def overwrite(self, table: str, df: DataFrame) -> None:
+    def overwrite(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> None:
         with self._table_lock(table):
-            self._overwrite_locked(table, df)
+            self._overwrite_locked(table, df, partition_by)
 
-    def _overwrite_locked(self, table: str, df: DataFrame) -> None:
+    def _overwrite_locked(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> None:
         versions = self._versions(table)
         new_v = (versions[-1] + 1) if versions else 0
         out = self.path / table / f"_v{new_v}"
-        df.write.mode("overwrite").parquet(str(out))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # hive-style layout: readers filtering on these columns prune
+            # whole directories at plan time (PartitionFilters, zero I/O for
+            # excluded partitions) — the COW analogue of Delta partitioning
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(out))
         for v in versions[: -self.keep_versions + 1] if self.keep_versions > 0 else versions:
             shutil.rmtree(self.path / table / f"_v{v}", ignore_errors=True)
 

@@ -2305,3 +2305,65 @@ ORACLES.update(
         "q4_order_priority": Q4_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention matrix.
+
+    Cohort = ISO week of the user's first signup event; cell (cohort, w)
+    counts distinct users active w whole weeks later. Two aggregations on
+    user_id + one broadcast join of the (tiny) cohort table back onto
+    events — the canonical product-analytics rollup, all in Catalyst.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    joined = ev.join(F.broadcast(cohort), "user_id").filter(
+        F.col("ts") >= F.col("signup_ts")
+    )
+    week = (
+        F.floor(
+            (F.col("ts").cast("double") - F.col("signup_ts").cast("double"))
+            / F.lit(7 * 86400.0)
+        )
+        .cast("int")
+        .alias("weeks_since_signup")
+    )
+    return (
+        joined.select(
+            F.date_format(F.date_trunc("week", "signup_ts"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            week,
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since_signup")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since_signup")
+    )
+
+
+Q_RETENTION_COHORTS_SQL = """
+WITH cohort AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT strftime(date_trunc('week', c.signup_ts), '%Y-%m-%d') AS cohort_week,
+       CAST(floor((epoch(e.ts) - epoch(c.signup_ts)) / (7*86400.0)) AS INTEGER) AS weeks_since_signup,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN cohort c ON e.user_id = c.user_id
+WHERE e.ts >= c.signup_ts
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES.update({"retention_cohorts": q_retention_cohorts})
+ORACLES.update({"retention_cohorts": Q_RETENTION_COHORTS_SQL})

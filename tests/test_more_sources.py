@@ -286,3 +286,39 @@ def test_duplicate_file_quarantine_and_unmatched_archive(spark, warehouse, tmp_p
     proc.process_directory(str(drop))
     extras = [p.name for p in dupdir.iterdir() if p.name != "sales_ok.csv"]
     assert len(extras) == 1 and extras[0].startswith("sales_ok_") and extras[0].endswith(".csv")
+
+
+def test_partitioned_target_table(spark, warehouse, tmp_path):
+    """target_partition_by writes a hive layout; readers filtering on the
+    partition column prune at plan time; merge preserves the layout."""
+    from tests.sources_fixtures import CSV_GOOD, transactions_source
+
+    path = tmp_path / "sales_part.csv"
+    path.write_text(CSV_GOOD)
+    cfg = transactions_source(target_partition_by=["sale_date"])
+    result = PipelineRunner(spark, warehouse, cfg, str(path)).run()
+    assert result.success and result.counts.inserts == 3
+
+    tdir = warehouse.path / "transactions"
+    vdirs = sorted(p for p in tdir.iterdir() if p.name.startswith("_v"))
+    parts = sorted(p.name for p in vdirs[-1].iterdir() if p.name.startswith("sale_date="))
+    assert parts == ["sale_date=2024-01-05", "sale_date=2024-01-06", "sale_date=2024-01-07"]
+
+    read = warehouse.read_table("transactions").filter(F.col("sale_date") == "2024-01-06")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and read.count() == 1
+
+    # merge run: one update + one insert, partition layout preserved
+    changed = CSV_GOOD.replace(
+        "TXN001,CUST01,SKU-1,2,10.50,21.00,2024-01-05", "TXN001,CUST01,SKU-1,9,10.50,94.50,2024-01-05"
+    ) + "TXN004,CUST03,SKU-4,1,3.00,3.00,2024-01-08,carol\n"
+    p2 = tmp_path / "sales_part2.csv"
+    p2.write_text(changed)
+    r2 = PipelineRunner(spark, warehouse, cfg, str(p2)).run()
+    assert r2.success and r2.counts.inserts == 1 and r2.counts.updates == 1
+    vdirs = sorted(p for p in tdir.iterdir() if p.name.startswith("_v"))
+    parts = sorted(p.name for p in vdirs[-1].iterdir() if p.name.startswith("sale_date="))
+    assert "sale_date=2024-01-08" in parts
+    got = warehouse.read_table("transactions")
+    assert got.count() == 4
+    assert got.filter("transaction_id='TXN001'").collect()[0]["quantity"] == 9
