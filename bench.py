@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "sessionization",
     "window_functions",
     "event_funnel",
+    "retention_cohorts",
     "price_percentiles",
     # ingestion pipeline operators (the reference's benchmark shape:
     # read + validate + hash over the full lineitem)
