@@ -53,8 +53,11 @@ def attach_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     c = F.col(content_col)
     mime = (
         F.when(F.substring(c, 1, 8) == F.lit(FAKE_MAGIC), "image/x-fake")
+        .when(F.substring(c, 1, 8) == F.lit(b"FAKEAUD!"), "audio/x-fake")
         .when(F.substring(c, 1, 3) == F.lit(b"\xff\xd8\xff"), "image/jpeg")
         .when(F.substring(c, 1, 4) == F.lit(b"\x89PNG"), "image/png")
+        .when(F.substring(c, 1, 4) == F.lit(b"RIFF"), "audio/wav")
+        .when(F.substring(c, 1, 3) == F.lit(b"ID3"), "audio/mpeg")
         .otherwise("application/octet-stream")
     )
     return df.withColumn(
@@ -98,6 +101,69 @@ def decode_image(df: DataFrame, fake: bool = False, batch_hint: int = 0) -> Data
             )
 
     return df.select("media_id", "content").mapInPandas(decode_batches, _DECODE_SCHEMA)
+
+
+FAKE_AUDIO_MAGIC = b"FAKEAUD!"
+
+
+def pack_fake_audio(media_id: int, sample_rate: int, n_samples: int) -> bytes:
+    """Deterministic synthetic audio payload: magic + rate/len (4 bytes each)
+    + up-to-64-byte PCM8 body."""
+    body = bytes((media_id * 17 + i) % 256 for i in range(min(n_samples, 64)))
+    return (
+        FAKE_AUDIO_MAGIC
+        + sample_rate.to_bytes(4, "big")
+        + n_samples.to_bytes(4, "big")
+        + body
+    )
+
+
+_AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_sec double, "
+    "rms double, decode_ok boolean"
+)
+
+
+def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode audio binaries to (rate, length, duration, rms) via mapInPandas.
+
+    Same contract as ``decode_image``: the codec needs a library absent from
+    this container (soundfile/ffmpeg), so ``fake=False`` raises at plan time
+    and ``fake=True`` parses the deterministic FAKEAUD header. The Spark
+    plumbing — Arrow batch iterator, schema, no shuffle — is the real path.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires soundfile/ffmpeg (not in this container); "
+            "use fake=True for the deterministic test decoder"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is not None and bytes(content[:8]) == FAKE_AUDIO_MAGIC:
+                    rate = int.from_bytes(bytes(content[8:12]), "big")
+                    n = int.from_bytes(bytes(content[12:16]), "big")
+                    body = bytes(content[16:])
+                    rms = (
+                        (sum(b * b for b in body) / len(body)) ** 0.5 if body else 0.0
+                    )
+                    out.append(
+                        (int(mid), rate, n, round(n / rate, 6) if rate else None,
+                         round(rms, 6), True)
+                    )
+                else:
+                    out.append((int(mid), None, None, None, None, False))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_sec",
+                    "rms", "decode_ok",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(decode_batches, _AUDIO_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -2367,3 +2367,42 @@ ORDER BY 1, 2
 
 QUERIES.update({"retention_cohorts": q_retention_cohorts})
 ORACLES.update({"retention_cohorts": Q_RETENTION_COHORTS_SQL})
+
+
+# ---------------------------------------------------------------------------
+# multimodal audio
+# ---------------------------------------------------------------------------
+
+
+def q_audio_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode of deterministic fake audio payloads (rows-only).
+
+    Same Arrow-batched plumbing as the image path: binaries stream through
+    per-partition batch iterators, no shuffle, schema fixed up front.
+    """
+    import pandas as pd
+
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "n_chars"
+    )
+
+    def pack(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        mm.pack_fake_audio(int(m), 8000 + int(n) % 8 * 1000, int(n) * 10)
+                        for m, n in zip(pdf["media_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(pack, "media_id long, content binary")
+    return mm.decode_audio(media, fake=True)
+
+
+QUERIES.update({"audio_decode_fake": q_audio_decode_fake})
+# rows-only: fake codec, no SQL analogue

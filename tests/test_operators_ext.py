@@ -317,3 +317,20 @@ def test_knn_join_exact_and_lsh(spark):
                                   num_bands=2, planes_per_band=1).collect()
     for r in lsh:
         assert exact_pairs.get((r["vec_id"], r["neighbor_id"])) == r["cosine"]
+
+
+def test_audio_decode_fake_and_meta(spark):
+    rows = [
+        (1, multimodal.pack_fake_audio(1, 16000, 32000)),
+        (2, b"RIFF....WAVE"),
+        (3, b"ID3\x04rest"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    metas = {r["media_id"]: r["meta"]["mime"] for r in multimodal.attach_media_meta(df).collect()}
+    assert metas == {1: "audio/x-fake", 2: "audio/wav", 3: "audio/mpeg"}
+    decoded = {r["media_id"]: r for r in multimodal.decode_audio(df, fake=True).collect()}
+    assert decoded[1]["sample_rate"] == 16000 and decoded[1]["n_samples"] == 32000
+    assert decoded[1]["duration_sec"] == 2.0 and decoded[1]["decode_ok"]
+    assert not decoded[2]["decode_ok"]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(df, fake=False)
