@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     "dedup_minhash_orders",
     "dedup_clusters",
     "similarity_topk",
-    "knn_join",
+    "knn_join_lsh",
     "text_stats",
     "text_quality_lang",
     "corpus_curation",

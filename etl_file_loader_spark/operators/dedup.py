@@ -220,13 +220,27 @@ def embedding_cosine_pairs(
     (bucketed candidates); this exact form is the oracle-checkable baseline
     and the verifier for LSH recall.
     """
-    from etl_file_loader_spark.operators.similarity import cosine
+    from etl_file_loader_spark.operators.similarity import dot, norm
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # norms computed once per row pre-join (HOF folds are interpreted;
+    # re-folding per pair would triple the O(n²·d) work)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine")
+        "id_a",
+        "id_b",
+        F.round(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), round_to
+        ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= threshold)
 
@@ -250,20 +264,35 @@ def embedding_cosine_pairs_lsh(
     verified against the exact operator in tests.
     """
     from etl_file_loader_spark.operators.similarity import (
-        cosine,
+        dot_vectorized,
         hyperplane_lsh_bands,
+        norm,
     )
 
     banded = hyperplane_lsh_bands(df, id_col, vec_col, num_bands, planes_per_band)
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "band", "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+        "band",
+        "bucket",
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "band", "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+        "band",
+        "bucket",
     )
     pairs = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    # rows-only path (no SQL-oracle hash): Arrow-vectorized rescore
     scored = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine")
+        "id_a",
+        "id_b",
+        F.round(
+            dot_vectorized(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+            round_to,
+        ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= threshold).distinct()
 

@@ -16,6 +16,8 @@ partitions, a single top-k (TakeOrdered) reduces; no all-to-all anywhere.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -59,9 +61,67 @@ def cosine_topk(
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), round_to).alias("score"),
+        F.round(_query_score(F.col(vec_col), q, query_vec), round_to).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def dot_vectorized(a: Column, b: Column) -> Column:
+    """Arrow-batched numpy dot product (pandas UDF).
+
+    ~100x faster than the interpreted HOF fold on pair-scored workloads
+    (the fold evaluates lambda-per-element in the expression interpreter;
+    numpy does one BLAS call per batch). Summation order differs from the
+    left-to-right fold, so use this ONLY where results are not
+    hash-compared against a SQL oracle — the approximate/LSH paths.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = np.empty(len(xs))
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            out[i] = np.dot(
+                np.asarray(x, dtype="float64"), np.asarray(y, dtype="float64")
+            )
+        return pd.Series(out)
+
+    return _dot(a, b)
+
+
+def _query_score(vec: Column, q: Column, query_vec: list[float]) -> Column:
+    """cosine(vec, q) with the query norm folded driver-side (same IEEE
+    left-to-right sum as the Column fold, so values are bit-identical; the
+    per-row HOF work halves because interpreted folds don't constant-fold)."""
+    import math
+
+    acc = 0.0
+    for v in query_vec:
+        acc += float(v) * float(v)
+    nq = math.sqrt(acc)
+    return dot(vec, q) / (norm(vec) * F.lit(nq))
+
+
+def _plane_matrix(dim: int, num_planes: int) -> "np.ndarray":
+    """(dim x num_planes) hyperplane weights, md5-derived — deterministic,
+    engine-independent, no RNG state. Component (p, j) = md5(f"{p}_{j}")
+    first-8-hex as uint32 / 2^32 - 0.5 (kept in lockstep with
+    ``_query_projections``)."""
+    import hashlib
+
+    w = np.empty((dim, num_planes), dtype="float64")
+    for p in range(num_planes):
+        for j in range(dim):
+            h = int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:8], 16)
+            w[j, p] = h / float(2**32) - 0.5
+    return w
+
+
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        return 0
+    return int(row["d"])
 
 
 def hyperplane_lsh_buckets(
@@ -69,33 +129,30 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """Sign-random-projection bucket per vector (deterministic hyperplanes).
 
-    Plane p's j-th component is derived from md5(p,j) mapped to [-0.5, 0.5] —
-    reproducible on any engine, no RNG state. Bucket = bit-packed signs.
+    The plane matrix is data-independent, so it is materialized ONCE on the
+    driver and the per-row work is a single Arrow-batched matmul — computing
+    the md5-derived weights inside a Column expression re-evaluates
+    dim*planes md5 calls per ROW (the expression interpreter can't hoist
+    them), which is ~100x slower. Bucket = bit-packed projection signs.
     """
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    dim = _vector_dim(df, vec_col)
+    w = _plane_matrix(dim, num_planes)
+    from pyspark.sql.functions import pandas_udf
 
-    def plane_component(p: int, j: Column) -> Column:
-        h = F.conv(
-            F.substring(F.md5(F.concat_ws("_", F.lit(str(p)), j.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        return (h.cast("double") / F.lit(float(2**32))) - 0.5
+    @pandas_udf("long")
+    def _bucket(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int64")
+        v = np.stack([np.asarray(x, dtype="float64") for x in vs])
+        signs = (v @ w) >= 0  # (n, planes)
+        out = np.zeros(len(vs), dtype="int64")
+        for p in range(num_planes):
+            out |= signs[:, p].astype("int64") << p
+        return pd.Series(out)
 
-    bucket = None
-    for p in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(dim_idx, lambda j: plane_component(p, j)),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
-        bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    return df.select(
+        F.col(id_col), F.col(vec_col), _bucket(F.col(vec_col)).alias("bucket")
+    )
 
 
 def hyperplane_lsh_bands(
@@ -113,56 +170,46 @@ def hyperplane_lsh_bands(
     agreement p, an OR-amplification that buys recall at the cost of b
     candidate lookups (the classic MinHash-LSH banding, applied to cosine).
 
-    Plan shape: scan -> project(all b*r projections, one pass) -> posexplode
-    to (id, band, bucket). The candidate join shuffles on (band, bucket).
+    Plan shape: scan -> ONE Arrow-batched matmul against the driver-derived
+    plane matrix (see ``hyperplane_lsh_buckets`` for why not a Column
+    expression) -> posexplode to (id, band, bucket). The candidate join
+    shuffles on (band, bucket).
     """
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    dim = _vector_dim(df, vec_col)
+    w = _plane_matrix(dim, num_bands * planes_per_band)
+    from pyspark.sql.functions import pandas_udf
 
-    def plane_component(p: int, j: Column) -> Column:
-        h = F.conv(
-            F.substring(F.md5(F.concat_ws("_", F.lit(str(p)), j.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        return (h.cast("double") / F.lit(float(2**32))) - 0.5
+    @pandas_udf("array<long>")
+    def _band_buckets(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        v = np.stack([np.asarray(x, dtype="float64") for x in vs])
+        signs = (v @ w) >= 0  # (n, bands*planes)
+        out = []
+        for row in signs:
+            buckets = []
+            for b in range(num_bands):
+                bucket = 0
+                for i in range(planes_per_band):
+                    if row[b * planes_per_band + i]:
+                        bucket |= 1 << i
+                buckets.append(bucket)
+            out.append(buckets)
+        return pd.Series(out)
 
-    band_buckets = []
-    for b in range(num_bands):
-        bucket = None
-        for i in range(planes_per_band):
-            p = b * planes_per_band + i
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.transform(dim_idx, lambda j, p=p: plane_component(p, j)),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-            bucket = bit if bucket is None else bucket + bit
-        band_buckets.append(bucket)
     return df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
+        F.posexplode(_band_buckets(F.col(vec_col))).alias("band", "bucket"),
     )
 
 
 def _query_projections(query_vec: list[float], num_planes: int) -> list[float]:
-    """Driver-side per-plane projections with the SAME md5 derivation as
-    ``hyperplane_lsh_buckets`` (kept in lockstep)."""
-    import hashlib
-
-    def comp(p: int, j: int) -> float:
-        h = int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:8], 16)
-        return h / float(2**32) - 0.5
-
-    return [
-        sum(x * comp(p, j) for j, x in enumerate(query_vec))
-        for p in range(num_planes)
-    ]
+    """Driver-side per-plane projections via the SAME plane matrix and numpy
+    arithmetic as the data-side bucketing (kept in lockstep so the query
+    lands in the same bucket as an identical stored vector)."""
+    w = _plane_matrix(len(query_vec), num_planes)
+    return [float(x) for x in np.asarray(query_vec, dtype="float64") @ w]
 
 
 def query_probe_buckets(
@@ -220,7 +267,7 @@ def lsh_topk(
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         bucketed.filter(F.col("bucket").isin(probes))
-        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), round_to).alias("score"))
+        .select(F.col(id_col), F.round(_query_score(F.col(vec_col), q, query_vec), round_to).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -244,14 +291,29 @@ def knn_join_exact(
     """
     from pyspark.sql.window import Window
 
-    a = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb"))
+    # norms are per-ROW, computed once before the join — inside the pair
+    # score each row's norm would be re-folded once per partner (HOF folds
+    # are interpreted, not codegen'd; this is the difference between O(n²·d)
+    # and O(3n²·d) interpreter work). Same floats, so oracle-stable.
+    a = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
     scored = (
         a.join(b, F.col("vec_id") != F.col("neighbor_id"))
         .select(
             "vec_id",
             "neighbor_id",
-            F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_to,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -283,22 +345,33 @@ def knn_join_lsh(
 
     banded = hyperplane_lsh_bands(df, id_col, vec_col, num_bands, planes_per_band)
     a = banded.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_va"), "band", "bucket"
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+        "band",
+        "bucket",
     )
     b = banded.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb"), "band", "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+        "band",
+        "bucket",
     )
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", "_va", "_vb")
+        .select("vec_id", "neighbor_id", "_va", "_vb", "_na", "_nb")
         # a pair can match in several bands; dedup on the ids, not the arrays
         .dropDuplicates(["vec_id", "neighbor_id"])
     )
     scored = cand.select(
         "vec_id",
         "neighbor_id",
-        F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine"),
+        F.round(
+            dot_vectorized(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+            round_to,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -358,7 +431,7 @@ class IVFIndex:
         q = F.array(*[F.lit(float(v)) for v in query_vec])
         return (
             assigned.filter(F.col("_ivf_bucket").isin(probe))
-            .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), round_to).alias("score"))
+            .select(F.col(id_col), F.round(_query_score(F.col(vec_col), q, query_vec), round_to).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k)
         )

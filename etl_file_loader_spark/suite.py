@@ -2042,7 +2042,7 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN join via banded LSH candidates (rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.knn_join_lsh(
-        emb, "vec_id", "embedding", k=3, num_bands=3, planes_per_band=2
+        emb, "vec_id", "embedding", k=3, num_bands=4, planes_per_band=8
     )
 
 
