@@ -68,3 +68,100 @@ def notify_summary(notifier: Notifier, summary: dict) -> None:
             body=str(summary),
         )
     )
+
+
+class SmtpNotifier(Notifier):
+    """SMTP transport with the reference's email shape (notify/email.py:33-97):
+    subject ``FileLoader Failed: <file> - <error type>``, data-team cc,
+    SMTP_SSL on port 465 / STARTTLS otherwise, optional login."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int = 587,
+        from_email: str = "",
+        user: str | None = None,
+        password: str | None = None,
+        data_team_email: str | None = None,
+    ):
+        self.host = host
+        self.port = port
+        self.from_email = from_email
+        self.user = user
+        self.password = password
+        self.data_team_email = data_team_email
+
+    def send(self, n: Notification) -> None:
+        import smtplib
+        from email.mime.multipart import MIMEMultipart
+        from email.mime.text import MIMEText
+
+        if not self.host or not self.from_email:
+            logger.warning("SMTP host/from not configured, skipping email")
+            return
+        msg = MIMEMultipart("alternative")
+        msg["Subject"] = n.subject
+        msg["From"] = self.from_email
+        msg["To"] = ", ".join(n.recipients)
+        if self.data_team_email:
+            msg["Cc"] = self.data_team_email
+        msg.attach(MIMEText(n.body, "plain"))
+        server = (
+            smtplib.SMTP_SSL(self.host, self.port)
+            if self.port == 465
+            else smtplib.SMTP(self.host, self.port)
+        )
+        with server:
+            if self.user and self.password:
+                if self.port != 465:
+                    server.starttls()
+                server.login(self.user, self.password)
+            recipients = n.recipients + (
+                [self.data_team_email] if self.data_team_email else []
+            )
+            server.sendmail(self.from_email, recipients, msg.as_string())
+
+
+class WebhookNotifier(Notifier):
+    """Webhook POST with the reference's payload shape (notify/webhook.py:39-84):
+    markdown-ish text + title/timestamp/level/details JSON keys."""
+
+    LEVELS = {"file_error": ("🚨", "ERROR"), "summary": ("ℹ️", "INFO")}
+
+    def __init__(self, url: str, timeout: float = 10.0):
+        self.url = url
+        self.timeout = timeout
+
+    def payload(self, n: Notification) -> dict:
+        import datetime
+
+        icon, level = self.LEVELS.get(n.kind, ("ℹ️", "INFO"))
+        ts = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S UTC"
+        )
+        text = "\n".join(
+            [f"{icon} *{level}*", f"*{n.subject}*", f"*Timestamp:* {ts}",
+             f"*Message:* {n.body}"]
+        )
+        return {
+            "text": text,
+            "title": n.subject,
+            "timestamp": ts,
+            "level": level,
+        }
+
+    def send(self, n: Notification) -> None:
+        import json
+        import urllib.request
+
+        if not self.url:
+            logger.warning("webhook URL not configured, skipping")
+            return
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(self.payload(n)).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            if resp.status != 200:
+                raise RuntimeError(f"webhook returned {resp.status}")

@@ -322,3 +322,64 @@ def test_partitioned_target_table(spark, warehouse, tmp_path):
     got = warehouse.read_table("transactions")
     assert got.count() == 4
     assert got.filter("transaction_id='TXN001'").collect()[0]["quantity"] == 9
+
+
+def test_smtp_and_webhook_notifier_shapes(monkeypatch):
+    """Transport notifiers build the reference's message shapes; transports
+    are monkeypatched (no egress in tests)."""
+    import smtplib
+    import urllib.request
+
+    from etl_file_loader_spark.notify import (
+        Notification,
+        SmtpNotifier,
+        WebhookNotifier,
+    )
+
+    sent = {}
+
+    class FakeSMTP:
+        def __init__(self, host, port):
+            sent["conn"] = (host, port)
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+        def starttls(self):
+            sent["tls"] = True
+        def login(self, u, p):
+            sent["login"] = (u, p)
+        def sendmail(self, frm, to, body):
+            sent["mail"] = (frm, tuple(to), body)
+
+    monkeypatch.setattr(smtplib, "SMTP", FakeSMTP)
+    n = Notification(
+        kind="file_error",
+        subject="File load failed: sales_x.csv (AuditFailure)",
+        body="audit price_positive failed",
+        recipients=["a@x.com"],
+    )
+    SmtpNotifier("smtp.local", 587, "noreply@x.com", user="u", password="p",
+                 data_team_email="team@x.com").send(n)
+    assert sent["conn"] == ("smtp.local", 587) and sent["tls"] and sent["login"] == ("u", "p")
+    frm, to, body = sent["mail"]
+    assert frm == "noreply@x.com" and to == ("a@x.com", "team@x.com")
+    assert "File load failed: sales_x.csv" in body and "Cc: team@x.com" in body
+
+    posts = {}
+    def fake_urlopen(req, timeout=None):
+        import json
+        posts["url"] = req.full_url
+        posts["payload"] = json.loads(req.data)
+        class R:
+            status = 200
+            def __enter__(self): return self
+            def __exit__(self, *a): return False
+        return R()
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    WebhookNotifier("https://hooks.local/abc").send(n)
+    p = posts["payload"]
+    assert posts["url"] == "https://hooks.local/abc"
+    assert p["level"] == "ERROR" and p["title"].startswith("File load failed")
+    assert "*ERROR*" in p["text"] and "*Timestamp:*" in p["text"]
