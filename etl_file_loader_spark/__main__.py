@@ -38,6 +38,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--duplicates", help="directory already-loaded files are moved to")
     p.add_argument("--delete-source", action="store_true", help="remove drop files after processing (reference behavior)")
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument(
+        "--max-workers", type=int, default=None,
+        help="thread-pool width for directory mode (reference processes "
+        "directories in parallel by default; 1 forces sequential)",
+    )
     args = parser.parse_args(argv)
 
     if bool(args.directory) == bool(args.file):
@@ -54,7 +59,12 @@ def main(argv: list[str] | None = None) -> int:
             delete_source=args.delete_source,
         )
         if args.directory:
-            processor.process_directory(args.directory)
+            if args.max_workers == 1:
+                processor.process_directory(args.directory)
+            else:
+                processor.process_files_in_parallel(
+                    args.directory, max_workers=args.max_workers
+                )
         else:
             processor.process_file(args.file)
         summary = processor.results_summary()
