@@ -144,6 +144,23 @@ def dedup_stream(
     return events.dropDuplicates(key_cols)
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join.
+
+    The static side is broadcast to every micro-batch task (Spark re-plans
+    the static side per batch, so a refreshed dimension table is picked up
+    on the next trigger without restarting the query). No state store, no
+    watermark needed — the canonical pattern for attaching dimension
+    attributes to a stream at 100 TB/day rates.
+    """
+    return events.join(F.broadcast(dim), on, how)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

@@ -165,3 +165,34 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     assert sorted(
         r["event_id"] for r in dedup_stream(batch, ["event_id"]).collect()
     ) == [1, 2, 3]
+
+
+def test_enrich_stream_with_static_dimension(spark, tmp_path):
+    from etl_file_loader_spark.streaming.ingest import enrich_stream
+
+    rows = [
+        (1, "2024-01-01 00:01:00", "click", 10),
+        (2, "2024-01-01 00:02:00", "view", 20),
+        (3, "2024-01-01 00:03:00", "click", 99),   # no matching user dim
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "enrich_src")
+    batch.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], "user_id long, tier string"
+    )
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        enrich_stream(stream, dim, ["user_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrichout")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["event_id"]: r["tier"] for r in spark.sql("SELECT * FROM enrichout").collect()}
+    assert out == {1: "gold", 2: "silver", 3: None}
