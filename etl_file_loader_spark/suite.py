@@ -2406,3 +2406,41 @@ def q_audio_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"audio_decode_fake": q_audio_decode_fake})
 # rows-only: fake codec, no SQL analogue
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets
+# ---------------------------------------------------------------------------
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping combinations in
+    one pass (Spark expands grouping sets map-side; one shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+Q_CUBE_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+QUERIES.update({"cube_orders": q_cube_orders})
+ORACLES.update({"cube_orders": Q_CUBE_ORDERS_SQL})
