@@ -56,13 +56,33 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         return bool(self._versions(table))
 
-    def read_table(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        """Current snapshot; empty frame with ``schema`` if the table doesn't exist."""
+    def table_versions(self, table: str) -> list[int]:
+        """Retained snapshot versions, oldest first (time-travel surface)."""
+        return self._versions(table)
+
+    def read_table(
+        self,
+        table: str,
+        schema: T.StructType | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Current snapshot — or a retained older one via ``version`` (time
+        travel, the COW analogue of Delta's VERSION AS OF; only the last
+        ``keep_versions`` snapshots are retained). Empty frame with
+        ``schema`` if the table doesn't exist.
+        """
         versions = self._versions(table)
         if not versions:
             if schema is None:
                 raise FileNotFoundError(f"table {table} does not exist and no schema given")
             return self.spark.createDataFrame([], schema)
+        if version is not None:
+            if version not in versions:
+                raise FileNotFoundError(
+                    f"table {table} version {version} not retained "
+                    f"(available: {versions})"
+                )
+            return self.spark.read.parquet(str(self.path / table / f"_v{version}"))
         return self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
 
     def overwrite(

@@ -334,3 +334,17 @@ def test_audio_decode_fake_and_meta(spark):
     assert not decoded[2]["decode_ok"]
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(df, fake=False)
+
+
+def test_warehouse_time_travel(spark, warehouse):
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    warehouse.overwrite("tt", df1)
+    warehouse.overwrite("tt", spark.createDataFrame([(1, "b"), (2, "c")], "id long, v string"))
+    versions = warehouse.table_versions("tt")
+    assert len(versions) == 2
+    old = warehouse.read_table("tt", version=versions[0])
+    assert [r["v"] for r in old.collect()] == ["a"]
+    assert warehouse.read_table("tt").count() == 2
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        warehouse.read_table("tt", version=999)
