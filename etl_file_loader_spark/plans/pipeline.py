@@ -212,6 +212,18 @@ class PipelineRunner:
                         target = self.warehouse.read_table(
                             cfg.target_table, schema=target_schema
                         )
+                        # additive schema evolution (Delta mergeSchema
+                        # analogue): business columns the config gained since
+                        # the target was created join in as typed nulls —
+                        # existing rows keep null until a file re-delivers
+                        # them (their row hash then differs, so they update).
+                        # Columns REMOVED from the config drop from the new
+                        # snapshot: the config is the schema of record.
+                        for f in cfg.fields:
+                            if f.name not in target.columns:
+                                target = target.withColumn(
+                                    f.name, F.lit(None).cast(f.dtype)
+                                )
                         pub_counts = publish_ops.publish_counts(target, stage, cfg.grain)
                         merged = publish_ops.merge_upsert(
                             target, stage, cfg.grain, cfg.business_columns

@@ -383,3 +383,34 @@ def test_smtp_and_webhook_notifier_shapes(monkeypatch):
     assert posts["url"] == "https://hooks.local/abc"
     assert p["level"] == "ERROR" and p["title"].startswith("File load failed")
     assert "*ERROR*" in p["text"] and "*Timestamp:*" in p["text"]
+
+
+def test_additive_schema_evolution_on_merge(spark, warehouse, tmp_path):
+    """A business column added to the config after the target exists joins
+    in as typed nulls for old rows; re-delivered rows pick up the value
+    (hash differs -> update)."""
+    from etl_file_loader_spark.config import SourceConfig
+
+    base_fields = [
+        FieldSpec("id", T.StringType(), nullable=False),
+        FieldSpec("v", T.LongType(), nullable=False),
+    ]
+    def cfg(fields):
+        return SourceConfig(name="evo", file_pattern="evo_*.csv",
+                            file_format="csv", fields=fields, grain=["id"])
+
+    p1 = tmp_path / "evo_1.csv"
+    p1.write_text("id,v\na,1\nb,2\n")
+    assert PipelineRunner(spark, warehouse, cfg(base_fields), str(p1)).run().success
+
+    fields2 = base_fields + [FieldSpec("note", T.StringType(), nullable=True)]
+    p2 = tmp_path / "evo_2.csv"
+    p2.write_text("id,v,note\nb,2,hello\nc,3,new\n")
+    r2 = PipelineRunner(spark, warehouse, cfg(fields2), str(p2)).run()
+    assert r2.success and r2.counts.inserts == 1 and r2.counts.updates == 1
+
+    rows = {r["id"]: r for r in warehouse.read_table("evo").collect()}
+    assert rows["a"]["note"] is None          # old row: typed null
+    assert rows["b"]["note"] == "hello"       # re-delivered: updated
+    assert rows["c"]["note"] == "new"
+    assert rows["a"]["etl_updated_at"] is None and rows["b"]["etl_updated_at"] is not None
