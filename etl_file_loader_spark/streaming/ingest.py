@@ -189,3 +189,44 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def incremental_agg_stream(
+    events: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+):
+    """Streaming materialized view: watermarked windowed counts continuously
+    upserted into a warehouse table.
+
+    Update-mode emits a window row whenever it changes; ``foreachBatch``
+    replaces the matching (window, event_type) rows in the target (anti-join
+    + union — the micro-batch MERGE). Late events within the watermark
+    re-emit their window, so the table converges to the batch answer;
+    checkpointing makes each window's final state exactly-once.
+    """
+    agg = windowed_event_counts(events, window=window, watermark=watermark)
+    key = ["window_start", "window_end", "event_type"]
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with warehouse.mutate(table):
+            if warehouse.exists(table):
+                kept = warehouse.read_table(table).join(
+                    batch_df.select(key), key, "left_anti"
+                )
+                warehouse.overwrite(table, kept.unionByName(batch_df))
+            else:
+                warehouse.overwrite(table, batch_df)
+
+    return (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -196,3 +196,50 @@ def test_enrich_stream_with_static_dimension(spark, tmp_path):
     q.awaitTermination(120)
     out = {r["event_id"]: r["tier"] for r in spark.sql("SELECT * FROM enrichout").collect()}
     assert out == {1: "gold", 2: "silver", 3: None}
+
+
+def test_incremental_agg_stream_materialized_view(spark, warehouse, tmp_path):
+    from etl_file_loader_spark.streaming.ingest import incremental_agg_stream
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "inc_ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema.replace("timestamp", "string")).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.parquet(str(src / name))
+
+    # no far-future event in batch 1: the 00:00 window must still be open
+    # (inside watermark) when batch 2 adds to it
+    write_batch("b1", [
+        (1, "2024-01-01 00:01:00", "click", 1.0),
+        (2, "2024-01-01 00:02:00", "click", 2.0),
+    ])
+    stream_schema = spark.read.parquet(str(src / "b1")).schema
+    stream = spark.readStream.schema(stream_schema).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(str(src / "*"))
+    q = incremental_agg_stream(stream, warehouse, "event_counts_mv", ckpt)
+    q.awaitTermination(120)
+    mv = {(str(r["window_start"]), r["event_type"]): r["n_events"]
+          for r in warehouse.read_table("event_counts_mv").collect()}
+    assert mv[("2024-01-01 00:00:00", "click")] == 2
+
+    # second batch: same (still-open) window gets another click -> the row is
+    # REPLACED; the 02:00 event then advances the watermark past it
+    write_batch("b2", [
+        (4, "2024-01-01 00:03:00", "click", 4.0),
+        (5, "2024-01-01 02:00:00", "view", 5.0),
+    ])
+    q2 = incremental_agg_stream(stream, warehouse, "event_counts_mv", ckpt)
+    q2.awaitTermination(120)
+    mv = {(str(r["window_start"]), r["event_type"]): r["n_events"]
+          for r in warehouse.read_table("event_counts_mv").collect()}
+    assert mv[("2024-01-01 00:00:00", "click")] == 3
+    # one row per (window, type): no duplicates from the upsert
+    import collections
+    keys = [(str(r["window_start"]), r["event_type"])
+            for r in warehouse.read_table("event_counts_mv").collect()]
+    assert max(collections.Counter(keys).values()) == 1
