@@ -230,3 +230,33 @@ def incremental_agg_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    max_delay: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join.
+
+    Matches right-stream rows to left-stream rows with the same key where
+    right.ts in [left.ts, left.ts + max_delay] — the impression->click
+    attribution shape. Both sides are watermarked and the join condition
+    bounds event-time distance, so Spark can size and EXPIRE the join state
+    (an unbounded-condition stream-stream join would buffer forever).
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lw.join(rw, cond, "inner")

@@ -243,3 +243,39 @@ def test_incremental_agg_stream_materialized_view(spark, warehouse, tmp_path):
     keys = [(str(r["window_start"]), r["event_type"])
             for r in warehouse.read_table("event_counts_mv").collect()]
     assert max(collections.Counter(keys).values()) == 1
+
+
+def test_interval_join_streams(spark, tmp_path):
+    from etl_file_loader_spark.streaming.ingest import interval_join_streams
+
+    imp_rows = [
+        (100, "2024-01-01 00:01:00", 1),
+        (101, "2024-01-01 00:10:00", 2),
+    ]
+    click_rows = [
+        (200, "2024-01-01 00:03:00", 1),   # within 5 min of imp 100
+        (201, "2024-01-01 00:30:00", 2),   # too late for imp 101
+        (202, "2024-01-01 01:00:00", 9),   # advances watermark
+    ]
+    schema = "event_id long, ts string, user_id long"
+    imps = spark.createDataFrame(imp_rows, schema).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = spark.createDataFrame(click_rows, schema).withColumn("ts", F.col("ts").cast("timestamp"))
+    imp_src, click_src = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    imps.write.parquet(imp_src)
+    clicks.write.parquet(click_src)
+
+    imp_stream = spark.readStream.schema(imps.schema).parquet(imp_src)
+    click_stream = (
+        spark.readStream.schema(clicks.schema).parquet(click_src)
+        .withColumnRenamed("event_id", "click_id").withColumnRenamed("ts", "click_ts")
+    )
+    joined = interval_join_streams(
+        imp_stream, click_stream, "user_id", "ts", "click_ts", max_delay="5 minutes"
+    ).select("l.event_id", "r.click_id")
+    q = (
+        joined.writeStream.outputMode("append").format("memory")
+        .queryName("ijout").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = {(r["event_id"], r["click_id"]) for r in spark.sql("SELECT * FROM ijout").collect()}
+    assert out == {(100, 200)}
