@@ -2444,3 +2444,42 @@ ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 
 QUERIES.update({"cube_orders": q_cube_orders})
 ORACLES.update({"cube_orders": Q_CUBE_ORDERS_SQL})
+
+
+# ---------------------------------------------------------------------------
+# fingerprint-collapsed duplicate groups
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups under the canonical word-set fingerprint (md5 of
+    sorted distinct lowercased words — case/order/duplication invariant).
+    One hash-aggregate on the fingerprint; shuffle ∝ distinct fingerprints.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text_ops.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("representative_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .orderBy("fp")
+    )
+
+
+Q_DEDUP_FINGERPRINT_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_transform(string_split_regex(trim(text), '\s+'), w -> lower(w))
+         )), ' ')) AS fp
+  FROM documents
+)
+SELECT fp, CAST(min(doc_id) AS BIGINT) AS representative_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM fp GROUP BY fp ORDER BY fp
+"""
+
+QUERIES.update({"dedup_fingerprint": q_dedup_fingerprint})
+ORACLES.update({"dedup_fingerprint": Q_DEDUP_FINGERPRINT_SQL})
