@@ -352,3 +352,21 @@ def test_excel_dates_serial_and_string_mixed(spark, warehouse, tmp_path):
     assert str(got["SKU-1"]["last_updated"]) == "2024-01-08 12:00:00"
     assert str(got["SKU-2"]["last_date"]) == "2024-01-08"
     assert str(got["SKU-2"]["last_updated"]) == "2024-01-08 06:00:00"
+
+
+def test_json_nested_item_path_two_levels(spark, warehouse, tmp_path):
+    """Depth-2 ijson path 'batches.item.entries.item': leaf records across
+    nested arrays, row numbers counting leaf items in stream order."""
+    doc = {
+        "batches": [
+            {"entries": [ledger_record(1), ledger_record(2)]},
+            {"entries": [ledger_record(3)]},
+        ]
+    }
+    p = tmp_path / "ledger_nested.json"
+    p.write_text(json.dumps(doc))
+    cfg = ledger_source(array_path="batches.item.entries.item")
+    result = PipelineRunner(spark, warehouse, cfg, str(p)).run()
+    assert result.success and result.counts.inserts == 3
+    rows = warehouse.read_table("ledger_entries").orderBy("entry_id").collect()
+    assert [r["entry_id"] for r in rows] == [1, 2, 3]
