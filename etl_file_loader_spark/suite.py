@@ -2151,10 +2151,20 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
-            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+            # ONE array-percentile aggregate: three separate percentile()
+            # calls each buffer every group value independently (3x memory,
+            # 3x the final per-group sort)
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+            ).alias("_p"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 6).alias("p50"),
+            F.round(F.col("_p")[1], 6).alias("p90"),
+            F.round(F.col("_p")[2], 6).alias("p99"),
+            "n_rows",
         )
         .orderBy("l_returnflag")
     )
