@@ -21,6 +21,8 @@ first 8 hex chars as int64 — identical in DuckDB as
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,14 +73,31 @@ def exploded_shingle_hashes(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 5,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Doc -> minhash signature (array of num_hashes int64).
 
-    One explode + ONE aggregate with num_hashes min() expressions — the
-    k-permutation blowup happens in registers, not in shuffled rows.
+    Two engines producing BIT-IDENTICAL signatures (everything is md5 +
+    int64 modular arithmetic — no floats — so the DuckDB oracle matches
+    either way; equality is asserted in tests):
+
+    - ``arrow`` (default): one Arrow-batched pandas UDF doing tokenize ->
+      shingle -> md5 -> k-min in numpy. No explode, no shuffle at all —
+      signature generation is a narrow projection. ~10x faster than the
+      expression engine, whose shingle-building HOF (slice+concat per
+      position) is interpreted per element.
+    - ``expr``: pure Column expressions (explode + ONE aggregate with
+      num_hashes min() registers) — zero Python, shuffles once on the doc
+      id; the reference implementation the oracle SQL mirrors line-by-line.
     """
     assert num_hashes <= len(_MH_A)
+    if engine == "arrow":
+        return _minhash_signatures_arrow(df, id_col, text_col, num_hashes, n)
     ex = exploded_shingle_hashes(df, id_col, text_col, n)
     # reduce the 32-bit hash mod p before multiplying: a < 2^32, (h % p) < 2^31
     # keeps a*(h%p)+b < 2^63 (no int64 overflow; same expression in the oracle)
@@ -94,6 +113,52 @@ def minhash_signatures(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
     )
+
+
+def _minhash_signatures_arrow(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, n: int
+) -> DataFrame:
+    """Arrow engine: numpy k-min over md5 shingle hashes, per batch.
+
+    Mirrors the expression engine exactly: trim -> whitespace split (Java
+    split drops trailing empties; trimmed input has none) -> distinct
+    n-gram shingles (< n tokens -> the whole text as one shingle) ->
+    int64 of first 8 md5 hex chars -> min((a*(h%p)+b)%p). Null text behaves
+    as empty text (one "" shingle), matching the expression engine's
+    concat_ws null handling.
+    """
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    a = np.asarray(_MH_A[:num_hashes], dtype=np.int64)
+    b = np.asarray(_MH_B[:num_hashes], dtype=np.int64)
+    p = _MH_PRIME
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            t = (text or "").strip()
+            toks = _re.split(r"\s+", t) if t else []
+            if len(toks) < n:
+                sh = {" ".join(toks)}
+            else:
+                sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    for s in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            vals = (a[None, :] * (hs[:, None] % p) + b[None, :]) % p
+            out.append([int(x) for x in vals.min(axis=0)])
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _sig(F.col(text_col)).alias("signature"))
 
 
 def lsh_candidate_pairs(

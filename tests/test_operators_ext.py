@@ -348,3 +348,24 @@ def test_warehouse_time_travel(spark, warehouse):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         warehouse.read_table("tt", version=999)
+
+
+def test_minhash_engines_bit_identical(spark, docs):
+    """The arrow and expression minhash engines produce identical
+    signatures (pure md5 + int64 modular arithmetic, no floats)."""
+    expr = {r["doc_id"]: list(r["signature"]) for r in
+            dedup.minhash_signatures(docs, "doc_id", "text", 16, 3, engine="expr").collect()}
+    arrow = {r["doc_id"]: list(r["signature"]) for r in
+             dedup.minhash_signatures(docs, "doc_id", "text", 16, 3, engine="arrow").collect()}
+    assert expr == arrow
+    # edge cases: empty text, whitespace-only, short text, null
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words"), (4, None)],
+        "doc_id long, text string",
+    )
+    e = {r["doc_id"]: list(r["signature"]) for r in
+         dedup.minhash_signatures(edge, "doc_id", "text", 8, 5, engine="expr").collect()}
+    a = {r["doc_id"]: list(r["signature"]) for r in
+         dedup.minhash_signatures(edge, "doc_id", "text", 8, 5, engine="arrow").collect()}
+    assert e == a
+    assert a[4] == a[1]  # null text ≡ empty text (one "" shingle) in both
