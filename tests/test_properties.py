@@ -137,3 +137,26 @@ def test_merge_upsert_invariants(spark, target_rows, stage_rows):
         else:
             assert r["etl_updated_at"] is None
         assert (str(r["etl_created_at"]) == "2024-01-01 00:00:00") == in_t
+
+
+def test_query_probe_buckets_properties():
+    """Pure-logic invariants of multi-probe LSH bucket generation."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_file_loader_spark.operators.similarity import query_probe_buckets
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.floats(-10, 10, allow_nan=False), min_size=2, max_size=16),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=32),
+    )
+    def check(vec, planes, n_probe):
+        probes = query_probe_buckets(vec, planes, n_probe)
+        assert 1 <= len(probes) <= n_probe
+        assert len(set(probes)) == len(probes)          # no duplicate buckets
+        assert all(0 <= b < (1 << planes) for b in probes)
+        base = query_probe_buckets(vec, planes, 1)[0]
+        assert probes[0] == base                        # own bucket probes first
+
+    check()
