@@ -239,8 +239,22 @@ def query_probe_buckets(
             scored.append((cost, b))
         if len(scored) >= 4 * n_probe:  # enough candidates to sort from
             break
-    scored.sort()
-    return [b for _, b in scored[:n_probe]]
+    # Sort by cost ONLY (stable): a flip whose |projection| is exactly 0.0
+    # ties with the base bucket's cost, and tuple comparison would then fall
+    # through to the bucket ids, letting a flipped bucket sort ahead of the
+    # query's own bucket. Stable key-sort keeps insertion order on ties, so
+    # the base bucket is always probed first.
+    scored.sort(key=lambda t: t[0])
+    # Dedup while preserving order (flip sets can collide on bucket ids).
+    seen: set[int] = set()
+    out: list[int] = []
+    for _, b in scored:
+        if b not in seen:
+            seen.add(b)
+            out.append(b)
+        if len(out) >= n_probe:
+            break
+    return out
 
 
 def lsh_topk(
