@@ -6,14 +6,16 @@ starting at 2+skip_rows (reference read/csv.py:34-84).
 
 Spark-first design: the header line is read driver-side (one line, gzip-aware)
 to get column names; the body is read distributed as text lines, given
-deterministic *file-order* row numbers via ``zipWithIndex`` (partition order =
-byte-offset order for splittable text, single partition for .gz — matching the
-reference's single-stream semantics), then parsed with ``from_csv`` into
-all-string columns so cast failures are captured by the validator, never
-silently nulled.
+deterministic *file-order* row numbers JVM-side: ``monotonically_increasing_id``
+supplies the within-partition counter, a count-per-partition job supplies the
+partition offsets (partition order = byte-offset order for splittable text,
+single partition for .gz — matching the reference's single-stream semantics),
+then parsed with ``from_csv`` into all-string columns so cast failures are
+captured by the validator, never silently nulled.
 
-Scale: text scan + from_csv stays in whole-stage codegen; zipWithIndex adds
-one lightweight count-per-partition job. Quoted embedded newlines break the
+Scale: text scan + from_csv + row numbering all stay in whole-stage codegen —
+no per-row Python serialization anywhere; the offset lookup is one extra
+count-per-partition job. Quoted embedded newlines break the
 line-based path — set ``SourceConfig.multiline=True`` to switch to Spark's
 multiLine CSV reader (whole-file, non-splittable — the reference's
 DictReader is equally single-stream) with window-derived row numbers.
@@ -78,13 +80,38 @@ def read_csv(spark: SparkSession, path: str, config: SourceConfig) -> DataFrame:
     headers = [h.strip() or f"_c{i}" for i, h in enumerate(headers)]
     check_required_columns(headers, config, path)
 
-    lines = spark.read.text(path)
-    # deterministic file-order index: zipWithIndex respects partition order
-    # (= byte-offset order) and within-partition line order
-    indexed = (
-        lines.rdd.zipWithIndex()
-        .map(lambda pair: (pair[0]["value"], pair[1] + 1))  # 1-based: header = 1
-        .toDF(["value", FILE_ROW_COL])
+    # Deterministic file-order index, fully JVM-side (no Python row traffic):
+    # monotonically_increasing_id encodes (scan_partition_id << 33 | row-in-
+    # partition), and text-file scan partitions are byte-offset-ordered splits,
+    # so global row = per-partition offset + within-partition counter. The
+    # offsets come from one tiny count-per-partition job (numPartitions rows
+    # collected), mirroring zipWithIndex's extra job without its per-row
+    # JVM->Python->JVM serialization.
+    lines = spark.read.text(path).select(
+        "value",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in lines.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    ) if offsets else F.create_map()
+    within_partition = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    indexed = lines.select(
+        "value",
+        (
+            F.coalesce(F.try_element_at(offset_map, F.col("_pid")), F.lit(0))
+            + within_partition
+            + 1  # 1-based: header = 1
+        ).cast("long").alias(FILE_ROW_COL),
     )
     first_data_row = 2 + config.skip_rows
     data = indexed.filter(F.col(FILE_ROW_COL) >= first_data_row)
