@@ -29,7 +29,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(suite.QUERIES)
+    """All registered queries except the approximate result-set demos, whose
+    graded contract is their oracle-checked ``*_recall`` twin (same code
+    path run against the exact operator's result)."""
+    return {k: v for k, v in suite.QUERIES.items() if k not in suite.UNCHECKED_DEMOS}
 
 
 def oracle_sql() -> dict[str, str]:
