@@ -161,6 +161,41 @@ def _minhash_signatures_arrow(
     return df.select(F.col(id_col), _sig(F.col(text_col)).alias("signature"))
 
 
+def _bucket_member_pairs(
+    members: DataFrame, id_col: str, bucket_cols: list[str]
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing a bucket.
+
+    One aggregate + explode instead of a self-join: the (possibly expensive)
+    subtree producing ``members`` executes once and shuffles once; a
+    self-join re-executes it on both sides. Bucket membership arrays are
+    bounded by duplicate-cluster size — the same bound that caps a bucket
+    join's output degree.
+    """
+    buckets = (
+        members.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids") - i - 1),
+                        lambda idb: F.struct(
+                            F.get(F.col("ids"), i).alias("id_a"),
+                            idb.alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    return pairs.select("_p.id_a", "_p.id_b").distinct()
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -192,18 +227,9 @@ def lsh_candidate_pairs(
             )
         ).alias("_band"),
     ).select(id_col, "_band.band_idx", "_band.band_hash")
-    a = band_rows.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
-    )
-    b = band_rows.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
-    )
-    return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # one aggregate instead of a self-join: the expensive minhash+banding
+    # subtree executes once and shuffles once
+    return _bucket_member_pairs(band_rows, id_col, ["band_idx", "band_hash"])
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -334,24 +360,27 @@ def embedding_cosine_pairs_lsh(
         norm,
     )
 
+    # The Arrow-matmul banding subtree runs ONCE: candidates are distinct id
+    # pairs exploded from bucket membership arrays (no vectors carried through
+    # the LSH plan); the rescore then fetches vectors with two slim id-joins
+    # against the base table. A banded self-join would re-execute the matmul
+    # on both sides and shuffle the vectors twice.
     banded = hyperplane_lsh_bands(df, id_col, vec_col, num_bands, planes_per_band)
-    a = banded.select(
+    cand = _bucket_member_pairs(
+        banded.select(F.col(id_col), "band", "bucket"), id_col, ["band", "bucket"]
+    )
+    va = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
         norm(F.col(vec_col)).alias("_na"),
-        "band",
-        "bucket",
     )
-    b = banded.select(
+    vb = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
         norm(F.col(vec_col)).alias("_nb"),
-        "band",
-        "bucket",
     )
-    pairs = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     # rows-only path (no SQL-oracle hash): Arrow-vectorized rescore
-    scored = pairs.select(
+    scored = cand.join(va, "id_a").join(vb, "id_b").select(
         "id_a",
         "id_b",
         F.round(
@@ -359,7 +388,7 @@ def embedding_cosine_pairs_lsh(
             round_to,
         ).alias("cosine"),
     )
-    return scored.filter(F.col("cosine") >= threshold).distinct()
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def connected_components(

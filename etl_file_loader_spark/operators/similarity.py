@@ -357,29 +357,42 @@ def knn_join_lsh(
     """
     from pyspark.sql.window import Window
 
+    from etl_file_loader_spark.operators.dedup import _bucket_member_pairs
+
+    # The Arrow-matmul banding subtree runs ONCE: distinct undirected
+    # candidate pairs come from bucket membership arrays (no vectors in the
+    # LSH plan), get mirrored into both directions, then two slim id-joins
+    # fetch the vectors for the exact rescore. A banded self-join would
+    # re-execute the matmul on both sides and shuffle the vectors twice.
     banded = hyperplane_lsh_bands(df, id_col, vec_col, num_bands, planes_per_band)
-    a = banded.select(
+    undirected = _bucket_member_pairs(
+        banded.select(F.col(id_col), "band", "bucket"), id_col, ["band", "bucket"]
+    )
+    # mirror each pair into both directions with one explode — a unionAll of
+    # two selects would re-instantiate (and re-execute) the candidate subtree
+    cand = undirected.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("vec_id"), F.col("id_b").alias("neighbor_id")
+                ),
+                F.struct(
+                    F.col("id_b").alias("vec_id"), F.col("id_a").alias("neighbor_id")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.vec_id", "_e.neighbor_id")
+    va = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_va"),
         norm(F.col(vec_col)).alias("_na"),
-        "band",
-        "bucket",
     )
-    b = banded.select(
+    vb = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vb"),
         norm(F.col(vec_col)).alias("_nb"),
-        "band",
-        "bucket",
     )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", "_va", "_vb", "_na", "_nb")
-        # a pair can match in several bands; dedup on the ids, not the arrays
-        .dropDuplicates(["vec_id", "neighbor_id"])
-    )
-    scored = cand.select(
+    scored = cand.join(va, "vec_id").join(vb, "neighbor_id").select(
         "vec_id",
         "neighbor_id",
         F.round(
