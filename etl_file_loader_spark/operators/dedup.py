@@ -402,12 +402,18 @@ def connected_components(
     O(diameter) rounds. Each round is one shuffle on the node id — no driver
     data, only a converged? count per round. Dedup components are tiny
     (near-dup clusters), so this converges in 2-3 rounds in practice.
+
+    Lineage control: the edge set and each round's labels are
+    ``localCheckpoint``-ed, so the upstream candidate-generation plan runs
+    once (not once per round) and the per-round plan stays constant-size —
+    without it the lineage deepens every iteration and long chains
+    (diameter >> 3) replay all prior rounds at each step.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-    )
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -428,9 +434,9 @@ def connected_components(
                 ),
                 F.col("label"),
             )
-        ).cache()
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).isEmpty()
+        ).localCheckpoint()
+        converged = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).isEmpty()
         labels = new_labels.select(F.col("id"), F.col("new_label").alias("label"))
-        if changed:
+        if converged:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -194,6 +194,18 @@ def test_connected_components(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
 
 
+def test_connected_components_deep_chain(spark):
+    # one 16-hop chain: needs ~diameter rounds of label propagation; the
+    # per-round localCheckpoint keeps the plan constant-size, so this
+    # completes instead of replaying an ever-deepening lineage
+    n = 17
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    cc = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert cc == {i: 0 for i in range(n)}
+
+
 def test_salted_agg_matches_plain(spark):
     from etl_file_loader_spark.operators.skew import salted_agg
 
