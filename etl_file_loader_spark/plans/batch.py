@@ -122,22 +122,40 @@ def batch_ingest(
         publish_ops.LOG_ID_COL, F.lit(log_id).cast("long")
     )
 
+    from etl_file_loader_spark.plans.warehouse import BUCKET_COL, grain_bucket
+
     with warehouse.mutate(config.target_table):
+        n_buckets = warehouse.table_buckets(config.target_table) or warehouse.n_buckets
+        bucket = grain_bucket(config.grain, n_buckets)
         if not warehouse.exists(config.target_table):
             merged = stage.withColumn(
                 publish_ops.CREATED_COL, F.current_timestamp()
             ).withColumn(publish_ops.UPDATED_COL, F.lit(None).cast("timestamp"))
-            warehouse.overwrite(config.target_table, merged, config.target_partition_by)
+            warehouse.merge_overwrite(
+                config.target_table,
+                merged.withColumn(BUCKET_COL, bucket),
+                touched_buckets=None,
+                partition_by=config.target_partition_by,
+            )
             inserts = warehouse.read_table(config.target_table).count()
             updates = 0
         else:
-            target = warehouse.read_table(config.target_table)
+            # bounded rewrite: read + rewrite only the stage-touched buckets
+            touched = sorted(
+                r[0] for r in stage.select(bucket.alias("_b")).distinct().collect()
+            )
+            target = warehouse.read_table_buckets(config.target_table, touched)
             counts = publish_ops.publish_counts(target, stage, config.grain)
             inserts, updates = counts.inserts, counts.updates
             merged = publish_ops.merge_upsert(
                 target, stage, config.grain, config.business_columns
             )
-            warehouse.overwrite(config.target_table, merged, config.target_partition_by)
+            warehouse.merge_overwrite(
+                config.target_table,
+                merged.withColumn(BUCKET_COL, bucket),
+                touched_buckets=touched,
+                partition_by=config.target_partition_by,
+            )
 
     return BatchResult(
         files_published=sorted(published),

@@ -191,7 +191,17 @@ class PipelineRunner:
                 )
 
             with self.log.stage("publish_data") as st:
+                from etl_file_loader_spark.plans.warehouse import (
+                    BUCKET_COL,
+                    grain_bucket,
+                )
+
                 with self.warehouse.mutate(cfg.target_table):
+                    n_buckets = (
+                        self.warehouse.table_buckets(cfg.target_table)
+                        or self.warehouse.n_buckets
+                    )
+                    bucket = grain_bucket(cfg.grain, n_buckets)
                     if not self.warehouse.exists(cfg.target_table):
                         # first load: everything inserts — skip the three
                         # empty-target joins (counts + merge) entirely
@@ -200,8 +210,11 @@ class PipelineRunner:
                         ).withColumn(
                             publish_ops.UPDATED_COL, F.lit(None).cast("timestamp")
                         )
-                        self.warehouse.overwrite(
-                            cfg.target_table, merged, cfg.target_partition_by
+                        self.warehouse.merge_overwrite(
+                            cfg.target_table,
+                            merged.withColumn(BUCKET_COL, bucket),
+                            touched_buckets=None,
+                            partition_by=cfg.target_partition_by,
                         )
                         pub_counts = PublishCounts(
                             inserts=self.warehouse.read_table(cfg.target_table).count(),
@@ -209,9 +222,41 @@ class PipelineRunner:
                             unchanged=0,
                         )
                     else:
-                        target = self.warehouse.read_table(
-                            cfg.target_table, schema=target_schema
+                        # bounded rewrite: only the grain-hash buckets the
+                        # stage rows land in are read (partition pruning) and
+                        # rewritten; untouched buckets carry over as hard
+                        # links — O(stage-touched partitions) per load, not
+                        # O(target)
+                        touched = sorted(
+                            r[0]
+                            for r in stage.select(
+                                bucket.alias("_b")
+                            ).distinct().collect()
                         )
+                        # schema evolution forces a FULL rewrite: linked-over
+                        # untouched buckets would otherwise keep the old
+                        # parquet schema (mixed schemas across partitions)
+                        evolved = target_schema is not None and (
+                            any(
+                                f.name not in target_schema.fieldNames()
+                                for f in cfg.fields
+                            )
+                            or any(
+                                c not in cfg.business_columns
+                                for c in target_schema.fieldNames()
+                                if c
+                                not in publish_ops.SYSTEM_COLS
+                            )
+                        )
+                        if evolved:
+                            touched = None
+                            target = self.warehouse.read_table(
+                                cfg.target_table, schema=target_schema
+                            )
+                        else:
+                            target = self.warehouse.read_table_buckets(
+                                cfg.target_table, touched, schema=target_schema
+                            )
                         # additive schema evolution (Delta mergeSchema
                         # analogue): business columns the config gained since
                         # the target was created join in as typed nulls —
@@ -228,8 +273,11 @@ class PipelineRunner:
                         merged = publish_ops.merge_upsert(
                             target, stage, cfg.grain, cfg.business_columns
                         )
-                        self.warehouse.overwrite(
-                            cfg.target_table, merged, cfg.target_partition_by
+                        self.warehouse.merge_overwrite(
+                            cfg.target_table,
+                            merged.withColumn(BUCKET_COL, bucket),
+                            touched_buckets=touched,
+                            partition_by=cfg.target_partition_by,
                         )
                 st.row_count = pub_counts.inserts + pub_counts.updates
 

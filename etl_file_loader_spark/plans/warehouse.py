@@ -7,27 +7,61 @@ a MERGE writes the *new* snapshot by executing a plan that reads the old one,
 then flips the version; readers never see a partial write and the "read your
 own input while overwriting it" parquet hazard is avoided by construction.
 
+Bounded-rewrite merges: tables written through the grain-bucket API are
+hive-partitioned on ``_grain_bucket = pmod(hash(grain), n_buckets)``. A merge
+then reads ONLY the buckets the stage rows hash into (partition pruning),
+rewrites those, and hard-links the untouched bucket directories from the
+previous snapshot into the new one — O(stage-touched buckets) I/O per load
+instead of O(target), the COW-filesystem analogue of Delta/Iceberg's
+file-level rewrite. Hard links are a local-filesystem optimization; an
+object-store deployment swaps this class for Delta/Iceberg (the engine only
+uses the read/merge/append surface, so the swap is local).
+
 Scale: snapshot writes are fully parallel; old versions are pruned to
-``keep_versions``. On a real cluster you'd swap this for Delta/Iceberg —
-the engine only uses read_table/overwrite/append, so the swap is local.
+``keep_versions`` (link refcounts keep shared files alive).
 """
 
 from __future__ import annotations
 
+import json
+import os
 import re
 import shutil
 import threading
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# internal hive-partition column carrying the grain-hash bucket
+BUCKET_COL = "_grain_bucket"
+
+
+def grain_bucket(grain: list[str], n_buckets: int) -> Column:
+    """Stable bucket id for a row's grain: pmod(murmur3(grain), n).
+
+    Spark's ``hash`` is fixed-seed Murmur3 — stable across sessions, so a
+    later load's stage rows hash into the same bucket directories the target
+    was written with. Changing ``n_buckets`` on an existing table would break
+    that mapping; the per-table bucket count is therefore persisted at first
+    write and reused by every later merge.
+    """
+    return F.pmod(F.hash(*[F.col(g) for g in grain]), F.lit(n_buckets))
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, path: str, keep_versions: int = 2):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keep_versions: int = 2,
+        n_buckets: int = 64,
+    ):
         self.spark = spark
         self.path = Path(path)
         self.keep_versions = keep_versions
+        self.n_buckets = n_buckets
         self.path.mkdir(parents=True, exist_ok=True)
         # per-TABLE locks: concurrent per-file pipelines
         # (Processor.process_files_in_parallel) can't interleave a
@@ -82,8 +116,89 @@ class Warehouse:
                     f"table {table} version {version} not retained "
                     f"(available: {versions})"
                 )
-            return self.spark.read.parquet(str(self.path / table / f"_v{version}"))
-        return self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
+            return self._drop_internal(
+                self.spark.read.parquet(str(self.path / table / f"_v{version}"))
+            )
+        return self._drop_internal(
+            self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
+        )
+
+    @staticmethod
+    def _drop_internal(df: DataFrame) -> DataFrame:
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+    def table_buckets(self, table: str) -> int | None:
+        """Bucket count the table was written with, or None if unbucketed."""
+        meta = self.path / table / "_buckets.json"
+        if not meta.exists():
+            return None
+        return int(json.loads(meta.read_text())["n_buckets"])
+
+    def read_table_buckets(
+        self,
+        table: str,
+        bucket_values: list[int],
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Current snapshot pruned to the given grain-hash buckets.
+
+        The filter lands on the hive partition column, so Spark's
+        PartitionFilters exclude every other bucket directory at plan time —
+        zero I/O for untouched buckets. Falls back to a full read when the
+        table predates bucketing.
+        """
+        versions = self._versions(table)
+        if not versions:
+            if schema is None:
+                raise FileNotFoundError(f"table {table} does not exist and no schema given")
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
+        if BUCKET_COL in df.columns:
+            df = df.filter(F.col(BUCKET_COL).isin(bucket_values)).drop(BUCKET_COL)
+        return df
+
+    def merge_overwrite(
+        self,
+        table: str,
+        df: DataFrame,
+        touched_buckets: list[int] | None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Write a new snapshot rewriting ONLY the touched grain-hash buckets.
+
+        ``df`` must carry ``BUCKET_COL`` and contain the complete new contents
+        of the touched buckets; every other bucket directory is hard-linked
+        from the previous snapshot (O(1) per file, refcounted by the
+        filesystem — the local-FS analogue of a Delta file-level rewrite).
+        With ``touched_buckets=None`` (first load / full rewrite) the whole
+        frame is written. Rows are repartitioned on the bucket column first so
+        file count tracks bucket count, not tasks x buckets.
+        """
+        with self._table_lock(table):
+            versions = self._versions(table)
+            parts = [BUCKET_COL] + list(partition_by or [])
+            out_df = df.repartition(F.col(BUCKET_COL))
+            new_v = (versions[-1] + 1) if versions else 0
+            out = self.path / table / f"_v{new_v}"
+            out_df.write.mode("overwrite").partitionBy(*parts).parquet(str(out))
+            if versions and touched_buckets is not None:
+                touched_dirs = {f"{BUCKET_COL}={v}" for v in touched_buckets}
+                prev = self.path / table / f"_v{versions[-1]}"
+                for sub in prev.iterdir():
+                    if (
+                        sub.is_dir()
+                        and sub.name.startswith(f"{BUCKET_COL}=")
+                        and sub.name not in touched_dirs
+                    ):
+                        _link_tree(sub, out / sub.name)
+            meta = self.path / table / "_buckets.json"
+            if not meta.exists():
+                meta.write_text(json.dumps({"n_buckets": self.n_buckets}))
+            self._prune_versions(table, versions)
+
+    def _prune_versions(self, table: str, versions: list[int]) -> None:
+        for v in versions[: -self.keep_versions + 1] if self.keep_versions > 0 else versions:
+            shutil.rmtree(self.path / table / f"_v{v}", ignore_errors=True)
 
     def overwrite(
         self, table: str, df: DataFrame, partition_by: list[str] | None = None
@@ -104,8 +219,7 @@ class Warehouse:
             # excluded partitions) — the COW analogue of Delta partitioning
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(out))
-        for v in versions[: -self.keep_versions + 1] if self.keep_versions > 0 else versions:
-            shutil.rmtree(self.path / table / f"_v{v}", ignore_errors=True)
+        self._prune_versions(table, versions)
 
     def append(self, table: str, df: DataFrame) -> None:
         """True append: new part files into the current snapshot directory.
@@ -141,9 +255,29 @@ class Warehouse:
         with self._table_lock(table):
             if not self.exists(table):
                 return
-            df = self.read_table(table)
-            n = target_files or max(1, min(len(df.inputFiles()), self.spark.sparkContext.defaultParallelism))
-            self._overwrite_locked(table, df.coalesce(n))
+            versions = self._versions(table)
+            raw = self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
+            if BUCKET_COL in raw.columns:
+                # bucketed table: rewrite within the same bucket layout
+                # (repartition on the bucket -> ~one file per bucket)
+                self.merge_overwrite(table, raw, touched_buckets=None)
+                return
+            n = target_files or max(1, min(len(raw.inputFiles()), self.spark.sparkContext.defaultParallelism))
+            self._overwrite_locked(table, raw.coalesce(n))
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path / table, ignore_errors=True)
+
+
+def _link_tree(src: Path, dst: Path) -> None:
+    """Mirror a directory tree with hard links (copy fallback across devices)."""
+    dst.mkdir(parents=True, exist_ok=True)
+    for p in src.rglob("*"):
+        target = dst / p.relative_to(src)
+        if p.is_dir():
+            target.mkdir(parents=True, exist_ok=True)
+        else:
+            try:
+                os.link(p, target)
+            except OSError:
+                shutil.copy2(p, target)

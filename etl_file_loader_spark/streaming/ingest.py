@@ -83,23 +83,39 @@ class StreamingIngest:
                     F.col(publish_ops.FILENAME_COL)
                 ),
             )
-            target_schema = (
-                self.warehouse.read_table(cfg.target_table).schema
-                if self.warehouse.exists(cfg.target_table)
-                else None
+            from etl_file_loader_spark.plans.warehouse import (
+                BUCKET_COL,
+                grain_bucket,
             )
-            if target_schema is None:
+
+            n_buckets = (
+                self.warehouse.table_buckets(cfg.target_table)
+                or self.warehouse.n_buckets
+            )
+            bucket = grain_bucket(cfg.grain, n_buckets)
+            if not self.warehouse.exists(cfg.target_table):
                 target = (
                     stage.limit(0)
                     .withColumn(publish_ops.CREATED_COL, F.current_timestamp())
                     .withColumn(publish_ops.UPDATED_COL, F.lit(None).cast("timestamp"))
                 )
+                touched = None
             else:
-                target = self.warehouse.read_table(cfg.target_table)
+                # bounded rewrite per micro-batch: only stage-touched
+                # grain-hash buckets are read and rewritten
+                touched = sorted(
+                    r[0]
+                    for r in stage.select(bucket.alias("_b")).distinct().collect()
+                )
+                target = self.warehouse.read_table_buckets(cfg.target_table, touched)
             merged = publish_ops.merge_upsert(
                 target, stage, cfg.grain, cfg.business_columns
             )
-            self.warehouse.overwrite(cfg.target_table, merged)
+            self.warehouse.merge_overwrite(
+                cfg.target_table,
+                merged.withColumn(BUCKET_COL, bucket),
+                touched_buckets=touched,
+            )
         finally:
             validated.unpersist()
 
