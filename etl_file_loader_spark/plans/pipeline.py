@@ -27,9 +27,7 @@ lineage or submit concurrent jobs via FAIR scheduler pools.
 
 from __future__ import annotations
 
-import shutil
 from dataclasses import dataclass, field
-from pathlib import Path
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -79,7 +77,9 @@ class PipelineRunner:
         self.warehouse = warehouse
         self.config = config
         self.path = path
-        self.filename = Path(path).name
+        from etl_file_loader_spark.fs import basename
+
+        self.filename = basename(path)
         self.archive_dir = archive_dir
         # duplicate files are MOVED here (reference runner.py:127-140,
         # file_helper.py:50-65), timestamp-suffixed on a name clash
@@ -101,14 +101,17 @@ class PipelineRunner:
             return
         import datetime
 
-        dest_dir = Path(self.duplicate_dir)
-        dest_dir.mkdir(parents=True, exist_ok=True)
-        dest = dest_dir / self.filename
-        if dest.exists():
+        from etl_file_loader_spark import fs as fsmod
+
+        hfs = fsmod.FS(self.spark)
+        hfs.mkdirs(self.duplicate_dir)
+        dest = fsmod.join(self.duplicate_dir, self.filename)
+        if hfs.exists(dest):
             ts = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%d_%H%M%S")
-            src = Path(self.filename)
-            dest = dest_dir / f"{src.stem}_{ts}{src.suffix}"
-        shutil.move(self.path, dest)
+            stem, dot, suffix = self.filename.rpartition(".")
+            renamed = f"{stem}_{ts}.{suffix}" if dot else f"{self.filename}_{ts}"
+            dest = fsmod.join(self.duplicate_dir, renamed)
+        hfs.move(self.path, dest)
 
     def run(self) -> RunResult:
         cfg = self.config
@@ -127,8 +130,11 @@ class PipelineRunner:
 
             if self.archive_dir:
                 with self.log.stage("archive_file"):
-                    Path(self.archive_dir).mkdir(parents=True, exist_ok=True)
-                    shutil.copy2(self.path, Path(self.archive_dir) / self.filename)
+                    from etl_file_loader_spark import fs as fsmod
+
+                    hfs = fsmod.FS(self.spark)
+                    hfs.mkdirs(self.archive_dir)
+                    hfs.copy(self.path, fsmod.join(self.archive_dir, self.filename))
 
             with self.log.stage("read_data") as st:
                 raw = read_source(self.spark, self.path, cfg)
@@ -297,7 +303,9 @@ class PipelineRunner:
                 validated.unpersist()
             self.log.flush(self.warehouse)
             if self.delete_source:
-                Path(self.path).unlink(missing_ok=True)
+                from etl_file_loader_spark.fs import FS
+
+                FS(self.spark).delete(self.path)
 
 
 def _empty_target(stage):
@@ -335,15 +343,18 @@ class Processor:
             NoSourceMatchError,
         )
 
-        filename = Path(path).name
+        from etl_file_loader_spark import fs as fsmod
+
+        filename = fsmod.basename(path)
         try:
             config = self.registry.find_source_for_file(filename)
         except (NoSourceMatchError, MultipleSourceMatchError) as e:
             # unmatched files are still archived so nothing in the drop
             # directory is silently lost (reference processor.py:84)
             if self.archive_dir and isinstance(e, NoSourceMatchError):
-                Path(self.archive_dir).mkdir(parents=True, exist_ok=True)
-                shutil.copy2(path, Path(self.archive_dir) / filename)
+                hfs = fsmod.FS(self.spark)
+                hfs.mkdirs(self.archive_dir)
+                hfs.copy(path, fsmod.join(self.archive_dir, filename))
             result = RunResult(False, filename, type(e).__name__, str(e))
             self.results.append(result)
             return result
@@ -381,11 +392,9 @@ class Processor:
 
         from etl_file_loader_spark.plans.runlog import next_log_id
 
-        files = sorted(
-            str(p)
-            for p in Path(directory).iterdir()
-            if p.is_file() and not p.name.startswith(".")
-        )
+        from etl_file_loader_spark.fs import FS
+
+        files = FS(self.spark).list_files(directory)
         max_workers = max_workers or min(len(files) or 1, (os.cpu_count() or 4) // 2 or 1)
         counter_lock = threading.Lock()
         next_id = next_log_id(self.warehouse)
@@ -409,9 +418,9 @@ class Processor:
         return self.results
 
     def process_directory(self, directory: str) -> list[RunResult]:
-        files = sorted(
-            str(p) for p in Path(directory).iterdir() if p.is_file() and not p.name.startswith(".")
-        )
+        from etl_file_loader_spark.fs import FS
+
+        files = FS(self.spark).list_files(directory)
         for f in files:
             self.process_file(f)
         if self.notifier is not None:

@@ -36,11 +36,17 @@ from etl_file_loader_spark.operators.validate import FILE_ROW_COL
 from etl_file_loader_spark.sources.base import check_required_columns
 
 
-def _read_header_line(path: str, encoding: str) -> str:
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rb") as fh:
-        line = fh.readline()
-    return line.decode(encoding, errors="replace").rstrip("\r\n")
+def _read_header_line(spark: SparkSession, path: str, encoding: str) -> str:
+    """First line of the (possibly gzipped) file — local path or any
+    Hadoop-FS URI (s3a://, abfss://, gs://); streams only the object head."""
+    from etl_file_loader_spark.fs import FS, is_uri
+
+    if not is_uri(path):
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as fh:
+            line = fh.readline()
+        return line.decode(encoding, errors="replace").rstrip("\r\n")
+    return FS(spark).read_first_line(path, encoding)
 
 
 def _read_csv_multiline(spark: SparkSession, path: str, config: SourceConfig) -> DataFrame:
@@ -69,7 +75,7 @@ def _read_csv_multiline(spark: SparkSession, path: str, config: SourceConfig) ->
 def read_csv(spark: SparkSession, path: str, config: SourceConfig) -> DataFrame:
     if config.multiline:
         return _read_csv_multiline(spark, path, config)
-    header_line = _read_header_line(path, config.encoding)
+    header_line = _read_header_line(spark, path, config.encoding)
     if not header_line.strip() or not any(
         h.strip() for h in header_line.split(config.delimiter)
     ):

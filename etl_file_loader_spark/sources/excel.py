@@ -78,8 +78,14 @@ def _sheet_path(z: zipfile.ZipFile, sheet_name: str | None) -> str:
     return target if target.startswith("xl/") else f"xl/{target}"
 
 
-def read_excel_rows(path: str, sheet_name: str | None) -> list[tuple[int, dict[int, str]]]:
-    """Parse the sheet to [(excel_row_number, {col_index: raw_string_value})]."""
+def read_excel_rows(
+    path, sheet_name: str | None
+) -> list[tuple[int, dict[int, str]]]:
+    """Parse the sheet to [(excel_row_number, {col_index: raw_string_value})].
+
+    ``path`` is a local filename or an already-opened binary file object
+    (the Hadoop-FS URI case — xlsx archives need random access, so remote
+    objects are fetched to memory first)."""
     with zipfile.ZipFile(path) as z:
         strings = _shared_strings(z)
         sheet = ET.fromstring(z.read(_sheet_path(z, sheet_name)))
@@ -109,7 +115,10 @@ def read_excel_rows(path: str, sheet_name: str | None) -> list[tuple[int, dict[i
 
 
 def read_excel(spark: SparkSession, path: str, config: SourceConfig) -> DataFrame:
-    rows = read_excel_rows(path, config.sheet_name)
+    from etl_file_loader_spark.fs import is_uri, open_bytes
+
+    src = open_bytes(spark, path) if is_uri(path) else path
+    rows = read_excel_rows(src, config.sheet_name)
     if not rows:
         raise MissingHeaderError("sheet is empty", path)
     header_row = rows[0][1]

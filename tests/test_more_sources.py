@@ -301,7 +301,8 @@ def test_partitioned_target_table(spark, warehouse, tmp_path):
 
     tdir = warehouse.path / "transactions"
     vdirs = sorted(p for p in tdir.iterdir() if p.name.startswith("_v"))
-    parts = sorted(p.name for p in vdirs[-1].iterdir() if p.name.startswith("sale_date="))
+    # user partitions nest under the grain-hash bucket level
+    parts = sorted({p.name for p in vdirs[-1].rglob("sale_date=*")})
     assert parts == ["sale_date=2024-01-05", "sale_date=2024-01-06", "sale_date=2024-01-07"]
 
     read = warehouse.read_table("transactions").filter(F.col("sale_date") == "2024-01-06")
@@ -317,7 +318,7 @@ def test_partitioned_target_table(spark, warehouse, tmp_path):
     r2 = PipelineRunner(spark, warehouse, cfg, str(p2)).run()
     assert r2.success and r2.counts.inserts == 1 and r2.counts.updates == 1
     vdirs = sorted(p for p in tdir.iterdir() if p.name.startswith("_v"))
-    parts = sorted(p.name for p in vdirs[-1].iterdir() if p.name.startswith("sale_date="))
+    parts = sorted({p.name for p in vdirs[-1].rglob("sale_date=*")})
     assert "sale_date=2024-01-08" in parts
     got = warehouse.read_table("transactions")
     assert got.count() == 4
