@@ -43,6 +43,65 @@ def _cell_col_index(ref: str) -> int:
     return idx - 1
 
 
+# builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30)
+_DATE_FMT_IDS = frozenset(range(14, 23)) | frozenset(range(27, 37)) | frozenset(range(45, 48))
+
+
+def _date_styles(z: zipfile.ZipFile) -> frozenset[int]:
+    """Indices into cellXfs whose number format renders as a date/time.
+
+    Covers the builtin date formats plus custom formats whose code keeps a
+    date token (y/m/d/h/s) after stripping quoted literals and [] sections —
+    the same heuristic openpyxl's is_date_format uses. Real-world "formatted
+    date" cells store a float serial + one of these styles (reference's
+    pyexcel/openpyxl path converts them implicitly; read/excel.py:86-175).
+    """
+    try:
+        root = ET.fromstring(z.read("xl/styles.xml"))
+    except KeyError:
+        return frozenset()
+    custom = {
+        int(nf.get("numFmtId")): nf.get("formatCode") or ""
+        for nf in root.iter(f"{_NS}numFmt")
+    }
+
+    def is_date(fid: int) -> bool:
+        if fid in _DATE_FMT_IDS:
+            return True
+        code = custom.get(fid, "")
+        code = re.sub(r'"[^"]*"', "", code)
+        code = re.sub(r"\[[^\]]*\]", "", code)
+        return bool(re.search(r"[ymdhs]", code, re.IGNORECASE))
+
+    cellxfs = root.find(f"{_NS}cellXfs")
+    if cellxfs is None:
+        return frozenset()
+    return frozenset(
+        i
+        for i, xf in enumerate(cellxfs.findall(f"{_NS}xf"))
+        if is_date(int(xf.get("numFmtId", "0")))
+    )
+
+
+def _serial_to_iso(raw: str) -> str:
+    """Date-formatted serial -> ISO text ('2024-01-05' / '2024-01-05 12:30:00').
+
+    Same epoch + floored-seconds arithmetic as the validator's
+    ``excel_serial_to_timestamp`` (functions/__init__.py), so a date-typed
+    field parses to the identical instant whether the cell carried a style
+    (converted here) or not (converted in the validator)."""
+    import datetime as _dt
+    import math
+
+    d = float(raw)
+    days = math.floor(d)
+    secs = math.floor((d - days) * 86400)
+    base = _dt.datetime(1899, 12, 30) + _dt.timedelta(days=days, seconds=secs)
+    if secs == 0:
+        return base.date().isoformat()
+    return base.isoformat(sep=" ")
+
+
 def _shared_strings(z: zipfile.ZipFile) -> list[str]:
     try:
         root = ET.fromstring(z.read("xl/sharedStrings.xml"))
@@ -88,6 +147,7 @@ def read_excel_rows(
     objects are fetched to memory first)."""
     with zipfile.ZipFile(path) as z:
         strings = _shared_strings(z)
+        date_styles = _date_styles(z)
         sheet = ET.fromstring(z.read(_sheet_path(z, sheet_name)))
         rows: list[tuple[int, dict[int, str]]] = []
         for row in sheet.iter(f"{_NS}row"):
@@ -101,6 +161,10 @@ def read_excel_rows(
                     is_el = c.find(f"{_NS}is")
                     v = "".join(t.text or "" for t in is_el.iter(f"{_NS}t")) if is_el is not None else ""
                 else:
+                    # formula cells (plain, shared, or array <f>) carry their
+                    # cached result in <v> — read it like openpyxl's
+                    # data_only=True; a formula with no cached value surfaces
+                    # as an empty cell (nothing to evaluate it with)
                     v_el = c.find(f"{_NS}v")
                     if v_el is None or v_el.text is None:
                         continue
@@ -109,6 +173,13 @@ def read_excel_rows(
                         v = strings[int(v)]
                     elif ctype == "b":
                         v = "true" if v == "1" else "false"
+                    elif ctype == "n" and int(c.get("s", "-1")) in date_styles:
+                        # date-formatted numeric: render the serial as ISO
+                        # text (what the reference's openpyxl path yields)
+                        try:
+                            v = _serial_to_iso(v)
+                        except ValueError:
+                            pass
                 values[ci] = v
             rows.append((rnum, values))
     return rows

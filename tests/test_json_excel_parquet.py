@@ -354,6 +354,56 @@ def test_excel_dates_serial_and_string_mixed(spark, warehouse, tmp_path):
     assert str(got["SKU-2"]["last_updated"]) == "2024-01-08 06:00:00"
 
 
+def test_excel_number_formats_and_shared_formulas(spark, warehouse, tmp_path):
+    """Real-world xlsx: date-FORMATTED cells (float serial + numFmtId style)
+    and shared-formula cells with cached values load through the full
+    pipeline (reference read/excel.py:86-175 via openpyxl data_only=True)."""
+    from tests.xlsx_helper import DateCell, FormulaCell, write_xlsx
+
+    rows = [
+        EXCEL_HEADER,
+        # date-styled serials: numFmtId=14 date, numFmtId=22 datetime
+        [
+            "SKU-1", "A", "c", 1.5, 3, "s",
+            DateCell(45299), DateCell(45299.25, with_time=True),
+        ],
+        # shared formula: master carries the formula + ref, follower only si;
+        # both carry cached values (what Excel always writes)
+        [
+            "SKU-2", "B", "c",
+            FormulaCell(2.5, formula="E3*0.5", shared_si=0, shared_ref="D3:D4"),
+            5, "s", DateCell(45300), DateCell(45300.5, with_time=True),
+        ],
+        [
+            "SKU-3", "C", "c",
+            FormulaCell(3.5, shared_si=0),
+            7, "s", DateCell(45301), DateCell(45301.75, with_time=True),
+        ],
+        # string-typed formula result (t="str")
+        [
+            "SKU-4", FormulaCell("Concat D", formula='CONCATENATE("Concat"," D")'),
+            "c", 4.5, 9, "s", DateCell(45302), DateCell(45302.5, with_time=True),
+        ],
+    ]
+    path = write_xlsx(str(tmp_path / "inventory_fmt.xlsx"), {"Sheet1": rows})
+    # no excel_serial flag: the reader renders date-styled cells as ISO text,
+    # the validator parses it like any date string
+    fields = [
+        FieldSpec(f.name, f.dtype, alias=f.alias, nullable=f.nullable, excel_serial=False)
+        for f in products_source().fields
+    ]
+    cfg = products_source(fields=fields)
+    result = PipelineRunner(spark, warehouse, cfg, path).run()
+    assert result.success and result.counts.inserts == 4
+    got = {r["sku"]: r for r in warehouse.read_table("products").collect()}
+    assert str(got["SKU-1"]["last_date"]) == "2024-01-08"
+    assert str(got["SKU-1"]["last_updated"]) == "2024-01-08 06:00:00"  # .25 day
+    assert got["SKU-2"]["price"] == 2.5  # shared-formula master cached value
+    assert got["SKU-3"]["price"] == 3.5  # follower cached value
+    assert got["SKU-4"]["name"] == "Concat D"  # string formula result
+    assert str(got["SKU-3"]["last_updated"]) == "2024-01-10 18:00:00"  # .75 day
+
+
 def test_json_nested_item_path_two_levels(spark, warehouse, tmp_path):
     """Depth-2 ijson path 'batches.item.entries.item': leaf records across
     nested arrays, row numbers counting leaf items in stream order."""
