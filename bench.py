@@ -43,24 +43,32 @@ BENCH_QUERIES = [
     "grain_audit",
     "merge_upsert",
     "publish_counts",
-    # advanced joins
+    # advanced joins / grouping
     "asof_join",
     "range_join_count",
     "pivot_returnflag",
     "rollup_orders",
+    "cube_orders",
+    "semi_anti_join",
     # training-data extensions (documents-table ops + scale-path variants
     # over sf-growing tables)
     "dedup_exact",
     "dedup_minhash_signature",
     "dedup_lsh_candidates",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_fingerprint",
     "dedup_exact_lineitem",
     "dedup_minhash_orders",
     "dedup_clusters",
+    "dedup_embedding_pairs_lsh",
     "similarity_topk",
+    "similarity_ivf_topk",
     "knn_join_lsh",
     "text_stats",
     "text_quality_lang",
+    "text_rolling_fingerprint",
     "corpus_curation",
 ]
 

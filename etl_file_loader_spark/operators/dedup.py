@@ -161,16 +161,38 @@ def _minhash_signatures_arrow(
     return df.select(F.col(id_col), _sig(F.col(text_col)).alias("signature"))
 
 
+def _bucket_join_pairs(
+    members: DataFrame, id_col: str, bucket_cols: list[str]
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing a bucket — join variant.
+
+    For bucketings whose buckets can grow LARGE (few planes per band,
+    structureless vectors): persist the slim (id, bucket) frame once, then
+    let a JVM equi-join expand the pairs in whole-stage codegen. The persist
+    keeps the upstream (Arrow matmul) subtree at one execution; the join
+    handles 500-member buckets at native speed where an interpreted HOF
+    explosion over collected arrays pays per-element interpreter cost.
+    """
+    slim = members.select(F.col(id_col), *bucket_cols).persist()
+    a = slim.select(F.col(id_col).alias("id_a"), *bucket_cols)
+    b = slim.select(F.col(id_col).alias("id_b"), *bucket_cols)
+    return (
+        a.join(b, bucket_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def _bucket_member_pairs(
     members: DataFrame, id_col: str, bucket_cols: list[str]
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs of ids sharing a bucket.
+    """Distinct (id_a < id_b) pairs of ids sharing a bucket — explode variant.
 
-    One aggregate + explode instead of a self-join: the (possibly expensive)
-    subtree producing ``members`` executes once and shuffles once; a
-    self-join re-executes it on both sides. Bucket membership arrays are
-    bounded by duplicate-cluster size — the same bound that caps a bucket
-    join's output degree.
+    For bucketings whose buckets stay SMALL (minhash near-dup bands: bucket
+    size tracks duplicate-cluster size): one aggregate + pair explosion, so
+    the expensive signature subtree executes once and shuffles once, with no
+    self-join at all. Use ``_bucket_join_pairs`` when buckets can be large.
     """
     buckets = (
         members.groupBy(*bucket_cols)
@@ -360,13 +382,14 @@ def embedding_cosine_pairs_lsh(
         norm,
     )
 
-    # The Arrow-matmul banding subtree runs ONCE: candidates are distinct id
-    # pairs exploded from bucket membership arrays (no vectors carried through
-    # the LSH plan); the rescore then fetches vectors with two slim id-joins
-    # against the base table. A banded self-join would re-execute the matmul
-    # on both sides and shuffle the vectors twice.
+    # The Arrow-matmul banding subtree runs ONCE (persisted slim frame):
+    # candidates come from a JVM bucket equi-join over (id, band, bucket) —
+    # hyperplane buckets on weakly-structured embeddings can hold hundreds
+    # of members, which codegen joins handle natively. The rescore then
+    # fetches vectors with two slim id-joins against the base table instead
+    # of carrying arrays through the LSH plan.
     banded = hyperplane_lsh_bands(df, id_col, vec_col, num_bands, planes_per_band)
-    cand = _bucket_member_pairs(
+    cand = _bucket_join_pairs(
         banded.select(F.col(id_col), "band", "bucket"), id_col, ["band", "bucket"]
     )
     va = df.select(

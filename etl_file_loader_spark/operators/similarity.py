@@ -79,12 +79,13 @@ def dot_vectorized(a: Column, b: Column) -> Column:
 
     @pandas_udf("double")
     def _dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        out = np.empty(len(xs))
-        for i, (x, y) in enumerate(zip(xs, ys)):
-            out[i] = np.dot(
-                np.asarray(x, dtype="float64"), np.asarray(y, dtype="float64")
-            )
-        return pd.Series(out)
+        if len(xs) == 0:
+            return pd.Series(np.empty(0))
+        # one (n, d) stack + einsum per Arrow batch — a per-row python loop
+        # here costs ~30s per million pairs; this runs in C
+        x = np.stack(xs.to_numpy()).astype("float64", copy=False)
+        y = np.stack(ys.to_numpy()).astype("float64", copy=False)
+        return pd.Series(np.einsum("ij,ij->i", x, y))
 
     return _dot(a, b)
 
@@ -357,49 +358,54 @@ def knn_join_lsh(
     """
     from pyspark.sql.window import Window
 
-    from etl_file_loader_spark.operators.dedup import _bucket_member_pairs
+    from etl_file_loader_spark.operators.dedup import _bucket_join_pairs
 
-    # The Arrow-matmul banding subtree runs ONCE: distinct undirected
-    # candidate pairs come from bucket membership arrays (no vectors in the
-    # LSH plan), get mirrored into both directions, then two slim id-joins
-    # fetch the vectors for the exact rescore. A banded self-join would
-    # re-execute the matmul on both sides and shuffle the vectors twice.
+    # The Arrow-matmul banding subtree runs ONCE (persisted slim frame):
+    # distinct undirected candidate pairs come from a JVM bucket equi-join —
+    # hyperplane buckets on weakly-structured embeddings can hold hundreds of
+    # members, which codegen joins expand natively — get mirrored into both
+    # directions, then two slim id-joins fetch the vectors for the rescore.
     banded = hyperplane_lsh_bands(df, id_col, vec_col, num_bands, planes_per_band)
-    undirected = _bucket_member_pairs(
+    undirected = _bucket_join_pairs(
         banded.select(F.col(id_col), "band", "bucket"), id_col, ["band", "bucket"]
     )
-    # mirror each pair into both directions with one explode — a unionAll of
-    # two selects would re-instantiate (and re-execute) the candidate subtree
-    cand = undirected.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("vec_id"), F.col("id_b").alias("neighbor_id")
-                ),
-                F.struct(
-                    F.col("id_b").alias("vec_id"), F.col("id_a").alias("neighbor_id")
-                ),
-            )
-        ).alias("_e")
-    ).select("_e.vec_id", "_e.neighbor_id")
     va = df.select(
-        F.col(id_col).alias("vec_id"),
+        F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
         norm(F.col(vec_col)).alias("_na"),
     )
     vb = df.select(
-        F.col(id_col).alias("neighbor_id"),
+        F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
         norm(F.col(vec_col)).alias("_nb"),
     )
-    scored = cand.join(va, "vec_id").join(vb, "neighbor_id").select(
-        "vec_id",
-        "neighbor_id",
+    # score each undirected pair ONCE (cosine is symmetric), then mirror the
+    # scored rows — scoring after mirroring would double the Arrow transfer
+    # and both vector-fetch joins
+    pair_scores = undirected.join(va, "id_a").join(vb, "id_b").select(
+        "id_a",
+        "id_b",
         F.round(
             dot_vectorized(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
             round_to,
         ).alias("cosine"),
     )
+    scored = pair_scores.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("vec_id"),
+                    F.col("id_b").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("vec_id"),
+                    F.col("id_a").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.vec_id", "_e.neighbor_id", "_e.cosine")
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -2424,6 +2424,168 @@ ORACLES.update(
 )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure range-filter scan + one scalar aggregate.
+
+    The filters (date range, discount band, quantity cap) all push into the
+    parquet scan; no shuffle at all — the plan is scan -> partial agg ->
+    single-row final agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+    return li.agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-item revenue per customer with a broadcast dim.
+
+    Fact-fact join (orders x lineitem) shuffles on the order key once;
+    customer joins on its key; the 25-row nation dim broadcasts — no shuffle
+    for the dimension side. Top-20 by revenue, id tie-break."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: join + conditional CASE-sums per group.
+
+    Counts high- vs low-priority orders per return flag for a ship-date
+    year — the two counts come from one pass (two conditional sums), not
+    two scans."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery, decorrelated.
+
+    'Lines below 20% of their part's average quantity' — the per-part
+    threshold is a groupBy over the SAME filtered fact, joined back on the
+    part key (Catalyst plans correlated scalar subqueries exactly this way).
+    Threshold stays in decimal so both engines compare the same value."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    thresholds = branded.groupBy(F.col("l_partkey").alias("_tp")).agg(
+        (
+            F.sum(_dec("l_quantity", 2)) / F.count(F.lit(1)) * F.lit(0.2)
+        ).alias("_threshold")
+    )
+    small = branded.join(thresholds, F.col("l_partkey") == F.col("_tp")).filter(
+        F.col("l_quantity") < F.col("_threshold")
+    )
+    return small.agg(
+        (F.sum(_dec("l_extendedprice", 2)) / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+Q17_SQL = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+thresholds AS (
+  SELECT l_partkey AS tp,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*) * 0.2 AS threshold
+  FROM branded GROUP BY 1
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE) AS avg_yearly
+FROM branded JOIN thresholds ON l_partkey = tp
+WHERE l_quantity < threshold
+"""
+
+
+QUERIES.update(
+    {
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q12_priority_by_returnflag": q12_priority_by_returnflag,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    }
+)
+ORACLES.update(
+    {
+        "q6_forecast_revenue": Q6_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q12_priority_by_returnflag": Q12_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # retention cohorts
 # ---------------------------------------------------------------------------
