@@ -56,12 +56,18 @@ class Warehouse:
         spark: SparkSession,
         path: str,
         keep_versions: int = 2,
-        n_buckets: int = 64,
+        n_buckets: int | None = None,
     ):
         self.spark = spark
         self.path = Path(path)
         self.keep_versions = keep_versions
-        self.n_buckets = n_buckets
+        # default bucket count = the session's shuffle parallelism: one
+        # bucket per write task locally, ~thousands on a big cluster — merge
+        # rewrite granularity then tracks cluster scale. Persisted per table
+        # at first write, so later sessions keep the original mapping.
+        self.n_buckets = n_buckets or max(
+            16, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
         self.path.mkdir(parents=True, exist_ok=True)
         # per-TABLE locks: concurrent per-file pipelines
         # (Processor.process_files_in_parallel) can't interleave a
