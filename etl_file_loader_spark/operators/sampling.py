@@ -1,0 +1,114 @@
+"""Corpus sampling & shard packing (training-data pipeline extensions).
+
+Two operations every large-scale LLM data pipeline needs between curation
+and training:
+
+- **Deterministic stratified sampling**: keep a per-stratum fraction of
+  documents (e.g. rebalance languages) WITHOUT randomness — membership is a
+  pure function of the document id, so reruns, backfills, and incremental
+  loads select the same rows. Spark plan: one filter, zero shuffles; the
+  predicate pushes into the scan.
+
+- **Shard packing**: assign documents to fixed token-budget shards in a
+  deterministic order — the unit of work for tokenizer/training jobs.
+  Spark plan: prefix-sum over a window; with ``partition_cols`` the window
+  runs per partition (parallel, the 100 TB path — shards are then named
+  (partition, local_shard)); without, a single global ordering (small-corpus
+  path, documented single-partition window).
+
+No randomness anywhere: both are reproducible functions of the data, which
+is what makes them DuckDB-oracle-checkable row for row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# one part in _SAMPLE_DENOM resolution for sampling rates
+_SAMPLE_DENOM = 10_000
+
+
+def sample_key(id_col: Column) -> Column:
+    """Deterministic pseudo-uniform key in [0, 10000) from a document id.
+
+    md5-derived (portable: DuckDB computes the identical value as
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT % 10000``), uniform enough for
+    rate selection, and independent of row order or partitioning.
+    """
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(_SAMPLE_DENOM))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep ~rate fraction of each stratum, deterministically by id.
+
+    ``rates`` maps stratum value -> fraction in [0, 1]; unlisted strata get
+    ``default_rate``. A document is kept iff sample_key(id) < rate * 10000,
+    so the same document is kept in every rerun and in any engine computing
+    the same md5 — no RNG, no seed plumbing, no shuffle. At 100 TB this is
+    a scan-side filter with zero data movement.
+    """
+    expr: Column = F.lit(int(default_rate * _SAMPLE_DENOM))
+    for value, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * _SAMPLE_DENOM))
+        ).otherwise(expr)
+    return df.filter(sample_key(F.col(id_col)) < expr)
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each doc a ``shard_id``: sequential fixed-token-budget packing.
+
+    Docs are taken in ascending ``id_col`` order; a doc belongs to the shard
+    its EXCLUSIVE prefix token sum falls in (``floor(prefix_sum / budget)``)
+    — the streaming packer: a shard closes once its budget is crossed, and
+    the straddling doc stays in the shard it started in. Deterministic, so
+    shard manifests are reproducible.
+
+    With ``partition_cols`` (e.g. language, date) packing runs independently
+    per partition — the window parallelizes across partitions and shard ids
+    are per-partition counters (name shards (partition..., shard_id)). The
+    global variant orders the whole frame in one window partition: correct
+    and oracle-simple, but a single-task sort at scale — always pass
+    partition_cols for big corpora.
+    """
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(id_col)
+    else:
+        w = Window.orderBy(id_col)
+    prefix = F.coalesce(
+        F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return df.withColumn(
+        "shard_id", F.floor(prefix / F.lit(budget)).cast("long")
+    )
+
+
+def shard_manifest(
+    packed: DataFrame, token_col: str, partition_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-shard rollup: doc count + token total (the tokenizer work list)."""
+    keys = [*(partition_cols or []), "shard_id"]
+    return (
+        packed.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col(token_col)).cast("long").alias("tokens"),
+        )
+        .orderBy(*keys)
+    )

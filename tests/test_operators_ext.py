@@ -381,3 +381,53 @@ def test_minhash_engines_bit_identical(spark, docs):
          dedup.minhash_signatures(edge, "doc_id", "text", 8, 5, engine="arrow").collect()}
     assert e == a
     assert a[4] == a[1]  # null text ≡ empty text (one "" shingle) in both
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(1000)], "doc_id long, lang string"
+    )
+    kept1 = sampling.stratified_sample(df, "lang", {"en": 0.5, "de": 1.0}, "doc_id")
+    kept2 = sampling.stratified_sample(df, "lang", {"en": 0.5, "de": 1.0}, "doc_id")
+    rows1 = {r["doc_id"] for r in kept1.collect()}
+    rows2 = {r["doc_id"] for r in kept2.collect()}
+    assert rows1 == rows2  # pure function of ids — no RNG
+    by_lang = {r["lang"]: r["cnt"] for r in kept1.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+    ).collect()}
+    assert by_lang["de"] == 500            # rate 1.0 keeps everything
+    assert 175 <= by_lang["en"] <= 325     # ~50% of 500, md5-uniform
+    # unlisted strata default to dropped
+    df2 = df.withColumn("lang", F.lit("zh"))
+    assert sampling.stratified_sample(df2, "lang", {"en": 1.0}, "doc_id").isEmpty()
+
+
+def test_pack_shards_budget_and_straddle(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    rows = [(1, 900), (2, 900), (3, 900), (4, 100), (5, 2500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = {r["doc_id"]: r["shard_id"] for r in
+              sampling.pack_shards(df, "doc_id", "n_tokens", budget=1000).collect()}
+    # doc2 starts at prefix 900 (< 1000) so it STAYS in shard 0 (straddle);
+    # doc3 starts at 1800 -> shard 1; doc4 at 2700 -> shard 2; doc5 at 2800 -> shard 2
+    assert packed == {1: 0, 2: 0, 3: 1, 4: 2, 5: 2}
+
+    manifest = {(r["shard_id"]): (r["docs"], r["tokens"]) for r in
+                sampling.shard_manifest(
+                    sampling.pack_shards(df, "doc_id", "n_tokens", budget=1000),
+                    "n_tokens").collect()}
+    assert manifest == {0: (2, 1800), 1: (1, 900), 2: (2, 2600)}
+
+
+def test_pack_shards_partitioned_resets_per_partition(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    rows = [(1, "en", 800), (2, "en", 800), (3, "de", 800), (4, "de", 800)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    packed = {(r["lang"], r["doc_id"]): r["shard_id"] for r in
+              sampling.pack_shards(df, "doc_id", "n_tokens", 1000, ["lang"]).collect()}
+    # each language packs independently from shard 0
+    assert packed == {("en", 1): 0, ("en", 2): 0, ("de", 3): 0, ("de", 4): 0}
