@@ -13,6 +13,8 @@ import argparse
 import importlib
 import json
 import sys
+import threading
+import time
 
 from etl_file_loader_spark.plans.pipeline import Processor
 from etl_file_loader_spark.plans.warehouse import Warehouse
@@ -24,6 +26,49 @@ def load_sources(spec: str):
     mod_name, _, attr = spec.partition(":")
     mod = importlib.import_module(mod_name)
     return getattr(mod, attr or "SOURCES")
+
+
+def _run_with_progress(processor: Processor, directory: str, max_workers) -> None:
+    """Directory processing with a live progress line on stderr.
+
+    Same design as the reference's rich progress (cli/main.py:106-127): the
+    work runs in a thread while the main thread polls ``processor.results``
+    — per-file completion is driver-side state, so no Spark listener wiring
+    is needed. Rendering is stdlib (this container has no ``rich``): a
+    carriage-return bar with counts and elapsed time.
+    """
+    from etl_file_loader_spark.fs import FS
+
+    total = len(FS(processor.spark).list_files(directory))
+    done = threading.Event()
+
+    def work() -> None:
+        try:
+            processor.process_files_in_parallel(directory, max_workers=max_workers)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=work, daemon=True)
+    start = time.monotonic()
+    t.start()
+    while not done.is_set() or len(processor.results) < total:
+        n = min(len(processor.results), total)
+        width = 24
+        filled = int(width * n / total) if total else width
+        bar = "#" * filled + "-" * (width - filled)
+        sys.stderr.write(
+            f"\r[{bar}] {n}/{total} files  {time.monotonic() - start:6.1f}s"
+        )
+        sys.stderr.flush()
+        if done.is_set():
+            break
+        time.sleep(0.1)
+    sys.stderr.write(
+        f"\r[{'#' * 24}] {len(processor.results)}/{total} files  "
+        f"{time.monotonic() - start:6.1f}s  done\n"
+    )
+    sys.stderr.flush()
+    t.join()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -43,6 +88,11 @@ def main(argv: list[str] | None = None) -> int:
         help="thread-pool width for directory mode (reference processes "
         "directories in parallel by default; 1 forces sequential)",
     )
+    p.add_argument(
+        "--progress", action=argparse.BooleanOptionalAction, default=None,
+        help="live per-file progress bar on stderr (default: on when stderr "
+        "is a TTY)",
+    )
     args = parser.parse_args(argv)
 
     if bool(args.directory) == bool(args.file):
@@ -58,8 +108,13 @@ def main(argv: list[str] | None = None) -> int:
             duplicate_dir=args.duplicates,
             delete_source=args.delete_source,
         )
+        show_progress = (
+            args.progress if args.progress is not None else sys.stderr.isatty()
+        )
         if args.directory:
-            if args.max_workers == 1:
+            if show_progress:
+                _run_with_progress(processor, args.directory, args.max_workers)
+            elif args.max_workers == 1:
                 processor.process_directory(args.directory)
             else:
                 processor.process_files_in_parallel(
