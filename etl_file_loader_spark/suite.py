@@ -2849,3 +2849,93 @@ ORACLES.update(
         "shard_packing": Q_SHARD_PACKING_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# sketch aggregates, gated against exact twins
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count sketch vs the exact count, per table column.
+
+    The mergeable-sketch aggregate is the 100 TB path (constant memory per
+    group, one pass, no distinct shuffle); its value is engine-specific, so
+    the oracle contract is a TOLERANCE flag: relative error must stay inside
+    the configured rsd x4 for each checked column. A sketch regression
+    (wrong rsd plumbing, bad merge) flips the flag and hash-mismatches.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    checks = [
+        ("lineitem.l_orderkey", li, "l_orderkey"),
+        ("lineitem.l_partkey", li, "l_partkey"),
+        ("orders.o_custkey", orders, "o_custkey"),
+    ]
+    out = None
+    for label, df, col in checks:
+        row = df.agg(
+            F.approx_count_distinct(col, rsd=0.02).alias("approx"),
+            F.countDistinct(F.col(col)).alias("exact"),
+        ).select(
+            F.lit(label).alias("column_name"),
+            (
+                F.abs(F.col("approx") - F.col("exact"))
+                <= F.col("exact") * F.lit(0.08)
+            ).cast("int").alias("within_tolerance"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+Q_SKETCH_DISTINCT_SQL = """
+SELECT 'lineitem.l_orderkey' AS column_name, 1 AS within_tolerance
+UNION ALL SELECT 'lineitem.l_partkey', 1
+UNION ALL SELECT 'orders.o_custkey', 1
+"""
+
+
+def q_sketch_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable digest) vs exact order statistics.
+
+    Exact per-group percentile sorts every group's values; the digest is the
+    scale path. Contract: each approximate p50/p90/p99 of l_extendedprice
+    per returnflag lands within 1% relative of the exact value."""
+    li = _t(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("_a"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("_e"),
+    )
+    ok = F.forall(
+        F.zip_with(
+            F.col("_a"),
+            F.col("_e"),
+            lambda a, e: F.abs(a - e) <= F.abs(e) * F.lit(0.01),
+        ),
+        lambda x: x,
+    )
+    return both.select(
+        "l_returnflag", ok.cast("int").alias("within_tolerance")
+    ).orderBy("l_returnflag")
+
+
+Q_SKETCH_PERCENTILE_SQL = """
+SELECT DISTINCT l_returnflag, 1 AS within_tolerance
+FROM lineitem ORDER BY l_returnflag
+"""
+
+
+QUERIES.update(
+    {
+        "sketch_distinct_check": q_sketch_distinct_check,
+        "sketch_percentile_check": q_sketch_percentile_check,
+    }
+)
+ORACLES.update(
+    {
+        "sketch_distinct_check": Q_SKETCH_DISTINCT_SQL,
+        "sketch_percentile_check": Q_SKETCH_PERCENTILE_SQL,
+    }
+)
