@@ -288,10 +288,13 @@ def ngram_jaccard_pairs(
     and an all-pairs disaster.
     """
     keys = [block_col] if block_col else []
+    # persist the exploded shingle frame: the interpreted shingle HOF is the
+    # expensive part and this subtree feeds BOTH self-join sides plus the
+    # set-size aggregate — unpersisted it would execute three times
     ex = df.select(
         F.col(id_col), *[F.col(c) for c in keys],
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    ).persist()
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = ex.select(F.col(id_col).alias("id_a"), *[F.col(c) for c in keys], "shingle")
     b = ex.select(F.col(id_col).alias("id_b"), *[F.col(c) for c in keys], "shingle")
