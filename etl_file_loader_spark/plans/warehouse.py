@@ -241,6 +241,15 @@ class Warehouse:
             if not versions:
                 self._overwrite_locked(table, df)
             else:
+                if self.table_buckets(table) is not None:
+                    # bare part files at the root of a hive-partitioned dir
+                    # are invisible to partition-discovering readers — rows
+                    # would be silently lost. Bucketed targets are
+                    # merge-managed; append is for log/DLQ-style tables.
+                    raise ValueError(
+                        f"append not supported on grain-bucketed table "
+                        f"{table!r}; use merge_overwrite"
+                    )
                 out = self.path / table / f"_v{versions[-1]}"
                 df.write.mode("append").parquet(str(out))
 

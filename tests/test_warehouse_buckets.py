@@ -155,3 +155,42 @@ def test_schema_evolution_forces_full_rewrite(spark, tmp_path):
     rows = {r["id"]: (r["amount"], r["note"]) for r in out.collect()}
     assert rows[1] == (999.0, "hi")
     assert rows[2] == (2.0, None)  # untouched rows gained a typed null
+
+
+def test_compact_preserves_bucket_layout(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"), n_buckets=4)
+    df = spark.range(100).select(F.col("id"))
+    wh.merge_overwrite(
+        "t", df.withColumn(BUCKET_COL, grain_bucket(["id"], 4)), touched_buckets=None
+    )
+    # a second single-bucket merge fragments that bucket's file set
+    extra = spark.range(100, 110).select(F.col("id")).withColumn(
+        BUCKET_COL, grain_bucket(["id"], 4)
+    )
+    touched = sorted(r[0] for r in extra.select(BUCKET_COL).distinct().collect())
+    base = wh.read_table_buckets("t", touched).withColumn(
+        BUCKET_COL, grain_bucket(["id"], 4)
+    )
+    wh.merge_overwrite("t", base.unionByName(extra), touched_buckets=touched)
+    assert wh.read_table("t").count() == 110
+
+    wh.compact("t")
+    vdirs = sorted(
+        p for p in (tmp_path / "wh" / "t").iterdir() if p.name.startswith("_v")
+    )
+    bucket_dirs = {p.name for p in vdirs[-1].iterdir() if p.name.startswith(BUCKET_COL)}
+    assert bucket_dirs  # layout survived
+    assert wh.read_table("t").count() == 110
+    assert BUCKET_COL not in wh.read_table("t").columns
+
+
+def test_append_refused_on_bucketed_table(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"), n_buckets=4)
+    df = spark.range(10).select(F.col("id"))
+    wh.merge_overwrite(
+        "t", df.withColumn(BUCKET_COL, grain_bucket(["id"], 4)), touched_buckets=None
+    )
+    # bare part files at the root of a hive layout would be silently
+    # invisible to readers — the API refuses instead of losing rows
+    with pytest.raises(ValueError, match="merge_overwrite"):
+        wh.append("t", spark.range(10, 12).select(F.col("id")))
