@@ -466,3 +466,40 @@ def connected_components(
         if converged:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Flag each NEW doc against an already-ingested corpus (continuous
+    ingest: dedup the delta, never re-scan old-vs-old).
+
+    Output: every new doc with ``matched_corpus_id`` (smallest corpus id
+    sharing its canonical fingerprint, null if unique) and ``is_dup``.
+    Join key is the fingerprint hash, so the corpus side reduces to its
+    distinct (fingerprint, min id) index — at scale that index is the
+    persisted artifact (one row per distinct content), and a small delta
+    batch broadcasts against it. New-vs-new duplicates are left to the
+    batch's own dedup pass; this operator's contract is delta-vs-corpus.
+    """
+    from etl_file_loader_spark.operators.text import fingerprint
+
+    corpus_index = (
+        corpus_df.select(
+            fingerprint(F.col(text_col)).alias("_fp"),
+            F.col(id_col).alias("_cid"),
+        )
+        .groupBy("_fp")
+        .agg(F.min("_cid").alias("matched_corpus_id"))
+    )
+    flagged = new_df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+    ).join(corpus_index, "_fp", "left")
+    return flagged.select(
+        F.col(id_col),
+        F.col("matched_corpus_id"),
+        F.col("matched_corpus_id").isNotNull().cast("int").alias("is_dup"),
+    )

@@ -2939,3 +2939,38 @@ ORACLES.update(
         "sketch_percentile_check": Q_SKETCH_PERCENTILE_SQL,
     }
 )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus dedup: even doc_ids play the ingested corpus, odd ids
+    the incoming batch; each new doc reports its matched corpus doc (by
+    canonical fingerprint) or arrives unique. The corpus collapses to a
+    (fingerprint, min id) index before the join — the persisted-index shape
+    of continuous-ingest dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_ops.incremental_dedup(new, corpus, "doc_id", "text").orderBy("doc_id")
+
+
+Q_DEDUP_INCREMENTAL_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_transform(string_split_regex(trim(text), '\s+'), w -> lower(w))
+         )), ' ')) AS fp
+  FROM documents
+),
+corpus AS (
+  SELECT fp.fp, CAST(min(doc_id) AS BIGINT) AS matched_corpus_id
+  FROM fp WHERE doc_id % 2 = 0 GROUP BY fp.fp
+)
+SELECT f.doc_id, c.matched_corpus_id,
+       CAST(CASE WHEN c.matched_corpus_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+FROM fp f LEFT JOIN corpus c ON f.fp = c.fp
+WHERE f.doc_id % 2 = 1
+ORDER BY f.doc_id
+"""
+
+QUERIES.update({"dedup_incremental": q_dedup_incremental})
+ORACLES.update({"dedup_incremental": Q_DEDUP_INCREMENTAL_SQL})

@@ -431,3 +431,21 @@ def test_pack_shards_partitioned_resets_per_partition(spark):
               sampling.pack_shards(df, "doc_id", "n_tokens", 1000, ["lang"]).collect()}
     # each language packs independently from shard 0
     assert packed == {("en", 1): 0, ("en", 2): 0, ("de", 3): 0, ("de", 4): 0}
+
+
+def test_incremental_dedup_flags_corpus_matches(spark):
+    corpus = spark.createDataFrame(
+        [(2, "the quick brown fox"), (4, "totally unique corpus text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "The QUICK brown fox"),        # fingerprint-dup of 2 (case)
+            (3, "fox brown quick the"),        # dup of 2 (order-invariant)
+            (5, "brand new never seen text"),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["matched_corpus_id"], r["is_dup"]) for r in
+           dedup.incremental_dedup(new, corpus, "doc_id", "text").collect()}
+    assert out == {1: (2, 1), 3: (2, 1), 5: (None, 0)}
