@@ -160,3 +160,66 @@ def test_query_probe_buckets_properties():
         assert probes[0] == base                        # own bucket probes first
 
     check()
+
+
+def test_pack_shards_invariants(spark):
+    """Streaming-packer invariants over random token sequences."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_file_loader_spark.operators import sampling
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=40),
+        st.integers(min_value=100, max_value=2000),
+    )
+    def check(token_counts, budget):
+        rows = [(i, t) for i, t in enumerate(token_counts)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        packed = sorted(
+            ((r["doc_id"], r["shard_id"]) for r in
+             sampling.pack_shards(df, "doc_id", "n_tokens", budget).collect())
+        )
+        shard_of = dict(packed)
+        # shard ids are non-decreasing in doc order and start at 0
+        ids = [shard_of[i] for i in range(len(token_counts))]
+        assert ids[0] == 0
+        assert all(a <= b for a, b in zip(ids, ids[1:]))
+        # a shard's token total never exceeds budget + its straddling doc:
+        # every doc in a shard STARTS strictly inside the budget window, so
+        # only the LAST doc (the straddler) can carry the total past it
+        totals: dict[int, int] = {}
+        lasts: dict[int, int] = {}
+        for i, t in enumerate(token_counts):
+            s = shard_of[i]
+            lasts[s] = t
+            totals[s] = totals.get(s, 0) + t
+        for s, total in totals.items():
+            assert total - lasts[s] < budget
+        # python model equivalence: exclusive prefix sum // budget
+        prefix = 0
+        for i, t in enumerate(token_counts):
+            assert shard_of[i] == prefix // budget
+            prefix += t
+
+    check()
+
+
+def test_sample_key_uniformity_and_determinism(spark):
+    """The md5-derived sampling key covers [0, 10000) roughly uniformly."""
+    from pyspark.sql import functions as F
+
+    from etl_file_loader_spark.operators.sampling import sample_key
+
+    df = spark.range(20000).select(sample_key(F.col("id")).alias("k"))
+    stats = df.agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi"), F.avg("k").alias("mean")
+    ).collect()[0]
+    assert 0 <= stats["lo"] < 200 and 9800 < stats["hi"] < 10000
+    assert 4700 < stats["mean"] < 5300
+    # rate monotonicity: a higher rate keeps a superset of a lower rate
+    ids = spark.range(2000).select(F.col("id"))
+    kept_30 = {r["id"] for r in ids.filter(sample_key(F.col("id")) < 3000).collect()}
+    kept_60 = {r["id"] for r in ids.filter(sample_key(F.col("id")) < 6000).collect()}
+    assert kept_30 <= kept_60
+    assert 400 <= len(kept_30) <= 800 and 1000 <= len(kept_60) <= 1400
