@@ -148,3 +148,138 @@ def rolling_fingerprint(text: Column, prime: int = 2147483647) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % prime,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns stay inside the Java-regex / RE2 common subset (no backrefs, no
+# lookaround) so the DuckDB oracle evaluates the exact same automata.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+# Redaction order matters: SSN (3-2-4) before phone (3-3-4) so neither
+# partially consumes the other; email first because it may contain digits.
+PII_ORDER = ["email", "ssn", "phone"]
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-category PII match counts (email / ssn / phone).
+
+    Pure ``regexp_count`` expressions — codegen'd, zero shuffle; at 100 TB
+    this is a scan-speed projection.
+    """
+    return F.struct(
+        *[
+            F.regexp_count(text, F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
+            for k in PII_ORDER
+        ]
+    )
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, SSNs, and phone numbers with ``[CATEGORY]`` tokens.
+
+    Chained global ``regexp_replace`` (reference analog: the field-cleaner
+    hooks in src/validation/cleaners — here applied corpus-wide as a
+    pre-training privacy pass).
+    """
+    out = text
+    for k in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"[{k.upper()}]")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# repetition (Gopher-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document top-n-gram share: the Gopher repetition filter signal.
+
+    share = (occurrences of the single most frequent word n-gram × n) /
+    token count — repetitive/boilerplate docs score high. Implemented as
+    explode → per-(doc, gram) count → per-doc max: one shuffle proportional
+    to corpus tokens with full map-side partial aggregation, instead of the
+    O(tokens²)-per-doc array-expression formulation (which dies on long
+    docs). Ungrammable docs (< n tokens) report share 0.0.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n_tokens"),
+        F.explode_outer(grams).alias("_gram"),
+    )
+    per_gram = exploded.groupBy(id_col, "_n_tokens", "_gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return per_gram.groupBy(id_col, "_n_tokens").agg(
+        F.max(F.when(F.col("_gram").isNotNull(), F.col("_c")).otherwise(0)).alias("_top")
+    ).select(
+        F.col(id_col),
+        F.col("_n_tokens").alias("n_tokens"),
+        F.col("_top").alias("top_gram_count"),
+        F.round(
+            F.when(
+                F.col("_n_tokens") > 0,
+                F.col("_top") * n / F.col("_n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_gram_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Docs sharing any word n-gram with a benchmark set (test-set leakage).
+
+    The standard decontamination pass for pre-training corpora: benchmark
+    n-grams are DISTINCT'd and broadcast (benchmark suites are tiny next to
+    a 100 TB corpus), so the corpus side is a scan + broadcast-hash-semi
+    join — no corpus shuffle. Returns one row per contaminated doc with the
+    count of distinct matching n-grams.
+    """
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col), F.explode(grams).alias("_gram"))
+
+    bench_grams = grams_of(benchmark).select("_gram").distinct()
+    corpus_grams = grams_of(corpus).dropDuplicates([id_col, "_gram"])
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "_gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("matched_grams"))
+    )

@@ -3047,3 +3047,167 @@ GROUP BY 1, 2
 
 QUERIES.update({"streaming_events_hourly": q_streaming_events_hourly})
 ORACLES.update({"streaming_events_hourly": Q_STREAMING_EVENTS_HOURLY_SQL})
+
+
+# ---------------------------------------------------------------------------
+# corpus privacy / quality / decontamination (LLM training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: counts + scrubbed-text digest.
+
+    Synthetic PII (email for every doc, phone for doc_id%3==0, SSN for
+    doc_id%5==0 — built identically in the oracle) is appended to the text,
+    then counted and redacted with the shared Java-regex/RE2 pattern set.
+    Pure regexp expressions: scan-speed, no shuffle, codegen'd — the shape
+    a 100 TB privacy pass must have."""
+    from etl_file_loader_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" or 555-"),
+                F.lpad((d * 7 % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((d * 13 % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" ssn 987-65-4321")).otherwise(F.lit("")),
+    )
+    counts = text_ops.pii_counts(pii_text)
+    return docs.select(
+        d.alias("doc_id"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ssn"].alias("n_ssn"),
+        counts["n_phone"].alias("n_phone"),
+        F.md5(text_ops.scrub_pii(pii_text)).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+Q_PII_SCRUB_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' or 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' ssn 987-65-4321' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS n_ssn,
+       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g')) AS scrubbed_md5
+FROM p
+ORDER BY doc_id
+"""
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-doc top-bigram token share.
+
+    explode bigrams -> per-(doc, gram) count -> per-doc max; one shuffle
+    proportional to corpus tokens with map-side partial aggregation (the
+    array-expression alternative is O(tokens^2) per doc and dies on long
+    documents). Flag = share > 0.08."""
+    from etl_file_loader_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = text_ops.repetition_stats(docs, "doc_id", "text", n=2)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "top_gram_count",
+        "top_gram_share",
+        (F.col("top_gram_share") > 0.08).cast("int").alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+Q_GOPHER_REPETITION_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, len(w) AS n_tokens, w[i] || ' ' || w[i+1] AS gram
+  FROM d, unnest(range(1, len(w))) t(i)
+  WHERE len(w) >= 2
+),
+c AS (
+  SELECT doc_id, n_tokens, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT doc_id, n_tokens, max(cnt) AS top FROM c GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(top AS BIGINT) AS top_gram_count,
+       round(top * 2 / n_tokens, 6) AS top_gram_share,
+       CAST(CASE WHEN round(top * 2 / n_tokens, 6) > 0.08 THEN 1 ELSE 0 END AS INTEGER) AS repetitive
+FROM m
+ORDER BY doc_id
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-gram with a
+    held-out set (doc_id < 20 plays the benchmark). Benchmark grams are
+    DISTINCT'd and broadcast — the corpus side is scan + broadcast hash
+    join, no corpus shuffle; exactly how test-set leakage scans run at
+    100 TB."""
+    from etl_file_loader_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return (
+        text_ops.contamination(corpus, bench, "doc_id", "text", n=5)
+        .select("doc_id", F.col("matched_grams").cast("long").alias("matched_grams"))
+        .orderBy("doc_id")
+    )
+
+
+Q_CONTAMINATION_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM d, unnest(range(1, len(w) - 5 + 2)) t(i)
+  WHERE len(w) >= 5
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+corp AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 20)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_grams
+FROM corp JOIN bench USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "pii_scrub": q_pii_scrub,
+        "gopher_repetition": q_gopher_repetition,
+        "contamination_check": q_contamination_check,
+    }
+)
+ORACLES.update(
+    {
+        "pii_scrub": Q_PII_SCRUB_SQL,
+        "gopher_repetition": Q_GOPHER_REPETITION_SQL,
+        "contamination_check": Q_CONTAMINATION_SQL,
+    }
+)

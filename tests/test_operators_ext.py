@@ -449,3 +449,63 @@ def test_incremental_dedup_flags_corpus_matches(spark):
     out = {r["doc_id"]: (r["matched_corpus_id"], r["is_dup"]) for r in
            dedup.incremental_dedup(new, corpus, "doc_id", "text").collect()}
     assert out == {1: (2, 1), 3: (2, 1), 5: (None, 0)}
+
+
+def test_pii_scrub_and_counts(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org today"),
+        (2, "call 555-123-4567 or 555.987.6543 now"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "nothing sensitive here 12345"),
+        (5, "combo a@b.io and 111-22-3333 and 222-333-4444"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = df.select(
+        "id",
+        text.pii_counts(F.col("t")).alias("c"),
+        text.scrub_pii(F.col("t")).alias("s"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["c"]["n_email"] == 1 and "[EMAIL]" in by_id[1]["s"]
+    assert "jane" not in by_id[1]["s"]
+    assert by_id[2]["c"]["n_phone"] == 2 and by_id[2]["s"].count("[PHONE]") == 2
+    assert by_id[3]["c"]["n_ssn"] == 1 and "[SSN]" in by_id[3]["s"]
+    assert by_id[4]["c"] == (0, 0, 0) and by_id[4]["s"] == rows[3][1]
+    # SSN (3-2-4) and phone (3-3-4) never cross-match
+    assert by_id[5]["c"]["n_ssn"] == 1 and by_id[5]["c"]["n_phone"] == 1
+
+
+def test_repetition_stats_shares(spark):
+    rows = [
+        (1, "a b a b a b"),        # top bigram 'a b' x3 of 5 grams, 6 tokens
+        (2, "w x y z"),            # all bigrams unique
+        (3, "solo"),               # < n tokens -> share 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["top_gram_count"] == 3 and out[1]["top_gram_share"] == 1.0
+    assert out[2]["top_gram_count"] == 1 and out[2]["top_gram_share"] == 0.5
+    assert out[3]["top_gram_count"] == 0 and out[3]["top_gram_share"] == 0.0
+
+
+def test_contamination_broadcast_join(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx the quick brown fox jumps yy"),   # 1 matching 5-gram
+            (2, "totally unrelated words only here"),
+            (3, "quick brown fox jumps over and out"),  # 1 matching 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["matched_grams"]
+        for r in text.contamination(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    assert got == {1: 1, 3: 1}
+    # the benchmark side broadcasts: no shuffle exchange on the corpus scan
+    plan = text.contamination(corpus, bench, "doc_id", "text", n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
