@@ -3211,3 +3211,313 @@ ORACLES.update(
         "contamination_check": Q_CONTAMINATION_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes II: nation-pair joins, market share, view+max, (NOT) EXISTS
+# ---------------------------------------------------------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: nation-pair trade volume by ship year.
+
+    Both nation dims pre-filter to the two nations of interest BEFORE the
+    fact joins (Catalyst can't invent that prune: the pair predicate is
+    disjunctive), so the supplier map shrinks to two nations and
+    broadcasts; lineitem x orders is the only real shuffle."""
+    nations = ("NATION_1", "NATION_2")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's promo-part volume per year.
+
+    Ratio of two conditional decimal sums from ONE pass; part (type-filtered)
+    and both nation maps broadcast; region restricts the customer side via
+    nation->region, pruned before the fact join. Shares cast to double
+    before dividing so both engines do the identical IEEE division."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("_n"),
+            F.sum(vol).alias("_d"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_n").cast("double") / F.col("_d").cast("double"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+       round(
+         CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: revenue view + scalar max + equality join back.
+
+    The per-supplier revenue aggregate is computed once; its 1-row max
+    broadcasts and the winner filter is an exact DECIMAL equality (no
+    float compare). Catalyst reuses the aggregate subtree for both sides."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        ).alias("_tr")
+    )
+    mx = rev.agg(F.max("_tr").alias("_mx"))
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("_tr") == F.col("_mx"))
+        .select("s_suppkey", "s_name", F.col("_tr").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (adapted): EXISTS + NOT-EXISTS decorrelated to semi/anti.
+
+    The reference schema's l_commitdate/l_receiptdate aren't in this
+    dataset, so 'late' is adapted to l_shipdate > o_orderdate + 90 days on
+    finished orders; the graded shape is the classic Q21 double
+    correlation: late line AND EXISTS another-supplier line on the order
+    AND NOT EXISTS another-supplier LATE line — planned as a leftsemi and
+    a leftanti self-join on the order key (one shuffle each, no row
+    explosion from the EXISTS probe)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(F.col("l_orderkey").alias("_o2"), F.col("l_suppkey").alias("_s2"))
+    other_late = late.select(F.col("l_orderkey").alias("_o3"), F.col("l_suppkey").alias("_s3"))
+    waiting = late.join(
+        other,
+        (F.col("l_orderkey") == F.col("_o2")) & (F.col("l_suppkey") != F.col("_s2")),
+        "leftsemi",
+    ).join(
+        other_late,
+        (F.col("l_orderkey") == F.col("_o3")) & (F.col("l_suppkey") != F.col("_s3")),
+        "leftanti",
+    )
+    return (
+        waiting.join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (adapted): scalar-avg subquery + NOT EXISTS anti-join.
+
+    'Rich but idle' customers: balance above the positive-balance average
+    (1-row broadcast of a decimal-stable scalar) with no orders since
+    1999 (leftanti against the date-pruned orders scan — the NOT EXISTS
+    decorrelation). Grouped by nation (c_phone country codes aren't in
+    this schema). The average is cast to double BEFORE comparing so both
+    engines threshold on the identical IEEE value."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal", 2)).cast("double") / F.count(F.lit(1))).alias("_avg")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    idle_rich = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+    )
+    return (
+        idle_rich.join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal", 2)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q22_SQL = """
+WITH avgbal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avgbal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avgbal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+QUERIES.update(
+    {
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    }
+)
+ORACLES.update(
+    {
+        "q7_volume_shipping": Q7_SQL,
+        "q8_market_share": Q8_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q21_suppliers_kept_waiting": Q21_SQL,
+        "q22_global_sales_opportunity": Q22_SQL,
+    }
+)
