@@ -28,6 +28,11 @@ BENCH_QUERIES = [
     "q14_promo_share",
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
     "customer_order_stats",
     "events_hourly",
     "top_events_per_user",
@@ -69,6 +74,9 @@ BENCH_QUERIES = [
     "text_stats",
     "text_quality_lang",
     "text_rolling_fingerprint",
+    "pii_scrub",
+    "gopher_repetition",
+    "contamination_check",
     "corpus_curation",
 ]
 
