@@ -108,3 +108,17 @@ def tokens(col: Column) -> Column:
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
+
+
+def bind_once(value: Column, body) -> Column:
+    """Let-binding for higher-order-function bodies: evaluate ``value`` once
+    per row and pass the bound result to ``body``.
+
+    A lambda body that references an outer *expression* (not a plain column)
+    re-evaluates that expression for EVERY element — HOFs block Catalyst's
+    common-subexpression elimination, so e.g. building word n-grams with
+    ``element_at(split(text), i)`` inside ``transform`` re-splits the text
+    per gram (measured 14x slowdown). Encoding: a 1-element-array
+    ``transform`` whose lambda variable carries the evaluated value.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)

@@ -52,14 +52,24 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(text: Column, n: int = 5) -> Column:
-    """Distinct n-word shingles of whitespace-tokenized text."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    """Distinct n-word shingles of whitespace-tokenized text.
+
+    The token array is let-bound (``bind_once``) before the shingle lambda
+    uses it — HOF bodies re-evaluate outer expressions per element, so an
+    unbound ``tokens(text)`` would re-split the text once per shingle
+    (measured ~14x slowdown on the gram-building pattern).
+    """
+    from etl_file_loader_spark.functions import bind_once
+
+    def body(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+            )
         )
-    )
+
+    return bind_once(tokens(text), body)
 
 
 def exploded_shingle_hashes(
