@@ -3521,3 +3521,406 @@ ORACLES.update(
         "q22_global_sales_opportunity": Q22_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: q2 / q9 / q11 / q16 / q20 shapes (adapted — the testdata
+# has no partsupp table, so a partsupp analog is DERIVED from lineitem).
+# Reference parity: the reference's query surface is generic SQL over loaded
+# tables (src/loader/query.py equivalents); these cover the remaining classic
+# OLAP shapes: correlated-min (q2), multi-way profit rollup (q9), group
+# filter vs global scalar (q11), NOT-IN + count-distinct (q16), nested-IN
+# quantity threshold (q20).
+# ---------------------------------------------------------------------------
+
+
+PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         floor(min(l_extendedprice * (1.0 - l_discount) / l_quantity) * 10000.0)
+           / 10000.0 AS ps_supplycost,
+         sum(l_quantity) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp analog derived from lineitem (testdata ships no partsupp):
+    per (part, supplier) pair, the minimum observed effective unit price
+    stands in for ps_supplycost and total shipped quantity for ps_availqty.
+
+    Determinism across engines WITHOUT decimal staging: min() is
+    order-insensitive over bit-identical IEEE values, and l_quantity holds
+    integral values whose double sum is exact. The min unit price is then
+    FLOOR-quantized to 4dp — floor of the same double is identical in every
+    engine (no tie-rounding step, unlike round/decimal-cast, whose
+    half-way behavior differs between Spark and DuckDB on full-precision
+    division results). Downstream cost×qty products therefore cast to
+    DECIMAL identically in both engines. One hash aggregate with map-side
+    partials; at 100 TB this shuffles one row per distinct
+    (part, supplier) pair — the dimension-like cardinality, not the fact
+    cardinality."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        / F.col("l_quantity")
+    )
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        (F.floor(F.min(unit) * F.lit(10000.0)) / F.lit(10000.0)).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated MIN subquery, decorrelated to agg + join-back.
+
+    Minimum-cost EUROPE supplier for each STANDARD small part. The
+    correlated `ps_supplycost = (SELECT min(...) WHERE ps_partkey = ...)`
+    becomes a groupBy-min over the SAME region-filtered supply side joined
+    back on the part key — exactly how Catalyst plans the correlated form.
+    Dims (part-filter, supplier, nation, region) broadcast; the only
+    shuffle is the partsupp derivation itself. Equality on ps_supplycost
+    compares bit-identical doubles (min of identical IEEE inputs)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    supp_eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_supply = ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")).join(
+        F.broadcast(supp_eu), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = eu_supply.groupBy(F.col("ps_partkey").alias("_mp")).agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    return (
+        eu_supply.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("_mp"))
+            & (F.col("ps_supplycost") == F.col("_min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("ps_supplycost", 4).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH partsupp AS ({PARTSUPP_SQL}),
+eu_supply AS (
+  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name, p_partkey, p_name
+  FROM partsupp
+  JOIN part ON ps_partkey = p_partkey
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(ps_supplycost, 4) AS supplycost
+FROM eu_supply e
+JOIN (
+  SELECT ps_partkey AS mp, min(ps_supplycost) AS min_cost
+  FROM eu_supply GROUP BY 1
+) m ON e.ps_partkey = m.mp AND e.ps_supplycost = m.min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: multi-way star join + profit rollup by nation and year.
+
+    profit = revenue - supplycost*qty for 'red' parts, grouped by the
+    supplier's nation and order year. Fact side joins the derived partsupp
+    on the composite (part, supplier) key; part filter broadcast-prunes
+    before the partsupp join; supplier→nation broadcast; orders supply the
+    year. Per-row profit is IEEE-deterministic and carries at most four
+    decimal digits (2dp×2dp revenue, 4dp-quantized cost × integral qty),
+    so DECIMAL(18,4) represents each amount EXACTLY — the sum is staged
+    through it with no per-row rounding for either engine to disagree
+    on."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    part_red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    profit = (
+        li.join(F.broadcast(part_red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ).alias("_amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(F.sum(_dec("_amount", 4)).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+WITH partsupp AS ({PARTSUPP_SQL})
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                     - ps_supplycost * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: grouped value vs a global-scalar fraction threshold.
+
+    Per-part supply value (cost × qty) restricted to EUROPE suppliers,
+    kept only when above 0.1% of the total — the HAVING-vs-scalar-subquery
+    shape. The global total is a 1-row broadcast joined onto the grouped
+    aggregate. cost×qty carries at most four decimal digits (4dp-quantized
+    cost × integral qty), so both sides stage it through DECIMAL(18,4) —
+    exact, no per-row rounding for the engines to disagree on."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supp_eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    eu_ps = ps.join(F.broadcast(supp_eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+    val = _dec(F.col("ps_supplycost") * F.col("ps_availqty"), 4)
+    per_part = eu_ps.groupBy("ps_partkey").agg(
+        F.sum(val).cast("double").alias("part_value")
+    )
+    total = eu_ps.agg(
+        (F.sum(val).cast("double") * F.lit(0.001)).alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select(F.col("ps_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH partsupp AS ({PARTSUPP_SQL}),
+eu_ps AS (
+  SELECT ps_partkey, ps_supplycost, ps_availqty
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+total AS (
+  SELECT CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) AS DOUBLE)
+           * 0.001 AS threshold
+  FROM eu_ps
+)
+SELECT ps_partkey AS p_partkey,
+       CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) AS DOUBLE)
+         AS part_value
+FROM eu_ps, total
+GROUP BY ps_partkey, total.threshold
+HAVING part_value > total.threshold
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q16_supplier_part_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: NOT-IN exclusion + per-group count(distinct supplier).
+
+    How many suppliers can provide each (brand, type, size) bucket of
+    non-PROMO, non-Brand#9 parts in the chosen sizes — excluding
+    'complaint' suppliers (negative balance; the reference schema's
+    comment-LIKE filter has no analog here). NOT IN is decorrelated to a
+    broadcast anti-join; supplier-part pairs come from the derived
+    partsupp; count(DISTINCT) shuffles once on the group key."""
+    ps = _derived_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#9")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints), F.col("ps_suppkey") == F.col("s_suppkey"), "leftanti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = f"""
+WITH partsupp AS ({PARTSUPP_SQL})
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested-IN chain with a correlated quantity threshold.
+
+    Suppliers who shipped an above-average share of a 'small' part in
+    1998: per-(part, supplier) 1998 quantity compared against half the
+    part's average per-supplier 1998 quantity (the correlated scalar,
+    decorrelated to a per-part aggregate joined back), then the supplier
+    IN-list becomes a semi-join onto supplier→nation. Quantity sums are
+    exact integral doubles; the threshold division is IEEE-deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    small_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qty = (
+        li.join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_pair_qty"))
+    )
+    part_avg = qty.groupBy(F.col("l_partkey").alias("_tp")).agg(
+        (F.sum("_pair_qty") / (F.lit(2.0) * F.count(F.lit(1)))).alias("_threshold")
+    )
+    heavy_suppliers = (
+        qty.join(part_avg, F.col("l_partkey") == F.col("_tp"))
+        .filter(F.col("_pair_qty") > F.col("_threshold"))
+        .select("l_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(heavy_suppliers, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2
+),
+thresholds AS (
+  SELECT l_partkey AS tp, sum(pair_qty) / (2.0 * count(*)) AS threshold
+  FROM qty GROUP BY 1
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM qty JOIN thresholds ON l_partkey = tp
+  WHERE pair_qty > threshold
+)
+ORDER BY s_name
+"""
+
+
+QUERIES.update(
+    {
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_values": q11_important_values,
+        "q16_supplier_part_relationships": q16_supplier_part_relationships,
+        "q20_potential_promotion": q20_potential_promotion,
+    }
+)
+ORACLES.update(
+    {
+        "q2_min_cost_supplier": Q2_SQL,
+        "q9_product_profit": Q9_SQL,
+        "q11_important_values": Q11_SQL,
+        "q16_supplier_part_relationships": Q16_SQL,
+        "q20_potential_promotion": Q20_SQL,
+    }
+)
