@@ -22,15 +22,24 @@ BENCH_QUERIES = [
     # OLAP surface
     "q1_pricing_summary",
     "q3_top_orders",
+    "q2_min_cost_supplier",
     "q4_order_priority",
     "q5_local_supplier_volume",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
+    "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_values",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q14_promo_share",
     "q15_top_supplier",
+    "q16_supplier_part_relationships",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
     "customer_order_stats",

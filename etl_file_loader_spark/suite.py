@@ -3543,7 +3543,12 @@ PARTSUPP_SQL = """
 """
 
 
-def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derived_partsupp(
+    spark: SparkSession,
+    sf_dir: str,
+    parts: DataFrame | None = None,
+    supps: DataFrame | None = None,
+) -> DataFrame:
     """partsupp analog derived from lineitem (testdata ships no partsupp):
     per (part, supplier) pair, the minimum observed effective unit price
     stands in for ps_supplycost and total shipped quantity for ps_availqty.
@@ -3558,8 +3563,22 @@ def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL identically in both engines. One hash aggregate with map-side
     partials; at 100 TB this shuffles one row per distinct
     (part, supplier) pair — the dimension-like cardinality, not the fact
-    cardinality."""
+    cardinality.
+
+    ``parts`` / ``supps`` (single-column key frames) broadcast-semi-filter
+    the FACT SCAN below the aggregate: callers that only need a dimension
+    slice shrink both the scan output and the shuffle to the slice's pairs.
+    Filtering on a group-key column can't change surviving groups' min/sum,
+    so the oracle (which filters after aggregating) sees identical values."""
     li = _t(spark, sf_dir, "lineitem")
+    if parts is not None:
+        li = li.join(
+            F.broadcast(parts), F.col("l_partkey") == parts[parts.columns[0]], "leftsemi"
+        )
+    if supps is not None:
+        li = li.join(
+            F.broadcast(supps), F.col("l_suppkey") == supps[supps.columns[0]], "leftsemi"
+        )
     unit = (
         F.col("l_extendedprice")
         * (F.lit(1.0) - F.col("l_discount"))
@@ -3583,7 +3602,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dims (part-filter, supplier, nation, region) broadcast; the only
     shuffle is the partsupp derivation itself. Equality on ps_supplycost
     compares bit-identical doubles (min of identical IEEE inputs)."""
-    ps = _derived_partsupp(spark, sf_dir)
     part = (
         _t(spark, sf_dir, "part")
         .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
@@ -3602,6 +3620,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = _derived_partsupp(
+        spark, sf_dir, parts=part.select("p_partkey"), supps=supp_eu.select("s_suppkey")
     )
     eu_supply = ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")).join(
         F.broadcast(supp_eu), F.col("ps_suppkey") == F.col("s_suppkey")
@@ -3663,13 +3684,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DECIMAL(18,4) represents each amount EXACTLY — the sum is staged
     through it with no per-row rounding for either engine to disagree
     on."""
-    ps = _derived_partsupp(spark, sf_dir)
     li = _t(spark, sf_dir, "lineitem")
     part_red = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
         .select("p_partkey")
     )
+    ps = _derived_partsupp(spark, sf_dir, parts=part_red)
     supp_nation = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -3734,7 +3755,6 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. cost×qty carries at most four decimal digits (4dp-quantized
     cost × integral qty), so both sides stage it through DECIMAL(18,4) —
     exact, no per-row rounding for the engines to disagree on."""
-    ps = _derived_partsupp(spark, sf_dir)
     supp_eu = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -3749,6 +3769,7 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
+    ps = _derived_partsupp(spark, sf_dir, supps=supp_eu)
     eu_ps = ps.join(F.broadcast(supp_eu), F.col("ps_suppkey") == F.col("s_suppkey"))
     val = _dec(F.col("ps_supplycost") * F.col("ps_availqty"), 4)
     per_part = eu_ps.groupBy("ps_partkey").agg(
@@ -3799,7 +3820,6 @@ def q16_supplier_part_relationships(spark: SparkSession, sf_dir: str) -> DataFra
     comment-LIKE filter has no analog here). NOT IN is decorrelated to a
     broadcast anti-join; supplier-part pairs come from the derived
     partsupp; count(DISTINCT) shuffles once on the group key."""
-    ps = _derived_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
     part = (
         _t(spark, sf_dir, "part")
         .filter(
@@ -3809,6 +3829,9 @@ def q16_supplier_part_relationships(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
+    ps = _derived_partsupp(
+        spark, sf_dir, parts=part.select("p_partkey")
+    ).select("ps_partkey", "ps_suppkey")
     complaints = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
