@@ -53,6 +53,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # ns->us truncation
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Parquet TIMESTAMP with isAdjustedToUTC=false infers as TIMESTAMP_NTZ in
+    # Spark 4; unix_micros/double casts reject NTZ. With the session timezone
+    # pinned to UTC above, NTZ -> LTZ is a wall-clock-preserving relabel, so
+    # every downstream query (and the driver's UTC-rendered hash) sees the
+    # same values either way.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -3006,6 +3014,8 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
