@@ -29,11 +29,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All registered queries except the approximate result-set demos, whose
-    graded contract is their oracle-checked ``*_recall`` twin (same code
-    path run against the exact operator's result)."""
-    return {k: v for k, v in suite.QUERIES.items() if k not in suite.UNCHECKED_DEMOS}
+    """The curated driver window (suite.CHECKED_QUERIES, <=50 entries): every
+    distinct operator individually, plus three digest queries that fold the
+    TPC-H sweep / analytics variants / scale-variant dedup demos into one
+    value-verified row per member (see digest.py). The full per-query
+    registry stays in suite.QUERIES for bench and interactive use;
+    approximate result-set demos' graded contract is their oracle-checked
+    ``*_recall`` twin (same code path run against the exact operator)."""
+    return {k: suite.QUERIES[k] for k in suite.CHECKED_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(suite.ORACLES)
+    return {k: suite.ORACLES[k] for k in suite.CHECKED_QUERIES if k in suite.ORACLES}
