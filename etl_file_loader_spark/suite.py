@@ -3553,6 +3553,15 @@ PARTSUPP_SQL = """
 """
 
 
+# One persisted partsupp per (application, dataset): q2/q9/q11/q16/q20 all
+# need the same (part, supplier) aggregate, and a suite run used to rebuild
+# it five times — five identical fact-table shuffles. A real deployment
+# materializes the derived table once; here that's a persisted DataFrame
+# (MEMORY_AND_DISK — partsupp cardinality is pair-of-dimensions-like, far
+# below fact cardinality, and spills if it doesn't fit).
+_PARTSUPP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _derived_partsupp(
     spark: SparkSession,
     sf_dir: str,
@@ -3573,33 +3582,54 @@ def _derived_partsupp(
     DECIMAL identically in both engines. One hash aggregate with map-side
     partials; at 100 TB this shuffles one row per distinct
     (part, supplier) pair — the dimension-like cardinality, not the fact
-    cardinality.
+    cardinality — and it runs ONCE per dataset (persisted), not once per
+    query.
 
     ``parts`` / ``supps`` (single-column key frames) broadcast-semi-filter
-    the FACT SCAN below the aggregate: callers that only need a dimension
-    slice shrink both the scan output and the shuffle to the slice's pairs.
-    Filtering on a group-key column can't change surviving groups' min/sum,
-    so the oracle (which filters after aggregating) sees identical values."""
-    li = _t(spark, sf_dir, "lineitem")
+    the cached aggregate to the caller's dimension slice. Filtering on a
+    group-key column above the aggregate keeps surviving groups' min/sum
+    identical to filtering the fact scan below it, so the oracle (which
+    also filters after aggregating) sees the same values; the semi-joins
+    stay broadcast, so slicing costs no extra shuffle."""
+    from pyspark.storagelevel import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ps = _PARTSUPP_CACHE.get(key)
+    if ps is None:
+        li = _t(spark, sf_dir, "lineitem")
+        unit = (
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            / F.col("l_quantity")
+        )
+        ps = (
+            li.groupBy(
+                F.col("l_partkey").alias("ps_partkey"),
+                F.col("l_suppkey").alias("ps_suppkey"),
+            )
+            .agg(
+                (F.floor(F.min(unit) * F.lit(10000.0)) / F.lit(10000.0)).alias(
+                    "ps_supplycost"
+                ),
+                F.sum("l_quantity").alias("ps_availqty"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _PARTSUPP_CACHE[key] = ps
+    out = ps
     if parts is not None:
-        li = li.join(
-            F.broadcast(parts), F.col("l_partkey") == parts[parts.columns[0]], "leftsemi"
+        out = out.join(
+            F.broadcast(parts),
+            F.col("ps_partkey") == parts[parts.columns[0]],
+            "leftsemi",
         )
     if supps is not None:
-        li = li.join(
-            F.broadcast(supps), F.col("l_suppkey") == supps[supps.columns[0]], "leftsemi"
+        out = out.join(
+            F.broadcast(supps),
+            F.col("ps_suppkey") == supps[supps.columns[0]],
+            "leftsemi",
         )
-    unit = (
-        F.col("l_extendedprice")
-        * (F.lit(1.0) - F.col("l_discount"))
-        / F.col("l_quantity")
-    )
-    return li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
-    ).agg(
-        (F.floor(F.min(unit) * F.lit(10000.0)) / F.lit(10000.0)).alias("ps_supplycost"),
-        F.sum("l_quantity").alias("ps_availqty"),
-    )
+    return out
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
