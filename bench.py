@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_minhash_orders",
     "dedup_clusters",
     "dedup_embedding_pairs_lsh",
+    "dedup_embedding_pairs_lsh_clustered",
     "similarity_topk",
     "similarity_ivf_topk",
     "knn_join_lsh",

@@ -3990,6 +3990,89 @@ ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
+# clustered-embedding pruning gate (VERDICT r2 task 4)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_embedding_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruning case the testdata can't show: on clustered
+    (mixture-of-Gaussians) embeddings the banded hyperplane LSH must keep
+    >=90% pair recall while examining <20% of all pairs. The near-orthogonal
+    synthetic embeddings force ~89% candidate density at comparable recall
+    (NOTES_r2 banding math), so this fixture-backed gate is what demonstrates
+    the bucketed path prunes on realistic, clustered corpora.
+    (sf-independent: the fixture is deterministic; n=1000 keeps the exact
+    O(n^2) baseline cheap while preserving the 40-cluster structure —
+    measured 97.9% recall at 5.9% candidate density on the n=2000 variant
+    of the same generator.)"""
+    from etl_file_loader_spark import fixtures
+
+    emb = fixtures.clustered_embeddings(spark, n=1000)
+    exact = dedup_ops.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.9
+    ).select("id_a", "id_b")
+    approx = dedup_ops.embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.9, num_bands=8, planes_per_band=8
+    ).select("id_a", "id_b")
+    # one-pass recall (the O(n^2) exact subtree evaluates once, not twice as
+    # in _recall_flag's separate hits/total aggregates)
+    recall = (
+        exact.join(approx.withColumn("_h", F.lit(1)), ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("_total"),
+            F.coalesce(F.sum("_h"), F.lit(0)).alias("_hits"),
+        )
+        .select(
+            F.lit("clustered_pair_recall").alias("metric"),
+            F.lit(90).alias("threshold_pct"),
+            (F.col("_hits") * 100 >= F.col("_total") * 90).cast("int").alias("passed"),
+        )
+    )
+    banded = sim_ops.hyperplane_lsh_bands(emb, "vec_id", "embedding", 8, 8)
+    cand = dedup_ops._bucket_join_pairs(
+        banded.select("vec_id", "band", "bucket"), "vec_id", ["band", "bucket"]
+    )
+    n_rows = emb.agg(F.count(F.lit(1)).alias("_n"))
+    density = cand.agg(F.count(F.lit(1)).alias("_cand")).crossJoin(n_rows).select(
+        F.lit("clustered_candidate_density").alias("metric"),
+        F.lit(20).alias("threshold_pct"),
+        (
+            F.col("_cand") * 100 <= (F.col("_n") * (F.col("_n") - 1) / 2) * 20
+        ).cast("int").alias("passed"),
+    )
+    return recall.unionAll(density)
+
+
+def q_dedup_embedding_pairs_lsh_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of the clustered gate at n=8000 (LSH path only — no exact
+    baseline): times the bucketed near-dup scale path where the buckets
+    actually prune (~6% candidate density vs ~89% on the near-orthogonal
+    testdata embeddings)."""
+    from etl_file_loader_spark import fixtures
+
+    emb = fixtures.clustered_embeddings(spark, n=8000)
+    return dedup_ops.embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.9, num_bands=8, planes_per_band=8
+    )
+
+
+QUERIES.update(
+    {
+        "dedup_embedding_clustered_recall": q_dedup_embedding_clustered_recall,
+        "dedup_embedding_pairs_lsh_clustered": q_dedup_embedding_pairs_lsh_clustered,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_embedding_clustered_recall": (
+            "SELECT 'clustered_pair_recall' AS metric, 90 AS threshold_pct, 1 AS passed "
+            "UNION ALL SELECT 'clustered_candidate_density', 20, 1"
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # digest queries + the driver-checked registry window
 # ---------------------------------------------------------------------------
 # The driver's correctness gate renders verdicts for a bounded prefix of the
@@ -4068,6 +4151,7 @@ CHECKED_QUERIES: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
     "dedup_embedding_lsh_recall",
+    "dedup_embedding_clustered_recall",
     "dedup_clusters",
     "dedup_incremental",
     # similarity / ANN
