@@ -70,6 +70,7 @@ def pack_shards(
     token_col: str,
     budget: int,
     partition_cols: list[str] | None = None,
+    allow_global_sort: bool = False,
 ) -> DataFrame:
     """Assign each doc a ``shard_id``: sequential fixed-token-budget packing.
 
@@ -79,17 +80,24 @@ def pack_shards(
     the straddling doc stays in the shard it started in. Deterministic, so
     shard manifests are reproducible.
 
-    With ``partition_cols`` (e.g. language, date) packing runs independently
-    per partition — the window parallelizes across partitions and shard ids
-    are per-partition counters (name shards (partition..., shard_id)). The
-    global variant orders the whole frame in one window partition: correct
-    and oracle-simple, but a single-task sort at scale — always pass
-    partition_cols for big corpora.
+    Partitioned packing is the default and the 100 TB path: with
+    ``partition_cols`` (e.g. language, date) the window parallelizes across
+    partitions and shard ids are per-partition counters (name shards
+    (partition..., shard_id)). The global variant orders the whole frame in
+    ONE window partition — a single-task sort that cannot scale — so it
+    must be opted into explicitly with ``allow_global_sort=True``
+    (small-corpus / oracle-twin use only).
     """
     if partition_cols:
         w = Window.partitionBy(*partition_cols).orderBy(id_col)
-    else:
+    elif allow_global_sort:
         w = Window.orderBy(id_col)
+    else:
+        raise ValueError(
+            "pack_shards without partition_cols is a single-task global sort; "
+            "pass partition_cols (scale path) or allow_global_sort=True "
+            "(small corpora only)"
+        )
     prefix = F.coalesce(
         F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),

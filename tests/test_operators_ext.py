@@ -410,16 +410,30 @@ def test_pack_shards_budget_and_straddle(spark):
     rows = [(1, 900), (2, 900), (3, 900), (4, 100), (5, 2500)]
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
     packed = {r["doc_id"]: r["shard_id"] for r in
-              sampling.pack_shards(df, "doc_id", "n_tokens", budget=1000).collect()}
+              sampling.pack_shards(df, "doc_id", "n_tokens", budget=1000,
+                                   allow_global_sort=True).collect()}
     # doc2 starts at prefix 900 (< 1000) so it STAYS in shard 0 (straddle);
     # doc3 starts at 1800 -> shard 1; doc4 at 2700 -> shard 2; doc5 at 2800 -> shard 2
     assert packed == {1: 0, 2: 0, 3: 1, 4: 2, 5: 2}
 
     manifest = {(r["shard_id"]): (r["docs"], r["tokens"]) for r in
                 sampling.shard_manifest(
-                    sampling.pack_shards(df, "doc_id", "n_tokens", budget=1000),
+                    sampling.pack_shards(df, "doc_id", "n_tokens", budget=1000,
+                                         allow_global_sort=True),
                     "n_tokens").collect()}
     assert manifest == {0: (2, 1800), 1: (1, 900), 2: (2, 2600)}
+
+
+def test_pack_shards_global_requires_opt_in(spark):
+    """The global single-task sort is opt-in: without partition_cols the
+    operator refuses rather than silently planning an unscalable window."""
+    import pytest
+
+    from etl_file_loader_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, 100)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="single-task global sort"):
+        sampling.pack_shards(df, "doc_id", "n_tokens", budget=1000)
 
 
 def test_pack_shards_partitioned_resets_per_partition(spark):

@@ -178,7 +178,8 @@ def test_pack_shards_invariants(spark):
         df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
         packed = sorted(
             ((r["doc_id"], r["shard_id"]) for r in
-             sampling.pack_shards(df, "doc_id", "n_tokens", budget).collect())
+             sampling.pack_shards(df, "doc_id", "n_tokens", budget,
+                                  allow_global_sort=True).collect())
         )
         shard_of = dict(packed)
         # shard ids are non-decreasing in doc order and start at 0
