@@ -71,6 +71,19 @@ def _run_with_progress(processor: Processor, directory: str, max_workers) -> Non
     t.join()
 
 
+def _print_stage(entry: dict) -> None:
+    """One stderr line per completed pipeline stage (reference
+    cli/main.py:106-127 polls per-file state; the run-log hook gives us the
+    finer per-stage grain for free)."""
+    dt = (entry["ended_at"] - entry["started_at"]).total_seconds()
+    rows = f"  {entry['row_count']} rows" if entry["row_count"] is not None else ""
+    status = "ok" if entry["success"] else "FAIL"
+    sys.stderr.write(
+        f"{entry['source_filename']}: {entry['stage']} {status}{rows}  {dt:.2f}s\n"
+    )
+    sys.stderr.flush()
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="etl_file_loader_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -93,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
         help="live per-file progress bar on stderr (default: on when stderr "
         "is a TTY)",
     )
+    p.add_argument(
+        "--stages", action="store_true",
+        help="stream per-file STAGE completions (read/validate/write/audit/"
+        "publish...) to stderr as they finish — the run-log, live "
+        "(disables the progress bar; bar + interleaved lines don't mix)",
+    )
     args = parser.parse_args(argv)
 
     if bool(args.directory) == bool(args.file):
@@ -107,10 +126,11 @@ def main(argv: list[str] | None = None) -> int:
             archive_dir=args.archive,
             duplicate_dir=args.duplicates,
             delete_source=args.delete_source,
+            on_stage=_print_stage if args.stages else None,
         )
         show_progress = (
             args.progress if args.progress is not None else sys.stderr.isatty()
-        )
+        ) and not args.stages
         if args.directory:
             if show_progress:
                 _run_with_progress(processor, args.directory, args.max_workers)

@@ -72,6 +72,7 @@ class PipelineRunner:
         log_id: int | None = None,
         delete_source: bool = False,
         duplicate_dir: str | None = None,
+        on_stage=None,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -91,6 +92,7 @@ class PipelineRunner:
             log_id=log_id if log_id is not None else next_log_id(warehouse),
             filename=self.filename,
             target_table=config.target_table,
+            on_stage=on_stage,
         )
 
     def _quarantine_duplicate(self) -> None:
@@ -336,6 +338,8 @@ class Processor:
     notifier: "Notifier | None" = None
     delete_source: bool = False
     duplicate_dir: str | None = None
+    # live per-stage hook threaded into every file's RunLog (CLI progress)
+    on_stage: "Callable[[dict], None] | None" = None
 
     def process_file(self, path: str, log_id: int | None = None) -> RunResult:
         from etl_file_loader_spark.exceptions import (
@@ -362,7 +366,7 @@ class Processor:
             result = PipelineRunner(
                 self.spark, self.warehouse, config, path, self.archive_dir,
                 log_id=log_id, delete_source=self.delete_source,
-                duplicate_dir=self.duplicate_dir,
+                duplicate_dir=self.duplicate_dir, on_stage=self.on_stage,
             ).run()
         except FileError as e:
             result = RunResult(False, filename, type(e).__name__, str(e))

@@ -9,6 +9,7 @@ already performs.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -38,6 +39,9 @@ class RunLog:
     filename: str
     target_table: str
     entries: list[dict] = field(default_factory=list)
+    # live per-stage hook (CLI progress, reference cli/main.py:106-127):
+    # called with the completed entry dict right after it is recorded
+    on_stage: "Callable[[dict], None] | None" = None
 
     def stage(self, name: str):
         """Context manager logging started/ended/success for one stage."""
@@ -64,6 +68,8 @@ class RunLog:
                         "row_count": self.row_count,
                     }
                 )
+                if log.on_stage is not None:
+                    log.on_stage(log.entries[-1])
                 return False
 
         return _Stage()
