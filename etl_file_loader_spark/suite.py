@@ -58,6 +58,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pinned to UTC above, NTZ -> LTZ is a wall-clock-preserving relabel, so
     # every downstream query (and the driver's UTC-rendered hash) sees the
     # same values either way.
+    # CAVEAT: the NTZ->LTZ cast resolves against the session timezone at
+    # EXECUTION time, not when this builder runs — a caller flipping
+    # spark.sql.session.timeZone between build and action would silently
+    # shift values. Every builder re-pins UTC via _ensure_session_confs
+    # above, which holds as long as no non-suite code mutates the conf
+    # between a builder call and its action (the driver collects right
+    # after building; tests share one UTC-pinned session).
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
