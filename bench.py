@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "dedup_exact_lineitem",
     "dedup_minhash_orders",
     "dedup_clusters",
+    "near_dedup_corpus",
     "dedup_embedding_pairs_lsh",
     "dedup_embedding_pairs_lsh_clustered",
     "similarity_topk",

@@ -478,6 +478,36 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def remove_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 5,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """The end-to-end near-dedup product op: return ``df`` minus near-dup
+    losers, keeping one representative (min id) per duplicate cluster.
+
+    Composition of the primitives above — minhash signatures (Arrow, no
+    shuffle) -> banded LSH candidate pairs (bucket equi-join) -> connected
+    components (min-label propagation) -> anti-join the non-representative
+    members. The loser set is tiny relative to the corpus (only docs in
+    dup clusters, minus one survivor each), so at scale the anti-join
+    broadcasts the losers against the corpus scan — no corpus shuffle; AQE
+    picks that plan from the loser side's runtime size.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, n=n)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
+    comp = connected_components(pairs, max_iterations=max_iterations)
+    losers = comp.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def incremental_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -1799,6 +1799,35 @@ QUERIES.update({"dedup_clusters": q_dedup_clusters})
 ORACLES.update({"dedup_clusters": Q_DEDUP_CLUSTERS_SQL})
 
 
+def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: the corpus minus LSH near-dup losers (one
+    min-id representative survives per duplicate cluster) — the operation a
+    training-data pipeline actually ships, with pairs/clusters as
+    intermediates. Same minhash/banding params as ``dedup_clusters``, so
+    the recursive-CTE oracle's component assignment matches exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup_ops.remove_near_duplicates(
+        docs, "doc_id", "text", num_hashes=16, n=5, bands=4, rows_per_band=4
+    )
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+Q_NEAR_DEDUP_CORPUS_SQL = Q_DEDUP_CLUSTERS_SQL.replace(
+    "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src",
+    """,
+comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id""",
+)
+
+QUERIES.update({"near_dedup_corpus": q_near_dedup_corpus})
+ORACLES.update({"near_dedup_corpus": Q_NEAR_DEDUP_CORPUS_SQL})
+
+
 def q_skewed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over hot keys (skew pattern).
 
@@ -4160,6 +4189,7 @@ CHECKED_QUERIES: list[str] = [
     "dedup_embedding_lsh_recall",
     "dedup_embedding_clustered_recall",
     "dedup_clusters",
+    "near_dedup_corpus",
     "dedup_incremental",
     # similarity / ANN
     "similarity_topk",

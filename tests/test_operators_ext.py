@@ -523,3 +523,24 @@ def test_contamination_broadcast_join(spark):
     # the benchmark side broadcasts: no shuffle exchange on the corpus scan
     plan = text.contamination(corpus, bench, "doc_id", "text", n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_remove_near_duplicates_keeps_representatives(spark):
+    from etl_file_loader_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),                               # exact dup of 1
+        (3, base.replace("today", "tonight")),   # near dup of 1
+        (4, "completely different text with no overlapping shingles here at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id
+        for r in dedup.remove_near_duplicates(
+            df, "doc_id", "text", num_hashes=16, n=3, bands=8, rows_per_band=2
+        ).collect()
+    )
+    # min-id representative (1) survives its cluster {1,2,3}; 4 untouched
+    assert kept == [1, 4]
