@@ -1219,18 +1219,12 @@ def q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
-# Approximate result-set demos whose graded contract is their *_recall twin
-# (same code path, oracle-checked threshold). Kept in QUERIES for bench and
-# interactive use; excluded from the driver registry so every driver-checked
-# query has an oracle (the two fake-codec decodes stay rows-only by design).
-UNCHECKED_DEMOS = frozenset(
-    {
-        "similarity_lsh_topk",
-        "similarity_ivf_topk",
-        "knn_join_lsh",
-        "dedup_embedding_pairs_lsh",
-    }
-)
+# Approximate result-set demos (similarity_lsh_topk / similarity_ivf_topk /
+# knn_join_lsh / dedup_embedding_pairs_lsh[_clustered]) have no SQL oracle by
+# nature; their graded contract is their *_recall twin (same code path,
+# oracle-checked threshold). They stay in QUERIES for bench and interactive
+# use; the driver window is the explicit CHECKED_QUERIES list at the end of
+# this module.
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
