@@ -125,49 +125,49 @@ def validate(
     raw_types = dict(df.dtypes)
     excel_source = config.file_format == "excel"
     out_cols: list[Column] = []
-    err_cols: list[Column] = []
+    err_cols: list[tuple[Column, Column]] = []
     for f in config.fields:
         raw = F.col(f.name)
         raw_type = df.schema[f.name].dataType
         casted = _cast_expr(f, raw, raw_type, excel_source=excel_source)
         out_cols.append(casted.alias(f.name))
 
-        errs: list[Column] = []
+        # (condition, error-struct) pairs — kept separate so the error
+        # array below can be built codegen-friendly (see note there)
+        errs: list[tuple[Column, Column]] = []
         if not f.nullable:
-            errs.append(
-                F.when(raw.isNull(), _error(f, raw, "missing", "field required"))
-            )
+            errs.append((raw.isNull(), _error(f, raw, "missing", "field required")))
         # non-null raw that fails the cast => captured cast error
         errs.append(
-            F.when(
+            (
                 raw.isNotNull() & casted.isNull(),
                 _error(f, raw, "cast_error", f"could not parse as {f.dtype.simpleString()}"),
             )
         )
         if f.max_length is not None:
             errs.append(
-                F.when(
+                (
                     F.length(casted.cast("string")) > f.max_length,
                     _error(f, raw, "max_length", f"length exceeds {f.max_length}"),
                 )
             )
         if f.email:
             errs.append(
-                F.when(
+                (
                     casted.isNotNull() & ~casted.rlike(EMAIL_REGEX),
                     _error(f, raw, "email", "value is not a valid email address"),
                 )
             )
         if f.min_value is not None:
             errs.append(
-                F.when(
+                (
                     casted.cast("double") < F.lit(float(f.min_value)),
                     _error(f, raw, "min_value", f"value below {f.min_value}"),
                 )
             )
         if f.max_value is not None:
             errs.append(
-                F.when(
+                (
                     casted.cast("double") > F.lit(float(f.max_value)),
                     _error(f, raw, "max_value", f"value above {f.max_value}"),
                 )
@@ -175,7 +175,23 @@ def validate(
         err_cols.extend(errs)
     _ = raw_types
 
-    errors = F.array_compact(F.array(*[e.cast(_ERROR_STRUCT) for e in err_cols]))
+    # concat of per-check conditional arrays instead of
+    # array_compact(array(when...)): array_compact rewrites to a
+    # higher-order filter, which blocks whole-stage codegen and leaves the
+    # hot validation projection interpreted; Concat generates code, so the
+    # whole scan->validate->split pipeline stays in one codegen stage.
+    # Error order (field order, check order) is identical.
+    _empty = F.array().cast(f"array<{_ERROR_STRUCT}>")
+    errors = (
+        F.concat(
+            *[
+                F.when(cond, F.array(e.cast(_ERROR_STRUCT))).otherwise(_empty)
+                for cond, e in err_cols
+            ]
+        )
+        if err_cols
+        else _empty
+    )
     extra_cols = [F.col(FILE_ROW_COL)] if FILE_ROW_COL in df.columns else []
     extra_cols += [F.col(f"`{c}`") for c in passthrough if c in df.columns]
     return df.select(
