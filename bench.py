@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "similarity_topk",
     "similarity_ivf_topk",
     "knn_join_lsh",
+    "knn_join_lsh_clustered",
     "text_stats",
     "text_quality_lang",
     "text_rolling_fingerprint",

@@ -4073,6 +4073,19 @@ def q_dedup_embedding_clustered_recall(spark: SparkSession, sf_dir: str) -> Data
     return recall.unionAll(density)
 
 
+def q_knn_join_lsh_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin: approximate k-NN join on the clustered fixture, where the
+    hyperplane buckets actually prune (deep bands: 8x8 planes — clustered
+    neighbors sit near θ≈19°, so p_band ≈ 0.89^8 ≈ 0.4 and 8 OR-ed bands
+    keep recall ≈ 0.98 while random pairs collide at ≈ 3%)."""
+    from etl_file_loader_spark import fixtures
+
+    emb = fixtures.clustered_embeddings(spark, n=8000)
+    return sim_ops.knn_join_lsh(
+        emb, "vec_id", "embedding", k=3, num_bands=8, planes_per_band=8
+    )
+
+
 def q_dedup_embedding_pairs_lsh_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench twin of the clustered gate at n=8000 (LSH path only — no exact
     baseline): times the bucketed near-dup scale path where the buckets
@@ -4090,6 +4103,7 @@ QUERIES.update(
     {
         "dedup_embedding_clustered_recall": q_dedup_embedding_clustered_recall,
         "dedup_embedding_pairs_lsh_clustered": q_dedup_embedding_pairs_lsh_clustered,
+        "knn_join_lsh_clustered": q_knn_join_lsh_clustered,
     }
 )
 ORACLES.update(
