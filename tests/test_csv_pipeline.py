@@ -156,3 +156,21 @@ def test_dlq_cleanup_on_reprocess(spark, warehouse, tmp_path):
     assert result.success
     dlq = warehouse.read_table(DLQ_TABLE).collect()
     assert len(dlq) == 1  # only the new run's row remains
+
+
+def test_on_stage_hook_streams_stage_completions(spark, warehouse, tmp_path):
+    """The run-log on_stage hook (CLI --stages) fires once per completed
+    stage, in execution order, with success + timing fields populated."""
+    seen = []
+    path = write_file(tmp_path, "sales_2024.csv", CSV_GOOD)
+    result = PipelineRunner(
+        spark, warehouse, transactions_source(), path, on_stage=seen.append
+    ).run()
+    assert result.success
+    stages = [e["stage"] for e in seen]
+    assert stages[:3] == ["check_if_processed", "read_data", "validate_data"]
+    assert "publish_data" in stages and "cleanup_dlq_records" in stages
+    assert all(e["success"] for e in seen)
+    assert all(e["ended_at"] >= e["started_at"] for e in seen)
+    publish = next(e for e in seen if e["stage"] == "publish_data")
+    assert publish["row_count"] == 3
