@@ -4219,6 +4219,7 @@ CHECKED_QUERIES: list[str] = [
     # multimodal + streaming
     "multimodal_meta",
     "multimodal_decode_fake",
+    "audio_decode_fake",
     "streaming_events_hourly",
 ]
 
@@ -4226,8 +4227,10 @@ assert len(CHECKED_QUERIES) <= 50, "driver verdict window is 50 entries"
 assert len(CHECKED_QUERIES) == len(set(CHECKED_QUERIES))
 _missing = [n for n in CHECKED_QUERIES if n not in QUERIES]
 assert not _missing, f"CHECKED_QUERIES not registered: {_missing}"
+# the two stubbed-codec decodes are rows-only by design (no SQL oracle for
+# a fake decode); everything else must carry an oracle twin
+_ROWS_ONLY = {"multimodal_decode_fake", "audio_decode_fake"}
 _no_oracle = [
-    n for n in CHECKED_QUERIES
-    if n not in ORACLES and n != "multimodal_decode_fake"
+    n for n in CHECKED_QUERIES if n not in ORACLES and n not in _ROWS_ONLY
 ]
 assert not _no_oracle, f"checked queries missing oracles: {_no_oracle}"
