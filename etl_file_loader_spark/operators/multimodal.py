@@ -15,6 +15,7 @@ tested; swapping in PIL is a one-function change.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -92,8 +93,11 @@ def decode_image(df: DataFrame, fake: bool = False, batch_hint: int = 0) -> Data
                     w = int.from_bytes(bytes(content[8:10]), "big")
                     h = int.from_bytes(bytes(content[10:12]), "big")
                     body = bytes(content[12:])
+                    # Plain int/int true division: both CPython and SQL engines
+                    # produce the identical correctly-rounded double, so the
+                    # value is cross-engine oracle-checkable bit-for-bit.
                     mean = (sum(body) / len(body)) if body else 0.0
-                    out.append((int(mid), w, h, round(mean, 6), True))
+                    out.append((int(mid), w, h, mean, True))
                 else:
                     out.append((int(mid), None, None, None, False))
             yield pd.DataFrame(
@@ -146,12 +150,16 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
                     rate = int.from_bytes(bytes(content[8:12]), "big")
                     n = int.from_bytes(bytes(content[12:16]), "big")
                     body = bytes(content[16:])
+                    # math.sqrt of an exactly-representable int/int quotient is
+                    # IEEE correctly rounded — identical across engines, so the
+                    # result set carries a cross-engine value oracle.
                     rms = (
-                        (sum(b * b for b in body) / len(body)) ** 0.5 if body else 0.0
+                        math.sqrt(sum(b * b for b in body) / len(body))
+                        if body
+                        else 0.0
                     )
                     out.append(
-                        (int(mid), rate, n, round(n / rate, 6) if rate else None,
-                         round(rms, 6), True)
+                        (int(mid), rate, n, n / rate if rate else None, rms, True)
                     )
                 else:
                     out.append((int(mid), None, None, None, None, False))

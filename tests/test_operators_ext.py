@@ -115,7 +115,7 @@ def test_multimodal_pack_decode_roundtrip(spark):
     assert decoded[1]["width"] == 65 and decoded[1]["height"] == 49
     assert decoded[1]["decode_ok"]
     body = bytes((1 * 31 + i) % 256 for i in range(64))
-    assert decoded[1]["mean_pixel"] == round(sum(body) / len(body), 6)
+    assert decoded[1]["mean_pixel"] == sum(body) / len(body)
 
 
 def test_multimodal_decode_requires_fake_flag(spark):
