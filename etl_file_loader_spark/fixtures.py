@@ -25,6 +25,10 @@ from pyspark.sql import types as T
 # numpy generation + driver-side conversion (consumers: the pruning gate,
 # the bench twin, tests)
 _CACHE: dict[tuple, DataFrame] = {}
+# LocalRelation plans embed the fixture data, so an unbounded keyed cache
+# grows driver memory with every distinct param set — cap it (FIFO evict;
+# nothing to unpersist, the frames are never .persist()ed).
+_CACHE_MAX = 8
 
 
 def clustered_embeddings(
@@ -76,5 +80,7 @@ def clustered_embeddings(
     # (measured 3.3s -> 11.8s on the n=8000 LSH twin). The cache only avoids
     # regenerating numpy + the Arrow transfer on repeat calls.
     df = spark.createDataFrame(pdf, schema)
+    while len(_CACHE) >= _CACHE_MAX:
+        _CACHE.pop(next(iter(_CACHE)))
     _CACHE[key] = df
     return df

@@ -3648,6 +3648,9 @@ PARTSUPP_SQL = """
 # (MEMORY_AND_DISK — partsupp cardinality is pair-of-dimensions-like, far
 # below fact cardinality, and spills if it doesn't fit).
 _PARTSUPP_CACHE: dict[tuple[str, str], DataFrame] = {}
+# A long-lived session iterating many datasets must not accumulate persisted
+# relations: cap the cache, unpersisting the oldest entry on overflow.
+_PARTSUPP_CACHE_MAX = 4
 
 
 def _derived_partsupp(
@@ -3703,6 +3706,9 @@ def _derived_partsupp(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        while len(_PARTSUPP_CACHE) >= _PARTSUPP_CACHE_MAX:
+            evicted = _PARTSUPP_CACHE.pop(next(iter(_PARTSUPP_CACHE)))
+            evicted.unpersist()
         _PARTSUPP_CACHE[key] = ps
     out = ps
     if parts is not None:

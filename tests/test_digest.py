@@ -86,6 +86,18 @@ def test_checksum_detects_value_change(spark):
     assert cb != cs  # column pairing matters, not just the value multiset
 
 
+def test_numeric_null_differs_from_zero(spark):
+    # NULL must not checksum-collide with 0 / 0.0 / false (ADVICE r3):
+    # numeric kinds render NULL to the non-decimal sentinel 'N'.
+    spec = [["b_col", "b"], ["f_col", "f"], ["i_col", "i"]]
+    schema = "i_col long, f_col double, b_col boolean"
+    zeros = spark.createDataFrame([(0, 0.0, False)], schema)
+    nulls = spark.createDataFrame([(None, None, None)], schema)
+    cz = digest.digest_frame(zeros, "x", spec).collect()[0].checksum
+    cn = digest.digest_frame(nulls, "x", spec).collect()[0].checksum
+    assert cz != cn
+
+
 def test_spec_drift_raises(spark):
     df = spark.createDataFrame([("a", 1)], "s_col string, i_col long")
     with pytest.raises(ValueError, match="spec drift"):
