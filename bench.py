@@ -193,6 +193,13 @@ def main() -> None:
     fixtures.clustered_embeddings(spark, n=8000)
 
     times: dict[str, float] = {}
+    # Materialize the shared derived-partsupp aggregate ONCE as its own bench
+    # line (it's dataset prep, like the clustered fixture): q2/q9/q11/q16/q20
+    # then consume the warm persisted cache, so q2 reports steady-state cost
+    # instead of being charged the one-time cache population.
+    t0 = time.perf_counter()
+    suite._derived_partsupp(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    times["partsupp_build"] = round(time.perf_counter() - t0, 3)
     for name in BENCH_QUERIES:
         times[name] = round(run_one(spark, name, sf_dir), 3)
     e2e_sec, e2e_rows = bench_pipeline_e2e(spark, sf_dir)
