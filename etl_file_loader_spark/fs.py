@@ -93,6 +93,55 @@ class FS:
                 out.append(status.getPath().toString())
         return sorted(out)
 
+    def list_names(self, directory: str) -> list[str]:
+        """Names (files AND directories) directly under ``directory``;
+        empty list if it doesn't exist."""
+        if not is_uri(directory):
+            d = Path(directory)
+            if not d.exists():
+                return []
+            return sorted(p.name for p in d.iterdir())
+        fs = self._jfs(directory)
+        jp = self._jpath(directory)
+        if not fs.exists(jp):
+            return []
+        return sorted(s.getPath().getName() for s in fs.listStatus(jp))
+
+    def rmtree(self, path: str) -> None:
+        """Recursive delete, ignoring a missing path."""
+        if not is_uri(path):
+            shutil.rmtree(path, ignore_errors=True)
+            return
+        self._jfs(path).delete(self._jpath(path), True)
+
+    def read_text(self, path: str, encoding: str = "utf-8") -> str:
+        return self.read_bytes(path).decode(encoding)
+
+    def write_text(self, path: str, text: str, encoding: str = "utf-8") -> None:
+        if not is_uri(path):
+            Path(path).write_text(text, encoding=encoding)
+            return
+        stream = self._jfs(path).create(self._jpath(path), True)
+        try:
+            stream.write(bytearray(text.encode(encoding)))
+        finally:
+            stream.close()
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        """Recursive directory copy (FileUtil.copy recurses for URI paths)."""
+        if not is_uri(src) and not is_uri(dst):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+            return
+        self._jvm().org.apache.hadoop.fs.FileUtil.copy(
+            self._jfs(src),
+            self._jpath(src),
+            self._jfs(dst),
+            self._jpath(dst),
+            False,
+            True,
+            self._hconf(),
+        )
+
     def copy(self, src: str, dst: str) -> None:
         if not is_uri(src) and not is_uri(dst):
             shutil.copy2(src, dst)

@@ -10,12 +10,26 @@ own input while overwriting it" parquet hazard is avoided by construction.
 Bounded-rewrite merges: tables written through the grain-bucket API are
 hive-partitioned on ``_grain_bucket = pmod(hash(grain), n_buckets)``. A merge
 then reads ONLY the buckets the stage rows hash into (partition pruning),
-rewrites those, and hard-links the untouched bucket directories from the
+rewrites those, and carries the untouched bucket directories from the
 previous snapshot into the new one — O(stage-touched buckets) I/O per load
 instead of O(target), the COW-filesystem analogue of Delta/Iceberg's
-file-level rewrite. Hard links are a local-filesystem optimization; an
-object-store deployment swaps this class for Delta/Iceberg (the engine only
-uses the read/merge/append surface, so the swap is local).
+file-level rewrite.
+
+Carry-over modes (``carry_mode``):
+  ``link``  hard-link untouched bucket dirs (O(1) per file, refcounted by
+            the filesystem) — local-FS only.
+  ``copy``  recursive copy through the Hadoop FileSystem API — works on any
+            scheme the cluster carries a connector for (``s3a:``, ``abfss:``,
+            ``gs:``, ``hdfs:``, ``file:``). Still O(untouched bytes) per
+            merge; object-store deployments wanting true O(1) carry-over
+            swap this class for Delta/Iceberg (the engine only uses the
+            read/merge/append surface, so the swap is local).
+  ``auto``  (default) ``link`` for plain OS paths, ``copy`` for URIs.
+
+All filesystem metadata operations (version listing, prune, bucket-count
+meta) route through :class:`etl_file_loader_spark.fs.FS`, so a warehouse
+rooted at an object-store URI works end-to-end; plain OS paths keep the
+pure-Python fast path (no JVM round-trips).
 
 Scale: snapshot writes are fully parallel; old versions are pruned to
 ``keep_versions`` (link refcounts keep shared files alive).
@@ -33,6 +47,8 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from etl_file_loader_spark.fs import FS, is_uri
 
 # internal hive-partition column carrying the grain-hash bucket
 BUCKET_COL = "_grain_bucket"
@@ -57,9 +73,25 @@ class Warehouse:
         path: str,
         keep_versions: int = 2,
         n_buckets: int | None = None,
+        carry_mode: str = "auto",
     ):
         self.spark = spark
-        self.path = Path(path)
+        self._root = str(path).rstrip("/")
+        self._is_uri = is_uri(self._root)
+        # public surface: a pathlib.Path for plain OS paths (callers join
+        # table names onto it); URI warehouses expose the string instead.
+        self.path = self._root if self._is_uri else Path(path)
+        self._fs = FS(spark)
+        if carry_mode not in ("auto", "link", "copy"):
+            raise ValueError(f"carry_mode must be auto|link|copy, got {carry_mode!r}")
+        if carry_mode == "auto":
+            carry_mode = "copy" if self._is_uri else "link"
+        if carry_mode == "link" and self._is_uri:
+            raise ValueError(
+                "carry_mode='link' requires a plain OS warehouse path; "
+                "object-store URIs need carry_mode='copy'"
+            )
+        self.carry_mode = carry_mode
         self.keep_versions = keep_versions
         # default bucket count = the session's shuffle parallelism: one
         # bucket per write task locally, ~thousands on a big cluster — merge
@@ -68,7 +100,7 @@ class Warehouse:
         self.n_buckets = n_buckets or max(
             16, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         )
-        self.path.mkdir(parents=True, exist_ok=True)
+        self._fs.mkdirs(self._root)
         # per-TABLE locks: concurrent per-file pipelines
         # (Processor.process_files_in_parallel) can't interleave a
         # read-modify-write on the same table, but pipelines targeting
@@ -78,17 +110,17 @@ class Warehouse:
         self._locks: dict[str, threading.RLock] = {}
         self._meta = threading.Lock()
 
+    def _p(self, *parts: str) -> str:
+        return "/".join([self._root, *parts])
+
     def _table_lock(self, table: str) -> threading.RLock:
         with self._meta:
             return self._locks.setdefault(table, threading.RLock())
 
     def _versions(self, table: str) -> list[int]:
-        tdir = self.path / table
-        if not tdir.exists():
-            return []
         out = []
-        for p in tdir.iterdir():
-            m = re.fullmatch(r"_v(\d+)", p.name)
+        for name in self._fs.list_names(self._p(table)):
+            m = re.fullmatch(r"_v(\d+)", name)
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
@@ -123,10 +155,10 @@ class Warehouse:
                     f"(available: {versions})"
                 )
             return self._drop_internal(
-                self.spark.read.parquet(str(self.path / table / f"_v{version}"))
+                self.spark.read.parquet(self._p(table, f"_v{version}"))
             )
         return self._drop_internal(
-            self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
+            self.spark.read.parquet(self._p(table, f"_v{versions[-1]}"))
         )
 
     @staticmethod
@@ -135,10 +167,10 @@ class Warehouse:
 
     def table_buckets(self, table: str) -> int | None:
         """Bucket count the table was written with, or None if unbucketed."""
-        meta = self.path / table / "_buckets.json"
-        if not meta.exists():
+        meta = self._p(table, "_buckets.json")
+        if not self._fs.exists(meta):
             return None
-        return int(json.loads(meta.read_text())["n_buckets"])
+        return int(json.loads(self._fs.read_text(meta))["n_buckets"])
 
     def read_table_buckets(
         self,
@@ -158,7 +190,7 @@ class Warehouse:
             if schema is None:
                 raise FileNotFoundError(f"table {table} does not exist and no schema given")
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
+        df = self.spark.read.parquet(self._p(table, f"_v{versions[-1]}"))
         if BUCKET_COL in df.columns:
             df = df.filter(F.col(BUCKET_COL).isin(bucket_values)).drop(BUCKET_COL)
         return df
@@ -173,38 +205,41 @@ class Warehouse:
         """Write a new snapshot rewriting ONLY the touched grain-hash buckets.
 
         ``df`` must carry ``BUCKET_COL`` and contain the complete new contents
-        of the touched buckets; every other bucket directory is hard-linked
-        from the previous snapshot (O(1) per file, refcounted by the
-        filesystem — the local-FS analogue of a Delta file-level rewrite).
-        With ``touched_buckets=None`` (first load / full rewrite) the whole
-        frame is written. Rows are repartitioned on the bucket column first so
-        file count tracks bucket count, not tasks x buckets.
+        of the touched buckets; every other bucket directory is carried over
+        from the previous snapshot — hard-linked in ``link`` mode (O(1) per
+        file), Hadoop-FS-copied in ``copy`` mode (object-store safe). With
+        ``touched_buckets=None`` (first load / full rewrite) the whole frame
+        is written. Rows are repartitioned on the bucket column first so file
+        count tracks bucket count, not tasks x buckets.
         """
         with self._table_lock(table):
             versions = self._versions(table)
             parts = [BUCKET_COL] + list(partition_by or [])
             out_df = df.repartition(F.col(BUCKET_COL))
             new_v = (versions[-1] + 1) if versions else 0
-            out = self.path / table / f"_v{new_v}"
-            out_df.write.mode("overwrite").partitionBy(*parts).parquet(str(out))
+            out = self._p(table, f"_v{new_v}")
+            out_df.write.mode("overwrite").partitionBy(*parts).parquet(out)
             if versions and touched_buckets is not None:
                 touched_dirs = {f"{BUCKET_COL}={v}" for v in touched_buckets}
-                prev = self.path / table / f"_v{versions[-1]}"
-                for sub in prev.iterdir():
-                    if (
-                        sub.is_dir()
-                        and sub.name.startswith(f"{BUCKET_COL}=")
-                        and sub.name not in touched_dirs
-                    ):
-                        _link_tree(sub, out / sub.name)
-            meta = self.path / table / "_buckets.json"
-            if not meta.exists():
-                meta.write_text(json.dumps({"n_buckets": self.n_buckets}))
+                prev = self._p(table, f"_v{versions[-1]}")
+                for name in self._fs.list_names(prev):
+                    if name.startswith(f"{BUCKET_COL}=") and name not in touched_dirs:
+                        self._carry(f"{prev}/{name}", f"{out}/{name}")
+            meta = self._p(table, "_buckets.json")
+            if not self._fs.exists(meta):
+                self._fs.write_text(meta, json.dumps({"n_buckets": self.n_buckets}))
             self._prune_versions(table, versions)
+
+    def _carry(self, src: str, dst: str) -> None:
+        """Carry one untouched bucket dir into the new snapshot."""
+        if self.carry_mode == "link":
+            _link_tree(Path(src), Path(dst))
+        else:
+            self._fs.copy_tree(src, dst)
 
     def _prune_versions(self, table: str, versions: list[int]) -> None:
         for v in versions[: -self.keep_versions + 1] if self.keep_versions > 0 else versions:
-            shutil.rmtree(self.path / table / f"_v{v}", ignore_errors=True)
+            self._fs.rmtree(self._p(table, f"_v{v}"))
 
     def overwrite(
         self, table: str, df: DataFrame, partition_by: list[str] | None = None
@@ -217,14 +252,14 @@ class Warehouse:
     ) -> None:
         versions = self._versions(table)
         new_v = (versions[-1] + 1) if versions else 0
-        out = self.path / table / f"_v{new_v}"
+        out = self._p(table, f"_v{new_v}")
         writer = df.write.mode("overwrite")
         if partition_by:
             # hive-style layout: readers filtering on these columns prune
             # whole directories at plan time (PartitionFilters, zero I/O for
             # excluded partitions) — the COW analogue of Delta partitioning
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(out))
+        writer.parquet(out)
         self._prune_versions(table, versions)
 
     def append(self, table: str, df: DataFrame) -> None:
@@ -250,8 +285,8 @@ class Warehouse:
                         f"append not supported on grain-bucketed table "
                         f"{table!r}; use merge_overwrite"
                     )
-                out = self.path / table / f"_v{versions[-1]}"
-                df.write.mode("append").parquet(str(out))
+                out = self._p(table, f"_v{versions[-1]}")
+                df.write.mode("append").parquet(out)
 
     def mutate(self, table: str):
         """Context manager serializing a multi-step read-modify-write on ONE
@@ -271,7 +306,7 @@ class Warehouse:
             if not self.exists(table):
                 return
             versions = self._versions(table)
-            raw = self.spark.read.parquet(str(self.path / table / f"_v{versions[-1]}"))
+            raw = self.spark.read.parquet(self._p(table, f"_v{versions[-1]}"))
             if BUCKET_COL in raw.columns:
                 # bucketed table: rewrite within the same bucket layout
                 # (repartition on the bucket -> ~one file per bucket)
@@ -281,7 +316,7 @@ class Warehouse:
             self._overwrite_locked(table, raw.coalesce(n))
 
     def drop(self, table: str) -> None:
-        shutil.rmtree(self.path / table, ignore_errors=True)
+        self._fs.rmtree(self._p(table))
 
 
 def _link_tree(src: Path, dst: Path) -> None:
