@@ -78,6 +78,11 @@ class SourceConfig:
     # filtering on them prune whole partitions at plan time — pick a
     # low-cardinality natural key (a date, a region) for 100 TB tables
     target_partition_by: list[str] = field(default_factory=list)
+    # deterministic grain-derived salt added as an extra merge-join key
+    # (operators/publish.py:merge_salt): opt-in protection against
+    # hash-partition collision clusters in the MERGE shuffle; semantics
+    # unchanged (the salt is a pure function of the grain)
+    merge_salt_buckets: int | None = None
 
     def matches(self, filename: str) -> bool:
         """Glob match on the lowered basename (reference sources/base.py:31-38)."""

@@ -19,10 +19,22 @@ join on the merge condition + per-column conditional projection).
 
 Scale: one shuffle on the grain key for both sides. On a real cluster, bucket
 the target table by grain (``write.bucketBy(n, *grain)``) so repeated loads
-shuffle only the (much smaller) stage side; AQE handles skewed grains. The
-insert/update counts reuse the same join shape (left_anti / inner+hash-filter)
-— Catalyst broadcasts the stage side automatically when a single file's rows
-are << the target.
+shuffle only the (much smaller) stage side. The insert/update counts reuse
+the same join shape (left_anti / inner+hash-filter) — Catalyst broadcasts the
+stage side automatically when a single file's rows are << the target.
+
+Skew: the grain is unique on BOTH sides by construction (the grain-uniqueness
+audit gates publish), so the full-outer join is 1:1 per key — no per-key row
+explosion is possible, and a "one grain = 10% of rows" hot key cannot reach
+this operator. Note AQE's skew-join splitting does NOT apply to full-outer
+joins, so it is not the protection here; the residual exposure is
+hash-partition imbalance over *distinct* keys (adversarial or unlucky key
+sets colliding into one shuffle partition). ``salt_buckets`` closes that:
+both sides gain a salt column that is a *deterministic pure function of the
+grain* (murmur3 with a different seed mix), the join adds it as an equi-key,
+and the shuffle then partitions on hash(grain, salt) — redistributing any
+collision cluster crafted against hash(grain) while preserving full-outer
+semantics exactly (equal grains always produce equal salts).
 """
 
 from __future__ import annotations
@@ -42,12 +54,29 @@ LOG_ID_COL = "file_load_log_id"
 SYSTEM_COLS = [HASH_COL, FILENAME_COL, LOG_ID_COL, CREATED_COL, UPDATED_COL]
 
 
+# seed mix for the deterministic merge salt: any constant works as long as
+# the salt hash differs from the shuffle's plain hash(grain)
+_SALT_SEED = 0x5A17
+
+
+def merge_salt(grain: list[str], salt_buckets: int) -> Column:
+    """Deterministic per-grain salt: pmod(murmur3(grain, seed), n).
+
+    A pure function of the grain, so equal grains on the two merge sides
+    always carry equal salts — adding it as a join key never changes which
+    rows match, it only re-keys the shuffle partitioning."""
+    return F.pmod(
+        F.hash(*[F.col(g) for g in grain], F.lit(_SALT_SEED)), F.lit(salt_buckets)
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     stage: DataFrame,
     grain: list[str],
     business_cols: list[str],
     now: Column | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Full-outer-join MERGE rewrite; returns the new target contents.
 
@@ -55,23 +84,33 @@ def merge_upsert(
     file_load_log_id. ``target`` additionally carries etl_created_at /
     etl_updated_at. Grain columns are assumed non-null (enforced upstream by
     validation - grain fields are non-nullable).
+
+    ``salt_buckets`` adds a deterministic grain-derived salt as an extra
+    equi-join key (see module docstring: redistributes hash-partition
+    collision clusters; semantics unchanged).
     """
     now = now if now is not None else F.current_timestamp()
     data_cols = [c for c in business_cols if c not in grain]
 
+    salt_keys: list[str] = []
+    if salt_buckets:
+        stage = stage.withColumn("_merge_salt", merge_salt(grain, salt_buckets))
+        target = target.withColumn("_merge_salt", merge_salt(grain, salt_buckets))
+        salt_keys = ["_merge_salt"]
+
     s = stage.select(
-        *[F.col(g).alias(f"s_{g}") for g in grain],
+        *[F.col(g).alias(f"s_{g}") for g in grain + salt_keys],
         *[F.col(c).alias(f"s_{c}") for c in data_cols],
         F.col(HASH_COL).alias(f"s_{HASH_COL}"),
         F.col(FILENAME_COL).alias(f"s_{FILENAME_COL}"),
         F.col(LOG_ID_COL).alias(f"s_{LOG_ID_COL}"),
     )
     t = target.select(
-        *[F.col(g).alias(f"t_{g}") for g in grain],
+        *[F.col(g).alias(f"t_{g}") for g in grain + salt_keys],
         *[F.col(c).alias(f"t_{c}") for c in data_cols],
         *[F.col(c).alias(f"t_{c}") for c in SYSTEM_COLS],
     )
-    cond = [s[f"s_{g}"] == t[f"t_{g}"] for g in grain]
+    cond = [s[f"s_{g}"] == t[f"t_{g}"] for g in grain + salt_keys]
     joined = s.join(t, on=cond if cond else None, how="full_outer")
 
     s_exists = F.col(f"s_{grain[0]}").isNotNull()

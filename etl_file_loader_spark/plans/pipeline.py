@@ -279,7 +279,11 @@ class PipelineRunner:
                                 )
                         pub_counts = publish_ops.publish_counts(target, stage, cfg.grain)
                         merged = publish_ops.merge_upsert(
-                            target, stage, cfg.grain, cfg.business_columns
+                            target,
+                            stage,
+                            cfg.grain,
+                            cfg.business_columns,
+                            salt_buckets=cfg.merge_salt_buckets,
                         )
                         self.warehouse.merge_overwrite(
                             cfg.target_table,

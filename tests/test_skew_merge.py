@@ -1,0 +1,110 @@
+"""Skew protection for the MERGE full-outer join.
+
+The grain is unique on both merge sides (the grain audit gates publish), so
+no single key can explode the join — the remaining exposure is an unlucky or
+adversarial key SET whose murmur3 hashes collide into one shuffle partition
+(AQE's skew-join splitting does not apply to full-outer joins, so it cannot
+rescue that). The fixture here crafts exactly that pathology: every key
+hashes to shuffle partition 0. ``salt_buckets`` re-keys the shuffle with a
+deterministic grain-derived salt, spreading the hotspot without changing a
+single output row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_file_loader_spark.functions import row_hash
+from etl_file_loader_spark.operators import publish
+
+FIELDS = {"id": T.LongType(), "v": T.LongType()}
+
+
+def _colliding_ids(spark, n_search: int):
+    """Keys that ALL hash into shuffle partition 0 (the skewed fixture)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return spark.range(n_search).filter(
+        F.pmod(F.hash(F.col("id")), F.lit(n_part)) == 0
+    )
+
+
+def _frame(ids, fname: str, log: int, v_expr):
+    return (
+        ids.select("id", v_expr.alias("v"))
+        .withColumn("etl_row_hash", row_hash(FIELDS))
+        .withColumn("source_filename", F.lit(fname))
+        .withColumn("file_load_log_id", F.lit(log).cast("long"))
+    )
+
+
+def _target(ids):
+    return (
+        _frame(ids, "t.csv", 1, F.col("id") * 2)
+        .withColumn("etl_created_at", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("etl_updated_at", F.lit(None).cast("timestamp"))
+    )
+
+
+def test_salted_merge_spreads_colliding_grains(spark):
+    ids = _colliding_ids(spark, 200_000)
+    target = _target(ids)
+    # stage updates every second row, inserts a disjoint colliding range
+    stage_ids = ids.filter(F.col("id") % 2 == 0)
+    stage = _frame(stage_ids, "s.csv", 2, F.col("id") * 3)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        # force the shuffle join (a broadcast join has no shuffle to skew) and
+        # keep AQE from coalescing the tiny test partitions — at real scale
+        # the skewed partition is far above the advisory size, so coalescing
+        # wouldn't merge it; locally it hides the distribution being measured
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        now = F.lit("2024-06-01 00:00:00").cast("timestamp")
+        unsalted = publish.merge_upsert(target, stage, ["id"], ["id", "v"], now=now)
+        salted = publish.merge_upsert(
+            target, stage, ["id"], ["id", "v"], now=now, salt_buckets=64
+        )
+
+        # the fixture really is pathological: the unsalted join lands every
+        # row in ONE shuffle partition...
+        unsalted_parts = (
+            unsalted.select(F.spark_partition_id().alias("p")).distinct().count()
+        )
+        # ...and the salt spreads it across (essentially all of) them
+        salted_parts = (
+            salted.select(F.spark_partition_id().alias("p")).distinct().count()
+        )
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert unsalted_parts == 1, unsalted_parts
+        assert salted_parts >= max(2, n_part // 2), (salted_parts, n_part)
+
+        # semantics identical row-for-row
+        cols = sorted(unsalted.columns)
+        a = sorted(map(tuple, unsalted.select(*cols).collect()))
+        b = sorted(map(tuple, salted.select(*cols).collect()))
+        assert a == b and len(a) == ids.count()
+        assert "_merge_salt" not in salted.columns
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
+
+
+def test_merge_salt_is_pure_function_of_grain(spark):
+    # equal grains must get equal salts on both sides regardless of other
+    # columns — that's what makes the extra join key semantics-preserving
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 7).alias("noise")
+    )
+    s1 = df.select(publish.merge_salt(["id"], 64).alias("s")).collect()
+    s2 = (
+        df.withColumn("noise", F.col("noise") + 1)
+        .select(publish.merge_salt(["id"], 64).alias("s"))
+        .collect()
+    )
+    assert [r["s"] for r in s1] == [r["s"] for r in s2]
+    assert all(0 <= r["s"] < 64 for r in s1)
+    assert len({r["s"] for r in s1}) > 32  # actually spreads
