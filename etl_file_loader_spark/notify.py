@@ -70,6 +70,47 @@ def notify_summary(notifier: Notifier, summary: dict) -> None:
     )
 
 
+class MultiNotifier(Notifier):
+    """Fan a notification out to several transports (e.g. email stakeholders
+    AND post the ops webhook, the reference's combined behavior)."""
+
+    def __init__(self, notifiers: list[Notifier]):
+        self.notifiers = list(notifiers)
+
+    def send(self, n: Notification) -> None:
+        for nt in self.notifiers:
+            nt.send(n)
+
+
+def notifier_from_settings(settings: dict) -> Notifier:
+    """Config-driven construction (reference notify/factory.py:8-16 +
+    settings.py:77-84): SMTP_HOST+FROM_EMAIL enable email, WEBHOOK_URL
+    enables the webhook; both set -> fan-out; neither -> logging default.
+
+    Keys mirror the reference's settings names: SMTP_HOST, SMTP_PORT,
+    SMTP_USER, SMTP_PASSWORD, FROM_EMAIL, DATA_TEAM_EMAIL, WEBHOOK_URL.
+    """
+    out: list[Notifier] = []
+    if settings.get("SMTP_HOST") and settings.get("FROM_EMAIL"):
+        out.append(
+            SmtpNotifier(
+                host=settings["SMTP_HOST"],
+                port=int(settings.get("SMTP_PORT") or 587),
+                from_email=settings["FROM_EMAIL"],
+                user=settings.get("SMTP_USER"),
+                password=settings.get("SMTP_PASSWORD"),
+                data_team_email=settings.get("DATA_TEAM_EMAIL"),
+            )
+        )
+    if settings.get("WEBHOOK_URL"):
+        out.append(WebhookNotifier(settings["WEBHOOK_URL"]))
+    if not out:
+        return Notifier()
+    if len(out) == 1:
+        return out[0]
+    return MultiNotifier(out)
+
+
 class SmtpNotifier(Notifier):
     """SMTP transport with the reference's email shape (notify/email.py:33-97):
     subject ``FileLoader Failed: <file> - <error type>``, data-team cc,

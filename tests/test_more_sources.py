@@ -386,6 +386,82 @@ def test_smtp_and_webhook_notifier_shapes(monkeypatch):
     assert "*ERROR*" in p["text"] and "*Timestamp:*" in p["text"]
 
 
+def test_notifier_from_settings_factory(monkeypatch):
+    """Config-driven transport selection (reference notify/factory.py:8-16 +
+    settings.py:77-84 key names)."""
+    from etl_file_loader_spark.notify import (
+        MultiNotifier,
+        Notifier,
+        SmtpNotifier,
+        WebhookNotifier,
+        notifier_from_settings,
+    )
+
+    assert type(notifier_from_settings({})) is Notifier  # logging default
+    smtp = notifier_from_settings(
+        {"SMTP_HOST": "smtp.local", "FROM_EMAIL": "noreply@x.com",
+         "SMTP_PORT": "465", "DATA_TEAM_EMAIL": "team@x.com"}
+    )
+    assert isinstance(smtp, SmtpNotifier)
+    assert smtp.port == 465 and smtp.data_team_email == "team@x.com"
+    hook = notifier_from_settings({"WEBHOOK_URL": "https://hooks.local/a"})
+    assert isinstance(hook, WebhookNotifier)
+    both = notifier_from_settings(
+        {"SMTP_HOST": "smtp.local", "FROM_EMAIL": "n@x.com",
+         "WEBHOOK_URL": "https://hooks.local/a"}
+    )
+    assert isinstance(both, MultiNotifier) and len(both.notifiers) == 2
+    # incomplete SMTP config (host without from) falls back cleanly
+    assert type(notifier_from_settings({"SMTP_HOST": "smtp.local"})) is Notifier
+
+
+def test_smtp_email_sent_on_audit_failure_via_processor(
+    spark, warehouse, tmp_path, monkeypatch
+):
+    """End-to-end transport wiring (reference test_notifications.py:
+    test_email_notification_on_audit_failure): an audit-failing file drives
+    a real SMTP send through the Processor, with smtplib mocked."""
+    import smtplib
+
+    from etl_file_loader_spark.notify import SmtpNotifier
+    from etl_file_loader_spark.plans.pipeline import Processor
+    from etl_file_loader_spark.registry import SourceRegistry
+    from tests.sources_fixtures import CSV_FAIL_AUDIT, transactions_source
+
+    mails = []
+
+    class FakeSMTP:
+        def __init__(self, host, port):
+            pass
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+        def starttls(self):
+            pass
+        def login(self, u, p):
+            pass
+        def sendmail(self, frm, to, body):
+            mails.append((frm, tuple(to), body))
+
+    monkeypatch.setattr(smtplib, "SMTP", FakeSMTP)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "sales_bad.csv").write_text(CSV_FAIL_AUDIT)
+    proc = Processor(
+        spark, warehouse,
+        SourceRegistry([transactions_source(notification_emails=["ops@example.com"])]),
+        notifier=SmtpNotifier("smtp.local", 587, "noreply@x.com",
+                              data_team_email="team@x.com"),
+    )
+    proc.process_directory(str(drop))
+    # one file_error mail + one summary mail, stakeholder + cc on the error
+    assert len(mails) == 2
+    frm, to, body = mails[0]
+    assert frm == "noreply@x.com" and to == ("ops@example.com", "team@x.com")
+    assert "AuditFailedError" in body
+
+
 def test_additive_schema_evolution_on_merge(spark, warehouse, tmp_path):
     """A business column added to the config after the target exists joins
     in as typed nulls for old rows; re-delivered rows pick up the value
