@@ -112,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
         "publish...) to stderr as they finish — the run-log, live "
         "(disables the progress bar; bar + interleaved lines don't mix)",
     )
+    p.add_argument(
+        "--json", action="store_true", dest="json_out",
+        help="emit ONE machine-readable JSON object on stdout: results "
+        "summary + per-file outcomes + per-stage timings (the reference "
+        "CLI's rich tables, for automation)",
+    )
     args = parser.parse_args(argv)
 
     if bool(args.directory) == bool(args.file):
@@ -119,6 +125,31 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("etl-file-loader-cli", cpus=args.cpus)
     try:
+        # per-stage collection for --json (list.append is atomic, so the
+        # hook is safe under the parallel-files thread pool)
+        stage_log: list[dict] = []
+
+        def _collect_stage(entry: dict) -> None:
+            stage_log.append(
+                {
+                    "file": entry["source_filename"],
+                    "stage": entry["stage"],
+                    "success": entry["success"],
+                    "rows": entry["row_count"],
+                    "seconds": round(
+                        (entry["ended_at"] - entry["started_at"]).total_seconds(), 3
+                    ),
+                    "started_at": entry["started_at"].isoformat(),
+                }
+            )
+            if args.stages:
+                _print_stage(entry)
+
+        on_stage = None
+        if args.json_out:
+            on_stage = _collect_stage
+        elif args.stages:
+            on_stage = _print_stage
         processor = Processor(
             spark=spark,
             warehouse=Warehouse(spark, args.warehouse),
@@ -126,7 +157,7 @@ def main(argv: list[str] | None = None) -> int:
             archive_dir=args.archive,
             duplicate_dir=args.duplicates,
             delete_source=args.delete_source,
-            on_stage=_print_stage if args.stages else None,
+            on_stage=on_stage,
         )
         show_progress = (
             args.progress if args.progress is not None else sys.stderr.isatty()
@@ -143,7 +174,31 @@ def main(argv: list[str] | None = None) -> int:
         else:
             processor.process_file(args.file)
         summary = processor.results_summary()
-        print(json.dumps(summary))
+        if args.json_out:
+            out = {
+                "summary": summary,
+                "files": [
+                    {
+                        "filename": r.filename,
+                        "success": r.success,
+                        "error_type": r.error_type,
+                        "counts": (
+                            {
+                                "inserts": r.counts.inserts,
+                                "updates": r.counts.updates,
+                                "unchanged": r.counts.unchanged,
+                            }
+                            if r.counts is not None
+                            else None
+                        ),
+                    }
+                    for r in processor.results
+                ],
+                "stages": stage_log,
+            }
+            print(json.dumps(out))
+        else:
+            print(json.dumps(summary))
         return 0 if summary["failed"] == 0 else 1
     finally:
         spark.stop()
