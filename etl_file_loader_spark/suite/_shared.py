@@ -1,0 +1,84 @@
+"""Query suite: every operator exposed as a (spark, sf_dir) -> DataFrame
+builder with a DuckDB-oracle ANSI-SQL twin (driver correctness gate).
+
+Engine-parity rules that make value-hash comparison possible:
+ - aggregates over doubles go through DECIMAL (exact, order-independent) and
+   are cast back to double at the end — float summation order never leaks
+ - timestamps/dates render to strings with one pinned format
+ - every computed column is aliased identically in Spark and SQL
+ - md5 hex + '0x'-hex-parse int64 are bit-identical across engines
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from etl_file_loader_spark.config import FieldSpec, SourceConfig
+from etl_file_loader_spark.functions import (
+    clean_email,
+    clean_phone,
+    excel_serial_to_date,
+    excel_serial_to_timestamp,
+    row_hash,
+)
+from etl_file_loader_spark.operators import audit as audit_ops
+from etl_file_loader_spark.operators import dedup as dedup_ops
+from etl_file_loader_spark.operators import publish as publish_ops
+from etl_file_loader_spark.operators import similarity as sim_ops
+from etl_file_loader_spark.operators import text as text_ops
+from etl_file_loader_spark.operators import validate as validate_ops
+from etl_file_loader_spark.operators.hashing import HASH_COL
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Suite queries may run under the DRIVER's SparkSession (entry/queries
+    contract), which won't have our builder configs — set the two that
+    correctness depends on at runtime (both are runtime-settable SQL confs):
+    nanos parquet reads (events.ts) and UTC rendering of LTZ timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS) -> read as int64 nanos
+    # (nanosAsLong) -> truncate to micros with integer division (1e18 nanos
+    # exceeds double's exact range; DIV stays in int64), matching DuckDB's
+    # ns->us truncation
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Parquet TIMESTAMP with isAdjustedToUTC=false infers as TIMESTAMP_NTZ in
+    # Spark 4; unix_micros/double casts reject NTZ. With the session timezone
+    # pinned to UTC above, NTZ -> LTZ is a wall-clock-preserving relabel, so
+    # every downstream query (and the driver's UTC-rendered hash) sees the
+    # same values either way.
+    # CAVEAT: the NTZ->LTZ cast resolves against the session timezone at
+    # EXECUTION time, not when this builder runs — a caller flipping
+    # spark.sql.session.timeZone between build and action would silently
+    # shift values. Every builder re-pins UTC via _ensure_session_confs
+    # above, which holds as long as no non-suite code mutates the conf
+    # between a builder call and its action (the driver collects right
+    # after building; tests share one UTC-pinned session).
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(
+        f"decimal(18,{scale})"
+    )
+
+
+# The two shared registries, populated by the family modules and finalized
+# (digests + driver window) in the package __init__.
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+

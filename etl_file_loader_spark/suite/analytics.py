@@ -1,0 +1,726 @@
+"""Analytics surface: windows, set ops, grouping sets, funnels, cohorts, sketches.
+
+Split from the monolithic suite.py (round 4); unit text unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _dec, _t
+
+
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order rollup joined back to the dimension (broadcast)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    agg = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("_sum"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_order_at"
+            ),
+        )
+    )
+    out = (
+        agg.join(F.broadcast(cust), agg.o_custkey == cust.c_custkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "n_orders",
+            F.col("_sum").cast("double").alias("total_spend"),
+            "last_order_at",
+        )
+        .orderBy(F.col("_sum").desc(), "custkey")
+        .limit(10)
+    )
+    return out
+
+
+Q_CUSTOMER_ORDER_STATS_SQL = """
+SELECT o_custkey AS custkey, c_name AS name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order_at
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) DESC, custkey
+LIMIT 10
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped windowed aggregate, batch form: hour x event_type."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sv"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+            "n_users",
+        )
+    )
+    return out
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (deterministic tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "value")
+    )
+
+
+Q_TOP_EVENTS_PER_USER_SQL = """
+SELECT user_id, rank, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 3
+ORDER BY user_id, rank
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative gap count), 30-min gap."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision on both engines (cast-to-long would floor seconds)
+    gap = F.when(
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w))
+        > 1800 * 1_000_000,
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("_gap", gap)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("_gap") + 1).cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+Q_SESSIONIZATION_SQL = """
+SELECT user_id, CAST(sum(g) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              THEN 1 ELSE 0 END AS g
+  FROM events
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# advanced joins / grouping sets
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest purchase at-or-before each event, per user."""
+    from etl_file_loader_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_event_id"),
+            F.max("value").alias("purchase_value"),
+        )
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    joined = asof_join(
+        left,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["purchase_event_id", "purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("purchase_event_id_asof"),
+        F.col("purchase_value_asof"),
+    )
+
+
+Q_ASOF_JOIN_SQL = """
+WITH r AS (
+  SELECT user_id, ts, max(event_id) AS purchase_event_id, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       r.purchase_event_id AS purchase_event_id_asof,
+       r.purchase_value AS purchase_value_asof
+FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
+def q_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: events per user in the preceding hour."""
+    from etl_file_loader_spark.operators.joins import bucketized_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select(
+        F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_event_id")
+    )
+    joined = bucketized_range_join(
+        left, right, on="user_id", left_time="ts", right_time="r_ts",
+        window_seconds=3600,
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_in_window")
+    )
+
+
+Q_RANGE_JOIN_COUNT_SQL = """
+SELECT a.event_id, count(*) AS n_in_window
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
+ AND epoch_us(b.ts) <= epoch_us(a.ts)
+GROUP BY 1
+"""
+
+
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus rows x returnflag columns, decimal-exact qty sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(_dec("l_quantity")))
+    )
+    return out.select(
+        "l_linestatus",
+        F.coalesce(F.col("A").cast("double"), F.lit(0.0)).alias("qty_a"),
+        F.coalesce(F.col("N").cast("double"), F.lit(0.0)).alias("qty_n"),
+        F.coalesce(F.col("R").cast("double"), F.lit(0.0)).alias("qty_r"),
+    )
+
+
+Q_PIVOT_RETURNFLAG_SQL = """
+SELECT l_linestatus,
+       coalesce(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_a,
+       coalesce(CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_n,
+       coalesce(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): subtotal + grand-total rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("_s"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            F.col("_s").cast("double").alias("total_price"),
+        )
+    )
+
+
+Q_ROLLUP_ORDERS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier x part-brand rollup (two broadcast dims on the fact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    out = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).alias("_q"),
+        )
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.col("p_brand").alias("brand"),
+            "n_items",
+            F.col("_q").cast("double").alias("total_qty"),
+        )
+    )
+    return out
+
+
+Q_SUPPLIER_PART_STATS_SQL = """
+SELECT s_name AS supplier, p_brand AS brand, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name, p_brand
+"""
+
+
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function sweep: running total, lag delta, rank, ntile —
+    per-customer order history."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec).over(w_cum).cast("double").alias("running_spend"),
+        (price_dec - F.lag(price_dec).over(w)).cast("double").alias("delta_vs_prev"),
+        F.row_number().over(w).alias("order_seq"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+Q_WINDOW_FUNCTIONS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            - lag(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS delta_vs_prev,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+       ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+FROM orders
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: purchasers INTERSECT clickers, EXCEPT error-users."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users(t):
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    heavy_error = (
+        users("error").groupBy("user_id").count().filter(F.col("count") > 13).select("user_id")
+    )
+    engaged = users("purchase").intersect(users("click"))
+    return engaged.exceptAll(heavy_error).distinct().select(
+        F.col("user_id").alias("engaged_clean_user")
+    )
+
+
+Q_SET_OPS_SQL = """
+SELECT user_id AS engaged_clean_user FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'click'
+)
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' GROUP BY user_id HAVING count(*) > 13
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit semi/anti join pair: customers with a big order vs without."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    with_big = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+    without_big = cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+    return (
+        with_big.select("c_custkey", F.lit(1).alias("has_big_order"))
+        .unionByName(without_big.select("c_custkey", F.lit(0).alias("has_big_order")))
+    )
+
+
+Q_SEMI_ANTI_SQL = """
+SELECT c_custkey, 1 AS has_big_order FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+UNION ALL
+SELECT c_custkey, 0 AS has_big_order FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ordered event funnel
+# ---------------------------------------------------------------------------
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel view -> click -> purchase, 24 h conversion window.
+
+    Step N counts users whose first step-N event strictly follows their
+    first qualifying step-(N-1) event within 24 hours. Each step is one
+    filtered aggregation joined back on user_id — filters push to the scan,
+    the shuffle key is user_id throughout, and step tables shrink
+    monotonically so the later joins broadcast at any scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        (1, "view", s1),
+        (2, "click_after_view", s2),
+        (3, "purchase_after_click", s3),
+    ]
+    out = None
+    for step, name, dfstep in rows:
+        cur = dfstep.agg(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.lit(1)).alias("users"),
+        )
+        out = cur if out is None else out.unionByName(cur)
+    return out.orderBy("step")
+
+
+Q_EVENT_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL '24 hours'
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL '24 hours'
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click_after_view', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase_after_click', CAST(count(*) AS BIGINT) FROM s3
+ORDER BY step
+"""
+
+
+# ---------------------------------------------------------------------------
+# order-statistics aggregation (exact percentiles)
+# ---------------------------------------------------------------------------
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of l_extendedprice per returnflag.
+
+    ``percentile`` is Spark's exact order-statistic aggregate (sort-based
+    within groups); DuckDB's quantile_cont uses the same linear
+    interpolation on the same doubles, so results hash-match after a 6dp
+    round. At 100 TB exact per-group sort is the wrong default —
+    approx_percentile (t-digest, mergeable partials) is the scale path; it
+    is intentionally NOT the oracle query because its error is engine
+    specific.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            # ONE array-percentile aggregate: three separate percentile()
+            # calls each buffer every group value independently (3x memory,
+            # 3x the final per-group sort)
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+            ).alias("_p"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 6).alias("p50"),
+            F.round(F.col("_p")[1], 6).alias("p90"),
+            F.round(F.col("_p")[2], 6).alias("p99"),
+            "n_rows",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_PRICE_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention matrix.
+
+    Cohort = ISO week of the user's first signup event; cell (cohort, w)
+    counts distinct users active w whole weeks later. Two aggregations on
+    user_id + one broadcast join of the (tiny) cohort table back onto
+    events — the canonical product-analytics rollup, all in Catalyst.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    joined = ev.join(F.broadcast(cohort), "user_id").filter(
+        F.col("ts") >= F.col("signup_ts")
+    )
+    week = (
+        F.floor(
+            (F.col("ts").cast("double") - F.col("signup_ts").cast("double"))
+            / F.lit(7 * 86400.0)
+        )
+        .cast("int")
+        .alias("weeks_since_signup")
+    )
+    return (
+        joined.select(
+            F.date_format(F.date_trunc("week", "signup_ts"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            week,
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since_signup")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since_signup")
+    )
+
+
+Q_RETENTION_COHORTS_SQL = """
+WITH cohort AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT strftime(date_trunc('week', c.signup_ts), '%Y-%m-%d') AS cohort_week,
+       CAST(floor((epoch(e.ts) - epoch(c.signup_ts)) / (7*86400.0)) AS INTEGER) AS weeks_since_signup,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN cohort c ON e.user_id = c.user_id
+WHERE e.ts >= c.signup_ts
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets
+# ---------------------------------------------------------------------------
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping combinations in
+    one pass (Spark expands grouping sets map-side; one shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+Q_CUBE_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# sketch aggregates, gated against exact twins
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count sketch vs the exact count, per table column.
+
+    The mergeable-sketch aggregate is the 100 TB path (constant memory per
+    group, one pass, no distinct shuffle); its value is engine-specific, so
+    the oracle contract is a TOLERANCE flag: relative error must stay inside
+    the configured rsd x4 for each checked column. A sketch regression
+    (wrong rsd plumbing, bad merge) flips the flag and hash-mismatches.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    checks = [
+        ("lineitem.l_orderkey", li, "l_orderkey"),
+        ("lineitem.l_partkey", li, "l_partkey"),
+        ("orders.o_custkey", orders, "o_custkey"),
+    ]
+    out = None
+    for label, df, col in checks:
+        row = df.agg(
+            F.approx_count_distinct(col, rsd=0.02).alias("approx"),
+            F.countDistinct(F.col(col)).alias("exact"),
+        ).select(
+            F.lit(label).alias("column_name"),
+            (
+                F.abs(F.col("approx") - F.col("exact"))
+                <= F.col("exact") * F.lit(0.08)
+            ).cast("int").alias("within_tolerance"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+Q_SKETCH_DISTINCT_SQL = """
+SELECT 'lineitem.l_orderkey' AS column_name, 1 AS within_tolerance
+UNION ALL SELECT 'lineitem.l_partkey', 1
+UNION ALL SELECT 'orders.o_custkey', 1
+"""
+
+
+def q_sketch_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable digest) vs exact order statistics.
+
+    Exact per-group percentile sorts every group's values; the digest is the
+    scale path. Contract: each approximate p50/p90/p99 of l_extendedprice
+    per returnflag lands within 1% relative of the exact value."""
+    li = _t(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("_a"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("_e"),
+    )
+    ok = F.forall(
+        F.zip_with(
+            F.col("_a"),
+            F.col("_e"),
+            lambda a, e: F.abs(a - e) <= F.abs(e) * F.lit(0.01),
+        ),
+        lambda x: x,
+    )
+    return both.select(
+        "l_returnflag", ok.cast("int").alias("within_tolerance")
+    ).orderBy("l_returnflag")
+
+
+Q_SKETCH_PERCENTILE_SQL = """
+SELECT DISTINCT l_returnflag, 1 AS within_tolerance
+FROM lineitem ORDER BY l_returnflag
+"""
+
+
+QUERIES.update(
+    {
+        "customer_order_stats": q_customer_order_stats,
+        "events_hourly": q_events_hourly,
+        "top_events_per_user": q_top_events_per_user,
+        "sessionization": q_sessionization,
+        "asof_join": q_asof_join,
+        "range_join_count": q_range_join_count,
+        "pivot_returnflag": q_pivot_returnflag,
+        "rollup_orders": q_rollup_orders,
+        "supplier_part_stats": q_supplier_part_stats,
+        "window_functions": q_window_functions,
+        "set_ops": q_set_ops,
+        "semi_anti_join": q_semi_anti_join,
+        "event_funnel": q_event_funnel,
+        "price_percentiles": q_price_percentiles,
+        "retention_cohorts": q_retention_cohorts,
+        "cube_orders": q_cube_orders,
+        "sketch_distinct_check": q_sketch_distinct_check,
+        "sketch_percentile_check": q_sketch_percentile_check,
+    }
+)
+
+
+ORACLES.update(
+    {
+        "customer_order_stats": Q_CUSTOMER_ORDER_STATS_SQL,
+        "events_hourly": Q_EVENTS_HOURLY_SQL,
+        "top_events_per_user": Q_TOP_EVENTS_PER_USER_SQL,
+        "sessionization": Q_SESSIONIZATION_SQL,
+        "asof_join": Q_ASOF_JOIN_SQL,
+        "range_join_count": Q_RANGE_JOIN_COUNT_SQL,
+        "pivot_returnflag": Q_PIVOT_RETURNFLAG_SQL,
+        "rollup_orders": Q_ROLLUP_ORDERS_SQL,
+        "supplier_part_stats": Q_SUPPLIER_PART_STATS_SQL,
+        "window_functions": Q_WINDOW_FUNCTIONS_SQL,
+        "set_ops": Q_SET_OPS_SQL,
+        "semi_anti_join": Q_SEMI_ANTI_SQL,
+        "event_funnel": Q_EVENT_FUNNEL_SQL,
+        "price_percentiles": Q_PRICE_PERCENTILES_SQL,
+        "retention_cohorts": Q_RETENTION_COHORTS_SQL,
+        "cube_orders": Q_CUBE_ORDERS_SQL,
+        "sketch_distinct_check": Q_SKETCH_DISTINCT_SQL,
+        "sketch_percentile_check": Q_SKETCH_PERCENTILE_SQL,
+    }
+)

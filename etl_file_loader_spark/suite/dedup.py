@@ -1,0 +1,598 @@
+"""Deduplication family: exact, MinHash/LSH, SimHash, n-gram, embedding near-dup.
+
+Split from the monolithic suite.py (round 4); unit text unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from etl_file_loader_spark.operators import dedup as dedup_ops
+from etl_file_loader_spark.operators import similarity as sim_ops
+from etl_file_loader_spark.operators import text as text_ops
+from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _t
+from etl_file_loader_spark.suite.similarity import _recall_flag
+
+
+# ---------------------------------------------------------------------------
+# dedup queries (training-data-pipeline extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: identical-text groups with representative + count."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_duplicates(docs, "doc_id", "text")
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS representative_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text) ORDER BY 1
+"""
+
+
+# shared oracle CTEs: 5-gram shingles + 32-bit portable hash
+_SHINGLE_CTE = r"""
+words AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, unnest(list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 5 + 2), i -> array_to_string(w[i:i+4], ' ')) END
+  )) AS shingle
+  FROM words
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS sh FROM sh
+)"""
+
+
+from etl_file_loader_spark.operators.dedup import _MH_A, _MH_B, _MH_PRIME  # noqa: E402
+
+
+_SIG_MINS_SQL = ",\n         ".join(
+    f"min(({_MH_A[i]} * (sh % {_MH_PRIME}) + {_MH_B[i]}) % {_MH_PRIME}) AS h{i}"
+    for i in range(16)
+)
+
+
+_SIG_CTE = f"""sig AS (
+  SELECT doc_id,
+         {_SIG_MINS_SQL}
+  FROM h GROUP BY doc_id
+)"""
+
+
+_SIG_CONCAT_SQL = ", ".join(f"CAST(h{i} AS VARCHAR)" for i in range(16))
+
+
+def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 permutations over 5-gram shingles), digested."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=5)
+    return sigs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("signature"), lambda x: x.cast("string")))
+        ).alias("sig_hash"),
+    )
+
+
+Q_DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_SIG_CTE}
+SELECT doc_id, md5(concat_ws(',', {_SIG_CONCAT_SQL})) AS sig_hash
+FROM sig ORDER BY doc_id
+"""
+
+
+_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', "
+    + ", ".join(f"CAST(h{b * 4 + r} AS VARCHAR)" for r in range(4))
+    + ")) AS band_hash FROM sig"
+    for b in range(4)
+)
+
+
+def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any of 4 bands x 4 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=5)
+    return dedup_ops.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+
+
+Q_DEDUP_LSH_CANDIDATES_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_SIG_CTE},
+bands AS (
+{_BANDS_SQL}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY 1, 2
+"""
+
+
+_SIMHASH_VOTES_SQL = ",\n         ".join(
+    f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+)
+
+
+_SIMHASH_ASSEMBLE_SQL = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32)
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints over distinct tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs, "doc_id", "text", bits=32)
+
+
+Q_DEDUP_SIMHASH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES_SQL}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_ASSEMBLE_SQL} AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: 5-gram Jaccard >= 0.5, language-blocked inverted index."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.5, block_col="lang"
+    )
+
+
+Q_DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, intersection, sa.set_size AS size_a, sb.set_size AS size_b,
+       round(intersection / (sa.set_size + sb.set_size - intersection), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(intersection / (sa.set_size + sb.set_size - intersection), 6) >= 0.5
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup at scale: the documents table caps at 500 rows, so the scale-path
+# demos run the same operators over star-schema-derived corpora (lineitem /
+# orders grow with sf)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a lineitem-derived text rendering (600k rows at sf0.1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    text = F.concat_ws(
+        " ",
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        (F.col("l_quantity") % 10).cast("long").cast("string"),
+        (F.col("l_partkey") % 100).cast("string"),
+    )
+    docs = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("doc_id"),
+        text.alias("text"),
+    )
+    return dedup_ops.exact_duplicates(docs, "doc_id", "text")
+
+
+Q_DEDUP_EXACT_LINEITEM_SQL = """
+WITH docs AS (
+  SELECT l_orderkey * 10 + l_linenumber AS doc_id,
+         concat_ws(' ', l_returnflag, l_linestatus,
+                   CAST(CAST(l_quantity % 10 AS BIGINT) AS VARCHAR),
+                   CAST(l_partkey % 100 AS VARCHAR)) AS text
+  FROM lineitem
+)
+SELECT md5(text) AS text_hash, min(doc_id) AS representative_id, count(*) AS dup_count
+FROM docs GROUP BY md5(text)
+"""
+
+
+_ORDERS_CORPUS_SPARK_TEXT = (
+    "concat_ws(' ', o_orderstatus, o_orderpriority, "
+    "CAST(o_custkey % 50 AS STRING), CAST(o_orderkey % 7 AS STRING), "
+    "CAST(o_custkey % 3 AS STRING), CAST(o_orderkey % 11 AS STRING))"
+)
+
+
+_ORDERS_CORPUS_SQL_TEXT = (
+    "concat_ws(' ', o_orderstatus, o_orderpriority, "
+    "CAST(o_custkey % 50 AS VARCHAR), CAST(o_orderkey % 7 AS VARCHAR), "
+    "CAST(o_custkey % 3 AS VARCHAR), CAST(o_orderkey % 11 AS VARCHAR))"
+)
+
+
+def q_dedup_minhash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over an orders-derived corpus (grows with sf)."""
+    orders = _t(spark, sf_dir, "orders")
+    docs = orders.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.expr(_ORDERS_CORPUS_SPARK_TEXT).alias("text"),
+    )
+    sigs = dedup_ops.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
+    return sigs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("signature"), lambda x: x.cast("string")))
+        ).alias("sig_hash"),
+    )
+
+
+_ORDERS_SHINGLE_CTE = rf"""
+words AS (
+  SELECT o_orderkey AS doc_id, string_split_regex(trim({_ORDERS_CORPUS_SQL_TEXT}), '\s+') AS w
+  FROM orders
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 3 + 2), i -> array_to_string(w[i:i+2], ' ')) END
+  )) AS shingle
+  FROM words
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS sh FROM sh
+)"""
+
+
+Q_DEDUP_MINHASH_ORDERS_SQL = f"""
+WITH {_ORDERS_SHINGLE_CTE},
+{_SIG_CTE}
+SELECT doc_id, md5(concat_ws(',', {_SIG_CONCAT_SQL})) AS sig_hash
+FROM sig
+"""
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine >= 0.4), oracle-checked.
+
+    (The synthetic embeddings are near-orthogonal — max pairwise cosine
+    ~0.51 — so the demo threshold sits below a production 0.9+.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup_ops.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+Q_DEDUP_EMBEDDING_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= 0.4
+"""
+
+
+def q_dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (approximate; recall checked
+    against the exact twin by ``dedup_embedding_lsh_recall``). 8 bands x
+    2 planes measures pair recall 0.983 on the synthetic embeddings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup_ops.embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, num_bands=8, planes_per_band=2
+    )
+
+
+def q_dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable check for the LSH near-dup path: >= 90% of the exact
+    cosine>=0.4 pairs must surface (measured 98.3%), and — because LSH
+    candidates are rescored with the same rounded cosine — every emitted
+    pair must also BE an exact pair (precision 100%)."""
+    exact = q_dedup_embedding_pairs(spark, sf_dir).select("id_a", "id_b")
+    approx = q_dedup_embedding_pairs_lsh(spark, sf_dir).select("id_a", "id_b")
+    recall = _recall_flag(exact, approx, "pair_recall", 90)
+    precision = _recall_flag(approx, exact, "pair_precision", 100)
+    return recall.unionAll(precision)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH candidate pairs -> connected components.
+
+    Iterative min-label propagation (omit-oracle category per the driver
+    contract is allowed for iterative algorithms, but a DuckDB recursive-CTE
+    transitive closure oracles it exactly here).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=5)
+    pairs = dedup_ops.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    return dedup_ops.connected_components(pairs)
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+{_SIG_CTE},
+bands AS (
+{_BANDS_SQL}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: the corpus minus LSH near-dup losers (one
+    min-id representative survives per duplicate cluster) — the operation a
+    training-data pipeline actually ships, with pairs/clusters as
+    intermediates. Same minhash/banding params as ``dedup_clusters``, so
+    the recursive-CTE oracle's component assignment matches exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup_ops.remove_near_duplicates(
+        docs, "doc_id", "text", num_hashes=16, n=5, bands=4, rows_per_band=4
+    )
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+Q_NEAR_DEDUP_CORPUS_SQL = Q_DEDUP_CLUSTERS_SQL.replace(
+    "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src",
+    """,
+comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id""",
+)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance <= 6 on 32-bit fingerprints.
+
+    Demo-scale all-pairs (bit_count of xor); the scale path blocks on
+    fingerprint bytes first (same shape as the LSH band join).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup_ops.simhash(docs, "doc_id", "text", bits=32)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+Q_DEDUP_SIMHASH_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES_SQL}
+  FROM th GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, {_SIMHASH_ASSEMBLE_SQL} AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+# ---------------------------------------------------------------------------
+# fingerprint-collapsed duplicate groups
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups under the canonical word-set fingerprint (md5 of
+    sorted distinct lowercased words — case/order/duplication invariant).
+    One hash-aggregate on the fingerprint; shuffle ∝ distinct fingerprints.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text_ops.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("representative_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .orderBy("fp")
+    )
+
+
+Q_DEDUP_FINGERPRINT_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_transform(string_split_regex(trim(text), '\s+'), w -> lower(w))
+         )), ' ')) AS fp
+  FROM documents
+)
+SELECT fp, CAST(min(doc_id) AS BIGINT) AS representative_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM fp GROUP BY fp ORDER BY fp
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus dedup: even doc_ids play the ingested corpus, odd ids
+    the incoming batch; each new doc reports its matched corpus doc (by
+    canonical fingerprint) or arrives unique. The corpus collapses to a
+    (fingerprint, min id) index before the join — the persisted-index shape
+    of continuous-ingest dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_ops.incremental_dedup(new, corpus, "doc_id", "text").orderBy("doc_id")
+
+
+Q_DEDUP_INCREMENTAL_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_transform(string_split_regex(trim(text), '\s+'), w -> lower(w))
+         )), ' ')) AS fp
+  FROM documents
+),
+corpus AS (
+  SELECT fp.fp, CAST(min(doc_id) AS BIGINT) AS matched_corpus_id
+  FROM fp WHERE doc_id % 2 = 0 GROUP BY fp.fp
+)
+SELECT f.doc_id, c.matched_corpus_id,
+       CAST(CASE WHEN c.matched_corpus_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+FROM fp f LEFT JOIN corpus c ON f.fp = c.fp
+WHERE f.doc_id % 2 = 1
+ORDER BY f.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# clustered-embedding pruning gate (VERDICT r2 task 4)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_embedding_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruning case the testdata can't show: on clustered
+    (mixture-of-Gaussians) embeddings the banded hyperplane LSH must keep
+    >=90% pair recall while examining <20% of all pairs. The near-orthogonal
+    synthetic embeddings force ~89% candidate density at comparable recall
+    (NOTES_r2 banding math), so this fixture-backed gate is what demonstrates
+    the bucketed path prunes on realistic, clustered corpora.
+    (sf-independent: the fixture is deterministic; n=1000 keeps the exact
+    O(n^2) baseline cheap while preserving the 40-cluster structure —
+    measured 97.9% recall at 5.9% candidate density on the n=2000 variant
+    of the same generator.)"""
+    from etl_file_loader_spark import fixtures
+
+    emb = fixtures.clustered_embeddings(spark, n=1000)
+    exact = dedup_ops.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.9
+    ).select("id_a", "id_b")
+    approx = dedup_ops.embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.9, num_bands=8, planes_per_band=8
+    ).select("id_a", "id_b")
+    # one-pass recall (the O(n^2) exact subtree evaluates once, not twice as
+    # in _recall_flag's separate hits/total aggregates)
+    recall = (
+        exact.join(approx.withColumn("_h", F.lit(1)), ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("_total"),
+            F.coalesce(F.sum("_h"), F.lit(0)).alias("_hits"),
+        )
+        .select(
+            F.lit("clustered_pair_recall").alias("metric"),
+            F.lit(90).alias("threshold_pct"),
+            (F.col("_hits") * 100 >= F.col("_total") * 90).cast("int").alias("passed"),
+        )
+    )
+    banded = sim_ops.hyperplane_lsh_bands(emb, "vec_id", "embedding", 8, 8)
+    cand = dedup_ops._bucket_join_pairs(
+        banded.select("vec_id", "band", "bucket"), "vec_id", ["band", "bucket"]
+    )
+    n_rows = emb.agg(F.count(F.lit(1)).alias("_n"))
+    density = cand.agg(F.count(F.lit(1)).alias("_cand")).crossJoin(n_rows).select(
+        F.lit("clustered_candidate_density").alias("metric"),
+        F.lit(20).alias("threshold_pct"),
+        (
+            F.col("_cand") * 100 <= (F.col("_n") * (F.col("_n") - 1) / 2) * 20
+        ).cast("int").alias("passed"),
+    )
+    return recall.unionAll(density)
+
+
+def q_dedup_embedding_pairs_lsh_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of the clustered gate at n=8000 (LSH path only — no exact
+    baseline): times the bucketed near-dup scale path where the buckets
+    actually prune (~6% candidate density vs ~89% on the near-orthogonal
+    testdata embeddings)."""
+    from etl_file_loader_spark import fixtures
+
+    emb = fixtures.clustered_embeddings(spark, n=8000)
+    return dedup_ops.embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.9, num_bands=8, planes_per_band=8
+    )
+
+
+QUERIES.update(
+    {
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signature": q_dedup_minhash_signature,
+        "dedup_lsh_candidates": q_dedup_lsh_candidates,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_exact_lineitem": q_dedup_exact_lineitem,
+        "dedup_minhash_orders": q_dedup_minhash_orders,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "dedup_embedding_pairs_lsh": q_dedup_embedding_pairs_lsh,
+        "dedup_embedding_lsh_recall": q_dedup_embedding_lsh_recall,
+        "dedup_clusters": q_dedup_clusters,
+        "near_dedup_corpus": q_near_dedup_corpus,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_embedding_clustered_recall": q_dedup_embedding_clustered_recall,
+        "dedup_embedding_pairs_lsh_clustered": q_dedup_embedding_pairs_lsh_clustered,
+    }
+)
+
+
+ORACLES.update(
+    {
+        "dedup_exact": Q_DEDUP_EXACT_SQL,
+        "dedup_minhash_signature": Q_DEDUP_MINHASH_SQL,
+        "dedup_lsh_candidates": Q_DEDUP_LSH_CANDIDATES_SQL,
+        "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
+        "dedup_ngram_jaccard": Q_DEDUP_NGRAM_JACCARD_SQL,
+        "dedup_exact_lineitem": Q_DEDUP_EXACT_LINEITEM_SQL,
+        "dedup_minhash_orders": Q_DEDUP_MINHASH_ORDERS_SQL,
+        "dedup_embedding_pairs": Q_DEDUP_EMBEDDING_PAIRS_SQL,
+        "dedup_embedding_lsh_recall": "SELECT 'pair_recall' AS metric, 90 AS threshold_pct, 1 AS passed UNION ALL SELECT 'pair_precision', 100, 1",
+        "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
+        "near_dedup_corpus": Q_NEAR_DEDUP_CORPUS_SQL,
+        "dedup_simhash_pairs": Q_DEDUP_SIMHASH_PAIRS_SQL,
+        "dedup_fingerprint": Q_DEDUP_FINGERPRINT_SQL,
+        "dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
+        "dedup_embedding_clustered_recall": "SELECT 'clustered_pair_recall' AS metric, 90 AS threshold_pct, 1 AS passed UNION ALL SELECT 'clustered_candidate_density', 20, 1",
+    }
+)

@@ -1,0 +1,137 @@
+"""Corpus sampling, shard packing, and skew-salted aggregation.
+
+Split from the monolithic suite.py (round 4); unit text unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from etl_file_loader_spark.operators import text as text_ops
+from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _t
+
+
+def q_skewed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over hot keys (skew pattern).
+
+    Results are identical to a plain groupBy (algebraic aggregates commute
+    with the salt split) — the oracle checks exactly that.
+    """
+    from etl_file_loader_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("sum", F.count(F.lit(1))),
+            "sum_value": ("sum", F.sum(F.col("value").cast("decimal(18,6)"))),
+            "n_users_min": ("min", F.min("user_id")),
+        },
+        salt=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("n_users_min").alias("n_users_min"),
+    )
+
+
+Q_SKEWED_EVENT_COUNTS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       min(user_id) AS n_users_min
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus sampling & shard packing
+# ---------------------------------------------------------------------------
+
+from etl_file_loader_spark.operators import sampling as sampling_ops  # noqa: E402
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling: downweight en to 30%, keep 100%
+    of de/fr, drop the rest. One scan-side filter — no shuffle, no RNG."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = sampling_ops.stratified_sample(
+        docs, "lang", {"en": 0.3, "de": 1.0, "fr": 1.0}, "doc_id"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept_docs"))
+        .orderBy("lang")
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS k
+  FROM documents
+),
+kept AS (
+  SELECT lang FROM keyed
+  WHERE k < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 10000
+                      WHEN 'fr' THEN 10000 ELSE 0 END
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard manifest per language: docs pack sequentially by
+    id into 2000-token shards WITHIN each language partition (the window
+    parallelizes across languages — the 100 TB shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "lang", text_ops.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = sampling_ops.pack_shards(
+        with_tokens, "doc_id", "n_tokens", budget=2000, partition_cols=["lang"]
+    )
+    return sampling_ops.shard_manifest(packed, "n_tokens", ["lang"])
+
+
+Q_SHARD_PACKING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT lang,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS BIGINT)
+           AS shard_id,
+         n_tokens
+  FROM toks
+)
+SELECT lang, shard_id, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens
+FROM packed GROUP BY lang, shard_id ORDER BY lang, shard_id
+"""
+
+
+QUERIES.update(
+    {
+        "skewed_event_counts": q_skewed_event_counts,
+        "stratified_sample": q_stratified_sample,
+        "shard_packing": q_shard_packing,
+    }
+)
+
+
+ORACLES.update(
+    {
+        "skewed_event_counts": Q_SKEWED_EVENT_COUNTS_SQL,
+        "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+        "shard_packing": Q_SHARD_PACKING_SQL,
+    }
+)

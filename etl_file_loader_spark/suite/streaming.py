@@ -1,0 +1,96 @@
+"""Structured Streaming analog with a batch oracle.
+
+Split from the monolithic suite.py (round 4); unit text unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _ensure_session_confs
+
+
+# ---------------------------------------------------------------------------
+# driver-checked structured streaming
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run, driver-checked against the batch oracle.
+
+    readStream over the events parquet -> the same hour x event_type rollup
+    as ``events_hourly`` (minus the distinct-user count, which streaming
+    aggregation doesn't support exactly) -> complete-mode memory sink,
+    driven to completion with availableNow. Proves the streaming engine
+    computes the batch-equivalent answer on identical input — the
+    correctness contract continuous ingestion relies on. (n_events stays
+    BIGINT; sums go through decimal like the batch twin.)
+    """
+    import tempfile
+    import uuid
+
+    _ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source wants a directory; pathGlobFilter narrows it to
+    # the events table
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sv"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="efls_stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+Q_STREAMING_EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "streaming_events_hourly": q_streaming_events_hourly,
+    }
+)
+
+
+ORACLES.update(
+    {
+        "streaming_events_hourly": Q_STREAMING_EVENTS_HOURLY_SQL,
+    }
+)

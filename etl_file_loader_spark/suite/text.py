@@ -1,0 +1,407 @@
+"""Text analysis: stats, quality/lang, fingerprints, PII, Gopher, decontamination.
+
+Split from the monolithic suite.py (round 4); unit text unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from etl_file_loader_spark.operators import text as text_ops
+from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _t
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text_ops.EN_STOPWORDS)
+
+
+_MARKER_SCORES_SQL = ",\n       ".join(
+    "len(list_filter(toks, w -> w IN ("
+    + ", ".join(f"'{m}'" for m in text_ops.LANG_MARKERS[lang])
+    + f"))) AS s_{lang}"
+    for lang in sorted(text_ops.LANG_MARKERS)
+)
+
+
+_BEST_SQL = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(text_ops.LANG_MARKERS)) + ")"
+
+
+_LANG_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = {_BEST_SQL} AND {_BEST_SQL} > 0 THEN '{lang}'"
+        for lang in sorted(text_ops.LANG_MARKERS)
+    )
+    + " ELSE 'und' END"
+)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/subword counts + ratio metrics per document."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(t).cast("long").alias("n_tokens"),
+        text_ops.subword_estimate(t).alias("n_subwords"),
+        F.length(t).cast("long").alias("n_chars"),
+        text_ops.stopword_ratio(t).alias("stopword_ratio"),
+        text_ops.punct_ratio(t).alias("punct_ratio"),
+        text_ops.mean_word_length(t).alias("mean_word_len"),
+    )
+
+
+Q_TEXT_STATS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(toks, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(len(list_filter(toks, w -> lower(w) IN ({_STOPWORDS_SQL}))) / len(toks), 6) END AS stopword_ratio,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text), 6) END AS punct_ratio,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(list_sum(list_transform(toks, w -> length(w))) / len(toks), 6) END AS mean_word_len
+FROM base ORDER BY doc_id
+"""
+
+
+def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + heuristic language ID + canonical fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text_ops.quality_score(t).alias("quality"),
+        text_ops.language_id(t).alias("lang_pred"),
+        text_ops.fingerprint(t).alias("fingerprint"),
+    )
+
+
+Q_TEXT_QUALITY_LANG_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END,
+           w -> lower(w)) AS toks,
+         length(text) AS n
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, toks, n,
+       CASE WHEN n <= 0 THEN 0.0
+            WHEN n < 50 THEN n / 50.0
+            WHEN n <= 5000 THEN 1.0
+            ELSE greatest(0.2, 5000.0 / n) END AS len_score,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE round((n - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / n, 6) END AS p,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(len(list_filter(toks, w -> w IN ({_STOPWORDS_SQL}))) / len(toks), 6) END AS s,
+       {_MARKER_SCORES_SQL}
+  FROM base
+)
+SELECT doc_id,
+       round(0.4 * len_score
+             + 0.3 * greatest(0.0, 1.0 - p / 0.3)
+             + 0.3 * (CASE WHEN s >= 0.02 AND s <= 0.6 THEN 1.0 ELSE 0.5 END), 6) AS quality,
+       {_LANG_CASE_SQL} AS lang_pred,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (decimal-exact averages)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).alias("_sc"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("_sc").cast("double") / F.col("n_docs")).alias("avg_chars"),
+            "min_chars",
+            "max_chars",
+        )
+    )
+
+
+Q_DOC_LENGTH_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation: quality-filter -> exact dedup ->
+    per-language survivor stats. The composite flow a 100 TB text pipeline
+    runs before tokenization."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        text_ops.quality_score(t).alias("q"),
+        text_ops.token_count(t).cast("long").alias("n_tokens"),
+    ).filter(F.col("q") >= 0.5)
+    reps = (
+        scored.groupBy(F.md5("text").alias("th"), F.col("lang"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+    return (
+        reps.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("decimal(18,0)")).alias("_tok"),
+            F.sum((F.col("copies") - 1).cast("long")).alias("dups_removed"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.col("_tok").cast("double").alias("total_tokens"),
+            "dups_removed",
+        )
+    )
+
+
+Q_CORPUS_CURATION_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         round(0.4 * (CASE WHEN length(text) <= 0 THEN 0.0
+                           WHEN length(text) < 50 THEN length(text) / 50.0
+                           WHEN length(text) <= 5000 THEN 1.0
+                           ELSE greatest(0.2, 5000.0 / length(text)) END)
+               + 0.3 * greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text), 6) END) / 0.3)
+               + 0.3 * (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+                     ELSE round(len(list_filter(list_transform(string_split_regex(trim(text), '\s+'), w -> lower(w)),
+                                                w -> w IN ({_STOPWORDS_SQL}))) / len(string_split_regex(trim(text), '\s+')), 6) END)
+                     BETWEEN 0.02 AND 0.6 THEN 1.0 ELSE 0.5 END), 6) AS q,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+reps AS (
+  SELECT md5(text) AS th, lang, min(doc_id) AS doc_id,
+         count(*) AS copies, min(n_tokens) AS n_tokens
+  FROM scored WHERE q >= 0.5 GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CAST(n_tokens AS DECIMAL(18,0))) AS DOUBLE) AS total_tokens,
+       CAST(sum(copies - 1) AS BIGINT) AS dups_removed
+FROM reps GROUP BY lang
+"""
+
+
+def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (Rabin-Karp fold)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.rolling_fingerprint(F.col("text")).alias("rolling_fp")
+    )
+
+
+Q_TEXT_ROLLING_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus privacy / quality / decontamination (LLM training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: counts + scrubbed-text digest.
+
+    Synthetic PII (email for every doc, phone for doc_id%3==0, SSN for
+    doc_id%5==0 — built identically in the oracle) is appended to the text,
+    then counted and redacted with the shared Java-regex/RE2 pattern set.
+    Pure regexp expressions: scan-speed, no shuffle, codegen'd — the shape
+    a 100 TB privacy pass must have."""
+    from etl_file_loader_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" or 555-"),
+                F.lpad((d * 7 % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((d * 13 % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" ssn 987-65-4321")).otherwise(F.lit("")),
+    )
+    counts = text_ops.pii_counts(pii_text)
+    return docs.select(
+        d.alias("doc_id"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ssn"].alias("n_ssn"),
+        counts["n_phone"].alias("n_phone"),
+        F.md5(text_ops.scrub_pii(pii_text)).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+Q_PII_SCRUB_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' or 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' ssn 987-65-4321' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS n_ssn,
+       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g')) AS scrubbed_md5
+FROM p
+ORDER BY doc_id
+"""
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-doc top-bigram token share.
+
+    explode bigrams -> per-(doc, gram) count -> per-doc max; one shuffle
+    proportional to corpus tokens with map-side partial aggregation (the
+    array-expression alternative is O(tokens^2) per doc and dies on long
+    documents). Flag = share > 0.08."""
+    from etl_file_loader_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = text_ops.repetition_stats(docs, "doc_id", "text", n=2)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "top_gram_count",
+        "top_gram_share",
+        (F.col("top_gram_share") > 0.08).cast("int").alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+Q_GOPHER_REPETITION_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, len(w) AS n_tokens, w[i] || ' ' || w[i+1] AS gram
+  FROM d, unnest(range(1, len(w))) t(i)
+  WHERE len(w) >= 2
+),
+c AS (
+  SELECT doc_id, n_tokens, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT doc_id, n_tokens, max(cnt) AS top FROM c GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(top AS BIGINT) AS top_gram_count,
+       round(top * 2 / n_tokens, 6) AS top_gram_share,
+       CAST(CASE WHEN round(top * 2 / n_tokens, 6) > 0.08 THEN 1 ELSE 0 END AS INTEGER) AS repetitive
+FROM m
+ORDER BY doc_id
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-gram with a
+    held-out set (doc_id < 20 plays the benchmark). Benchmark grams are
+    DISTINCT'd and broadcast — the corpus side is scan + broadcast hash
+    join, no corpus shuffle; exactly how test-set leakage scans run at
+    100 TB."""
+    from etl_file_loader_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return (
+        text_ops.contamination(corpus, bench, "doc_id", "text", n=5)
+        .select("doc_id", F.col("matched_grams").cast("long").alias("matched_grams"))
+        .orderBy("doc_id")
+    )
+
+
+Q_CONTAMINATION_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM d, unnest(range(1, len(w) - 5 + 2)) t(i)
+  WHERE len(w) >= 5
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+corp AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 20)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_grams
+FROM corp JOIN bench USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "text_stats": q_text_stats,
+        "text_quality_lang": q_text_quality_lang,
+        "doc_length_stats": q_doc_length_stats,
+        "corpus_curation": q_corpus_curation,
+        "text_rolling_fingerprint": q_text_rolling_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "gopher_repetition": q_gopher_repetition,
+        "contamination_check": q_contamination_check,
+    }
+)
+
+
+ORACLES.update(
+    {
+        "text_stats": Q_TEXT_STATS_SQL,
+        "text_quality_lang": Q_TEXT_QUALITY_LANG_SQL,
+        "doc_length_stats": Q_DOC_LENGTH_STATS_SQL,
+        "corpus_curation": Q_CORPUS_CURATION_SQL,
+        "text_rolling_fingerprint": Q_TEXT_ROLLING_FINGERPRINT_SQL,
+        "pii_scrub": Q_PII_SCRUB_SQL,
+        "gopher_repetition": Q_GOPHER_REPETITION_SQL,
+        "contamination_check": Q_CONTAMINATION_SQL,
+    }
+)

@@ -1,0 +1,1260 @@
+"""TPC-H-shaped relational coverage (q1-q22 adaptations + derived partsupp).
+
+Split from the monolithic suite.py (round 4); unit text unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _dec, _t
+
+
+# ---------------------------------------------------------------------------
+# analytics queries (the engine's OLAP surface on the star schema)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped rollup on lineitem; decimal-exact aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice")).alias("_sp"),
+            F.sum(disc_price).alias("_sd"),
+            F.sum(charge).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sp").cast("double").alias("sum_base_price"),
+            F.col("_sd").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + revenue rollup + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(revenue).alias("_rev"))
+        .select("o_orderkey", F.col("_rev").cast("double").alias("revenue"))
+        .orderBy(F.col("_rev").desc(), "o_orderkey")
+        .limit(10)
+    )
+    return out
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi-join analytics over the full star schema (region/nation/supplier/part)
+# ---------------------------------------------------------------------------
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table join: revenue by nation within a region.
+
+    Dimension chain (region -> nation -> customer/supplier) broadcasts; the
+    fact-side join lineitem x orders is the only real shuffle.
+    """
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+    return out
+
+
+Q5_SQL = """
+SELECT r_name AS region, n_name AS nation,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: share of revenue from a part-type class (conditional agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    out = joined.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("_promo"),
+        F.sum(revenue).alias("_total"),
+    ).select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double") / F.col("_total").cast("double"), 6
+        ).alias("promo_share_pct"),
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+    )
+    return out
+
+
+Q14_SQL = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_share_pct,
+       CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: histogram of customers by order count (LEFT OUTER
+    join keeps zero-order customers)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+Q13_SQL = """
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational coverage: Q18 / Q19 / Q4 adaptations
+# ---------------------------------------------------------------------------
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING-filtered subquery feeding a 3-way join rollup.
+
+    The qualifying-orders set (sum qty > 250) is tiny, so after the first
+    aggregation every later join is broadcast; lineitem is scanned with only
+    2 columns.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_s"))
+        .filter(F.col("_s") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicate across a part join.
+
+    Catalyst extracts the common p_partkey join key and pushes each
+    conjunct's column constraints to the scans; the part side broadcasts.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return j.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS correlated subquery as a left-semi join.
+
+    Orders with any line shipped >30 days after the order date, counted per
+    priority. The semi join shuffles once on the order key and never
+    materializes the multiplicity of matching lines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL '30 days'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure range-filter scan + one scalar aggregate.
+
+    The filters (date range, discount band, quantity cap) all push into the
+    parquet scan; no shuffle at all — the plan is scan -> partial agg ->
+    single-row final agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+    return li.agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-item revenue per customer with a broadcast dim.
+
+    Fact-fact join (orders x lineitem) shuffles on the order key once;
+    customer joins on its key; the 25-row nation dim broadcasts — no shuffle
+    for the dimension side. Top-20 by revenue, id tie-break."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: join + conditional CASE-sums per group.
+
+    Counts high- vs low-priority orders per return flag for a ship-date
+    year — the two counts come from one pass (two conditional sums), not
+    two scans."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery, decorrelated.
+
+    'Lines below 20% of their part's average quantity' — the per-part
+    threshold is a groupBy over the SAME filtered fact, joined back on the
+    part key (Catalyst plans correlated scalar subqueries exactly this way).
+    Threshold stays in decimal so both engines compare the same value."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    thresholds = branded.groupBy(F.col("l_partkey").alias("_tp")).agg(
+        (
+            F.sum(_dec("l_quantity", 2)) / F.count(F.lit(1)) * F.lit(0.2)
+        ).alias("_threshold")
+    )
+    small = branded.join(thresholds, F.col("l_partkey") == F.col("_tp")).filter(
+        F.col("l_quantity") < F.col("_threshold")
+    )
+    return small.agg(
+        (F.sum(_dec("l_extendedprice", 2)) / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+Q17_SQL = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+thresholds AS (
+  SELECT l_partkey AS tp,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*) * 0.2 AS threshold
+  FROM branded GROUP BY 1
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE) AS avg_yearly
+FROM branded JOIN thresholds ON l_partkey = tp
+WHERE l_quantity < threshold
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes II: nation-pair joins, market share, view+max, (NOT) EXISTS
+# ---------------------------------------------------------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: nation-pair trade volume by ship year.
+
+    Both nation dims pre-filter to the two nations of interest BEFORE the
+    fact joins (Catalyst can't invent that prune: the pair predicate is
+    disjunctive), so the supplier map shrinks to two nations and
+    broadcasts; lineitem x orders is the only real shuffle."""
+    nations = ("NATION_1", "NATION_2")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's promo-part volume per year.
+
+    Ratio of two conditional decimal sums from ONE pass; part (type-filtered)
+    and both nation maps broadcast; region restricts the customer side via
+    nation->region, pruned before the fact join. Shares cast to double
+    before dividing so both engines do the identical IEEE division."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("_n"),
+            F.sum(vol).alias("_d"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_n").cast("double") / F.col("_d").cast("double"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+       round(
+         CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: revenue view + scalar max + equality join back.
+
+    The per-supplier revenue aggregate is computed once; its 1-row max
+    broadcasts and the winner filter is an exact DECIMAL equality (no
+    float compare). Catalyst reuses the aggregate subtree for both sides."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        ).alias("_tr")
+    )
+    mx = rev.agg(F.max("_tr").alias("_mx"))
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("_tr") == F.col("_mx"))
+        .select("s_suppkey", "s_name", F.col("_tr").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (adapted): EXISTS + NOT-EXISTS decorrelated to semi/anti.
+
+    The reference schema's l_commitdate/l_receiptdate aren't in this
+    dataset, so 'late' is adapted to l_shipdate > o_orderdate + 90 days on
+    finished orders; the graded shape is the classic Q21 double
+    correlation: late line AND EXISTS another-supplier line on the order
+    AND NOT EXISTS another-supplier LATE line — planned as a leftsemi and
+    a leftanti self-join on the order key (one shuffle each, no row
+    explosion from the EXISTS probe)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(F.col("l_orderkey").alias("_o2"), F.col("l_suppkey").alias("_s2"))
+    other_late = late.select(F.col("l_orderkey").alias("_o3"), F.col("l_suppkey").alias("_s3"))
+    waiting = late.join(
+        other,
+        (F.col("l_orderkey") == F.col("_o2")) & (F.col("l_suppkey") != F.col("_s2")),
+        "leftsemi",
+    ).join(
+        other_late,
+        (F.col("l_orderkey") == F.col("_o3")) & (F.col("l_suppkey") != F.col("_s3")),
+        "leftanti",
+    )
+    return (
+        waiting.join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (adapted): scalar-avg subquery + NOT EXISTS anti-join.
+
+    'Rich but idle' customers: balance above the positive-balance average
+    (1-row broadcast of a decimal-stable scalar) with no orders since
+    1999 (leftanti against the date-pruned orders scan — the NOT EXISTS
+    decorrelation). Grouped by nation (c_phone country codes aren't in
+    this schema). The average is cast to double BEFORE comparing so both
+    engines threshold on the identical IEEE value."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal", 2)).cast("double") / F.count(F.lit(1))).alias("_avg")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    idle_rich = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+    )
+    return (
+        idle_rich.join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal", 2)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q22_SQL = """
+WITH avgbal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avgbal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avgbal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: q2 / q9 / q11 / q16 / q20 shapes (adapted — the testdata
+# has no partsupp table, so a partsupp analog is DERIVED from lineitem).
+# Reference parity: the reference's query surface is generic SQL over loaded
+# tables (src/loader/query.py equivalents); these cover the remaining classic
+# OLAP shapes: correlated-min (q2), multi-way profit rollup (q9), group
+# filter vs global scalar (q11), NOT-IN + count-distinct (q16), nested-IN
+# quantity threshold (q20).
+# ---------------------------------------------------------------------------
+
+
+PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         floor(min(l_extendedprice * (1.0 - l_discount) / l_quantity) * 10000.0)
+           / 10000.0 AS ps_supplycost,
+         sum(l_quantity) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+# One persisted partsupp per (application, dataset): q2/q9/q11/q16/q20 all
+# need the same (part, supplier) aggregate, and a suite run used to rebuild
+# it five times — five identical fact-table shuffles. A real deployment
+# materializes the derived table once; here that's a persisted DataFrame
+# (MEMORY_AND_DISK — partsupp cardinality is pair-of-dimensions-like, far
+# below fact cardinality, and spills if it doesn't fit).
+_PARTSUPP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+# A long-lived session iterating many datasets must not accumulate persisted
+# relations: cap the cache, unpersisting the oldest entry on overflow.
+_PARTSUPP_CACHE_MAX = 4
+
+
+def _derived_partsupp(
+    spark: SparkSession,
+    sf_dir: str,
+    parts: DataFrame | None = None,
+    supps: DataFrame | None = None,
+) -> DataFrame:
+    """partsupp analog derived from lineitem (testdata ships no partsupp):
+    per (part, supplier) pair, the minimum observed effective unit price
+    stands in for ps_supplycost and total shipped quantity for ps_availqty.
+
+    Determinism across engines WITHOUT decimal staging: min() is
+    order-insensitive over bit-identical IEEE values, and l_quantity holds
+    integral values whose double sum is exact. The min unit price is then
+    FLOOR-quantized to 4dp — floor of the same double is identical in every
+    engine (no tie-rounding step, unlike round/decimal-cast, whose
+    half-way behavior differs between Spark and DuckDB on full-precision
+    division results). Downstream cost×qty products therefore cast to
+    DECIMAL identically in both engines. One hash aggregate with map-side
+    partials; at 100 TB this shuffles one row per distinct
+    (part, supplier) pair — the dimension-like cardinality, not the fact
+    cardinality — and it runs ONCE per dataset (persisted), not once per
+    query.
+
+    ``parts`` / ``supps`` (single-column key frames) broadcast-semi-filter
+    the cached aggregate to the caller's dimension slice. Filtering on a
+    group-key column above the aggregate keeps surviving groups' min/sum
+    identical to filtering the fact scan below it, so the oracle (which
+    also filters after aggregating) sees the same values; the semi-joins
+    stay broadcast, so slicing costs no extra shuffle."""
+    from pyspark.storagelevel import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ps = _PARTSUPP_CACHE.get(key)
+    if ps is None:
+        li = _t(spark, sf_dir, "lineitem")
+        unit = (
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            / F.col("l_quantity")
+        )
+        ps = (
+            li.groupBy(
+                F.col("l_partkey").alias("ps_partkey"),
+                F.col("l_suppkey").alias("ps_suppkey"),
+            )
+            .agg(
+                (F.floor(F.min(unit) * F.lit(10000.0)) / F.lit(10000.0)).alias(
+                    "ps_supplycost"
+                ),
+                F.sum("l_quantity").alias("ps_availqty"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        while len(_PARTSUPP_CACHE) >= _PARTSUPP_CACHE_MAX:
+            evicted = _PARTSUPP_CACHE.pop(next(iter(_PARTSUPP_CACHE)))
+            evicted.unpersist()
+        _PARTSUPP_CACHE[key] = ps
+    out = ps
+    if parts is not None:
+        out = out.join(
+            F.broadcast(parts),
+            F.col("ps_partkey") == parts[parts.columns[0]],
+            "leftsemi",
+        )
+    if supps is not None:
+        out = out.join(
+            F.broadcast(supps),
+            F.col("ps_suppkey") == supps[supps.columns[0]],
+            "leftsemi",
+        )
+    return out
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated MIN subquery, decorrelated to agg + join-back.
+
+    Minimum-cost EUROPE supplier for each STANDARD small part. The
+    correlated `ps_supplycost = (SELECT min(...) WHERE ps_partkey = ...)`
+    becomes a groupBy-min over the SAME region-filtered supply side joined
+    back on the part key — exactly how Catalyst plans the correlated form.
+    Dims (part-filter, supplier, nation, region) broadcast; the only
+    shuffle is the partsupp derivation itself. Equality on ps_supplycost
+    compares bit-identical doubles (min of identical IEEE inputs)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    supp_eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = _derived_partsupp(
+        spark, sf_dir, parts=part.select("p_partkey"), supps=supp_eu.select("s_suppkey")
+    )
+    eu_supply = ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")).join(
+        F.broadcast(supp_eu), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = eu_supply.groupBy(F.col("ps_partkey").alias("_mp")).agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    return (
+        eu_supply.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("_mp"))
+            & (F.col("ps_supplycost") == F.col("_min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("ps_supplycost", 4).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH partsupp AS ({PARTSUPP_SQL}),
+eu_supply AS (
+  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name, p_partkey, p_name
+  FROM partsupp
+  JOIN part ON ps_partkey = p_partkey
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(ps_supplycost, 4) AS supplycost
+FROM eu_supply e
+JOIN (
+  SELECT ps_partkey AS mp, min(ps_supplycost) AS min_cost
+  FROM eu_supply GROUP BY 1
+) m ON e.ps_partkey = m.mp AND e.ps_supplycost = m.min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: multi-way star join + profit rollup by nation and year.
+
+    profit = revenue - supplycost*qty for 'red' parts, grouped by the
+    supplier's nation and order year. Fact side joins the derived partsupp
+    on the composite (part, supplier) key; part filter broadcast-prunes
+    before the partsupp join; supplier→nation broadcast; orders supply the
+    year. Per-row profit is IEEE-deterministic and carries at most four
+    decimal digits (2dp×2dp revenue, 4dp-quantized cost × integral qty),
+    so DECIMAL(18,4) represents each amount EXACTLY — the sum is staged
+    through it with no per-row rounding for either engine to disagree
+    on."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    ps = _derived_partsupp(spark, sf_dir, parts=part_red)
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    profit = (
+        li.join(F.broadcast(part_red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ).alias("_amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(F.sum(_dec("_amount", 4)).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+WITH partsupp AS ({PARTSUPP_SQL})
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                     - ps_supplycost * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: grouped value vs a global-scalar fraction threshold.
+
+    Per-part supply value (cost × qty) restricted to EUROPE suppliers,
+    kept only when above 0.1% of the total — the HAVING-vs-scalar-subquery
+    shape. The global total is a 1-row broadcast joined onto the grouped
+    aggregate. cost×qty carries at most four decimal digits (4dp-quantized
+    cost × integral qty), so both sides stage it through DECIMAL(18,4) —
+    exact, no per-row rounding for the engines to disagree on."""
+    supp_eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    ps = _derived_partsupp(spark, sf_dir, supps=supp_eu)
+    eu_ps = ps.join(F.broadcast(supp_eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+    val = _dec(F.col("ps_supplycost") * F.col("ps_availqty"), 4)
+    per_part = eu_ps.groupBy("ps_partkey").agg(
+        F.sum(val).cast("double").alias("part_value")
+    )
+    total = eu_ps.agg(
+        (F.sum(val).cast("double") * F.lit(0.001)).alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select(F.col("ps_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH partsupp AS ({PARTSUPP_SQL}),
+eu_ps AS (
+  SELECT ps_partkey, ps_supplycost, ps_availqty
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+total AS (
+  SELECT CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) AS DOUBLE)
+           * 0.001 AS threshold
+  FROM eu_ps
+)
+SELECT ps_partkey AS p_partkey,
+       CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) AS DOUBLE)
+         AS part_value
+FROM eu_ps, total
+GROUP BY ps_partkey, total.threshold
+HAVING part_value > total.threshold
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q16_supplier_part_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: NOT-IN exclusion + per-group count(distinct supplier).
+
+    How many suppliers can provide each (brand, type, size) bucket of
+    non-PROMO, non-Brand#9 parts in the chosen sizes — excluding
+    'complaint' suppliers (negative balance; the reference schema's
+    comment-LIKE filter has no analog here). NOT IN is decorrelated to a
+    broadcast anti-join; supplier-part pairs come from the derived
+    partsupp; count(DISTINCT) shuffles once on the group key."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#9")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    ps = _derived_partsupp(
+        spark, sf_dir, parts=part.select("p_partkey")
+    ).select("ps_partkey", "ps_suppkey")
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints), F.col("ps_suppkey") == F.col("s_suppkey"), "leftanti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = f"""
+WITH partsupp AS ({PARTSUPP_SQL})
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested-IN chain with a correlated quantity threshold.
+
+    Suppliers who shipped an above-average share of a 'small' part in
+    1998: per-(part, supplier) 1998 quantity compared against half the
+    part's average per-supplier 1998 quantity (the correlated scalar,
+    decorrelated to a per-part aggregate joined back), then the supplier
+    IN-list becomes a semi-join onto supplier→nation. Quantity sums are
+    exact integral doubles; the threshold division is IEEE-deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    small_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qty = (
+        li.join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_pair_qty"))
+    )
+    part_avg = qty.groupBy(F.col("l_partkey").alias("_tp")).agg(
+        (F.sum("_pair_qty") / (F.lit(2.0) * F.count(F.lit(1)))).alias("_threshold")
+    )
+    heavy_suppliers = (
+        qty.join(part_avg, F.col("l_partkey") == F.col("_tp"))
+        .filter(F.col("_pair_qty") > F.col("_threshold"))
+        .select("l_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(heavy_suppliers, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2
+),
+thresholds AS (
+  SELECT l_partkey AS tp, sum(pair_qty) / (2.0 * count(*)) AS threshold
+  FROM qty GROUP BY 1
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM qty JOIN thresholds ON l_partkey = tp
+  WHERE pair_qty > threshold
+)
+ORDER BY s_name
+"""
+
+
+QUERIES.update(
+    {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q14_promo_share": q14_promo_share,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q12_priority_by_returnflag": q12_priority_by_returnflag,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_values": q11_important_values,
+        "q16_supplier_part_relationships": q16_supplier_part_relationships,
+        "q20_potential_promotion": q20_potential_promotion,
+    }
+)
+
+
+ORACLES.update(
+    {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_top_orders": Q3_SQL,
+        "q5_local_supplier_volume": Q5_SQL,
+        "q14_promo_share": Q14_SQL,
+        "q13_order_count_distribution": Q13_SQL,
+        "q18_large_volume_customer": Q18_SQL,
+        "q19_disjunctive_revenue": Q19_SQL,
+        "q4_order_priority": Q4_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q12_priority_by_returnflag": Q12_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
+        "q7_volume_shipping": Q7_SQL,
+        "q8_market_share": Q8_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q21_suppliers_kept_waiting": Q21_SQL,
+        "q22_global_sales_opportunity": Q22_SQL,
+        "q2_min_cost_supplier": Q2_SQL,
+        "q9_product_profit": Q9_SQL,
+        "q11_important_values": Q11_SQL,
+        "q16_supplier_part_relationships": Q16_SQL,
+        "q20_potential_promotion": Q20_SQL,
+    }
+)
