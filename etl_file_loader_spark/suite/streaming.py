@@ -29,15 +29,24 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    import os
+
     _ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source wants a directory; pathGlobFilter narrows it to
-    # the events table
-    ev = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # the file stream source wants a directory. Driver testdata ships events
+    # as a single FILE directly in sf_dir, so stream sf_dir narrowed by a
+    # leaf-name glob; generated scale dirs (tools/gen_scale_data.py) ship a
+    # parquet DIRECTORY, which streams as-is (the glob would match no part
+    # files and silently yield zero rows).
+    ev_path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(ev_path):
+        ev = spark.readStream.schema(schema).parquet(ev_path)
+    else:
+        ev = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif dict(ev.dtypes).get("ts") == "timestamp_ntz":

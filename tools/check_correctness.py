@@ -1,8 +1,16 @@
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--tol=REL] [sf_dir] [query ...]
 Compares each suite query against its oracle: row count, sorted column
 names, and order-insensitive value comparison (rows sorted by all columns).
+
+``--tol=1e-12`` switches float comparison from exact repr equality to a
+relative tolerance. Needed for scale runs (sf >= 1): decimal-staged sums
+whose unscaled value exceeds 2^53 convert decimal->double with one rounding
+in Spark (BigDecimal.doubleValue) but two in DuckDB (int64 -> double, then
+/ 10^scale), so the engines can land on adjacent doubles — a representation
+artifact, not a value divergence. The driver's gate runs at sf0.01 where
+every such conversion is exact and comparison stays bit-for-bit.
 """
 
 from __future__ import annotations
@@ -24,7 +32,7 @@ TABLES = [
 ]
 
 
-def normalize(rows, cols):
+def normalize(rows, cols, tol: float | None = None):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -32,7 +40,16 @@ def normalize(rows, cols):
         for i in idx:
             v = r[i]
             if isinstance(v, float):
-                v = repr(v)
+                # under --tol, quantize floats so values within the relative
+                # tolerance normalize identically (adjacent-double artifacts
+                # of big-decimal -> double conversion, see module docstring)
+                if tol and v != 0.0:
+                    from math import floor, log10
+
+                    digits = max(0, 14 - int(floor(log10(abs(v)))) - 1)
+                    v = repr(round(v, digits))
+                else:
+                    v = repr(v)
             vals.append(str(v))
         out.append(tuple(vals))
     out.sort()
@@ -40,12 +57,19 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    tol = None
+    args = [a for a in args if not (a.startswith("--tol") and (tol := float(a.split("=", 1)[1])))]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file parquet; tools/gen_scale_data.py
+        # writes Spark directory-parquet — glob the parts in that case
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if Path(p).is_dir() else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     passed, failed = [], []
     for name, fn in suite.QUERIES.items():
@@ -77,7 +101,7 @@ def main():
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
-            sn, on = normalize(srows, scols), normalize(orows, ocols)
+            sn, on = normalize(srows, scols, tol), normalize(orows, ocols, tol)
             if sn != on:
                 diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
                 problems.append(f"values differ; first diffs: {diff}")
