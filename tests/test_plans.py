@@ -118,3 +118,44 @@ def test_validate_split_scan_dominated(spark):
     assert _count_arrow_nodes(plan) == 0, plan
     # toString() renders whole-stage-codegen spans as "*(N) " node prefixes
     assert "*(" in plan, plan
+
+
+def test_salted_merge_adds_no_exchange(spark):
+    """The deterministic merge salt re-keys the ONE join shuffle; it must not
+    introduce any additional exchange (the salt is computed inline on both
+    sides, not via a separate repartition)."""
+    from pyspark.sql import functions as F
+
+    from etl_file_loader_spark.functions import row_hash
+    from etl_file_loader_spark.operators import publish
+    from pyspark.sql import types as T
+
+    fields = {"id": T.LongType(), "v": T.LongType()}
+
+    def frame(fname, log):
+        df = spark.range(1000).select("id", (F.col("id") * 2).alias("v"))
+        return (
+            df.withColumn("etl_row_hash", row_hash(fields))
+            .withColumn("source_filename", F.lit(fname))
+            .withColumn("file_load_log_id", F.lit(log).cast("long"))
+        )
+
+    target = (
+        frame("t.csv", 1)
+        .withColumn("etl_created_at", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("etl_updated_at", F.lit(None).cast("timestamp"))
+    )
+    stage = frame("s.csv", 2)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = publish.merge_upsert(target, stage, ["id"], ["id", "v"])
+        salted = publish.merge_upsert(
+            target, stage, ["id"], ["id", "v"], salt_buckets=32
+        )
+        p1 = plain._jdf.queryExecution().executedPlan().toString()
+        p2 = salted._jdf.queryExecution().executedPlan().toString()
+        assert p1.count("Exchange") == p2.count("Exchange"), (p1, p2)
+        assert "CartesianProduct" not in p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
