@@ -11,7 +11,7 @@ from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _dec, _t
 
 
 # ---------------------------------------------------------------------------
-# analytics queries (the engine's OLAP surface on the star schema)
+# flagship pricing summary + top orders (TPC-H Q1 / Q3 shapes)
 # ---------------------------------------------------------------------------
 
 
@@ -99,7 +99,7 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# multi-join analytics over the full star schema (region/nation/supplier/part)
+# multi-join star-schema shapes: Q5 / Q14 adaptations
 # ---------------------------------------------------------------------------
 
 
