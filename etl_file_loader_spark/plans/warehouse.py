@@ -315,6 +315,43 @@ class Warehouse:
             n = target_files or max(1, min(len(raw.inputFiles()), self.spark.sparkContext.defaultParallelism))
             self._overwrite_locked(table, raw.coalesce(n))
 
+    def rebucket(self, table: str, grain: list[str], n_buckets: int) -> None:
+        """Rewrite a grain-bucketed table with a NEW bucket count.
+
+        The per-table bucket count is frozen at first write so later merges
+        hash stage rows into the same directories — but a table created on a
+        small cluster keeps its small bucket count as data grows 100×, and
+        merge rewrite granularity (O(table/n_buckets) per touched bucket)
+        degrades with it. ``rebucket`` is the COW analogue of Delta
+        ``OPTIMIZE`` + repartition: one full rewrite re-hashing every row
+        into ``n_buckets`` grain-hash buckets, the persisted count updated
+        atomically with the snapshot flip, after which merges prune and
+        rewrite at the new granularity. O(table) — schedule it like any
+        compaction, not per load.
+        """
+        with self._table_lock(table):
+            if not self.exists(table):
+                raise FileNotFoundError(f"table {table} does not exist")
+            if self.table_buckets(table) is None:
+                raise ValueError(f"table {table!r} is not grain-bucketed")
+            df = self.read_table(table)
+            out = df.withColumn(BUCKET_COL, grain_bucket(grain, n_buckets))
+            versions = self._versions(table)
+            new_v = versions[-1] + 1
+            out_path = self._p(table, f"_v{new_v}")
+            (
+                out.repartition(F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(out_path)
+            )
+            self._fs.write_text(
+                self._p(table, "_buckets.json"),
+                json.dumps({"n_buckets": n_buckets}),
+            )
+            self.n_buckets = n_buckets
+            self._prune_versions(table, versions)
+
     def drop(self, table: str) -> None:
         self._fs.rmtree(self._p(table))
 

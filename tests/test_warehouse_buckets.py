@@ -257,6 +257,49 @@ def test_uri_warehouse_bounded_merge(spark, tmp_path):
         Warehouse(spark, root, carry_mode="link")
 
 
+def test_rebucket_changes_layout_and_later_merges_prune(spark, tmp_path):
+    # a table created with 4 buckets outgrows them; rebucket to 16 and the
+    # next single-grain merge must touch exactly one of the NEW buckets
+    wh = Warehouse(spark, str(tmp_path / "wh"), n_buckets=4)
+    cfg = _cfg(tmp_path)
+    f1 = tmp_path / "sales_1.csv"
+    _write_csv(f1, [(i, float(i)) for i in range(1, 101)])
+    assert PipelineRunner(spark, wh, cfg, str(f1)).run().success
+    assert wh.table_buckets("sales") == 4
+
+    wh.rebucket("sales", ["id"], 16)
+    assert wh.table_buckets("sales") == 16
+    rows = {r["id"]: r["amount"] for r in wh.read_table("sales").collect()}
+    assert len(rows) == 100 and rows[7] == 7.0  # contents survive the rewrite
+
+    vdirs = sorted(
+        p.name for p in (tmp_path / "wh" / "sales").iterdir() if p.name.startswith("_v")
+    )
+    latest = tmp_path / "wh" / "sales" / vdirs[-1]
+    n_dirs = len([p for p in latest.iterdir() if p.name.startswith(f"{BUCKET_COL}=")])
+    assert n_dirs > 4  # data actually spread over the new layout
+
+    # a fresh Warehouse instance picks up the persisted 16 and merges prune
+    wh2 = Warehouse(spark, str(tmp_path / "wh"))
+    f2 = tmp_path / "sales_2.csv"
+    _write_csv(f2, [(1, 999.0)])
+    before = _inodes(latest)
+    r2 = PipelineRunner(spark, wh2, cfg, str(f2)).run()
+    assert r2.success and r2.counts.updates == 1
+    after = _inodes(tmp_path / "wh" / "sales" / "_v2")
+    bucket_of_1 = (
+        spark.createDataFrame([(1,)], "id long")
+        .select(grain_bucket(["id"], 16).alias("b"))
+        .collect()[0]["b"]
+    )
+    changed = {d for d in before if after.get(d) != before[d]}
+    assert changed == {f"{BUCKET_COL}={bucket_of_1}"}
+
+    # guardrails
+    with pytest.raises(FileNotFoundError):
+        wh.rebucket("missing", ["id"], 8)
+
+
 def test_append_refused_on_bucketed_table(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"), n_buckets=4)
     df = spark.range(10).select(F.col("id"))
