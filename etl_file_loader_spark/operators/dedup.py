@@ -376,9 +376,12 @@ def embedding_cosine_pairs_lsh(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    num_bands: int = 4,
-    planes_per_band: int = 2,
+    num_bands: int | None = 4,
+    planes_per_band: int | None = 2,
     round_to: int = 4,
+    target_recall: float = 0.9,
+    candidates_per_row: float = 64.0,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs at scale: banded hyperplane-LSH join + exact rescore.
 
@@ -388,12 +391,25 @@ def embedding_cosine_pairs_lsh(
     agreement p is a candidate with prob 1-(1-p^r)^b instead of p^planes
     (single-band misses most sub-0.9-cosine pairs). Approximate: recall < 1;
     verified against the exact operator in tests.
+
+    ``num_bands=None`` / ``planes_per_band=None`` auto-plans the banding
+    from ``threshold`` and the dataset size via
+    ``similarity.plan_banding`` — planes scale with log2(n) so random
+    candidate volume stays ~linear in n instead of n² (pass ``n_rows`` to
+    skip the planning count at scale).
     """
     from etl_file_loader_spark.operators.similarity import (
         dot_vectorized,
         hyperplane_lsh_bands,
         norm,
+        plan_banding,
     )
+
+    if num_bands is None or planes_per_band is None:
+        n = n_rows if n_rows is not None else df.count()
+        num_bands, planes_per_band = plan_banding(
+            n, threshold, target_recall, candidates_per_row
+        )
 
     # The Arrow-matmul banding subtree runs ONCE (persisted slim frame):
     # candidates come from a JVM bucket equi-join over (id, band, bucket) —

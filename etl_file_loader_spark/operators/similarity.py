@@ -103,6 +103,73 @@ def _query_score(vec: Column, q: Column, query_vec: list[float]) -> Column:
     return dot(vec, q) / (norm(vec) * F.lit(nq))
 
 
+def plan_banding(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    candidates_per_row: float = 64.0,
+    max_planes: int = 48,
+    max_bands: int = 512,
+) -> tuple[int, int]:
+    """Pick (num_bands, planes_per_band) for sign-random-projection banding.
+
+    Fixed banding parameters are a scale trap: with r planes a band has 2^r
+    buckets, so on an unstructured (near-orthogonal) background the expected
+    random-collision candidate load is ~ b * n / 2^r pairs PER ROW — it grows
+    linearly with n at fixed (b, r), which makes total candidate volume grow
+    ∝ n². The fix is to grow r with log2(n) and buy recall back with bands.
+
+    Models (driver-side closed form, no data pass):
+      recall:  per-plane agreement for cosine >= threshold is
+               p = 1 - acos(threshold)/pi (Goemans-Williamson); a pair
+               collides in a band iff all r planes agree, so
+               recall >= 1 - (1 - p^r)^b.  Solve b for target_recall.
+      cost:    random background pairs collide per band w.p. ~ 2^-r, so
+               expected candidates/row ~ b * n / 2^r.  Take the smallest r
+               whose load fits candidates_per_row at the b recall needs.
+
+    Returns (num_bands, planes_per_band). If no (b <= max_bands,
+    r <= max_planes) pair fits the budget, returns the feasible pair with
+    the lowest expected load (still recall-satisfying) — the budget is a
+    target, not a hard guarantee.
+
+    Cost of bands is LINEAR (b rows per vector in the exploded banded
+    frame, b*r total hyperplanes in one matmul), while the load saved is
+    exponential in r — so the caps default high: at threshold 0.9 the
+    bands needed grow only ~n^0.22, and planes_per_band stays < 64 (the
+    bit-packed int64 bucket bound) far beyond 10^10 rows.
+    """
+    import math
+
+    if n_rows < 2:
+        return (1, 1)
+    t = min(1.0, max(-1.0, float(threshold)))
+    p = 1.0 - math.acos(t) / math.pi
+    best: tuple[float, int, int] | None = None  # (load, bands, planes)
+    for r in range(1, max_planes + 1):
+        pr = p**r
+        if pr >= 1.0:
+            b = 1
+        elif pr <= 0.0:
+            break
+        else:
+            b = math.ceil(math.log1p(-target_recall) / math.log1p(-pr))
+        if b > max_bands:
+            # more planes per band only lowers p^r further and needs even
+            # more bands — every larger r is infeasible too
+            break
+        load = b * n_rows / float(2**r)
+        if load <= candidates_per_row:
+            return (b, r)
+        if best is None or load < best[0]:
+            best = (load, b, r)
+    if best is None:
+        # threshold so low that even r=1 needs > max_bands bands; degrade to
+        # the widest allowed single-plane bands (max recall available)
+        return (max_bands, 1)
+    return (best[1], best[2])
+
+
 def _plane_matrix(dim: int, num_planes: int) -> "np.ndarray":
     """(dim x num_planes) hyperplane weights, md5-derived — deterministic,
     engine-independent, no RNG state. Component (p, j) = md5(f"{p}_{j}")
@@ -345,9 +412,13 @@ def knn_join_lsh(
     id_col: str,
     vec_col: str,
     k: int = 3,
-    num_bands: int = 4,
-    planes_per_band: int = 2,
+    num_bands: int | None = 4,
+    planes_per_band: int | None = 2,
     round_to: int = 4,
+    recall_threshold: float = 0.9,
+    target_recall: float = 0.9,
+    candidates_per_row: float = 64.0,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN join: banded-LSH candidates -> exact rescore -> top-k.
 
@@ -355,7 +426,19 @@ def knn_join_lsh(
     neighborhood density instead of n² — the scale path. Rows whose bucket
     holds no other vector get no neighbors (recall < 1; band/plane counts
     tune the tradeoff).
+
+    Pass ``num_bands=None`` (and/or ``planes_per_band=None``) to auto-plan
+    the banding with ``plan_banding``: planes grow with log2(n) so expected
+    random-collision candidates stay ~``candidates_per_row`` per row while
+    bands keep recall >= ``target_recall`` for neighbors at cosine >=
+    ``recall_threshold``. ``n_rows`` skips the planning count when the
+    caller already knows the cardinality (always pass it at scale).
     """
+    if num_bands is None or planes_per_band is None:
+        n = n_rows if n_rows is not None else df.count()
+        num_bands, planes_per_band = plan_banding(
+            n, recall_threshold, target_recall, candidates_per_row
+        )
     from pyspark.sql.window import Window
 
     from etl_file_loader_spark.operators.dedup import _bucket_join_pairs
