@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "gopher_repetition",
     "contamination_check",
+    "duplicated_windows",
     "corpus_curation",
 ]
 

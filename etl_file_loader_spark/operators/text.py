@@ -193,6 +193,61 @@ def scrub_pii(text: Column) -> Column:
     return out
 
 
+def duplicated_window_stats(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Per-doc exact substring-duplication stats at token-window granularity.
+
+    The scalable form of exact-substring dedup (the primitive behind
+    suffix-array training-data dedup): every w-token window is keyed by its
+    exact string; a window occurring in >= 2 DISTINCT documents marks each
+    of its occurrences as duplicated text. Per doc: total windows,
+    duplicated-window occurrences, and their share — the signal a curation
+    pipeline thresholds to drop boilerplate-heavy docs or clip spans.
+
+    Plan shape (100 TB): one explode to (doc, window-string) rows
+    [∝ corpus tokens], one gram-keyed aggregation for cross-doc document
+    counts (map-side combinable), one gram-keyed join back restricted to
+    duplicated grams (shuffle ∝ duplicated occurrences on the probe side).
+    No pairwise comparison anywhere — same shuffle shape as exact dedup.
+    Cross-engine: pure string/agg relational ops, DuckDB-oracle-checked.
+    """
+    toks = tokens(F.col(text_col))
+    base = corpus.select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - window + 1, F.lit(0)).cast("long").alias("n_windows"),
+    )
+    occ = corpus.select(
+        F.col(id_col), F.explode(_gram_array(toks, window)).alias("_gram")
+    )
+    dup_grams = (
+        occ.groupBy("_gram")
+        .agg(F.countDistinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_gram")
+    )
+    dup_counts = (
+        occ.join(dup_grams, "_gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_windows"))
+    )
+    return base.join(dup_counts, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_windows"),
+        F.coalesce(F.col("dup_windows"), F.lit(0).cast("long")).alias("dup_windows"),
+        F.round(
+            F.when(
+                F.col("n_windows") > 0,
+                F.coalesce(F.col("dup_windows"), F.lit(0)) / F.col("n_windows"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition (Gopher-style quality filter)
 # ---------------------------------------------------------------------------

@@ -379,6 +379,49 @@ ORDER BY doc_id
 """
 
 
+def q_duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication at 5-token-window granularity: per doc,
+    how many of its windows occur verbatim in >= 2 distinct documents.
+    The scalable stand-in for suffix-array exact-substring dedup — the
+    generated corpus's exact-duplicate docs surface at dup_share = 1.0."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.duplicated_window_stats(docs, "doc_id", "text", window=5).orderBy(
+        "doc_id"
+    )
+
+
+Q_DUPLICATED_WINDOWS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(greatest(len(w) - 5 + 1, 0) AS BIGINT) AS n_windows FROM d
+),
+occ AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM d, unnest(range(1, len(w) - 5 + 2)) t(i)
+  WHERE len(w) >= 5
+),
+dup AS (
+  SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+dc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+  FROM occ JOIN dup USING (g) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_windows,
+       CAST(COALESCE(dc.dup_windows, 0) AS BIGINT) AS dup_windows,
+       round(CASE WHEN b.n_windows > 0
+                  THEN COALESCE(dc.dup_windows, 0) * 1.0 / b.n_windows
+                  ELSE 0.0 END, 4) AS dup_share
+FROM base b LEFT JOIN dc USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
@@ -389,6 +432,7 @@ QUERIES.update(
         "pii_scrub": q_pii_scrub,
         "gopher_repetition": q_gopher_repetition,
         "contamination_check": q_contamination_check,
+        "duplicated_windows": q_duplicated_windows,
     }
 )
 
@@ -403,5 +447,6 @@ ORACLES.update(
         "pii_scrub": Q_PII_SCRUB_SQL,
         "gopher_repetition": Q_GOPHER_REPETITION_SQL,
         "contamination_check": Q_CONTAMINATION_SQL,
+        "duplicated_windows": Q_DUPLICATED_WINDOWS_SQL,
     }
 )

@@ -525,6 +525,44 @@ def test_contamination_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_duplicated_window_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),              # 3 windows; "a b c d e" shared
+            (2, "x y a b c d e q"),            # 4 windows; "a b c d e" shared
+            (3, "unique words only here now"),  # 1 window, unshared
+            (4, "a b"),                         # < window tokens -> 0 windows
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.duplicated_window_stats(df, "doc_id", "text", window=5).collect()
+    }
+    assert (out[1]["n_windows"], out[1]["dup_windows"]) == (3, 1)
+    assert out[1]["dup_share"] == round(1 / 3, 4)
+    assert (out[2]["n_windows"], out[2]["dup_windows"]) == (4, 1)
+    assert (out[3]["n_windows"], out[3]["dup_windows"]) == (1, 0)
+    assert (out[4]["n_windows"], out[4]["dup_windows"]) == (0, 0)
+    assert out[4]["dup_share"] == 0.0
+
+
+def test_duplicated_windows_counts_every_occurrence(spark):
+    # a doc repeating a window that another doc also has: each occurrence of
+    # the duplicated window counts toward dup_windows
+    df = spark.createDataFrame(
+        [(1, "p q r s t z p q r s t"), (2, "p q r s t")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.duplicated_window_stats(df, "doc_id", "text", window=5).collect()
+    }
+    # doc 1 has 7 windows, two of which are "p q r s t"
+    assert (out[1]["n_windows"], out[1]["dup_windows"]) == (7, 2)
+    assert (out[2]["n_windows"], out[2]["dup_windows"]) == (1, 1)
+
+
 def test_remove_near_duplicates_keeps_representatives(spark):
     from etl_file_loader_spark.operators import dedup
 
