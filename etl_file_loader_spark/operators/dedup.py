@@ -524,6 +524,78 @@ def remove_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    fit_fraction: float | None = None,
+    seed: int = 42,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    k-means cluster the vectors, compare pairs only WITHIN each cluster,
+    and drop all but one representative (min id) of every group connected
+    by cosine >= threshold.
+
+    The published recipe for semantic (not just lexical) training-data
+    dedup: the coarse quantizer bounds the pairwise work to Σ m_c² over
+    cluster sizes instead of n² — size ``n_clusters`` so clusters hold
+    thousands, not millions, of vectors at the target scale, and fit the
+    centroids on a sample (``fit_fraction``) rather than the full corpus.
+    Cross-cluster near-dups are missed by construction (nearly identical
+    vectors co-assign to the same centroid almost surely, so the loss is
+    boundary-straddling pairs only — the standard SemDeDup tradeoff).
+
+    Plan shape: one ml.KMeans fit (sampled), one assign projection, a
+    cluster-keyed self-join for candidates (shuffle on cluster id), Arrow
+    einsum rescore, min-label components, then the tiny loser set
+    anti-joins (broadcast at scale) against the corpus scan.
+    """
+    from etl_file_loader_spark.operators.similarity import (
+        IVFIndex,
+        dot_vectorized,
+        norm,
+    )
+
+    fit_df = (
+        df.sample(fraction=fit_fraction, seed=seed) if fit_fraction else df
+    )
+    idx = IVFIndex(n_lists=n_clusters, seed=seed).fit(fit_df, vec_col)
+    assigned = idx.assign(df, vec_col).select(F.col(id_col), F.col("_ivf_bucket"))
+    cand = _bucket_join_pairs(assigned, id_col, ["_ivf_bucket"])
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
+    dup_pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot_vectorized(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(dup_pairs, max_iterations=max_iterations)
+    losers = comp.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def incremental_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -554,6 +554,37 @@ def q_dedup_embedding_pairs_lsh_clustered(spark: SparkSession, sf_dir: str) -> D
     )
 
 
+def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable gate for SemDeDup-style semantic dedup: on the clustered
+    fixture the k-means-bucketed survivor set must agree with the exact
+    all-pairs components on >= 95% of rows (measured: exact agreement —
+    near-identical vectors co-assign to the same centroid, so the only
+    possible loss is boundary-straddling pairs). sf-independent fixture."""
+    from etl_file_loader_spark import fixtures
+
+    n = 400
+    emb = fixtures.clustered_embeddings(spark, n=n)
+    sem = dedup_ops.semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=8, threshold=0.95
+    ).select("vec_id")
+    exact_pairs = dedup_ops.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.95
+    ).select("id_a", "id_b")
+    comp = dedup_ops.connected_components(exact_pairs)
+    exact_losers = comp.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    exact_surv = emb.select("vec_id").join(exact_losers, "vec_id", "left_anti")
+    agree = sem.join(exact_surv, "vec_id").count()
+    total = exact_surv.count()
+    n_sem = sem.count()
+    passed = int(total > 0 and n_sem == total and agree * 100 >= total * 95)
+    return spark.createDataFrame(
+        [("semantic_dedup_survivor_match", 95, passed)],
+        "metric string, threshold_pct int, passed int",
+    )
+
+
 QUERIES.update(
     {
         "dedup_exact": q_dedup_exact,
@@ -573,6 +604,7 @@ QUERIES.update(
         "dedup_incremental": q_dedup_incremental,
         "dedup_embedding_clustered_recall": q_dedup_embedding_clustered_recall,
         "dedup_embedding_pairs_lsh_clustered": q_dedup_embedding_pairs_lsh_clustered,
+        "semantic_dedup_check": q_semantic_dedup_check,
     }
 )
 
@@ -594,5 +626,6 @@ ORACLES.update(
         "dedup_fingerprint": Q_DEDUP_FINGERPRINT_SQL,
         "dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
         "dedup_embedding_clustered_recall": "SELECT 'clustered_pair_recall' AS metric, 90 AS threshold_pct, 1 AS passed UNION ALL SELECT 'clustered_candidate_density', 20, 1",
+        "semantic_dedup_check": "SELECT 'semantic_dedup_survivor_match' AS metric, 95 AS threshold_pct, 1 AS passed",
     }
 )

@@ -563,6 +563,24 @@ def test_duplicated_windows_counts_every_occurrence(spark):
     assert (out[2]["n_windows"], out[2]["dup_windows"]) == (1, 1)
 
 
+def test_semantic_dedup_matches_exact_on_clustered_fixture(spark):
+    from etl_file_loader_spark import fixtures, suite
+
+    rows = {
+        r["metric"]: r["passed"]
+        for r in suite.QUERIES["semantic_dedup_check"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows == {"semantic_dedup_survivor_match": 1}
+
+    # structural: survivors keep exactly one representative per dup group
+    emb = fixtures.clustered_embeddings(spark, n=200)
+    surv = dedup.semantic_dedup(emb, "vec_id", "embedding", n_clusters=8, threshold=0.95)
+    assert 0 < surv.count() < 200
+    assert surv.columns == emb.columns
+
+
 def test_remove_near_duplicates_keeps_representatives(spark):
     from etl_file_loader_spark.operators import dedup
 
