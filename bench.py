@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     "near_dedup_corpus",
     "dedup_embedding_pairs_lsh",
     "dedup_embedding_pairs_lsh_clustered",
-    "semantic_dedup_check",
+    "semantic_dedup_clustered",
     "similarity_topk",
     "similarity_ivf_topk",
     "knn_join_lsh",

@@ -355,6 +355,60 @@ def lsh_topk(
     )
 
 
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = 8,
+) -> None:
+    """Persist the LSH-bucketed table partitioned by bucket — the serving
+    layout for repeated ANN queries.
+
+    ``lsh_topk`` recomputes buckets per query (fine for one-off jobs); a
+    query SERVICE over a 100 TB corpus instead writes the bucketed table
+    ONCE, `partitionBy("bucket")`, so every search scans only its n_probe
+    bucket directories — partition pruning at the file-listing level, zero
+    rows read outside the probed buckets. The hyperplanes are md5-derived
+    (data-independent, deterministic), so index and query sides agree with
+    no stored model state; only ``num_planes`` must match, which is
+    recoverable from the partition count (<= 2^planes).
+    """
+    bucketed = hyperplane_lsh_buckets(df, id_col, vec_col, num_planes)
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    round_to: int = 4,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Top-k against a ``write_lsh_index`` table: the bucket filter becomes
+    a PARTITION filter (PartitionFilters in the scan, pruned before I/O),
+    so cost ∝ rows in the probed buckets — independent of corpus size for
+    fixed bucket occupancy. Scores/ordering identical to ``lsh_topk``."""
+    probes = query_probe_buckets(query_vec, num_planes, n_probe)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    bucketed = spark.read.parquet(index_path)
+    return (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(_query_score(F.col(vec_col), q, query_vec), round_to).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join_exact(
     df: DataFrame,
     id_col: str,

@@ -585,6 +585,19 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin: the semantic-dedup product op alone (no exact baseline)
+    on the clustered fixture at n=2000 — k-means assign, within-cluster
+    pairs, components, survivor anti-join. Correctness is carried by
+    ``semantic_dedup_check``'s agreement gate."""
+    from etl_file_loader_spark import fixtures
+
+    emb = fixtures.clustered_embeddings(spark, n=2000)
+    return dedup_ops.semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=32, threshold=0.95
+    ).select("vec_id")
+
+
 QUERIES.update(
     {
         "dedup_exact": q_dedup_exact,
@@ -605,6 +618,7 @@ QUERIES.update(
         "dedup_embedding_clustered_recall": q_dedup_embedding_clustered_recall,
         "dedup_embedding_pairs_lsh_clustered": q_dedup_embedding_pairs_lsh_clustered,
         "semantic_dedup_check": q_semantic_dedup_check,
+        "semantic_dedup_clustered": q_semantic_dedup_clustered,
     }
 )
 

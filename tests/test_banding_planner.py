@@ -88,6 +88,30 @@ def test_auto_banding_knn_recall_on_clustered_fixture(spark):
     assert recall >= 0.9, recall
 
 
+def test_lsh_index_partition_pruned(spark, tmp_path):
+    """write_lsh_index -> lsh_topk_indexed: identical results to the
+    recompute path, and the bucket predicate lands in PartitionFilters
+    (pruned at file listing, not row filtering)."""
+    from etl_file_loader_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "lsh_index")
+    sim.write_lsh_index(emb, path, "vec_id", "embedding", num_planes=4)
+    qv = [float(x) for x in emb.limit(1).collect()[0].embedding]
+    live = sim.lsh_topk(
+        emb, "vec_id", "embedding", qv, k=5, num_planes=4, n_probe=2
+    ).collect()
+    indexed_df = sim.lsh_topk_indexed(
+        spark, path, "vec_id", "embedding", qv, k=5, num_planes=4, n_probe=2
+    )
+    assert indexed_df.collect() == live
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the bucket predicate must be in the partition filters, not a row filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln for ln in pf)
+
+
 def test_auto_banding_pairs_match_fixed_on_clustered_fixture(spark):
     """The auto-planned embedding_cosine_pairs_lsh finds the same high-cosine
     pairs the exact operator does (recall gate) on the clustered fixture."""
