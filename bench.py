@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "gopher_repetition",
     "contamination_check",
     "duplicated_windows",
+    "line_dedup",
     "corpus_curation",
 ]
 

@@ -248,6 +248,61 @@ def duplicated_window_stats(
     )
 
 
+def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style global line-level dedup: keep the FIRST occurrence (by
+    (doc id, line position)) of every distinct non-blank line corpus-wide,
+    drop later occurrences, and rebuild each document from its surviving
+    lines in original order.
+
+    The boilerplate-removal pass of web-corpus curation (nav bars, cookie
+    banners, repeated footers appear verbatim across thousands of pages).
+    Blank lines bypass the dedup entirely — they are structure, not
+    content, and ranking them would funnel every blank line in the corpus
+    into one shuffle partition.
+
+    Plan shape: one explode (∝ corpus lines), one window keyed on the line
+    string for first-occurrence ranking (shuffle bytes ∝ lines; a line's
+    partition holds only its own occurrences), one per-doc rebuild
+    aggregation. Per-line state is a single rank counter — no pairwise
+    work. Output: (id, n_lines, kept_lines, cleaned_text).
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    nonblank = lines.filter(F.trim(F.col("line")) != "")
+    blank = lines.filter(F.trim(F.col("line")) == "")
+    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("pos"))
+    first = (
+        nonblank.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    kept = first.unionByName(blank)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_lines"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.coalesce(F.col("kept_lines"), F.lit(0).cast("long")).alias("kept_lines"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition (Gopher-style quality filter)
 # ---------------------------------------------------------------------------

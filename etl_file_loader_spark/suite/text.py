@@ -422,6 +422,52 @@ ORDER BY b.doc_id
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup over the documents table: first occurrence
+    of every distinct non-blank line survives, docs rebuild from surviving
+    lines. On the synthetic corpus (single-line docs) this degenerates to
+    exact-doc dedup with first-doc retention — still a full cross-engine
+    value check of the ranking + rebuild machinery."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.line_dedup(docs, "doc_id", "text").orderBy("doc_id")
+
+
+Q_LINE_DEDUP_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents
+),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, ls[i] AS line
+  FROM d, unnest(range(1, len(ls) + 1)) t(i)
+),
+nonblank AS (SELECT * FROM lines WHERE trim(line) <> ''),
+blank AS (SELECT * FROM lines WHERE trim(line) = ''),
+first_occ AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+    FROM nonblank
+  ) WHERE rk = 1
+),
+kept AS (
+  SELECT doc_id, pos, line FROM first_occ
+  UNION ALL
+  SELECT doc_id, pos, line FROM blank
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.ls) AS BIGINT) AS n_lines,
+       CAST(COALESCE(r.kept_lines, 0) AS BIGINT) AS kept_lines,
+       COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
@@ -433,6 +479,7 @@ QUERIES.update(
         "gopher_repetition": q_gopher_repetition,
         "contamination_check": q_contamination_check,
         "duplicated_windows": q_duplicated_windows,
+        "line_dedup": q_line_dedup,
     }
 )
 
@@ -448,5 +495,6 @@ ORACLES.update(
         "gopher_repetition": Q_GOPHER_REPETITION_SQL,
         "contamination_check": Q_CONTAMINATION_SQL,
         "duplicated_windows": Q_DUPLICATED_WINDOWS_SQL,
+        "line_dedup": Q_LINE_DEDUP_SQL,
     }
 )

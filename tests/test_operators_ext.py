@@ -563,6 +563,28 @@ def test_duplicated_windows_counts_every_occurrence(spark):
     assert (out[2]["n_windows"], out[2]["dup_windows"]) == (1, 1)
 
 
+def test_line_dedup_keeps_first_occurrence_and_blanks(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "intro text\ncookie banner\nbody one"),
+            (2, "cookie banner\n\nbody two\nbody two"),  # banner dup; blank kept;
+            #                                              within-doc repeat dropped
+            (3, "body one\ncookie banner"),               # both lines seen before
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.line_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["cleaned_text"] == "intro text\ncookie banner\nbody one"
+    assert (out[1]["n_lines"], out[1]["kept_lines"]) == (3, 3)
+    # doc 2: banner dropped (doc 1 had it), blank survives, second "body two"
+    # dropped (first occurrence is doc 2 pos 2)
+    assert out[2]["cleaned_text"] == "\nbody two"
+    assert (out[2]["n_lines"], out[2]["kept_lines"]) == (4, 2)
+    # doc 3 loses every line
+    assert out[3]["cleaned_text"] == ""
+    assert (out[3]["n_lines"], out[3]["kept_lines"]) == (2, 0)
+
+
 def test_semantic_dedup_matches_exact_on_clustered_fixture(spark):
     from etl_file_loader_spark import fixtures, suite
 
