@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "contamination_check",
     "duplicated_windows",
     "line_dedup",
+    "hash_split",
+    "weighted_repeat",
     "corpus_curation",
 ]
 

@@ -64,6 +64,70 @@ def stratified_sample(
     return df.filter(sample_key(F.col(id_col)) < expr)
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic dataset splitting: add a ``split`` label ('train' /
+    'valid' / ...) from contiguous hash-key ranges.
+
+    ``fractions`` maps label -> fraction; labels claim ranges of
+    ``sample_key`` in the dict's iteration order, so a document's label is
+    a pure function of its id — stable across reruns, engines, and corpus
+    growth (new docs never move old docs between splits, the property that
+    keeps a held-out set held out). Fractions may sum to < 1: the remainder
+    gets a NULL label (not selected), which composes splitting with
+    sampling in one pass. The salt decorrelates this key from
+    ``stratified_sample``'s (same md5 scheme, different input).
+
+    Scan-side projection — zero shuffles, zero data movement at any scale.
+    """
+    key = sample_key(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    expr: Column = F.lit(None).cast("string")
+    cum = 0.0
+    branches: list[tuple[int, str]] = []
+    for label, frac in fractions.items():
+        cum += frac
+        branches.append((int(round(cum * _SAMPLE_DENOM)), label))
+    for hi, label in reversed(branches):
+        expr = F.when(key < hi, F.lit(label)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def weighted_repeat(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    salt: str = "rep",
+) -> DataFrame:
+    """Deterministic non-integer upsampling: repeat each row
+    floor(w) + Bernoulli(frac(w)) times, adding an ``_epoch`` copy index.
+
+    The mixture-weighting primitive for training-data assembly ("see
+    Wikipedia 2.4 epochs, CommonCrawl 0.7"): the fractional part resolves
+    per document through the salted hash key, so exactly ~frac(w) of the
+    affected docs gain the extra copy, the SAME docs every run. w < 1 is
+    downsampling (some docs drop to 0 copies), w > 1 upsampling — one op
+    covers the whole mixture schedule.
+
+    One projection + one explode; output rows ∝ Σ w_i. No shuffle. Copies
+    carry ``_epoch`` (1-based) so downstream shuffling/packing can spread
+    epochs apart.
+    """
+    key = sample_key(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = weight.cast("double")
+    n_copies = (
+        F.floor(w).cast("long")
+        + (key < F.round((w - F.floor(w)) * _SAMPLE_DENOM)).cast("long")
+    )
+    seq = F.when(n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return df.withColumn("_epoch", F.explode(seq))
+
+
 def pack_shards(
     df: DataFrame,
     id_col: str,

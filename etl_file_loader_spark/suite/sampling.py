@@ -119,11 +119,81 @@ FROM packed GROUP BY lang, shard_id ORDER BY lang, shard_id
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by salted hash ranges:
+    80/10/5 with the remaining 5% unassigned (NULL) — splitting and
+    holdout sampling in one scan-side projection. Full per-doc check."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling_ops.hash_split(
+            docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.05}
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+Q_HASH_SPLIT_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS k
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN k < 8000 THEN 'train'
+            WHEN k < 9000 THEN 'valid'
+            WHEN k < 9500 THEN 'test'
+            ELSE NULL END AS split
+FROM keyed ORDER BY doc_id
+"""
+
+
+def q_weighted_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted epoch expansion: en x0.6 (downsample), de x2.5
+    (2 guaranteed epochs + half the docs get a third), others x1.0 —
+    the deterministic upsampling schedule, checked row-for-row including
+    the per-doc Bernoulli resolution."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("lang") == "en", F.lit(0.6))
+        .when(F.col("lang") == "de", F.lit(2.5))
+        .otherwise(F.lit(1.0))
+    )
+    return (
+        sampling_ops.weighted_repeat(docs, "doc_id", w)
+        .select("doc_id", "_epoch")
+        .orderBy("doc_id", "_epoch")
+    )
+
+
+Q_WEIGHTED_REPEAT_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('rep|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS k,
+         CASE lang WHEN 'en' THEN CAST(0.6 AS DOUBLE)
+                   WHEN 'de' THEN CAST(2.5 AS DOUBLE)
+                   ELSE CAST(1.0 AS DOUBLE) END AS w
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         CAST(floor(w) AS BIGINT)
+         + CASE WHEN k < round((w - floor(w)) * 10000) THEN 1 ELSE 0 END AS n
+  FROM keyed
+)
+SELECT doc_id, CAST(e AS BIGINT) AS _epoch
+FROM counts, unnest(range(1, n + 1)) t(e)
+ORDER BY doc_id, _epoch
+"""
+
+
 QUERIES.update(
     {
         "skewed_event_counts": q_skewed_event_counts,
         "stratified_sample": q_stratified_sample,
         "shard_packing": q_shard_packing,
+        "hash_split": q_hash_split,
+        "weighted_repeat": q_weighted_repeat,
     }
 )
 
@@ -133,5 +203,7 @@ ORACLES.update(
         "skewed_event_counts": Q_SKEWED_EVENT_COUNTS_SQL,
         "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
         "shard_packing": Q_SHARD_PACKING_SQL,
+        "hash_split": Q_HASH_SPLIT_SQL,
+        "weighted_repeat": Q_WEIGHTED_REPEAT_SQL,
     }
 )

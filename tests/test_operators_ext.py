@@ -383,6 +383,52 @@ def test_minhash_engines_bit_identical(spark, docs):
     assert a[4] == a[1]  # null text ≡ empty text (one "" shingle) in both
 
 
+def test_hash_split_stable_disjoint_and_rated(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = sampling.hash_split(df, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.05})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # every doc gets exactly one label (or NULL); fractions roughly honored
+    assert sum(counts.values()) == 2000
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.07 < counts["valid"] / 2000 < 0.13
+    assert counts.get(None, 0) > 0  # the unassigned 5% remainder exists
+    # stability: growing the corpus never relabels existing docs
+    bigger = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    out2 = sampling.hash_split(
+        bigger, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.05}
+    )
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    second = {r["doc_id"]: r["split"] for r in out2.collect() if r["doc_id"] < 2000}
+    assert first == second
+
+
+def test_weighted_repeat_counts(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, 2.5 if i % 2 else 0.5) for i in range(1000)],
+        "doc_id long, w double",
+    )
+    out = sampling.weighted_repeat(df, "doc_id", F.col("w"))
+    per_doc = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    odd = [per_doc.get(i, 0) for i in range(1, 1000, 2)]    # w=2.5
+    even = [per_doc.get(i, 0) for i in range(0, 1000, 2)]   # w=0.5
+    assert set(odd) <= {2, 3} and 0.4 < sum(1 for n in odd if n == 3) / len(odd) < 0.6
+    assert set(even) <= {0, 1} and 0.4 < sum(even) / len(even) < 0.6
+    # epochs are 1-based consecutive
+    eps = [r["_epoch"] for r in out.filter(F.col("doc_id") == 1).collect()]
+    assert sorted(eps) == list(range(1, len(eps) + 1))
+    # determinism
+    again = {r["doc_id"]: r["n"] for r in sampling.weighted_repeat(
+        df, "doc_id", F.col("w")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per_doc == again
+
+
 def test_stratified_sample_deterministic_and_rated(spark):
     from etl_file_loader_spark.operators import sampling
 
