@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "hash_split",
     "weighted_repeat",
+    "training_order",
     "corpus_curation",
 ]
 

@@ -64,6 +64,26 @@ def stratified_sample(
     return df.filter(sample_key(F.col(id_col)) < expr)
 
 
+def shuffle_key(id_col: Column, seed: str = "shuffle") -> Column:
+    """Deterministic pseudorandom ordering key for training-data shuffling.
+
+    Training wants documents decorrelated from ingest order (source, crawl
+    date, URL locality); a distributed engine wants NO global random state.
+    Ordering by ``md5(seed|id)`` gives every engine the same permutation —
+    reshardable, resumable, seed-controlled. 16 hex chars -> a 63-bit key,
+    collision-negligible; ties (if any) break on the id downstream.
+
+    At scale: never globally sort by this key — partition by its high bits
+    (or pack per partition) so the "shuffle" is a partition assignment plus
+    small per-partition sorts, the standard shuffled-shard layout.
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), id_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -135,6 +155,7 @@ def pack_shards(
     budget: int,
     partition_cols: list[str] | None = None,
     allow_global_sort: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Assign each doc a ``shard_id``: sequential fixed-token-budget packing.
 
@@ -151,11 +172,16 @@ def pack_shards(
     ONE window partition — a single-task sort that cannot scale — so it
     must be opted into explicitly with ``allow_global_sort=True``
     (small-corpus / oracle-twin use only).
+
+    ``order_col`` overrides the packing order (e.g. a ``shuffle_key``
+    column for decorrelated training order); ``id_col`` stays the
+    tiebreak, keeping manifests deterministic under key collisions.
     """
+    order = [order_col, id_col] if order_col else [id_col]
     if partition_cols:
-        w = Window.partitionBy(*partition_cols).orderBy(id_col)
+        w = Window.partitionBy(*partition_cols).orderBy(*order)
     elif allow_global_sort:
-        w = Window.orderBy(id_col)
+        w = Window.orderBy(*order)
     else:
         raise ValueError(
             "pack_shards without partition_cols is a single-task global sort; "

@@ -187,6 +187,42 @@ ORDER BY doc_id, _epoch
 """
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-layout tail: deterministic pseudorandom shuffle
+    (md5 ordering key) -> per-language token-budget packing in shuffled
+    order. Checked per doc: every document's shard under the shuffled
+    permutation, identical in any engine computing the same md5."""
+    docs = _t(spark, sf_dir, "documents")
+    with_key = docs.select(
+        "doc_id",
+        "lang",
+        text_ops.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        sampling_ops.shuffle_key(F.col("doc_id")).alias("_sk"),
+    )
+    packed = sampling_ops.pack_shards(
+        with_key, "doc_id", "n_tokens", budget=2000,
+        partition_cols=["lang"], order_col="_sk",
+    )
+    return packed.select("doc_id", "lang", "shard_id").orderBy("doc_id")
+
+
+Q_TRAINING_ORDER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sk
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY sk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS BIGINT)
+         AS shard_id
+FROM toks ORDER BY doc_id
+"""
+
+
 QUERIES.update(
     {
         "skewed_event_counts": q_skewed_event_counts,
@@ -194,6 +230,7 @@ QUERIES.update(
         "shard_packing": q_shard_packing,
         "hash_split": q_hash_split,
         "weighted_repeat": q_weighted_repeat,
+        "training_order": q_training_order,
     }
 )
 
@@ -205,5 +242,6 @@ ORACLES.update(
         "shard_packing": Q_SHARD_PACKING_SQL,
         "hash_split": Q_HASH_SPLIT_SQL,
         "weighted_repeat": Q_WEIGHTED_REPEAT_SQL,
+        "training_order": Q_TRAINING_ORDER_SQL,
     }
 )

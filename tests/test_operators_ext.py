@@ -429,6 +429,47 @@ def test_weighted_repeat_counts(spark):
     assert per_doc == again
 
 
+def test_shuffle_key_deterministic_and_decorrelated(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    keyed = df.select("doc_id", sampling.shuffle_key(F.col("doc_id")).alias("k"))
+    rows = keyed.orderBy("k", "doc_id").collect()
+    order = [r["doc_id"] for r in rows]
+    assert sorted(order) == list(range(500)) and order != list(range(500))
+    # decorrelated from id order: adjacent ids rarely stay adjacent
+    pos = {d: i for i, d in enumerate(order)}
+    adjacent = sum(1 for d in range(499) if abs(pos[d] - pos[d + 1]) == 1)
+    assert adjacent < 25
+    # different seed, different permutation; same seed, same permutation
+    order2 = [
+        r["doc_id"]
+        for r in df.select(
+            "doc_id", sampling.shuffle_key(F.col("doc_id"), seed="other").alias("k")
+        ).orderBy("k", "doc_id").collect()
+    ]
+    assert order2 != order
+    assert [r["doc_id"] for r in keyed.orderBy("k", "doc_id").collect()] == order
+
+
+def test_pack_shards_order_col_override(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en", 10) for i in range(100)], "doc_id long, lang string, n long"
+    )
+    keyed = df.withColumn("_sk", sampling.shuffle_key(F.col("doc_id")))
+    by_id = sampling.pack_shards(df, "doc_id", "n", 200, partition_cols=["lang"])
+    by_key = sampling.pack_shards(
+        keyed, "doc_id", "n", 200, partition_cols=["lang"], order_col="_sk"
+    )
+    id_shards = {r["doc_id"]: r["shard_id"] for r in by_id.collect()}
+    key_shards = {r["doc_id"]: r["shard_id"] for r in by_key.collect()}
+    # same shard count + sizes (20 docs per 200-token shard), different membership
+    assert sorted(id_shards.values()) == sorted(key_shards.values())
+    assert id_shards != key_shards
+
+
 def test_stratified_sample_deterministic_and_rated(spark):
     from etl_file_loader_spark.operators import sampling
 
