@@ -582,6 +582,19 @@ class IVFIndex:
         )
         return pred.withColumnRenamed("prediction", "_ivf_bucket").drop("features")
 
+    def save(self, path: str) -> None:
+        """Persist the fitted coarse quantizer (ml-native writer)."""
+        self.model.write().overwrite().save(path)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeansModel
+
+        model = KMeansModel.load(path)
+        idx = cls(n_lists=model.getK())
+        idx.model = model
+        return idx
+
     def search(
         self,
         assigned: DataFrame,
@@ -605,3 +618,50 @@ class IVFIndex:
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k)
         )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> IVFIndex:
+    """Persist an IVF index: bucket-partitioned vectors + the quantizer.
+
+    Layout: ``path/data`` is the assigned table `partitionBy(_ivf_bucket)`
+    (probes prune partitions at file listing, like ``write_lsh_index``);
+    ``path/model`` is the fitted KMeans quantizer via the ml-native writer
+    — unlike the data-independent hyperplanes, IVF has learned state that
+    the query side must share. Fit on ``fit_fraction`` of the corpus when
+    the full pass is wasteful (centroids need a sample, not the corpus).
+    """
+    fit_df = df.sample(fraction=fit_fraction, seed=seed) if fit_fraction else df
+    idx = IVFIndex(n_lists=n_lists, seed=seed).fit(fit_df, vec_col)
+    assigned = idx.assign(df, vec_col)
+    assigned.write.mode("overwrite").partitionBy("_ivf_bucket").parquet(path + "/data")
+    idx.save(path + "/model")
+    return idx
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k against a ``write_ivf_index`` table: reload the quantizer,
+    rank centroids driver-side, scan only the n_probe closest bucket
+    partitions (PartitionFilters). Scores identical to ``IVFIndex.search``
+    over the same assignment."""
+    idx = IVFIndex.load(index_path + "/model")
+    assigned = spark.read.parquet(index_path + "/data")
+    return idx.search(
+        assigned, id_col, vec_col, query_vec, k=k, n_probe=n_probe, round_to=round_to
+    )

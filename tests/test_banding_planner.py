@@ -112,6 +112,28 @@ def test_lsh_index_partition_pruned(spark, tmp_path):
     assert any("bucket" in ln for ln in pf)
 
 
+def test_ivf_index_roundtrip_partition_pruned(spark, tmp_path):
+    """write_ivf_index -> ivf_topk_indexed: quantizer round-trips through
+    the ml writer, results match the in-memory search, bucket probes land
+    in PartitionFilters."""
+    from etl_file_loader_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    idx = sim.write_ivf_index(emb, path, "vec_id", "embedding", n_lists=4)
+    qv = [float(x) for x in emb.limit(1).collect()[0].embedding]
+    live = idx.search(
+        idx.assign(emb, "embedding"), "vec_id", "embedding", qv, k=5, n_probe=2
+    ).collect()
+    indexed_df = sim.ivf_topk_indexed(
+        spark, path, "vec_id", "embedding", qv, k=5, n_probe=2
+    )
+    assert indexed_df.collect() == live
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("_ivf_bucket" in ln for ln in pf)
+
+
 def test_auto_banding_pairs_match_fixed_on_clustered_fixture(spark):
     """The auto-planned embedding_cosine_pairs_lsh finds the same high-cosine
     pairs the exact operator does (recall gate) on the clustered fixture."""
