@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_minhash_orders",
     "dedup_clusters",
     "near_dedup_corpus",
+    "dedup_incremental_near",
     "dedup_embedding_pairs_lsh",
     "dedup_embedding_pairs_lsh_clustered",
     "semantic_dedup_clustered",

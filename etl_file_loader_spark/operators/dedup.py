@@ -228,18 +228,14 @@ def _bucket_member_pairs(
     return pairs.select("_p.id_a", "_p.id_b").distinct()
 
 
-def lsh_candidate_pairs(
+def _band_rows(
     signatures: DataFrame,
     id_col: str,
-    bands: int = 4,
-    rows_per_band: int = 4,
+    bands: int,
+    rows_per_band: int,
 ) -> DataFrame:
-    """Docs sharing any LSH band bucket -> distinct (id_a < id_b) pairs.
-
-    Shuffle key is (band_idx, band_hash) — only docs with an identical band
-    slice meet, so the join degree tracks true near-duplicate density.
-    """
-    band_rows = signatures.select(
+    """(id, band_idx, band_hash) rows: md5 over each band's signature slice."""
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -259,6 +255,20 @@ def lsh_candidate_pairs(
             )
         ).alias("_band"),
     ).select(id_col, "_band.band_idx", "_band.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Docs sharing any LSH band bucket -> distinct (id_a < id_b) pairs.
+
+    Shuffle key is (band_idx, band_hash) — only docs with an identical band
+    slice meet, so the join degree tracks true near-duplicate density.
+    """
+    band_rows = _band_rows(signatures, id_col, bands, rows_per_band)
     # one aggregate instead of a self-join: the expensive minhash+banding
     # subtree executes once and shuffles once
     return _bucket_member_pairs(band_rows, id_col, ["band_idx", "band_hash"])
@@ -630,4 +640,59 @@ def incremental_dedup(
         F.col(id_col),
         F.col("matched_corpus_id"),
         F.col("matched_corpus_id").isNotNull().cast("int").alias("is_dup"),
+    )
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 5,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Flag each NEW doc as a NEAR-duplicate of the ingested corpus — the
+    MinHash-banded analog of ``incremental_dedup`` (which only catches
+    canonical-exact matches).
+
+    The corpus side reduces to its band index: one row per distinct
+    (band_idx, band_hash) with the smallest corpus id in that bucket. At
+    scale that index IS the persisted artifact — it grows with distinct
+    band buckets (∝ distinct content, not corpus rows), is maintainable
+    incrementally (union new batch's bands, re-min), and a delta batch
+    joins against it without ever re-scanning old-vs-old. Output: every
+    new doc with ``matched_corpus_id`` (smallest corpus id sharing ANY
+    band bucket, null if none) and ``is_near_dup``.
+
+    Same recall semantics as ``lsh_candidate_pairs``: a true near-dup pair
+    collides with prob 1-(1-p^r)^b for row-agreement p; tune bands/rows
+    exactly as the batch path.
+    """
+    new_bands = _band_rows(
+        minhash_signatures(new_df, id_col, text_col, num_hashes=num_hashes, n=n),
+        id_col,
+        bands,
+        rows_per_band,
+    )
+    corpus_index = (
+        _band_rows(
+            minhash_signatures(corpus_df, id_col, text_col, num_hashes=num_hashes, n=n),
+            id_col,
+            bands,
+            rows_per_band,
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(F.min(F.col(id_col)).alias("_cid"))
+    )
+    flagged = (
+        new_bands.join(corpus_index, ["band_idx", "band_hash"], "left")
+        .groupBy(id_col)
+        .agg(F.min("_cid").alias("matched_corpus_id"))
+    )
+    return flagged.select(
+        F.col(id_col),
+        F.col("matched_corpus_id"),
+        F.col("matched_corpus_id").isNotNull().cast("int").alias("is_near_dup"),
     )

@@ -554,6 +554,41 @@ def q_dedup_embedding_pairs_lsh_clustered(spark: SparkSession, sf_dir: str) -> D
     )
 
 
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus NEAR-dedup: the MinHash-banded analog of
+    `dedup_incremental` — even ids play the corpus (reduced to its band
+    index), odd ids the incoming batch; each new doc reports the smallest
+    corpus doc sharing any LSH band, or arrives unique."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_ops.incremental_near_dedup(new, corpus, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+Q_DEDUP_INCREMENTAL_NEAR_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_SIG_CTE},
+bands AS (
+{_BANDS_SQL}
+),
+corpus_index AS (
+  SELECT band_idx, band_hash, CAST(min(doc_id) AS BIGINT) AS cid
+  FROM bands WHERE doc_id % 2 = 0 GROUP BY band_idx, band_hash
+),
+matched AS (
+  SELECT b.doc_id, min(ci.cid) AS matched_corpus_id
+  FROM bands b LEFT JOIN corpus_index ci USING (band_idx, band_hash)
+  WHERE b.doc_id % 2 = 1
+  GROUP BY b.doc_id
+)
+SELECT doc_id, matched_corpus_id,
+       CAST(CASE WHEN matched_corpus_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_near_dup
+FROM matched ORDER BY doc_id
+"""
+
+
 def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Falsifiable gate for SemDeDup-style semantic dedup: on the clustered
     fixture the k-means-bucketed survivor set must agree with the exact
@@ -615,6 +650,7 @@ QUERIES.update(
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_near": q_dedup_incremental_near,
         "dedup_embedding_clustered_recall": q_dedup_embedding_clustered_recall,
         "dedup_embedding_pairs_lsh_clustered": q_dedup_embedding_pairs_lsh_clustered,
         "semantic_dedup_check": q_semantic_dedup_check,
@@ -639,6 +675,7 @@ ORACLES.update(
         "dedup_simhash_pairs": Q_DEDUP_SIMHASH_PAIRS_SQL,
         "dedup_fingerprint": Q_DEDUP_FINGERPRINT_SQL,
         "dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
+        "dedup_incremental_near": Q_DEDUP_INCREMENTAL_NEAR_SQL,
         "dedup_embedding_clustered_recall": "SELECT 'clustered_pair_recall' AS metric, 90 AS threshold_pct, 1 AS passed UNION ALL SELECT 'clustered_candidate_density', 20, 1",
         "semantic_dedup_check": "SELECT 'semantic_dedup_survivor_match' AS metric, 95 AS threshold_pct, 1 AS passed",
     }

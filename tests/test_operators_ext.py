@@ -650,6 +650,39 @@ def test_duplicated_windows_counts_every_occurrence(spark):
     assert (out[2]["n_windows"], out[2]["dup_windows"]) == (1, 1)
 
 
+def test_incremental_near_dedup_flags_band_matches(spark):
+    corpus = spark.createDataFrame(
+        [
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (4, "completely different corpus content lives right here now"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # identical text -> every band matches doc 2
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            # no shingles in common with any corpus doc
+            (3, "unrelated fresh words that match nothing in the index"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["matched_corpus_id"], r["is_near_dup"])
+        for r in dedup.incremental_near_dedup(new, corpus, "doc_id", "text").collect()
+    }
+    assert out == {1: (2, 1), 3: (None, 0)}
+    # agreement with the batch path: a new doc is flagged iff the combined
+    # corpus+delta candidate pairs contain a cross-side pair for it
+    both = corpus.unionByName(new)
+    sigs = dedup.minhash_signatures(both, "doc_id", "text")
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in dedup.lsh_candidate_pairs(sigs, "doc_id").collect()
+    }
+    assert (1, 2) in pairs
+
+
 def test_line_dedup_keeps_first_occurrence_and_blanks(spark):
     df = spark.createDataFrame(
         [
