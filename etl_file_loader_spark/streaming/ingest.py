@@ -248,6 +248,98 @@ def incremental_agg_stream(
     )
 
 
+def near_dedup_stream(
+    docs: DataFrame,
+    warehouse,
+    out_table: str,
+    index_table: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 5,
+    bands: int = 4,
+    rows_per_band: int = 4,
+):
+    """Continuous corpus construction with streaming NEAR-dedup.
+
+    Each micro-batch: (1) within-batch near-dup groups (banded MinHash
+    candidates -> components) collapse to their min-id representative;
+    (2) representatives are flagged against the PERSISTED band index
+    (delta-vs-corpus — old-vs-old is never rescanned); (3) survivors
+    append to the corpus table and their band rows merge into the index
+    (union + re-min, so the index stays one row per distinct band bucket).
+
+    State lives in the warehouse, not the streaming state store: the index
+    is restartable, compactable, and readable by any batch job mid-stream
+    — and its size tracks distinct content, not stream history. This is
+    the streaming face of ``dedup.incremental_near_dedup``; the state-store
+    alternative (``dropDuplicatesWithinWatermark``) only covers exact keys
+    within a time horizon.
+    """
+    from etl_file_loader_spark.operators import dedup as dedup_ops
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sigs = dedup_ops.minhash_signatures(
+            batch_df, id_col, text_col, num_hashes=num_hashes, n=n
+        )
+        band_rows = dedup_ops._band_rows(sigs, id_col, bands, rows_per_band)
+        pairs = dedup_ops._bucket_member_pairs(
+            band_rows, id_col, ["band_idx", "band_hash"]
+        )
+        losers = (
+            dedup_ops.connected_components(pairs)
+            .filter(F.col("cluster_id") != F.col("doc_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        reps = batch_df.join(losers, id_col, "left_anti")
+        rep_bands = band_rows.join(reps.select(id_col), id_col, "left_semi")
+        with warehouse.mutate(index_table):
+            if warehouse.exists(index_table):
+                idx = warehouse.read_table(index_table)
+                dup_ids = (
+                    rep_bands.join(idx, ["band_idx", "band_hash"], "left_semi")
+                    .select(id_col)
+                    .distinct()
+                )
+                survivors = reps.join(dup_ids, id_col, "left_anti")
+                surv_bands = rep_bands.join(
+                    survivors.select(id_col), id_col, "left_semi"
+                )
+                merged = (
+                    idx.unionByName(
+                        surv_bands.select(
+                            "band_idx", "band_hash", F.col(id_col).alias("cid")
+                        )
+                    )
+                    .groupBy("band_idx", "band_hash")
+                    .agg(F.min("cid").alias("cid"))
+                )
+                warehouse.overwrite(index_table, merged)
+            else:
+                survivors = reps
+                warehouse.overwrite(
+                    index_table,
+                    rep_bands.groupBy("band_idx", "band_hash").agg(
+                        F.min(F.col(id_col)).alias("cid")
+                    ),
+                )
+        if warehouse.exists(out_table):
+            warehouse.append(out_table, survivors)
+        else:
+            warehouse.overwrite(out_table, survivors)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -279,3 +279,53 @@ def test_interval_join_streams(spark, tmp_path):
     q.awaitTermination(120)
     out = {(r["event_id"], r["click_id"]) for r in spark.sql("SELECT * FROM ijout").collect()}
     assert out == {(100, 200)}
+
+
+def test_near_dedup_stream_builds_corpus(spark, warehouse, tmp_path):
+    """Streaming near-dedup: within-batch dups collapse, cross-batch dups
+    are caught by the persisted band index, survivors accumulate."""
+    import json
+
+    from etl_file_loader_spark.streaming.ingest import near_dedup_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    cp = str(tmp_path / "cp")
+    t1 = "the quick brown fox jumps over the lazy dog today"
+    t2 = "completely different second document with its own words here"
+    t3 = "a third and totally unrelated piece of text content now"
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": t1},
+                {"doc_id": 2, "text": t1},  # within-batch near-dup of 1
+                {"doc_id": 3, "text": t2},
+            ]
+        )
+    )
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = near_dedup_stream(stream, warehouse, "corpus", "band_index", cp)
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in warehouse.read_table("corpus").collect()
+    ) == [1, 3]
+
+    # batch 2: doc 4 near-dups the INDEXED doc 1 (cross-batch), doc 5 is new
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [{"doc_id": 4, "text": t1}, {"doc_id": 5, "text": t3}]
+        )
+    )
+    stream2 = spark.readStream.schema(schema).json(str(src))
+    q2 = near_dedup_stream(stream2, warehouse, "corpus", "band_index", cp)
+    q2.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in warehouse.read_table("corpus").collect()
+    ) == [1, 3, 5]
+    # index holds one row per distinct band bucket, min-id owned
+    idx = warehouse.read_table("band_index")
+    assert idx.count() == idx.select("band_idx", "band_hash").distinct().count()
+    assert idx.groupBy().agg(F.min("cid")).collect()[0][0] == 1
