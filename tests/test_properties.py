@@ -224,3 +224,72 @@ def test_sample_key_uniformity_and_determinism(spark):
     kept_60 = {r["id"] for r in ids.filter(sample_key(F.col("id")) < 6000).collect()}
     assert kept_30 <= kept_60
     assert 400 <= len(kept_30) <= 800 and 1000 <= len(kept_60) <= 1400
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_line_dedup_invariants(spark, texts):
+    """line_dedup properties on arbitrary ASCII docs: (1) idempotent —
+    re-deduping the cleaned corpus changes nothing; (2) kept_lines <=
+    n_lines; (3) every distinct non-blank line survives exactly once
+    corpus-wide."""
+    from etl_file_loader_spark.operators.text import line_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = line_dedup(df, "doc_id", "text").collect()
+    assert all(r["kept_lines"] <= r["n_lines"] for r in out)
+    surviving = [
+        ln
+        for r in out
+        if r["cleaned_text"]
+        for ln in r["cleaned_text"].split("\n")
+        if ln.strip()
+    ]
+    assert len(surviving) == len(set(surviving))
+    original_nonblank = {
+        ln for t in texts for ln in t.split("\n") if ln.strip()
+    }
+    assert set(surviving) == original_nonblank
+    # idempotence
+    cleaned = spark.createDataFrame(
+        [(r["doc_id"], r["cleaned_text"]) for r in out], "doc_id long, text string"
+    )
+    again = {r["doc_id"]: r["cleaned_text"] for r in line_dedup(cleaned, "doc_id", "text").collect()}
+    assert again == {r["doc_id"]: r["cleaned_text"] for r in out}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(2, 4),
+)
+def test_duplicated_windows_bounds(spark, texts, window):
+    """0 <= dup_windows <= n_windows; a doc with a unique text and no
+    shared windows reports dup_share 0; duplicated docs report share 1."""
+    from etl_file_loader_spark.operators.text import duplicated_window_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = duplicated_window_stats(df, "doc_id", "text", window=window).collect()
+    for r in out:
+        assert 0 <= r["dup_windows"] <= r["n_windows"]
+        if r["n_windows"] == 0:
+            assert r["dup_share"] == 0.0
+    # exact duplicate doc pair -> all their windows are duplicated
+    dup = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b a b")], "doc_id long, text string"
+    )
+    for r in duplicated_window_stats(dup, "doc_id", "text", window=2).collect():
+        assert r["dup_share"] == 1.0
