@@ -229,3 +229,61 @@ def resize_image(df: DataFrame, target_w: int, target_h: int, fake: bool = False
             )
 
     return df.select("media_id", "content").mapInPandas(resize_batches, _RESIZE_SCHEMA)
+
+
+_FEATURE_SCHEMA = "media_id long, embedding array<float>, feature_ok boolean"
+
+
+def image_features(df: DataFrame, dim: int = 8, fake: bool = False) -> DataFrame:
+    """Extract a unit-normalized feature vector per image via mapInPandas —
+    the feature-extract stage that bridges the multimodal columns into the
+    similarity/dedup operators (its output is an ``embedding`` column the
+    ANN and embedding-near-dup ops consume directly).
+
+    Real extraction needs a vision model/runtime not in this container;
+    ``fake=True`` computes a deterministic descriptor of the FAKEIMG
+    payload (dims, length, byte statistics, boundary bytes), L2-normalized
+    — honest plumbing: Arrow batches in, fixed-width float vectors out,
+    same shape a CLIP-style encoder UDF would produce at ``dim`` = 512+.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image feature extraction requires a vision model runtime "
+            "(not in this container); use fake=True for the deterministic "
+            "descriptor"
+        )
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                if b[:8] == FAKE_MAGIC:
+                    w = int.from_bytes(b[8:10], "big")
+                    h = int.from_bytes(b[10:12], "big")
+                    body = np.frombuffer(b[12:], dtype=np.uint8).astype("float64")
+                    stats = [
+                        float(w),
+                        float(h),
+                        float(len(body)),
+                        float(body.mean()) if len(body) else 0.0,
+                        float(body.std()) if len(body) else 0.0,
+                        float(body.min()) if len(body) else 0.0,
+                        float(body.max()) if len(body) else 0.0,
+                        float(body[0]) if len(body) else 0.0,
+                    ]
+                    v = np.asarray((stats * ((dim // len(stats)) + 1))[:dim])
+                    nrm = float(np.sqrt((v * v).sum()))
+                    vec = (v / nrm if nrm else v).astype("float32")
+                    out.append((int(mid), [float(x) for x in vec], True))
+                else:
+                    out.append((int(mid), None, False))
+            yield pd.DataFrame(
+                out, columns=["media_id", "embedding", "feature_ok"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        feature_batches, _FEATURE_SCHEMA
+    )

@@ -245,6 +245,46 @@ def test_resize_image_roundtrip(spark):
     assert redecoded["width"] == 8 and redecoded["decode_ok"]
 
 
+def test_image_features_bridge_to_similarity(spark):
+    """feature-extract stage: fake descriptor is unit-normalized, stable,
+    and its output column plugs directly into the embedding near-dup op —
+    identical payloads land at cosine 1.0, different ones below."""
+    payloads = [
+        (1, multimodal.pack_fake_image(1, 64, 48)),
+        (2, multimodal.pack_fake_image(1, 64, 48)),   # identical content
+        (3, multimodal.pack_fake_image(7, 640, 480)),  # different image
+        (4, b"\xff\xd8\xffnot-decodable"),             # non-fake payload
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, content binary")
+    feats = multimodal.image_features(df, dim=8, fake=True)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert rows[4]["feature_ok"] is False and rows[4]["embedding"] is None
+    v1 = rows[1]["embedding"]
+    assert abs(sum(x * x for x in v1) - 1.0) < 1e-5
+    assert rows[2]["embedding"] == v1
+    assert rows[3]["embedding"] != v1
+    # bridge: the op's output feeds embedding_cosine_pairs as-is
+    from etl_file_loader_spark.operators.dedup import embedding_cosine_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(
+            feats.filter(F.col("feature_ok")), "media_id", "embedding", threshold=0.99
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) not in pairs
+
+
+def test_image_features_requires_fake_flag(spark):
+    df = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
+    try:
+        multimodal.image_features(df)
+        assert False, "expected NotImplementedError"
+    except NotImplementedError:
+        pass
+
+
 def test_rolling_fingerprint_order_sensitive(spark):
     from etl_file_loader_spark.operators.text import rolling_fingerprint
 
