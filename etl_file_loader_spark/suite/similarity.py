@@ -133,7 +133,10 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Banding math drives the params: per-band collision prob for angle θ is
     (1-θ/π)^planes_per_band; the synthetic embeddings sit near θ≈60°, so
     2 planes/band keeps p_band ≈ 0.36 and 8 OR-ed bands lift recall to
-    1-(1-0.36)^8 ≈ 0.97 (measured 0.979 micro-avg over all 500 queries)."""
+    1-(1-0.36)^8 ≈ 0.97 (measured 0.979 micro-avg over all 500 queries).
+    These FIXED params are sized to this sf-range; at growing n use
+    ``num_bands=None`` (plan_banding) — see ``knn_join_lsh_auto_clustered``
+    and NOTES_r4 §9 for the sf1 evidence (fixed ∝n² vs auto ~linear)."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.knn_join_lsh(
         emb, "vec_id", "embedding", k=3, num_bands=8, planes_per_band=2
