@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     "weighted_repeat",
     "training_order",
     "corpus_curation",
+    "quality_classifier",
+    "unigram_logprob",
+    "sequence_chunks",
+    "simhash_dedup",
 ]
 
 

@@ -97,6 +97,20 @@ def token_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def token_hash_bits(col: Column, bits: int) -> Column:
+    """Portable token hash of ``ceil(bits/4)*4`` bits (md5-prefix derived).
+
+    Generalizes :func:`token_hash32` to wider fingerprints (e.g. 48-bit
+    SimHash): DuckDB computes the identical value as
+    ``CAST('0x' || substr(md5(x), 1, ceil(bits/4)) AS BIGINT)``. ``bits``
+    must stay <= 60 so the value fits a signed int64 (15 hex chars).
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"token_hash_bits supports 1..60 bits, got {bits}")
+    n_hex = (bits + 3) // 4
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # text tokenization (shared by text-analysis + dedup operators)
 # ---------------------------------------------------------------------------

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_file_loader_spark.functions import tokens
+
 # one part in _SAMPLE_DENOM resolution for sampling rates
 _SAMPLE_DENOM = 10_000
 
@@ -194,6 +196,53 @@ def pack_shards(
     )
     return df.withColumn(
         "shard_id", F.floor(prefix / F.lit(budget)).cast("long")
+    )
+
+
+def sequence_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document's token stream into fixed-length training
+    sequences: chunk i covers tokens [i*stride, i*stride + seq_len).
+
+    The tokenize-and-chunk step between curation and ``pack_shards``:
+    ``stride == seq_len`` (default) gives non-overlapping chunks, a smaller
+    stride gives overlapping context windows. Chunk starts advance while
+    they remain inside the doc, so the final chunk may be short (no
+    padding here — padding policy belongs to the collator). Empty docs
+    yield no chunks.
+
+    One projection + one explode; output rows ∝ corpus tokens / stride,
+    zero shuffles — scan-shaped at any corpus size. Chunks carry a
+    deterministic ``chunk_md5`` so downstream exact-dedup can run at
+    sequence granularity (the RefinedWeb recipe).
+    """
+    if stride is None:
+        stride = seq_len
+    if seq_len < 1 or stride < 1:
+        raise ValueError(f"seq_len ({seq_len}) and stride ({stride}) must be >= 1")
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), "_toks", F.size("_toks").alias("_n"))
+    ex = base.filter(F.col("_n") > 0).select(
+        F.col(id_col),
+        "_toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.col("_n") - 1) / F.lit(stride)).cast("int")
+            )
+        ).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, seq_len)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
 
 

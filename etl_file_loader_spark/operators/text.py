@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_file_loader_spark.functions import tokens
+from etl_file_loader_spark.functions import token_hash32, tokens
 
 # tiny per-language stopword marker sets (heuristic language ID)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -147,6 +147,194 @@ def rolling_fingerprint(text: Column, prime: int = 2147483647) -> Column:
         chars,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % prime,
+    )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering (fastText/CCNet-style linear classifiers)
+# ---------------------------------------------------------------------------
+
+
+def hashed_feature_indices(text: Column, dim: int) -> Column:
+    """Hashing-trick feature index per token: portable md5-hash mod dim.
+
+    The fastText deployment shape — no vocabulary table, just a hash into a
+    fixed weight array. Engine-portable: DuckDB computes the same index as
+    ``CAST('0x' || substr(md5(lower(w)),1,8) AS BIGINT) % dim``.
+    """
+    return F.transform(
+        tokens(text), lambda w: F.pmod(token_hash32(F.lower(w)), F.lit(dim))
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights_milli: list[int],
+    bias_milli: int = 0,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Hashed linear quality classifier: mean-pooled bag-of-words logit.
+
+    The model-based corpus filter (CCNet / GPT-3's LR filter, fastText
+    quality heads): ``logit = bias + mean(weight[hash(token) % dim])``,
+    ``keep = logit >= threshold``. Weights arrive as INTEGER milli-units so
+    the pooled sum accumulates exactly in int64 (order-free, engine-exact);
+    the only float ops are one division and one addition at the end — the
+    whole score is a deterministic pure-column expression, scan-speed and
+    shuffle-free at any scale. Thresholding on the logit is equivalent to
+    thresholding the sigmoid (monotone), so no transcendental is needed.
+
+    This inline form embeds the weight array in the plan — right for hashed
+    models up to ~10^5 dims. For vocabulary-sized models use
+    :func:`classifier_score_joined` (weights as a table).
+    """
+    dim = len(weights_milli)
+    warr = F.array(*[F.lit(int(w)) for w in weights_milli])
+    idx = hashed_feature_indices(F.col(text_col), dim)
+    n = F.size(idx)
+    s = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.element_at(warr, (i + 1).cast("int")),
+    )
+    bias = float(bias_milli) / 1000.0
+    logit = F.when(n == 0, F.lit(bias)).otherwise(
+        F.lit(bias) + s.cast("double") / (F.lit(1000.0) * n)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        logit.alias("logit"),
+    ).withColumn(
+        "keep", (F.col("logit") >= F.lit(float(threshold_milli) / 1000.0)).cast("int")
+    )
+
+
+def classifier_score_joined(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    dim: int,
+    bias_milli: int = 0,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """The table-weights twin of :func:`classifier_score` for models too
+    large to inline: ``weights`` is (feature INT, w_milli LONG).
+
+    explode tokens -> hash index -> join weights -> re-aggregate per doc.
+    The join keys on the feature index; for classifier-sized tables (10^5 -
+    10^7 rows) AQE broadcasts the weight side, so the corpus never
+    shuffles — the scan streams through a broadcast hash join and one
+    doc-keyed partial aggregation. Missing features weigh 0. Results are
+    bit-identical to the inline form on the same weights.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(hashed_feature_indices(F.col(text_col), dim)).alias("feature"),
+    )
+    j = ex.join(weights, "feature", "left")
+    agg = j.groupBy(id_col).agg(
+        F.sum(F.when(F.col("feature").isNotNull(), F.coalesce(F.col("w_milli"), F.lit(0))))
+        .cast("long")
+        .alias("_s"),
+        F.count(F.col("feature")).alias("_n"),
+    )
+    bias = float(bias_milli) / 1000.0
+    logit = F.when(F.col("_n") == 0, F.lit(bias)).otherwise(
+        F.lit(bias) + F.col("_s").cast("double") / (F.lit(1000.0) * F.col("_n"))
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        logit.alias("logit"),
+    ).withColumn(
+        "keep", (F.col("logit") >= F.lit(float(threshold_milli) / 1000.0)).cast("int")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-trained unigram LM scoring: per-doc mean log-probability —
+    the perplexity-style fluency filter (CCNet's LM stage, with the corpus
+    itself as the LM here; swap ``df``-derived vocab for a reference-corpus
+    vocab table to score against an external LM).
+
+    Shape at scale: explode tokens (shuffle ∝ corpus tokens) -> vocab count
+    aggregate -> token-keyed join back -> per-doc aggregate. The per-doc
+    log-prob sum is folded over the doc's (count -> multiplicity) profile
+    in ascending-count order — a canonical, engine-reproducible float
+    summation order (ln itself may differ by 1 ulp between libm
+    implementations; with the fixed fold order the accumulated divergence
+    stays ~1e-13, far inside the round(6) grid).
+
+    Tokens with corpus count < ``min_count`` are OOV: counted in ``n_oov``
+    and excluded from the mean. Docs with no scored tokens get NULL.
+    Output: (id, n_tokens, n_oov, mean_logprob).
+
+    Skew note: the token-keyed join back is 1:N with Zipf-hot keys ("the"
+    lands one shuffle partition). It never explodes (one vocab row per
+    token) and AQE's skew-join split applies to the streaming side of this
+    left join; for an external-LM variant, broadcast the head vocabulary
+    (top ~10^4 tokens carry most occurrences) and shuffle only the tail.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))).alias(
+            "tok"
+        ),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("_T"))
+    kept = vocab.filter(F.col("c") >= min_count)
+    j = toks.join(kept, "tok", "left")
+    prof = j.groupBy(id_col, "c").agg(F.count(F.lit(1)).alias("m"))
+    doc = prof.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c").isNull(), F.col("m")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_oov"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("c").isNotNull(),
+                    F.struct(
+                        F.col("c").cast("long").alias("c"),
+                        F.col("m").cast("long").alias("m"),
+                    ),
+                )
+            )
+        ).alias("_profile"),
+    )
+    scored = doc.crossJoin(F.broadcast(total))
+    n_scored = F.col("n_tokens") - F.col("n_oov")
+    lp_sum = F.aggregate(
+        F.col("_profile"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["m"].cast("double") * (F.log(s["c"].cast("double")) - F.log(F.col("_T"))),
+    )
+    out = scored.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_oov"),
+        F.when(n_scored == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(lp_sum / n_scored, 6))
+        .alias("mean_logprob"),
+    )
+    # docs whose text has zero tokens vanish at the explode — reinstate
+    base = df.select(F.col(id_col))
+    return base.join(out, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        F.col("mean_logprob"),
     )
 
 

@@ -633,6 +633,73 @@ def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+# ---------------------------------------------------------------------------
+# SimHash end-to-end collapse (blocked candidates, no all-pairs join)
+# ---------------------------------------------------------------------------
+
+_SIMHASH48_VOTES_SQL = ",\n         ".join(
+    f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(48)
+)
+
+_SIMHASH48_ASSEMBLE_SQL = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(48)
+)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SimHash near-dedup: corpus minus Hamming<=3 losers on
+    48-bit fingerprints, candidates from the 4-block pigeonhole join (exact
+    by construction, never all-pairs). The oracle recomputes the SAME answer
+    from the O(n²) definition + recursive-CTE components, proving the
+    blocked path loses nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup_ops.simhash_dedup(
+        docs, "doc_id", "text", bits=48, max_hamming=3, blocks=4
+    )
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+Q_SIMHASH_DEDUP_SQL = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS th FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH48_VOTES_SQL}
+  FROM th GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, {_SIMHASH48_ASSEMBLE_SQL} AS simhash FROM votes
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES.update(
     {
         "dedup_exact": q_dedup_exact,
@@ -655,6 +722,7 @@ QUERIES.update(
         "dedup_embedding_pairs_lsh_clustered": q_dedup_embedding_pairs_lsh_clustered,
         "semantic_dedup_check": q_semantic_dedup_check,
         "semantic_dedup_clustered": q_semantic_dedup_clustered,
+        "simhash_dedup": q_simhash_dedup,
     }
 )
 
@@ -678,5 +746,6 @@ ORACLES.update(
         "dedup_incremental_near": Q_DEDUP_INCREMENTAL_NEAR_SQL,
         "dedup_embedding_clustered_recall": "SELECT 'clustered_pair_recall' AS metric, 90 AS threshold_pct, 1 AS passed UNION ALL SELECT 'clustered_candidate_density', 20, 1",
         "semantic_dedup_check": "SELECT 'semantic_dedup_survivor_match' AS metric, 95 AS threshold_pct, 1 AS passed",
+        "simhash_dedup": Q_SIMHASH_DEDUP_SQL,
     }
 )

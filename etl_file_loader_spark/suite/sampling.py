@@ -223,6 +223,36 @@ FROM toks ORDER BY doc_id
 """
 
 
+def q_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence chunking (seq_len=32, stride=24 —
+    overlapping context windows), the tokenize-and-chunk step between
+    curation and shard packing. Chunk digests make the content, not just
+    the counts, cross-engine-verified."""
+    from etl_file_loader_spark.operators import sampling as sampling_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling_ops.sequence_chunks(
+        docs, "doc_id", "text", seq_len=32, stride=24
+    ).orderBy("doc_id", "chunk_idx")
+
+
+Q_SEQUENCE_CHUNKS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(toks[i * 24 + 1 : least(i * 24 + 32, n)]) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(toks[i * 24 + 1 : least(i * 24 + 32, n)], ' ')) AS chunk_md5
+FROM s, unnest(range(0, (n - 1) // 24 + 1)) t(i)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES.update(
     {
         "skewed_event_counts": q_skewed_event_counts,
@@ -231,6 +261,7 @@ QUERIES.update(
         "hash_split": q_hash_split,
         "weighted_repeat": q_weighted_repeat,
         "training_order": q_training_order,
+        "sequence_chunks": q_sequence_chunks,
     }
 )
 
@@ -243,5 +274,6 @@ ORACLES.update(
         "hash_split": Q_HASH_SPLIT_SQL,
         "weighted_repeat": Q_WEIGHTED_REPEAT_SQL,
         "training_order": Q_TRAINING_ORDER_SQL,
+        "sequence_chunks": Q_SEQUENCE_CHUNKS_SQL,
     }
 )

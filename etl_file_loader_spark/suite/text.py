@@ -468,6 +468,110 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# model-based quality filtering (hashed linear classifier + unigram LM)
+# ---------------------------------------------------------------------------
+
+# deterministic demo model: 64 hashed features, milli-unit weights
+_CLF_DIM = 64
+_CLF_WEIGHTS_MILLI = [((i * 2654435761) % 4001) - 2000 for i in range(_CLF_DIM)]
+_CLF_BIAS_MILLI = 250
+_CLF_THRESHOLD_MILLI = 500
+_CLF_WEIGHTS_SQL = "[" + ", ".join(str(w) for w in _CLF_WEIGHTS_MILLI) + "]"
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: hashed linear (fastText/CCNet-style)
+    classifier over the corpus — mean-pooled bag-of-words logit + keep flag.
+    Integer milli-unit weights keep the pooled sum exact in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.classifier_score(
+        docs,
+        "doc_id",
+        "text",
+        weights_milli=_CLF_WEIGHTS_MILLI,
+        bias_milli=_CLF_BIAS_MILLI,
+        threshold_milli=_CLF_THRESHOLD_MILLI,
+    ).orderBy("doc_id")
+
+
+Q_QUALITY_CLASSIFIER_SQL = rf"""
+WITH w AS (SELECT {_CLF_WEIGHTS_SQL} AS wts),
+base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(toks,
+           t -> CAST(('0x' || substr(md5(lower(t)), 1, 8)) AS BIGINT) % {_CLF_DIM}) AS idx
+  FROM base
+),
+scored AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         CASE WHEN n = 0 THEN {_CLF_BIAS_MILLI / 1000.0!r}
+              ELSE {_CLF_BIAS_MILLI / 1000.0!r}
+                   + CAST(list_sum(list_transform(idx, i -> wts[CAST(i + 1 AS INT)])) AS DOUBLE)
+                     / (1000.0 * n) END AS logit
+  FROM f, w
+)
+SELECT doc_id, n_tokens, logit,
+       CAST(logit >= {_CLF_THRESHOLD_MILLI / 1000.0!r} AS INT) AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style fluency filter: per-doc mean log-prob under the
+    corpus's own unigram LM (min_count=2, so hapax tokens score as OOV)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.unigram_logprob(docs, "doc_id", "text", min_count=2).orderBy(
+        "doc_id"
+    )
+
+
+Q_UNIGRAM_LOGPROB_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END,
+           t -> lower(t)) AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM vocab),
+j AS (
+  SELECT t.doc_id, v.c
+  FROM tok t LEFT JOIN (SELECT tok, c FROM vocab WHERE c >= 2) v USING (tok)
+),
+prof AS (SELECT doc_id, c, count(*) AS m FROM j GROUP BY doc_id, c),
+doc AS (
+  SELECT doc_id,
+         CAST(sum(m) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c IS NULL THEN m ELSE 0 END) AS BIGINT) AS n_oov,
+         list(struct_pack(c := c, m := m) ORDER BY c) FILTER (WHERE c IS NOT NULL) AS profile
+  FROM prof GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(doc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(doc.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN COALESCE(doc.n_tokens, 0) - COALESCE(doc.n_oov, 0) = 0 THEN NULL
+            ELSE round(
+              list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(doc.profile,
+                    s -> CAST(s.m AS DOUBLE) * (ln(CAST(s.c AS DOUBLE)) - ln(tot.T)))),
+                (a, b) -> a + b)
+              / (doc.n_tokens - doc.n_oov), 6) END AS mean_logprob
+FROM documents d LEFT JOIN doc USING (doc_id), tot
+ORDER BY d.doc_id
+"""
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
@@ -480,6 +584,8 @@ QUERIES.update(
         "contamination_check": q_contamination_check,
         "duplicated_windows": q_duplicated_windows,
         "line_dedup": q_line_dedup,
+        "quality_classifier": q_quality_classifier,
+        "unigram_logprob": q_unigram_logprob,
     }
 )
 
@@ -496,5 +602,7 @@ ORACLES.update(
         "contamination_check": Q_CONTAMINATION_SQL,
         "duplicated_windows": Q_DUPLICATED_WINDOWS_SQL,
         "line_dedup": Q_LINE_DEDUP_SQL,
+        "quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
+        "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
     }
 )

@@ -1,0 +1,186 @@
+"""Round-4 session-3 curation operators: hashed linear classifier, unigram
+LM scoring, sequence chunking, and blocked SimHash dedup."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.operators import dedup, sampling, text
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta alpha beta"),
+        (2, "alpha beta gamma delta alpha beta"),  # exact dup of 1
+        (3, "alpha beta gamma delta alpha zeta"),  # near dup of 1
+        (4, "totally different words entirely here now"),
+        (5, ""),  # empty doc
+        (6, "solo"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_score_math(spark):
+    # dim=1: every token hashes to feature 0, so the pooled logit is just
+    # bias + w0/1000 regardless of content — pins the mean-pooling formula
+    df = spark.createDataFrame([(1, "a b c d"), (2, "x"), (3, "")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.classifier_score(
+            df, "doc_id", "text", weights_milli=[500], bias_milli=250, threshold_milli=700
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 4 and out[1]["logit"] == pytest.approx(0.75)
+    assert out[2]["logit"] == pytest.approx(0.75)
+    assert out[3]["n_tokens"] == 0 and out[3]["logit"] == pytest.approx(0.25)  # bias only
+    assert out[1]["keep"] == 1 and out[3]["keep"] == 0
+
+
+def test_classifier_inline_vs_joined_identical(spark, docs):
+    dim = 16
+    weights = [((i * 37) % 900) - 450 for i in range(dim)]
+    inline = text.classifier_score(docs, "doc_id", "text", weights_milli=weights, bias_milli=100)
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "feature int, w_milli long"
+    )
+    joined = text.classifier_score_joined(
+        docs, "doc_id", "text", weights=wdf, dim=dim, bias_milli=100
+    )
+    a = {r["doc_id"]: (r["n_tokens"], r["logit"], r["keep"]) for r in inline.collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["logit"], r["keep"]) for r in joined.collect()}
+    assert a == b  # bit-identical: same integer sum, same single division
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_math(spark):
+    # corpus: a a a b  ->  counts: a=3, b=1, T=4
+    df = spark.createDataFrame([(1, "a a a"), (2, "b"), (3, "")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in text.unigram_logprob(df, "doc_id", "text", min_count=1).collect()
+    }
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 0
+    assert out[1]["mean_logprob"] == pytest.approx(round(math.log(3 / 4), 6), abs=1e-9)
+    assert out[2]["mean_logprob"] == pytest.approx(round(math.log(1 / 4), 6), abs=1e-9)
+    assert out[3]["n_tokens"] == 0 and out[3]["mean_logprob"] is None
+
+
+def test_unigram_logprob_oov(spark):
+    df = spark.createDataFrame([(1, "a a b"), (2, "a c")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in text.unigram_logprob(df, "doc_id", "text", min_count=2).collect()
+    }
+    # counts: a=3, b=1, c=1, T=5; min_count=2 -> b and c are OOV
+    assert out[1]["n_oov"] == 1 and out[2]["n_oov"] == 1
+    assert out[1]["mean_logprob"] == pytest.approx(round(math.log(3 / 5), 6), abs=1e-9)
+    assert out[2]["mean_logprob"] == pytest.approx(round(math.log(3 / 5), 6), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# sequence chunking
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_chunks_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7"), (2, "t1 t2 t3 t4"), (3, ""), (4, "only")],
+        "doc_id long, text string",
+    )
+    out = sampling.sequence_chunks(df, "doc_id", "text", seq_len=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 7 tokens / seq_len 4 -> chunks of 4 and 3
+    assert [r["chunk_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])] == [4, 3]
+    # doc 2: exact multiple -> one full chunk, no empty trailing chunk
+    assert [r["chunk_tokens"] for r in by_doc[2]] == [4]
+    assert 3 not in by_doc  # empty doc yields no chunks
+    assert [r["chunk_tokens"] for r in by_doc[4]] == [1]
+
+
+def test_sequence_chunks_overlap_and_coverage(spark):
+    toks = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(
+        sampling.sequence_chunks(df, "doc_id", "text", seq_len=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts at 0,3,6,9 -> lengths 4,4,4,1
+    assert [r["chunk_tokens"] for r in out] == [4, 4, 4, 1]
+    # content check: chunk i covers tokens [3i, 3i+4)
+    import hashlib
+
+    for i, r in enumerate(out):
+        expect = " ".join(toks[3 * i : 3 * i + 4])
+        assert r["chunk_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_sequence_chunks_rejects_bad_params(spark, docs):
+    with pytest.raises(ValueError):
+        sampling.sequence_chunks(docs, "doc_id", "text", seq_len=0)
+
+
+# ---------------------------------------------------------------------------
+# blocked SimHash pairs + end-to-end collapse
+# ---------------------------------------------------------------------------
+
+
+def _allpairs_simhash(df, bits, max_hamming):
+    sh = dedup.simhash(df, "doc_id", "text", bits=bits)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def test_blocked_pairs_equal_all_pairs(spark):
+    # real corpus slice: the pigeonhole guarantee means EXACT equality
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs_blocked(
+            docs, "doc_id", "text", bits=48, max_hamming=3, blocks=4
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in _allpairs_simhash(docs, 48, 3).collect()
+    }
+    assert blocked == exact
+    assert exact  # the slice contains duplicate docs, so the test is non-vacuous
+
+
+def test_blocked_pairs_param_guards(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs_blocked(docs, "doc_id", "text", bits=48, max_hamming=3, blocks=3)
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs_blocked(docs, "doc_id", "text", bits=50, max_hamming=3, blocks=4)
+
+
+def test_simhash_dedup_collapse_and_idempotence(spark, docs):
+    kept = dedup.simhash_dedup(docs, "doc_id", "text", bits=48, max_hamming=3, blocks=4)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 not in ids  # exact dup collapses to min id
+    assert 4 in ids and 6 in ids  # unrelated docs survive
+    # survivors sit in distinct components, so a second pass removes nothing
+    again = dedup.simhash_dedup(kept, "doc_id", "text", bits=48, max_hamming=3, blocks=4)
+    assert {r["doc_id"] for r in again.collect()} == ids
