@@ -106,8 +106,15 @@ BENCH_QUERIES = [
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:
-    df = suite.QUERIES[name](spark, sf_dir)
+    # The clock starts BEFORE the builder call: operators composed over
+    # connected_components (near_dedup_corpus, dedup_clusters, simhash_dedup,
+    # ...) execute their propagation rounds EAGERLY during plan construction
+    # (localCheckpoint), so timing only the final noop write would
+    # under-report them. Shared dataset prep (clustered fixture, derived
+    # partsupp) is still excluded — it is warmed up front and reported as its
+    # own line.
     t0 = time.perf_counter()
+    df = suite.QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 

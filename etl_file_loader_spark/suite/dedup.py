@@ -637,24 +637,24 @@ def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash end-to-end collapse (blocked candidates, no all-pairs join)
 # ---------------------------------------------------------------------------
 
-_SIMHASH48_VOTES_SQL = ",\n         ".join(
-    f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(48)
+_SIMHASH60_VOTES_SQL = ",\n         ".join(
+    f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(60)
 )
 
-_SIMHASH48_ASSEMBLE_SQL = " + ".join(
-    f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(48)
+_SIMHASH60_ASSEMBLE_SQL = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(60)
 )
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end SimHash near-dedup: corpus minus Hamming<=3 losers on
-    48-bit fingerprints, candidates from the 4-block pigeonhole join (exact
+    60-bit fingerprints, candidates from the 4-block pigeonhole join (exact
     by construction, never all-pairs). The oracle recomputes the SAME answer
     from the O(n²) definition + recursive-CTE components, proving the
     blocked path loses nothing."""
     docs = _t(spark, sf_dir, "documents")
     kept = dedup_ops.simhash_dedup(
-        docs, "doc_id", "text", bits=48, max_hamming=3, blocks=4
+        docs, "doc_id", "text", bits=60, max_hamming=3, blocks=4
     )
     return kept.select("doc_id", "source").orderBy("doc_id")
 
@@ -665,15 +665,15 @@ WITH RECURSIVE toks AS (
   FROM documents
 ),
 th AS (
-  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS th FROM toks
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS th FROM toks
 ),
 votes AS (
   SELECT doc_id,
-         {_SIMHASH48_VOTES_SQL}
+         {_SIMHASH60_VOTES_SQL}
   FROM th GROUP BY doc_id
 ),
 sh AS (
-  SELECT doc_id, {_SIMHASH48_ASSEMBLE_SQL} AS simhash FROM votes
+  SELECT doc_id, {_SIMHASH60_ASSEMBLE_SQL} AS simhash FROM votes
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b

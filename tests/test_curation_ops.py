@@ -148,6 +148,24 @@ def _allpairs_simhash(df, bits, max_hamming):
     )
 
 
+def test_simhash_engines_bit_identical(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    for bits in (32, 60):
+        arrow = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(docs, "doc_id", "text", bits=bits, engine="arrow").collect()
+        }
+        expr = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(docs, "doc_id", "text", bits=bits, engine="expr").collect()
+        }
+        assert arrow == expr
+
+
 def test_blocked_pairs_equal_all_pairs(spark):
     # real corpus slice: the pigeonhole guarantee means EXACT equality
     docs = (
@@ -158,12 +176,12 @@ def test_blocked_pairs_equal_all_pairs(spark):
     blocked = {
         (r["id_a"], r["id_b"], r["hamming"])
         for r in dedup.simhash_pairs_blocked(
-            docs, "doc_id", "text", bits=48, max_hamming=3, blocks=4
+            docs, "doc_id", "text", bits=60, max_hamming=3, blocks=4
         ).collect()
     }
     exact = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in _allpairs_simhash(docs, 48, 3).collect()
+        for r in _allpairs_simhash(docs, 60, 3).collect()
     }
     assert blocked == exact
     assert exact  # the slice contains duplicate docs, so the test is non-vacuous
@@ -171,16 +189,16 @@ def test_blocked_pairs_equal_all_pairs(spark):
 
 def test_blocked_pairs_param_guards(spark, docs):
     with pytest.raises(ValueError):
-        dedup.simhash_pairs_blocked(docs, "doc_id", "text", bits=48, max_hamming=3, blocks=3)
+        dedup.simhash_pairs_blocked(docs, "doc_id", "text", bits=60, max_hamming=3, blocks=3)
     with pytest.raises(ValueError):
         dedup.simhash_pairs_blocked(docs, "doc_id", "text", bits=50, max_hamming=3, blocks=4)
 
 
 def test_simhash_dedup_collapse_and_idempotence(spark, docs):
-    kept = dedup.simhash_dedup(docs, "doc_id", "text", bits=48, max_hamming=3, blocks=4)
+    kept = dedup.simhash_dedup(docs, "doc_id", "text", bits=60, max_hamming=3, blocks=4)
     ids = {r["doc_id"] for r in kept.collect()}
     assert 1 in ids and 2 not in ids  # exact dup collapses to min id
     assert 4 in ids and 6 in ids  # unrelated docs survive
     # survivors sit in distinct components, so a second pass removes nothing
-    again = dedup.simhash_dedup(kept, "doc_id", "text", bits=48, max_hamming=3, blocks=4)
+    again = dedup.simhash_dedup(kept, "doc_id", "text", bits=60, max_hamming=3, blocks=4)
     assert {r["doc_id"] for r in again.collect()} == ids
