@@ -722,13 +722,32 @@ def remove_near_duplicates(
     dup clusters, minus one survivor each), so at scale the anti-join
     broadcasts the losers against the corpus scan — no corpus shuffle; AQE
     picks that plan from the loser side's runtime size.
+
+    Like :func:`simhash_dedup`, the pairwise machinery runs on the EXACT-
+    TEXT QUOTIENT: identical texts have identical shingle sets, hence
+    identical signatures and band buckets, so they form complete LSH
+    components anyway — collapsing them to one min-id representative first
+    (one hash-aggregate) gives identical connectivity while keeping band
+    bucket sizes proportional to distinct content, not corpus duplication.
+    On web-crawl duplication rates (20-40% exact dups, heavy clusters)
+    this bounds the explode-variant pair expansion that would otherwise
+    grow with cluster².
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, n=n)
+    th = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_th"))
+    groups = th.groupBy("_th").agg(F.min(F.col(id_col)).alias("_rep")).persist()
+    rep_docs = df.join(
+        groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    sigs = minhash_signatures(rep_docs, id_col, text_col, num_hashes=num_hashes, n=n)
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
     comp = connected_components(pairs, max_iterations=max_iterations)
-    losers = comp.filter(F.col("cluster_id") != F.col("doc_id")).select(
+    rep_losers = comp.filter(F.col("cluster_id") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
     )
+    member_losers = (
+        th.join(groups, "_th").filter(F.col(id_col) != F.col("_rep")).select(F.col(id_col))
+    )
+    losers = member_losers.unionByName(rep_losers)
     return df.join(losers, id_col, "left_anti")
 
 
