@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "sequence_chunks",
     "simhash_dedup",
+    "packed_sequences",
 ]
 
 

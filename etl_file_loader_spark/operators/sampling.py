@@ -246,6 +246,96 @@ def sequence_chunks(
     )
 
 
+def packed_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 128,
+    partition_cols: list[str] | None = None,
+    order_col: str | None = None,
+    allow_global_sort: bool = False,
+    boundary: str = "<|endofdoc|>",
+) -> DataFrame:
+    """GPT-style packed pretraining sequences: concatenate documents in
+    training order with a boundary token after each, then emit fixed-length
+    sequences that CROSS document boundaries (no padding waste — every
+    sequence except the last is exactly ``seq_len`` tokens).
+
+    This differs from :func:`sequence_chunks` (per-doc chunks, short tails)
+    the way real pretraining data loaders differ from per-example batching:
+    the token stream is continuous. The distributed formulation avoids any
+    per-group materialization of the stream: a window prefix-sum gives each
+    doc its global token offset, one explode emits (global_pos, token), and
+    one shuffle on the sequence index reassembles fixed-length sequences —
+    cost ∝ corpus tokens, parallel across ``partition_cols`` groups
+    (language/source streams), never a single concatenated buffer.
+
+    Like :func:`pack_shards`, the global variant is a single-task sort and
+    must be opted into (``allow_global_sort=True``); ``order_col`` (e.g. a
+    ``shuffle_key``) controls training order with ``id_col`` as tiebreak.
+
+    Output per (partition..., seq_idx): token count, distinct docs spanned,
+    and an order-sensitive content digest.
+    """
+    order = [order_col, id_col] if order_col else [id_col]
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(*order)
+    elif allow_global_sort:
+        w = Window.orderBy(*order)
+    else:
+        raise ValueError(
+            "packed_sequences without partition_cols is a single-task global "
+            "sort; pass partition_cols (scale path) or allow_global_sort=True "
+            "(small corpora only)"
+        )
+    parts = [F.col(c) for c in (partition_cols or [])]
+    keep = [F.col(id_col), *parts, *([F.col(order_col)] if order_col else [])]
+    base = df.select(
+        *keep,
+        F.concat(tokens(F.col(text_col)), F.array(F.lit(boundary))).alias("_t2"),
+    ).withColumn("_n", F.size("_t2"))
+    off = base.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    ex = off.select(
+        F.col(id_col),
+        *parts,
+        F.col("_off"),
+        F.posexplode(F.col("_t2")).alias("_pos", "_tok"),
+    ).select(
+        F.col(id_col),
+        *parts,
+        (F.col("_off") + F.col("_pos")).alias("_gpos"),
+        F.col("_tok"),
+    )
+    seq = ex.select(
+        F.col(id_col),
+        *parts,
+        F.floor(F.col("_gpos") / F.lit(seq_len)).cast("long").alias("seq_idx"),
+        F.pmod(F.col("_gpos"), F.lit(seq_len)).cast("long").alias("_spos"),
+        F.col("_tok"),
+    )
+    grouped = seq.groupBy(*(partition_cols or []), "seq_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_spos").alias("p"), F.col("_tok").alias("t")))
+        ).alias("_toks"),
+    )
+    return grouped.select(
+        *(partition_cols or []),
+        "seq_idx",
+        "n_tokens",
+        "n_docs",
+        F.md5(
+            F.concat_ws(" ", F.transform(F.col("_toks"), lambda s: s["t"]))
+        ).alias("seq_md5"),
+    )
+
+
 def shard_manifest(
     packed: DataFrame, token_col: str, partition_cols: list[str] | None = None
 ) -> DataFrame:

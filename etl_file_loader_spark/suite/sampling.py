@@ -253,6 +253,50 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style cross-document sequence packing: per-language continuous
+    token stream (docs in id order, boundary token between docs) cut into
+    64-token sequences. Content digests verify the exact token stream, so
+    the oracle checks every sequence's contents, not just counts."""
+    from etl_file_loader_spark.operators import sampling as sampling_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling_ops.packed_sequences(
+        docs, "doc_id", "text", seq_len=64, partition_cols=["lang"]
+    ).orderBy("lang", "seq_idx")
+
+
+Q_PACKED_SEQUENCES_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_append(
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END,
+           '<|endofdoc|>') AS t2
+  FROM documents
+),
+w AS (SELECT doc_id, lang, t2, len(t2) AS n FROM d),
+o AS (
+  SELECT doc_id, lang, t2, n,
+         coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM w
+),
+tok AS (
+  SELECT lang, doc_id, off + i - 1 AS gpos, t2[i] AS tk
+  FROM o, unnest(range(1, n + 1)) u(i)
+)
+SELECT lang,
+       CAST(gpos // 64 AS BIGINT) AS seq_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       md5(string_agg(tk, ' ' ORDER BY gpos % 64)) AS seq_md5
+FROM tok
+GROUP BY lang, gpos // 64
+ORDER BY lang, seq_idx
+"""
+
+
 QUERIES.update(
     {
         "skewed_event_counts": q_skewed_event_counts,
@@ -262,6 +306,7 @@ QUERIES.update(
         "weighted_repeat": q_weighted_repeat,
         "training_order": q_training_order,
         "sequence_chunks": q_sequence_chunks,
+        "packed_sequences": q_packed_sequences,
     }
 )
 
@@ -275,5 +320,6 @@ ORACLES.update(
         "weighted_repeat": Q_WEIGHTED_REPEAT_SQL,
         "training_order": Q_TRAINING_ORDER_SQL,
         "sequence_chunks": Q_SEQUENCE_CHUNKS_SQL,
+        "packed_sequences": Q_PACKED_SEQUENCES_SQL,
     }
 )

@@ -131,6 +131,49 @@ def test_sequence_chunks_rejects_bad_params(spark, docs):
 
 
 # ---------------------------------------------------------------------------
+# GPT-style cross-document sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_packed_sequences_stream(spark):
+    # 2 docs of 3 tokens + boundary each -> stream of 8 tokens -> seqs of 5
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e f", "en")], "doc_id long, text string, lang string"
+    )
+    out = sorted(
+        sampling.packed_sequences(
+            df, "doc_id", "text", seq_len=5, partition_cols=["lang"]
+        ).collect(),
+        key=lambda r: r["seq_idx"],
+    )
+    import hashlib
+
+    stream = ["a", "b", "c", "<|endofdoc|>", "d", "e", "f", "<|endofdoc|>"]
+    assert [r["n_tokens"] for r in out] == [5, 3]
+    # seq 0 crosses the doc boundary -> spans both docs
+    assert [r["n_docs"] for r in out] == [2, 1]
+    for i, r in enumerate(out):
+        expect = " ".join(stream[5 * i : 5 * i + 5])
+        assert r["seq_md5"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_packed_sequences_partition_isolation_and_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "c d", "de")], "doc_id long, text string, lang string"
+    )
+    out = {
+        (r["lang"], r["seq_idx"]): r["n_tokens"]
+        for r in sampling.packed_sequences(
+            df, "doc_id", "text", seq_len=10, partition_cols=["lang"]
+        ).collect()
+    }
+    # each language stream starts at offset 0 -> one short sequence each
+    assert out == {("en", 0): 3, ("de", 0): 3}
+    with pytest.raises(ValueError):
+        sampling.packed_sequences(df, "doc_id", "text", seq_len=10)
+
+
+# ---------------------------------------------------------------------------
 # blocked SimHash pairs + end-to-end collapse
 # ---------------------------------------------------------------------------
 
