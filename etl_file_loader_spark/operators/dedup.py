@@ -274,6 +274,45 @@ def lsh_candidate_pairs(
     return _bucket_member_pairs(band_rows, id_col, ["band_idx", "band_hash"])
 
 
+def minhash_jaccard_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs SCORED FROM SIGNATURES ALONE: LSH band candidates +
+    the MinHash Jaccard estimate (fraction of agreeing signature
+    components), filtered at ``threshold``.
+
+    The scale path for similarity SCORING (not just candidate generation):
+    ``ngram_jaccard_pairs`` computes exact Jaccard but rescans shingle sets
+    — at 100 TB the signatures (k int64s/doc) are the only thing that
+    should ever meet the join. The estimator is unbiased with stderr
+    ~1/sqrt(k) (k=16 -> ±0.25 — scoring, not proof; raise num_hashes for
+    tighter bands). Integer component comparison, so the estimate is an
+    exact rational — cross-engine value-verifiable.
+    """
+    pairs = lsh_candidate_pairs(signatures, id_col, bands, rows_per_band)
+    sa = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
+    sb = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
+    matches = F.aggregate(
+        F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.size(F.col("_sa")), 6).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

@@ -336,6 +336,39 @@ def packed_sequences(
     )
 
 
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    token_col: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Persist a ``pack_shards`` output as the on-disk training layout:
+    data partitioned by (partition..., shard_id) plus a ``_manifest``
+    table (doc/token counts per shard — the tokenizer work list).
+
+    A trainer reading one shard filters on ``shard_id`` (and stream keys),
+    which Spark resolves as PartitionFilters at file listing — the read
+    cost is one shard's files, independent of corpus size. This is the
+    hand-off point: everything upstream (dedup, filtering, splitting,
+    shuffling, packing) ends in this directory.
+    """
+    keys = [*(partition_cols or []), "shard_id"]
+    packed.write.partitionBy(*keys).mode("overwrite").parquet(f"{path}/data")
+    shard_manifest(packed, token_col, partition_cols).write.mode("overwrite").parquet(
+        f"{path}/_manifest"
+    )
+
+
+def read_shard(spark, path: str, shard_id: int, **partition_values) -> DataFrame:
+    """Read one training shard via partition-pruned scan (PartitionFilters,
+    never a full-corpus listing). ``partition_values`` filter the stream
+    keys (e.g. ``lang="en"``)."""
+    df = spark.read.parquet(f"{path}/data").filter(F.col("shard_id") == shard_id)
+    for k, v in partition_values.items():
+        df = df.filter(F.col(k) == v)
+    return df
+
+
 def shard_manifest(
     packed: DataFrame, token_col: str, partition_cols: list[str] | None = None
 ) -> DataFrame:

@@ -633,6 +633,40 @@ def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+def q_dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only similarity scoring: LSH band candidates scored with
+    the MinHash Jaccard estimate (agreeing components / k) — the 100 TB
+    path where shingle sets are never rescanned after signing. Exact
+    rational estimate, value-verified per pair."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=5)
+    return dedup_ops.minhash_jaccard_pairs(
+        sigs, "doc_id", bands=4, rows_per_band=4, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+_SIG_EQ_SQL = " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(16))
+
+
+Q_DEDUP_MINHASH_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_SIG_CTE},
+bands AS (
+{_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(({_SIG_EQ_SQL}) / 16.0, 6) AS jaccard_est
+FROM cand c JOIN sig a ON c.id_a = a.doc_id JOIN sig b ON c.id_b = b.doc_id
+WHERE round(({_SIG_EQ_SQL}) / 16.0, 6) >= 0.5
+ORDER BY c.id_a, c.id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash end-to-end collapse (blocked candidates, no all-pairs join)
 # ---------------------------------------------------------------------------
@@ -723,6 +757,7 @@ QUERIES.update(
         "semantic_dedup_check": q_semantic_dedup_check,
         "semantic_dedup_clustered": q_semantic_dedup_clustered,
         "simhash_dedup": q_simhash_dedup,
+        "dedup_minhash_jaccard": q_dedup_minhash_jaccard,
     }
 )
 
@@ -747,5 +782,6 @@ ORACLES.update(
         "dedup_embedding_clustered_recall": "SELECT 'clustered_pair_recall' AS metric, 90 AS threshold_pct, 1 AS passed UNION ALL SELECT 'clustered_candidate_density', 20, 1",
         "semantic_dedup_check": "SELECT 'semantic_dedup_survivor_match' AS metric, 95 AS threshold_pct, 1 AS passed",
         "simhash_dedup": Q_SIMHASH_DEDUP_SQL,
+        "dedup_minhash_jaccard": Q_DEDUP_MINHASH_JACCARD_SQL,
     }
 )

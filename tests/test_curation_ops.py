@@ -174,6 +174,50 @@ def test_packed_sequences_partition_isolation_and_guard(spark):
 
 
 # ---------------------------------------------------------------------------
+# on-disk training-shard layout
+# ---------------------------------------------------------------------------
+
+
+def test_write_and_read_training_shards(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", 100 + i) for i in range(1, 21)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    packed = sampling.pack_shards(df, "doc_id", "n_tokens", budget=300, partition_cols=["lang"])
+    path = str(tmp_path / "shards")
+    sampling.write_training_shards(packed, path, "n_tokens", ["lang"])
+
+    manifest = {
+        (r["lang"], r["shard_id"]): (r["docs"], r["tokens"])
+        for r in spark.read.parquet(f"{path}/_manifest").collect()
+    }
+    assert sum(d for d, _ in manifest.values()) == 20
+    assert sum(t for _, t in manifest.values()) == sum(100 + i for i in range(1, 21))
+
+    one = sampling.read_shard(spark, path, 0, lang="en")
+    expect = {r["doc_id"] for r in packed.filter("lang = 'en' and shard_id = 0").collect()}
+    assert {r["doc_id"] for r in one.collect()} == expect
+    # the shard read must prune at file listing, not post-scan filter
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard_id" in plan.split("PartitionFilters")[1][:200]
+
+
+# ---------------------------------------------------------------------------
+# signature-based Jaccard estimation
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_jaccard_estimate(spark, docs):
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in dedup.minhash_jaccard_pairs(sigs, "doc_id", threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs agree on every component
+    assert all(0.5 <= v <= 1.0 for v in pairs.values())
+
+
+# ---------------------------------------------------------------------------
 # blocked SimHash pairs + end-to-end collapse
 # ---------------------------------------------------------------------------
 
