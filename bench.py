@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "sequence_chunks",
     "simhash_dedup",
     "packed_sequences",
+    "similarity_pq_recall",
 ]
 
 

@@ -211,9 +211,38 @@ def q_knn_join_auto_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_flag(exact, approx, "knn_join_auto_recall_at_3", 90)
 
 
+def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable check for the PQ rung of the ANN ladder: codes-only ADC
+    shortlist (16 codes/vector, 16x compression) + exact rerank must
+    recover >= 80% of the exact L2 top-10 (measured 100% at
+    m=16/ksub=16/oversample=5; raw un-reranked ADC holds only ~20% on
+    these near-orthogonal embeddings — the rerank IS the product shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    l2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        emb.select("vec_id", l2.alias("_d"))
+        .orderBy(F.col("_d").asc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    enc = sim_ops.PQEncoder(m=16, ksub=16).fit(emb, "embedding", order_col="vec_id")
+    codes = enc.encode(emb, "vec_id", "embedding")
+    approx = sim_ops.pq_topk_rerank(
+        enc, codes, emb, "vec_id", "embedding", qv, k=10, oversample=5
+    ).select("vec_id")
+    return _recall_flag(exact, approx, "pq_rerank_recall_at_10", 80)
+
+
 QUERIES.update(
     {
         "similarity_topk": q_similarity_topk,
+        "similarity_pq_recall": q_similarity_pq_recall,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_lsh_recall": q_similarity_lsh_recall,
@@ -231,6 +260,7 @@ QUERIES.update(
 ORACLES.update(
     {
         "similarity_topk": Q_SIMILARITY_TOPK_SQL,
+        "similarity_pq_recall": "SELECT 'pq_rerank_recall_at_10' AS metric, 80 AS threshold_pct, 1 AS passed",
         "similarity_lsh_recall": "SELECT 'lsh_recall_at_10' AS metric, 60 AS threshold_pct, 1 AS passed",
         "similarity_ivf_recall": "SELECT 'ivf_recall_at_10' AS metric, 80 AS threshold_pct, 1 AS passed",
         "knn_join": Q_KNN_JOIN_SQL,

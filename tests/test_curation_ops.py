@@ -289,3 +289,52 @@ def test_simhash_dedup_collapse_and_idempotence(spark, docs):
     # survivors sit in distinct components, so a second pass removes nothing
     again = dedup.simhash_dedup(kept, "doc_id", "text", bits=60, max_hamming=3, blocks=4)
     assert {r["doc_id"] for r in again.collect()} == ids
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_rerank_and_roundtrip(spark, tmp_path):
+    from etl_file_loader_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(np.cos(i * 0.31)) * 0.2 for i in range(64)]
+
+    enc = sim.PQEncoder(m=16, ksub=16).fit(emb, "embedding", order_col="vec_id")
+    assert enc.codebooks.shape == (16, 16, 4)
+    codes = sim_codes = enc.encode(emb, "vec_id", "embedding")
+    row = codes.first()
+    assert len(row["pq_code"]) == 16 and all(0 <= c < 16 for c in row["pq_code"])
+
+    # exact L2 top-10 baseline
+    q = F.array(*[F.lit(v) for v in query])
+    l2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    exact = [r["vec_id"] for r in emb.select("vec_id", l2.alias("d")).orderBy(F.col("d").asc(), "vec_id").limit(10).collect()]
+
+    rerank = {r["vec_id"] for r in sim.pq_topk_rerank(enc, codes, emb, "vec_id", "embedding", query, k=10, oversample=5).collect()}
+    assert len(rerank & set(exact)) >= 8  # shortlist+rerank recovers the exact set
+
+    # persistence round-trip produces identical codebooks and codes
+    enc.save(str(tmp_path / "books"), spark)
+    enc2 = sim.PQEncoder.load(str(tmp_path / "books"), spark)
+    assert (enc2.codebooks == enc.codebooks).all()
+    c1 = {r["vec_id"]: r["pq_code"] for r in codes.collect()}
+    c2 = {r["vec_id"]: r["pq_code"] for r in enc2.encode(emb, "vec_id", "embedding").collect()}
+    assert c1 == c2
+
+
+def test_pq_fit_is_deterministic(spark):
+    from etl_file_loader_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sim.PQEncoder(m=8, ksub=8).fit(emb, "embedding", order_col="vec_id")
+    b = sim.PQEncoder(m=8, ksub=8).fit(emb, "embedding", order_col="vec_id")
+    assert (a.codebooks == b.codebooks).all()
