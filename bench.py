@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "packed_sequences",
     "similarity_pq_recall",
+    "dedup_minhash_jaccard",
 ]
 
 

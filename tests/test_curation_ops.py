@@ -306,7 +306,7 @@ def test_pq_encode_rerank_and_roundtrip(spark, tmp_path):
 
     enc = sim.PQEncoder(m=16, ksub=16).fit(emb, "embedding", order_col="vec_id")
     assert enc.codebooks.shape == (16, 16, 4)
-    codes = sim_codes = enc.encode(emb, "vec_id", "embedding")
+    codes = enc.encode(emb, "vec_id", "embedding")
     row = codes.first()
     assert len(row["pq_code"]) == 16 and all(0 <= c < 16 for c in row["pq_code"])
 
