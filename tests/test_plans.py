@@ -159,3 +159,64 @@ def test_salted_merge_adds_no_exchange(spark):
         assert "CartesianProduct" not in p2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-3 operator plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_scan_shaped(spark):
+    """Model-based filtering must stay a pure projection: the ONLY exchange
+    allowed is the presentation sort — no aggregation or join shuffles."""
+    plan = plan_of(spark, "quality_classifier")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange") <= 1, plan  # rangepartitioning orderBy
+    assert "Join" not in plan, plan
+
+
+def test_sequence_chunks_scan_shaped(spark):
+    plan = plan_of(spark, "sequence_chunks")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan  # the chunk explosion, nothing else
+
+
+def test_packed_sequences_single_data_shuffle(spark):
+    """One real exchange (the sequence-key aggregation); the window's
+    per-language sort and the presentation sort are the only others. No
+    joins, no per-group stream materialization."""
+    plan = plan_of(spark, "packed_sequences")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # window + agg
+    assert "Join" not in plan, plan
+    assert "posexplode" in plan, plan
+
+
+def test_simhash_dedup_quotient_and_no_cartesian(spark):
+    """The pairwise machinery must run on the fingerprint quotient (an
+    aggregate over simhash feeds the candidate join) and never plan a
+    cartesian product."""
+    plan = plan_of(spark, "simhash_dedup")
+    assert "CartesianProduct" not in plan, plan
+    # the loser side unions member-losers (fingerprint groups) with
+    # rep-losers (components) before the anti-join
+    assert "Union" in plan and ("LeftAnti" in plan or "left_anti" in plan), plan
+
+
+def test_pq_adc_no_vector_read(spark):
+    """ADC scoring scans CODES, not vectors: the scored frame's scan must
+    not read the embedding column."""
+    from etl_file_loader_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    enc = sim.PQEncoder(m=8, ksub=8).fit(emb, "embedding", order_col="vec_id")
+    codes = enc.encode(emb, "vec_id", "embedding")
+    query = [0.1] * 64
+    plan = (
+        enc.adc_topk(codes, "vec_id", query, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") == 0, plan
