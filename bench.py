@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "packed_sequences",
     "similarity_pq_recall",
     "dedup_minhash_jaccard",
+    "diversity_sample_check",
 ]
 
 

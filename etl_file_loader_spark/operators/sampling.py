@@ -336,6 +336,49 @@ def packed_sequences(
     )
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    target_per_cluster: int,
+    n_clusters: int = 16,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """Diversity-preserving selection: k-means cluster the embedding space,
+    then keep ~``target_per_cluster`` docs from EVERY cluster — big dense
+    clusters (boilerplate, template text) downsample hard while rare
+    regions keep everything.
+
+    The cluster-balanced sampling recipe from dataset-curation work
+    (SemDeDup's cousin: equalize representation instead of deleting
+    near-dups). Mechanics: coarse quantizer fit on a sample, one assign
+    pass, per-cluster keep rate min(1, target/size) resolved through the
+    deterministic hash key — so reruns and engines agree doc-by-doc. The
+    rate table is n_clusters rows (broadcast); the corpus path is scan +
+    broadcast join + filter, no shuffle of kept data.
+
+    Output: input rows (kept only) + ``_cluster`` id.
+    """
+    from etl_file_loader_spark.operators.similarity import IVFIndex
+
+    fit_df = df.sample(fraction=fit_fraction, seed=seed) if fit_fraction else df
+    idx = IVFIndex(n_lists=n_clusters, seed=seed).fit(fit_df, vec_col)
+    assigned = idx.assign(df, vec_col).withColumnRenamed("_ivf_bucket", "_cluster")
+    sizes = assigned.groupBy("_cluster").agg(F.count(F.lit(1)).alias("_m"))
+    rates = sizes.select(
+        "_cluster",
+        F.least(
+            F.lit(_SAMPLE_DENOM),
+            F.ceil(F.lit(target_per_cluster * _SAMPLE_DENOM) / F.col("_m")).cast("int"),
+        ).alias("_rate"),
+    )
+    keyed = assigned.join(F.broadcast(rates), "_cluster")
+    return keyed.filter(
+        sample_key(F.concat(F.lit("cbs|"), F.col(id_col).cast("string"))) < F.col("_rate")
+    ).drop("_rate")
+
+
 def write_training_shards(
     packed: DataFrame,
     path: str,

@@ -297,9 +297,49 @@ ORDER BY lang, seq_idx
 """
 
 
+def q_diversity_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable gate for cluster-balanced sampling over the embeddings
+    table (target 10/cluster over 16 k-means clusters): every cluster keeps
+    at least one doc (rare regions survive), no cluster keeps more than 2x
+    the target (dense regions actually downsample, with hash-sampling
+    variance headroom), and the overall corpus shrinks below half (the
+    selection did real work at these cluster sizes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    target = 10
+    kept = sampling_ops.cluster_balanced_sample(
+        emb, "vec_id", "embedding", target_per_cluster=target, n_clusters=16
+    )
+    per_cluster = kept.groupBy("_cluster").agg(F.count(F.lit(1)).alias("n"))
+    n_clusters_seen = per_cluster.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("n").alias("mx"),
+        F.sum("n").alias("tot"),
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("all"))
+    flags = n_clusters_seen.crossJoin(F.broadcast(total)).select(
+        (F.col("c") >= 16).cast("int").alias("all_clusters_survive"),
+        (F.col("mx") <= 2 * target).cast("int").alias("dense_downsampled"),
+        (F.col("tot") * 2 < F.col("all")).cast("int").alias("corpus_shrunk"),
+    )
+    return flags.selectExpr(
+        "stack(3, 'all_clusters_survive', all_clusters_survive, "
+        "'dense_downsampled', dense_downsampled, "
+        "'corpus_shrunk', corpus_shrunk) AS (metric, passed)"
+    ).orderBy("metric")
+
+
+Q_DIVERSITY_SAMPLE_SQL = """
+SELECT 'all_clusters_survive' AS metric, 1 AS passed
+UNION ALL SELECT 'corpus_shrunk', 1
+UNION ALL SELECT 'dense_downsampled', 1
+ORDER BY metric
+"""
+
+
 QUERIES.update(
     {
         "skewed_event_counts": q_skewed_event_counts,
+        "diversity_sample_check": q_diversity_sample_check,
         "stratified_sample": q_stratified_sample,
         "shard_packing": q_shard_packing,
         "hash_split": q_hash_split,
@@ -321,5 +361,6 @@ ORACLES.update(
         "training_order": Q_TRAINING_ORDER_SQL,
         "sequence_chunks": Q_SEQUENCE_CHUNKS_SQL,
         "packed_sequences": Q_PACKED_SEQUENCES_SQL,
+        "diversity_sample_check": Q_DIVERSITY_SAMPLE_SQL,
     }
 )

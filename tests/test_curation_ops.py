@@ -338,3 +338,28 @@ def test_pq_fit_is_deterministic(spark):
     a = sim.PQEncoder(m=8, ksub=8).fit(emb, "embedding", order_col="vec_id")
     b = sim.PQEncoder(m=8, ksub=8).fit(emb, "embedding", order_col="vec_id")
     assert (a.codebooks == b.codebooks).all()
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced (diversity) sampling
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_balanced_sample(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    total = emb.count()
+    kept = sampling.cluster_balanced_sample(
+        emb, "vec_id", "embedding", target_per_cluster=8, n_clusters=8
+    )
+    rows = kept.collect()
+    per_cluster = {}
+    for r in rows:
+        per_cluster[r["_cluster"]] = per_cluster.get(r["_cluster"], 0) + 1
+    assert len(per_cluster) == 8  # every cluster survives
+    assert max(per_cluster.values()) <= 16  # dense clusters downsample (2x slack)
+    assert len(rows) < total  # selection did work
+    # deterministic: same call keeps the same docs
+    again = {r["vec_id"] for r in sampling.cluster_balanced_sample(
+        emb, "vec_id", "embedding", target_per_cluster=8, n_clusters=8
+    ).collect()}
+    assert again == {r["vec_id"] for r in rows}
