@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "similarity_pq_recall",
     "dedup_minhash_jaccard",
     "diversity_sample_check",
+    "semantic_contamination_check",
 ]
 
 

@@ -952,3 +952,74 @@ def incremental_near_dedup(
         F.col("matched_corpus_id"),
         F.col("matched_corpus_id").isNotNull().cast("int").alias("is_near_dup"),
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    num_bands: int = 8,
+    planes_per_band: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: corpus rows whose vector
+    is within cosine >= threshold of ANY benchmark vector — the semantic
+    counterpart of the n-gram ``contamination`` op (paraphrased test-set
+    leakage that shares no exact n-grams).
+
+    Cross-frame banded LSH: the hyperplanes are data-independent
+    (md5-derived), so both frames band identically and candidates meet on
+    a (band, bucket) equi-join restricted to cross-side pairs. The bench
+    side is benchmark-sized (broadcast); the corpus side is one banding
+    pass + a bucket join — the corpus never self-joins and never shuffles
+    its vectors. Candidates rescore with the Arrow einsum dot.
+
+    Output: (id, max_cosine, n_bench_hits) for contaminated corpus rows.
+    Recall follows the banding model (1-(1-p^r)^b); gate it like the other
+    approximate paths.
+    """
+    from etl_file_loader_spark.operators.similarity import (
+        dot_vectorized,
+        hyperplane_lsh_bands,
+        norm,
+    )
+
+    cb = hyperplane_lsh_bands(corpus, id_col, vec_col, num_bands, planes_per_band).select(
+        F.col(id_col).alias("_cid"), "band", "bucket"
+    )
+    bb = hyperplane_lsh_bands(bench, id_col, vec_col, num_bands, planes_per_band).select(
+        F.col(id_col).alias("_bid"), "band", "bucket"
+    )
+    cand = cb.join(F.broadcast(bb), ["band", "bucket"]).select("_cid", "_bid").distinct()
+    cv = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    bv = bench.select(
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_bv"),
+        norm(F.col(vec_col)).alias("_bn"),
+    )
+    scored = (
+        cand.join(cv, "_cid")
+        .join(F.broadcast(bv), "_bid")
+        .select(
+            "_cid",
+            F.round(
+                dot_vectorized(F.col("_cv"), F.col("_bv")) / (F.col("_cn") * F.col("_bn")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    return (
+        scored.filter(F.col("cosine") >= threshold)
+        .groupBy("_cid")
+        .agg(
+            F.max("cosine").alias("max_cosine"),
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+        )
+        .select(F.col("_cid").alias(id_col), "max_cosine", "n_bench_hits")
+    )

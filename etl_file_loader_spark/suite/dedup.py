@@ -667,6 +667,51 @@ ORDER BY c.id_a, c.id_b
 """
 
 
+def q_semantic_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable gate for embedding-level decontamination on the clustered
+    fixture (30 Gaussian clusters, one bench probe per cluster, intra-cluster
+    cosine ~0.9): the banded cross-frame path must recover >= 90% of the
+    exact O(corpus x bench) contaminated set, with exact precision (every
+    flagged row is rescored with the true cosine before flagging)."""
+    from etl_file_loader_spark import fixtures
+
+    emb = fixtures.clustered_embeddings(spark, n=600, k=30)
+    bench = emb.filter(F.col("vec_id") < 30)
+    corpus = emb.filter(F.col("vec_id") >= 30)
+    approx = dedup_ops.semantic_contamination(
+        corpus, bench, "vec_id", "embedding", threshold=0.85,
+        num_bands=8, planes_per_band=2,
+    ).select("vec_id")
+    # exact baseline: brute-force cross cosine (corpus x bench is
+    # benchmark-bounded: |bench| rows broadcast against the corpus scan)
+    cv = corpus.select(
+        F.col("vec_id").alias("_cid"),
+        F.col("embedding").alias("_cv"),
+        sim_ops.norm(F.col("embedding")).alias("_cn"),
+    )
+    bv = bench.select(
+        F.col("vec_id").alias("_bid"),
+        F.col("embedding").alias("_bv"),
+        sim_ops.norm(F.col("embedding")).alias("_bn"),
+    )
+    exact = (
+        cv.crossJoin(F.broadcast(bv))
+        .select(
+            F.col("_cid").alias("vec_id"),
+            F.round(
+                sim_ops.dot(F.col("_cv"), F.col("_bv")) / (F.col("_cn") * F.col("_bn")), 4
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.85)
+        .select("vec_id")
+        .distinct()
+    )
+    recall = _recall_flag(exact, approx, "semantic_contamination_recall", 90)
+    precision = _recall_flag(approx, exact, "semantic_contamination_precision", 100)
+    return recall.unionByName(precision).orderBy("metric")
+
+
+
 # ---------------------------------------------------------------------------
 # SimHash end-to-end collapse (blocked candidates, no all-pairs join)
 # ---------------------------------------------------------------------------
@@ -758,6 +803,7 @@ QUERIES.update(
         "semantic_dedup_clustered": q_semantic_dedup_clustered,
         "simhash_dedup": q_simhash_dedup,
         "dedup_minhash_jaccard": q_dedup_minhash_jaccard,
+        "semantic_contamination_check": q_semantic_contamination_check,
     }
 )
 
@@ -783,5 +829,6 @@ ORACLES.update(
         "semantic_dedup_check": "SELECT 'semantic_dedup_survivor_match' AS metric, 95 AS threshold_pct, 1 AS passed",
         "simhash_dedup": Q_SIMHASH_DEDUP_SQL,
         "dedup_minhash_jaccard": Q_DEDUP_MINHASH_JACCARD_SQL,
+        "semantic_contamination_check": "SELECT 'semantic_contamination_precision' AS metric, 100 AS threshold_pct, 1 AS passed UNION ALL SELECT 'semantic_contamination_recall', 90, 1 ORDER BY metric",
     }
 )

@@ -363,3 +363,32 @@ def test_cluster_balanced_sample(spark):
         emb, "vec_id", "embedding", target_per_cluster=8, n_clusters=8
     ).collect()}
     assert again == {r["vec_id"] for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-level) decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_contamination(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64); base /= np.linalg.norm(base)
+    other = rng.standard_normal(64); other /= np.linalg.norm(other)
+    near = base + 0.05 * rng.standard_normal(64); near /= np.linalg.norm(near)
+    corpus = spark.createDataFrame(
+        [(1, [float(x) for x in near]), (2, [float(x) for x in other])],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [float(x) for x in base])], "vec_id long, embedding array<float>"
+    )
+    hits = {
+        r["vec_id"]: r
+        for r in dedup.semantic_contamination(
+            corpus, bench, "vec_id", "embedding", threshold=0.9, num_bands=16
+        ).collect()
+    }
+    assert 1 in hits and hits[1]["max_cosine"] >= 0.9 and hits[1]["n_bench_hits"] == 1
+    assert 2 not in hits  # orthogonal content is clean
