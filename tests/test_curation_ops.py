@@ -392,3 +392,42 @@ def test_semantic_contamination(spark):
     }
     assert 1 in hits and hits[1]["max_cosine"] >= 0.9 and hits[1]["n_bench_hits"] == 1
     assert 2 not in hits  # orthogonal content is clean
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline driver
+# ---------------------------------------------------------------------------
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = CurationConfig(
+        min_quality=0.5,
+        scrub_pii=True,
+        near_dedup=True,
+        split_fractions={"train": 0.9, "valid": 0.1},
+        keep_splits=("train",),
+        shard_budget_tokens=5000,
+        partition_cols=["lang"],
+    )
+    path = str(tmp_path / "curated")
+    result = CurationPipeline(cfg).run_and_write(docs, path)
+
+    c = result.stage_counts
+    # monotone data loss through the dropping stages
+    assert c["input"] >= c["quality_filter"] >= c["near_dedup"] >= c["split_kept"]
+    assert c["split_kept"] == c["packed"] == result.kept_docs > 0
+    # near-dedup actually removed the corpus's exact duplicates
+    assert c["near_dedup"] < c["quality_filter"]
+
+    # the on-disk layout round-trips and the manifest accounts every doc
+    data = spark.read.parquet(f"{path}/data")
+    assert data.count() == result.kept_docs
+    manifest = spark.read.parquet(f"{path}/_manifest")
+    total = manifest.agg({"docs": "sum"}).collect()[0][0]
+    assert total == result.kept_docs
+    # every kept doc carries split/shard/token metadata
+    row = data.first()
+    assert row["split"] == "train" and row["n_tokens"] >= 0 and row["shard_id"] >= 0
