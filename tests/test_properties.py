@@ -293,3 +293,66 @@ def test_duplicated_windows_bounds(spark, texts, window):
     )
     for r in duplicated_window_stats(dup, "doc_id", "text", window=2).collect():
         assert r["dup_share"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-3: classifier python-model equivalence + packed-sequence
+# stream conservation
+# ---------------------------------------------------------------------------
+
+_words = st.text(alphabet=st.characters(codec="ascii", min_codepoint=33, max_codepoint=126), min_size=1, max_size=8)
+_docs_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=12).map(" ".join), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_docs_texts)
+def test_classifier_score_matches_python_model(spark, texts):
+    """logit = bias + sum(w[md5_hash(lower(tok)) % dim]) / (1000 * n)."""
+    from etl_file_loader_spark.operators.text import classifier_score
+
+    dim = 16
+    weights = [((i * 97) % 700) - 350 for i in range(dim)]
+    bias_milli = 120
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit"])
+        for r in classifier_score(df, "doc_id", "text", weights, bias_milli).collect()
+    }
+    for i, t in rows:
+        toks = t.strip().split() if t.strip() else []
+        s = sum(
+            weights[int(hashlib.md5(w.lower().encode()).hexdigest()[:8], 16) % dim]
+            for w in toks
+        )
+        expect = (
+            bias_milli / 1000.0
+            if not toks
+            else bias_milli / 1000.0 + s / (1000.0 * len(toks))
+        )
+        assert got[i][0] == len(toks)
+        assert got[i][1] == expect  # bit-exact: int sum + one division + one add
+
+
+@settings(max_examples=8, deadline=None)
+@given(_docs_texts)
+def test_packed_sequences_conserve_the_stream(spark, texts):
+    """Σ sequence tokens == Σ (doc tokens + 1 boundary); every sequence
+    except the final one per partition is exactly seq_len."""
+    from etl_file_loader_spark.operators.sampling import packed_sequences
+
+    seq_len = 7
+    rows = [(i, t, "x") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sorted(
+        packed_sequences(df, "doc_id", "text", seq_len=seq_len, partition_cols=["lang"]).collect(),
+        key=lambda r: r["seq_idx"],
+    )
+    stream_len = sum(len(t.strip().split()) + 1 if t.strip() else 1 for t in texts)
+    assert sum(r["n_tokens"] for r in out) == stream_len
+    assert [r["seq_idx"] for r in out] == list(range(len(out)))
+    for r in out[:-1]:
+        assert r["n_tokens"] == seq_len
+    assert out[-1]["n_tokens"] == stream_len - seq_len * (len(out) - 1)
