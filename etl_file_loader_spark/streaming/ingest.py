@@ -260,8 +260,13 @@ def near_dedup_stream(
     n: int = 5,
     bands: int = 4,
     rows_per_band: int = 4,
+    transform=None,
 ):
     """Continuous corpus construction with streaming NEAR-dedup.
+
+    ``transform`` (optional ``DataFrame -> DataFrame``) runs on each
+    micro-batch BEFORE dedup — the hook for stateless curation stages
+    (quality filter, PII scrub); see ``curate_stream``.
 
     Each micro-batch: (1) within-batch near-dup groups (banded MinHash
     candidates -> components) collapse to their min-id representative;
@@ -282,6 +287,10 @@ def near_dedup_stream(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if transform is not None:
+            batch_df = transform(batch_df)
+            if batch_df.isEmpty():
+                return
         sigs = dedup_ops.minhash_signatures(
             batch_df, id_col, text_col, num_hashes=num_hashes, n=n
         )
@@ -337,6 +346,53 @@ def near_dedup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def curate_stream(
+    docs: DataFrame,
+    warehouse,
+    out_table: str,
+    index_table: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float | None = 0.5,
+    scrub_pii: bool = True,
+    **dedup_kwargs,
+):
+    """The streaming face of the curation pipeline: each micro-batch runs
+    the STATELESS curation stages (quality floor, PII redaction) and then
+    the index-backed streaming near-dedup — continuous corpus construction
+    where only clean, novel documents ever reach the corpus table.
+
+    The stateful stage is exactly ``near_dedup_stream``'s warehouse-persisted
+    band index (restartable, size ∝ distinct content); the stateless stages
+    are per-batch column expressions with no state at all. Classifier-based
+    filtering slots in the same way (score is a pure projection) — pass a
+    custom ``transform`` to ``near_dedup_stream`` directly for bespoke
+    stacks.
+    """
+    from etl_file_loader_spark.operators import text as text_ops
+
+    def stateless(batch_df: DataFrame) -> DataFrame:
+        out = batch_df
+        if min_quality is not None:
+            out = out.filter(text_ops.quality_score(F.col(text_col)) >= min_quality)
+        if scrub_pii:
+            out = out.withColumn(text_col, text_ops.scrub_pii(F.col(text_col)))
+        return out
+
+    return near_dedup_stream(
+        docs,
+        warehouse,
+        out_table,
+        index_table,
+        checkpoint_dir,
+        id_col=id_col,
+        text_col=text_col,
+        transform=stateless,
+        **dedup_kwargs,
     )
 
 

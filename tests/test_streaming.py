@@ -329,3 +329,59 @@ def test_near_dedup_stream_builds_corpus(spark, warehouse, tmp_path):
     idx = warehouse.read_table("band_index")
     assert idx.count() == idx.select("band_idx", "band_hash").distinct().count()
     assert idx.groupBy().agg(F.min("cid")).collect()[0][0] == 1
+
+
+def test_curate_stream_filters_scrubs_and_dedups(spark, warehouse, tmp_path):
+    """Streaming curation: low-quality docs never reach the corpus, PII is
+    redacted before landing, and the band index still catches cross-batch
+    near-dups of curated survivors."""
+    import json
+
+    from etl_file_loader_spark.streaming.ingest import curate_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    cp = str(tmp_path / "cp")
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the quiet field while the morning sun rises over it all today"
+    )
+    pii = (
+        "please contact our support team at someone@example.com for further "
+        "details about the order and the delivery schedule we discussed there"
+    )
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": good},
+                {"doc_id": 2, "text": "x!"},  # low quality -> filtered
+                {"doc_id": 3, "text": pii},  # kept, but scrubbed
+            ]
+        )
+    )
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = curate_stream(stream, warehouse, "curated", "curated_index", cp)
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r["text"] for r in warehouse.read_table("curated").collect()}
+    assert sorted(rows) == [1, 3]
+    assert "[EMAIL]" in rows[3] and "@" not in rows[3]
+
+    # batch 2: near-dup of doc 1 is rejected by the index; a new doc lands
+    other = (
+        "a completely different second document with its own particular words "
+        "arranged in another order about some other topic entirely for now"
+    )
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [{"doc_id": 4, "text": good}, {"doc_id": 5, "text": other}]
+        )
+    )
+    stream2 = spark.readStream.schema(schema).json(str(src))
+    q2 = curate_stream(stream2, warehouse, "curated", "curated_index", cp)
+    q2.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in warehouse.read_table("curated").collect()
+    ) == [1, 3, 5]
