@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "dedup_minhash_jaccard",
     "diversity_sample_check",
     "semantic_contamination_check",
+    "bigram_logprob",
 ]
 
 

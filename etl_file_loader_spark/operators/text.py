@@ -338,6 +338,75 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus-trained bigram LM scoring: per-doc mean conditional
+    log-probability ``mean(ln(c(prev,w) / ctx(prev)))`` — the next rung of
+    the fluency-filter ladder after :func:`unigram_logprob` (real pipelines
+    use 5-gram KenLM; the bigram is the same estimator with the same
+    distributed shape, one order up).
+
+    ``ctx(prev)`` is the CONTEXT count (occurrences of ``prev`` as a bigram
+    left side, Σ_w c(prev,w)), so probabilities normalize exactly:
+    Σ_w P(w|prev) = 1 with no boundary slack.
+
+    Shape: one bigram explode (shuffle ∝ tokens) -> bigram + context count
+    aggregates -> key-joined back -> per-doc aggregate. The per-doc sum
+    folds over the (c_bigram, ctx -> multiplicity) profile in ascending
+    order — the same canonical, engine-reproducible summation order as the
+    unigram op (ln is 1-ulp engine-dependent). Docs with < 2 tokens have
+    no bigrams: n_bigrams = 0, NULL score.
+    """
+    toks = F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))
+    bg_arr = F.when(F.size(toks) < 2, F.array().cast("array<struct<p:string,w:string>>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda p, w: F.struct(p.alias("p"), w.alias("w")),
+        )
+    )
+    bg = df.select(F.col(id_col), F.explode(bg_arr).alias("_b")).select(
+        F.col(id_col), F.col("_b.p").alias("p"), F.col("_b.w").alias("w")
+    )
+    cb = bg.groupBy("p", "w").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bg.groupBy("p").agg(F.count(F.lit(1)).alias("ctx"))
+    j = bg.join(cb, ["p", "w"]).join(ctx, "p")
+    prof = j.groupBy(id_col, "cb", "ctx").agg(F.count(F.lit(1)).alias("m"))
+    doc = prof.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("cb").cast("long").alias("cb"),
+                    F.col("ctx").cast("long").alias("ctx"),
+                    F.col("m").cast("long").alias("m"),
+                )
+            )
+        ).alias("_profile"),
+    )
+    lp_sum = F.aggregate(
+        F.col("_profile"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["m"].cast("double")
+        * (F.log(s["cb"].cast("double")) - F.log(s["ctx"].cast("double"))),
+    )
+    out = doc.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.round(lp_sum / F.col("n_bigrams"), 6).alias("mean_logprob"),
+    )
+    base = df.select(F.col(id_col))
+    return base.join(out, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.col("mean_logprob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------

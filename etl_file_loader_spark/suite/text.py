@@ -572,9 +572,60 @@ ORDER BY d.doc_id
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring: per-doc mean conditional log-prob under
+    the corpus's own bigram model (exact-count MLE with context-count
+    normalization)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+Q_BIGRAM_LOGPROB_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END,
+           t -> lower(t)) AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+  FROM base, unnest(range(1, len(toks))) t(i)
+  WHERE len(toks) >= 2
+),
+cb AS (SELECT p, w, count(*) AS cb FROM bg GROUP BY p, w),
+ctx AS (SELECT p, count(*) AS ctx FROM bg GROUP BY p),
+j AS (
+  SELECT bg.doc_id, cb.cb, ctx.ctx
+  FROM bg JOIN cb USING (p, w) JOIN ctx USING (p)
+),
+prof AS (SELECT doc_id, cb, ctx, count(*) AS m FROM j GROUP BY doc_id, cb, ctx),
+doc AS (
+  SELECT doc_id,
+         CAST(sum(m) AS BIGINT) AS n_bigrams,
+         list(struct_pack(cb := cb, ctx := ctx, m := m) ORDER BY cb, ctx) AS profile
+  FROM prof GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(doc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN doc.n_bigrams IS NULL THEN NULL
+            ELSE round(
+              list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(doc.profile,
+                    s -> CAST(s.m AS DOUBLE) * (ln(CAST(s.cb AS DOUBLE)) - ln(CAST(s.ctx AS DOUBLE))))),
+                (a, b) -> a + b)
+              / doc.n_bigrams, 6) END AS mean_logprob
+FROM documents d LEFT JOIN doc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
+        "bigram_logprob": q_bigram_logprob,
         "text_quality_lang": q_text_quality_lang,
         "doc_length_stats": q_doc_length_stats,
         "corpus_curation": q_corpus_curation,
@@ -604,5 +655,6 @@ ORACLES.update(
         "line_dedup": Q_LINE_DEDUP_SQL,
         "quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
+        "bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
     }
 )

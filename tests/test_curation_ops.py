@@ -431,3 +431,19 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     # every kept doc carries split/shard/token metadata
     row = data.first()
     assert row["split"] == "train" and row["n_tokens"] >= 0 and row["shard_id"] >= 0
+
+
+def test_bigram_logprob_math(spark):
+    # corpus: "a b a b" + "a c": bigrams a->b x2, b->a x1, a->c x1
+    # ctx(a)=3, ctx(b)=1
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a c"), (3, "solo"), (4, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.bigram_logprob(df, "doc_id", "text").collect()}
+    # doc 1: bigrams (a,b),(b,a),(a,b): ln(2/3)+ln(1/1)+ln(2/3) over 3
+    expect1 = round((2 * math.log(2 / 3) + math.log(1 / 1)) / 3, 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_logprob"] == pytest.approx(expect1, abs=1e-9)
+    # doc 2: one bigram (a,c): ln(1/3)
+    assert out[2]["mean_logprob"] == pytest.approx(round(math.log(1 / 3), 6), abs=1e-9)
+    # short/empty docs: no bigrams, NULL score
+    assert out[3]["n_bigrams"] == 0 and out[3]["mean_logprob"] is None
+    assert out[4]["n_bigrams"] == 0 and out[4]["mean_logprob"] is None
