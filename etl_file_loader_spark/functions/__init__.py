@@ -8,6 +8,8 @@ this is the vectorized JVM-side re-expression.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -122,6 +124,32 @@ def tokens(col: Column) -> Column:
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
+
+
+# Java \s is ASCII-only: [ \t\n\x0b\f\r]. Python \s is Unicode (\xa0, \x85...),
+# so the mirror must use the explicit class, not r"\s".
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """Driver/UDF-side Python mirror of :func:`tokens` with EXACT JVM
+    semantics — the single tokenizer every Arrow engine must use so the
+    'BIT-IDENTICAL to the expr engine/oracle' contract holds on real text:
+
+    - Spark ``trim`` strips ONLY ASCII space 0x20 (Python ``.strip()``
+      strips all Unicode whitespace — wrong for ``'\\ta b'``).
+    - Java ``split(re, -1)`` keeps leading AND trailing empty tokens when
+      the text is edged by non-space whitespace (``'a b\\n'`` ->
+      ``['a','b','']`` — the trailing '' votes in SimHash), while Python
+      ``re.split(r'\\s+')`` on ``.strip()``-ed text never produces them.
+    - Java ``\\s`` is ASCII-only; U+00A0 etc. are NOT token separators.
+
+    Pinned against the expr engine by test_java_tokens_mirror_spark.
+    """
+    t = (text or "").strip(" ")
+    if not t:
+        return []
+    return _JAVA_WS_RE.split(t)
 
 
 def bind_once(value: Column, body) -> Column:

@@ -130,17 +130,20 @@ def _minhash_signatures_arrow(
 ) -> DataFrame:
     """Arrow engine: numpy k-min over md5 shingle hashes, per batch.
 
-    Mirrors the expression engine exactly: trim -> whitespace split (Java
-    split drops trailing empties; trimmed input has none) -> distinct
-    n-gram shingles (< n tokens -> the whole text as one shingle) ->
-    int64 of first 8 md5 hex chars -> min((a*(h%p)+b)%p). Null text behaves
-    as empty text (one "" shingle), matching the expression engine's
-    concat_ws null handling.
+    Mirrors the expression engine exactly — tokenization goes through
+    ``functions.py_tokens`` (Spark trim = ASCII space only; Java split
+    keeps leading/trailing '' tokens for tab/newline-edged text; ASCII-only
+    \\s), so signatures are bit-identical on real corpora, not just
+    space-separated text — then distinct n-gram shingles (< n tokens ->
+    the whole text as one shingle) -> int64 of first 8 md5 hex chars ->
+    min((a*(h%p)+b)%p). Null text behaves as empty text (one "" shingle),
+    matching the expression engine's concat_ws null handling.
     """
     import hashlib
-    import re as _re
 
     from pyspark.sql.functions import pandas_udf
+
+    from etl_file_loader_spark.functions import py_tokens
 
     a = np.asarray(_MH_A[:num_hashes], dtype=np.int64)
     b = np.asarray(_MH_B[:num_hashes], dtype=np.int64)
@@ -150,8 +153,7 @@ def _minhash_signatures_arrow(
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            t = (text or "").strip()
-            toks = _re.split(r"\s+", t) if t else []
+            toks = py_tokens(text)
             if len(toks) < n:
                 sh = {" ".join(toks)}
             else:
@@ -293,6 +295,11 @@ def minhash_jaccard_pairs(
     tighter bands). Integer component comparison, so the estimate is an
     exact rational — cross-engine value-verifiable.
     """
+    # persist: the signature subtree (often an Arrow UDF over the full
+    # corpus) feeds three consumers — the banding pass and both sides of
+    # the rescore join; without this it executes three times (the same
+    # shape simhash_pairs_blocked persists for the same reason).
+    signatures = signatures.persist()
     pairs = lsh_candidate_pairs(signatures, id_col, bands, rows_per_band)
     sa = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
     sb = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
@@ -363,15 +370,19 @@ def simhash(
 def _simhash_arrow(df: DataFrame, id_col: str, text_col: str, bits: int) -> DataFrame:
     """Arrow engine: numpy bit votes over md5 token hashes, per batch.
 
-    Mirrors the expression engine exactly: trim -> whitespace split ->
-    distinct tokens -> int64 of the first ceil(bits/4) md5 hex chars ->
-    per-bit +/-1 votes -> sign fingerprint. Docs with no tokens return
-    null and are filtered, matching the expression engine's explode drop.
+    Mirrors the expression engine exactly — tokenization via
+    ``functions.py_tokens`` (JVM trim/split semantics: ASCII-space trim,
+    leading/trailing '' tokens kept on tab/newline-edged text, ASCII-only
+    \\s) -> distinct tokens -> int64 of the first ceil(bits/4) md5 hex
+    chars -> per-bit +/-1 votes -> sign fingerprint. Docs with no tokens
+    return null and are filtered, matching the expression engine's explode
+    drop.
     """
     import hashlib
-    import re as _re
 
     from pyspark.sql.functions import pandas_udf
+
+    from etl_file_loader_spark.functions import py_tokens
 
     n_hex = 8 if bits <= 32 else (bits + 3) // 4
     shifts = np.arange(bits, dtype=np.int64)
@@ -380,8 +391,7 @@ def _simhash_arrow(df: DataFrame, id_col: str, text_col: str, bits: int) -> Data
     def _fp(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            t = (text or "").strip()
-            toks = set(_re.split(r"\s+", t)) if t else set()
+            toks = set(py_tokens(text))
             if not toks:
                 out.append(None)
                 continue
@@ -772,7 +782,13 @@ def remove_near_duplicates(
     this bounds the explode-variant pair expansion that would otherwise
     grow with cluster².
     """
-    th = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_th"))
+    # null-safe key: md5(null) is null and null keys never equi-join, which
+    # would let every null-text doc survive; coalescing to '' clusters
+    # null-text docs with empty-text docs — the same collapse the signature
+    # path applies (both get the '' shingle set).
+    th = df.select(
+        F.col(id_col), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_th")
+    )
     groups = th.groupBy("_th").agg(F.min(F.col(id_col)).alias("_rep")).persist()
     rep_docs = df.join(
         groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"

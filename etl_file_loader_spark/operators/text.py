@@ -193,7 +193,11 @@ def classifier_score(
     dim = len(weights_milli)
     warr = F.array(*[F.lit(int(w)) for w in weights_milli])
     idx = hashed_feature_indices(F.col(text_col), dim)
-    n = F.size(idx)
+    # null text -> tokens() yields a null array -> size() is null/-1; coalesce
+    # so null behaves as empty (n=0 -> logit=bias), bit-identical to the
+    # joined form's explode_outer path.
+    n = F.coalesce(F.size(idx), F.lit(0))
+    n = F.when(n < 0, F.lit(0)).otherwise(n)
     s = F.aggregate(
         idx,
         F.lit(0).cast("long"),
