@@ -1,11 +1,65 @@
-"""SparkSession factory with engine defaults.
+"""SparkSession factory with pinned, documented engine defaults.
 
-Scale notes: settings below are tuned for the local[32] test harness but the
-*shape* is what a 1000-executor cluster wants too — AQE on (runtime shuffle
-coalescing + skew-join splitting), session TZ pinned to UTC (oracle parity and
-cross-cluster determinism), Arrow enabled for the few Pandas-UDF operators.
-``spark.sql.shuffle.partitions`` is a local default; on a real cluster AQE
-coalesces from a deliberately-high initial number.
+Every conf below is deliberate — set here rather than inherited — with its
+100x-scale rationale. The local[32] harness verifies correctness; the table
+records why each value is also the shape a 1000-executor / 100 TB cluster
+wants (values that should scale with the cluster are env-overridable).
+
+================================  ==========  =================================
+conf                              value       rationale at 100 TB
+================================  ==========  =================================
+spark.sql.session.timeZone        UTC         determinism across executor
+                                              locales + oracle parity; date
+                                              arithmetic must not depend on
+                                              which machine ran the task.
+spark.sql.shuffle.partitions      4 x cores   initial (pre-AQE) shuffle width.
+                                              Deliberately OVER-partitioned:
+                                              AQE coalesces small partitions
+                                              for free, but cannot split a
+                                              too-coarse non-skewed shuffle;
+                                              on a cluster set ~2-4 x total
+                                              cores (env SPARK_GRAFT_SHUFFLE).
+spark.sql.adaptive.enabled        true        runtime re-planning: stats at
+                                              stage boundaries beat estimates
+                                              at 100 TB (selectivity is
+                                              unknowable at plan time).
+...coalescePartitions.enabled     true        post-filter stages collapse to
+                                              few busy partitions instead of
+                                              thousands of empty tasks.
+...skewJoin.enabled               true        hot keys (null-ish grains, head
+                                              domains in web corpora) split
+                                              into subtasks instead of one
+                                              straggler holding the stage.
+spark.sql.autoBroadcastJoin-      64 MiB      dims/weights/loser-sets up to
+  Threshold                                   64 MiB ship to executors instead
+                                              of shuffling the 100 TB fact
+                                              side; executors are sized >= 4
+                                              GiB so 64 MiB is safe. The
+                                              engine still broadcast()-hints
+                                              every join it KNOWS is small —
+                                              the threshold is the safety net,
+                                              the hints are the contract.
+spark.sql.files.maxPartitionBytes 128 MiB     scan-task granularity: matches
+                                              the warehouse's parquet file
+                                              target so one task ~ one row
+                                              group run; bigger risks executor
+                                              memory on wide rows, smaller
+                                              drowns the scheduler at 100 TB
+                                              (800k tasks is fine; 80M isn't).
+spark.sql.execution.arrow.        true        the few Pandas-UDF operators
+  pyspark.enabled                             (minhash/simhash/codec batches)
+                                              move columns as Arrow batches,
+                                              not pickled rows (~10-100x).
+spark.sql.legacy.parquet.         true        testdata events.parquet stores
+  nanosAsLong                                 TIMESTAMP(NANOS); read as int64
+                                              and convert explicitly (suite._t)
+                                              — Spark has no nanos type.
+spark.serializer                  Kryo        shuffle/broadcast bytes: Kryo is
+                                              smaller + faster than Java ser
+                                              for the struct-heavy rows the
+                                              validators emit; at 100 TB
+                                              shuffle volume IS the bill.
+================================  ==========  =================================
 """
 
 from __future__ import annotations
@@ -15,22 +69,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def engine_confs(cpus: int) -> dict[str, str]:
+    """The pinned conf table (see module docstring for rationale)."""
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "") or str(4 * cpus)
+    return {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": shuffle,
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    }
+
+
 def get_spark(app_name: str = "etl-file-loader-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # testdata events.parquet stores TIMESTAMP(NANOS); read as int64 nanos
-        # and convert explicitly (suite._t) — Spark has no nanos timestamp type
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .getOrCreate()
     )
+    for k, v in engine_confs(cpus).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
