@@ -6,11 +6,14 @@ struct. Decode / feature-extract / resize / frame-sample run as Arrow-batched
 Python — so a 1000-executor cluster streams binary batches through the
 decoder with zero shuffle.
 
-The actual codec step is STUBBED in this container (no PIL/ffmpeg):
-``decode_image`` raises ``NotImplementedError`` unless ``fake=True``, in
-which case a deterministic fake decoder parses our 12-byte synthetic header.
-The Spark-side plumbing — schema, batch shape, partitioning — is real and
-tested; swapping in PIL is a one-function change.
+The codec step is REAL (round 5): ``fake=False`` decodes PNG via the
+dependency-free ``operators.codecs`` (zlib + numpy unfilter) and WAV via
+the stdlib ``wave`` module, picking up Pillow / soundfile automatically
+when importable for the remaining formats (JPEG, FLAC, ...). Payloads no
+installed codec can decode yield ``decode_ok=False`` rows — per-row
+DLQ-style honesty instead of failing the job. ``fake=True`` keeps the
+deterministic 12-byte-header parser the cross-engine value oracles pin
+(the plumbing contract the driver verifies every round).
 """
 
 from __future__ import annotations
@@ -22,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from etl_file_loader_spark.operators import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -75,17 +80,14 @@ _DECODE_SCHEMA = (
 def decode_image(df: DataFrame, fake: bool = False, batch_hint: int = 0) -> DataFrame:
     """Decode image binaries to (width, height, mean_pixel) via mapInPandas.
 
-    Real decode requires an image library not present in this container —
-    call with ``fake=True`` to use the deterministic FAKEIMG header parser
-    (tests do); ``fake=False`` raises NotImplementedError at plan time.
+    ``fake=False`` (the real path): PNG decodes everywhere via the
+    stdlib codec; other formats decode when Pillow is importable;
+    undecodable payloads yield ``decode_ok=False``. ``fake=True`` is the
+    deterministic FAKEIMG header parser the cross-engine oracle pins —
+    its arithmetic (exact int/int division) must stay byte-stable.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "use fake=True for the deterministic test decoder"
-        )
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -104,7 +106,36 @@ def decode_image(df: DataFrame, fake: bool = False, batch_hint: int = 0) -> Data
                 out, columns=["media_id", "width", "height", "mean_pixel", "decode_ok"]
             )
 
-    return df.select("media_id", "content").mapInPandas(decode_batches, _DECODE_SCHEMA)
+    def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                if b[:8] == FAKE_MAGIC:
+                    # synthetic payloads keep the fake-header semantics so
+                    # mixed corpora produce one consistent result set
+                    w = int.from_bytes(b[8:10], "big")
+                    h = int.from_bytes(b[10:12], "big")
+                    body = b[12:]
+                    mean = (sum(body) / len(body)) if body else 0.0
+                    out.append((int(mid), w, h, mean, True))
+                    continue
+                px = codecs.decode_image_bytes(b) if b else None
+                if px is None:
+                    out.append((int(mid), None, None, None, False))
+                else:
+                    h, w = px.shape[0], px.shape[1]
+                    # exact int/int division (deterministic across platforms)
+                    mean = float(px.astype(np.int64).sum()) / px.size
+                    out.append((int(mid), w, h, mean, True))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "mean_pixel", "decode_ok"]
+            )
+
+    fn = decode_fake if fake else decode_real
+    return df.select("media_id", "content").mapInPandas(fn, _DECODE_SCHEMA)
 
 
 FAKE_AUDIO_MAGIC = b"FAKEAUD!"
@@ -131,18 +162,15 @@ _AUDIO_SCHEMA = (
 def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode audio binaries to (rate, length, duration, rms) via mapInPandas.
 
-    Same contract as ``decode_image``: the codec needs a library absent from
-    this container (soundfile/ffmpeg), so ``fake=False`` raises at plan time
-    and ``fake=True`` parses the deterministic FAKEAUD header. The Spark
-    plumbing — Arrow batch iterator, schema, no shuffle — is the real path.
+    ``fake=False`` (the real path): PCM WAV decodes everywhere via the
+    stdlib ``wave`` codec (8/16/24/32-bit, any channel count; ``rms`` is
+    over [-1,1)-normalized samples pooled across channels); other formats
+    decode when soundfile is importable; undecodable payloads yield
+    ``decode_ok=False``. ``fake=True`` parses the deterministic FAKEAUD
+    header the cross-engine value oracle pins.
     """
-    if not fake:
-        raise NotImplementedError(
-            "audio decode requires soundfile/ffmpeg (not in this container); "
-            "use fake=True for the deterministic test decoder"
-        )
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -171,7 +199,46 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
                 ],
             )
 
-    return df.select("media_id", "content").mapInPandas(decode_batches, _AUDIO_SCHEMA)
+    def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                if b[:8] == FAKE_AUDIO_MAGIC:
+                    rate = int.from_bytes(b[8:12], "big")
+                    n = int.from_bytes(b[12:16], "big")
+                    body = b[16:]
+                    rms = (
+                        math.sqrt(sum(x * x for x in body) / len(body))
+                        if body
+                        else 0.0
+                    )
+                    out.append(
+                        (int(mid), rate, n, n / rate if rate else None, rms, True)
+                    )
+                    continue
+                dec = codecs.decode_audio_bytes(b) if b else None
+                if dec is None:
+                    out.append((int(mid), None, None, None, None, False))
+                else:
+                    rate, x = dec
+                    n = int(x.shape[0])
+                    rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+                    out.append(
+                        (int(mid), int(rate), n, n / rate if rate else None, rms, True)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_sec",
+                    "rms", "decode_ok",
+                ],
+            )
+
+    fn = decode_fake if fake else decode_real
+    return df.select("media_id", "content").mapInPandas(fn, _AUDIO_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
@@ -194,18 +261,14 @@ _RESIZE_SCHEMA = "media_id long, content binary, width int, height int"
 def resize_image(df: DataFrame, target_w: int, target_h: int, fake: bool = False) -> DataFrame:
     """Resize images to (target_w, target_h) via mapInPandas.
 
-    Stubbed codec (no PIL in this container): ``fake=True`` rewrites the
-    FAKEIMG header dims and nearest-neighbor-samples the fake pixel body;
-    the Spark plumbing (binary batches in -> binary batches out, schema,
-    partitioning) is the real part.
+    ``fake=False`` (the real path): decode (stdlib PNG / PIL), numpy
+    nearest-neighbor index-sample to the target grid, re-encode as PNG
+    (output format is always PNG — deterministic bytes, no quality knob);
+    undecodable payloads yield null content. ``fake=True`` rewrites the
+    FAKEIMG header dims and nearest-neighbor-samples the fake pixel body.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires PIL/opencv (not in this container); "
-            "use fake=True for the deterministic test resizer"
-        )
 
-    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def resize_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -228,7 +291,33 @@ def resize_image(df: DataFrame, target_w: int, target_h: int, fake: bool = False
                 out, columns=["media_id", "content", "width", "height"]
             )
 
-    return df.select("media_id", "content").mapInPandas(resize_batches, _RESIZE_SCHEMA)
+    def resize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                px = codecs.decode_image_bytes(b) if b else None
+                if px is None:
+                    out.append((int(mid), None, None, None))
+                    continue
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w = px.shape[0], px.shape[1]
+                # nearest neighbor: sample the source grid at target centers
+                ys = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+                xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+                resized = px[ys[:, None], xs[None, :], :]
+                out.append(
+                    (int(mid), codecs.png_encode(resized), target_w, target_h)
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "content", "width", "height"]
+            )
+
+    fn = resize_fake if fake else resize_real
+    return df.select("media_id", "content").mapInPandas(fn, _RESIZE_SCHEMA)
 
 
 _FEATURE_SCHEMA = "media_id long, embedding array<float>, feature_ok boolean"
@@ -240,20 +329,34 @@ def image_features(df: DataFrame, dim: int = 8, fake: bool = False) -> DataFrame
     similarity/dedup operators (its output is an ``embedding`` column the
     ANN and embedding-near-dup ops consume directly).
 
-    Real extraction needs a vision model/runtime not in this container;
-    ``fake=True`` computes a deterministic descriptor of the FAKEIMG
-    payload (dims, length, byte statistics, boundary bytes), L2-normalized
-    — honest plumbing: Arrow batches in, fixed-width float vectors out,
-    same shape a CLIP-style encoder UDF would produce at ``dim`` = 512+.
+    ``fake=False`` (the real path): decode via the stdlib PNG / PIL
+    codecs and compute the descriptor from the ACTUAL pixel buffer —
+    dims, pixel count, byte statistics, first byte — L2-normalized. It is
+    a hand-rolled global-statistics descriptor (a real vision model is
+    still the production choice for semantic similarity; the seam is this
+    UDF's body), but near-duplicate images genuinely cluster under it, so
+    decode -> features -> ANN is a working end-to-end path. ``fake=True``
+    computes the same descriptor family from the FAKEIMG header/body —
+    the deterministic form the cross-engine oracle pins.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image feature extraction requires a vision model runtime "
-            "(not in this container); use fake=True for the deterministic "
-            "descriptor"
-        )
 
-    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _descriptor(np, w, h, body, dim):
+        stats = [
+            float(w),
+            float(h),
+            float(len(body)),
+            float(body.mean()) if len(body) else 0.0,
+            float(body.std()) if len(body) else 0.0,
+            float(body.min()) if len(body) else 0.0,
+            float(body.max()) if len(body) else 0.0,
+            float(body[0]) if len(body) else 0.0,
+        ]
+        v = np.asarray((stats * ((dim // len(stats)) + 1))[:dim])
+        nrm = float(np.sqrt((v * v).sum()))
+        vec = (v / nrm if nrm else v).astype("float32")
+        return [float(x) for x in vec]
+
+    def feature_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
@@ -264,26 +367,30 @@ def image_features(df: DataFrame, dim: int = 8, fake: bool = False) -> DataFrame
                     w = int.from_bytes(b[8:10], "big")
                     h = int.from_bytes(b[10:12], "big")
                     body = np.frombuffer(b[12:], dtype=np.uint8).astype("float64")
-                    stats = [
-                        float(w),
-                        float(h),
-                        float(len(body)),
-                        float(body.mean()) if len(body) else 0.0,
-                        float(body.std()) if len(body) else 0.0,
-                        float(body.min()) if len(body) else 0.0,
-                        float(body.max()) if len(body) else 0.0,
-                        float(body[0]) if len(body) else 0.0,
-                    ]
-                    v = np.asarray((stats * ((dim // len(stats)) + 1))[:dim])
-                    nrm = float(np.sqrt((v * v).sum()))
-                    vec = (v / nrm if nrm else v).astype("float32")
-                    out.append((int(mid), [float(x) for x in vec], True))
+                    out.append((int(mid), _descriptor(np, w, h, body, dim), True))
                 else:
                     out.append((int(mid), None, False))
             yield pd.DataFrame(
                 out, columns=["media_id", "embedding", "feature_ok"]
             )
 
-    return df.select("media_id", "content").mapInPandas(
-        feature_batches, _FEATURE_SCHEMA
-    )
+    def feature_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                px = codecs.decode_image_bytes(b) if b else None
+                if px is None:
+                    out.append((int(mid), None, False))
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                body = px.reshape(-1).astype("float64")
+                out.append((int(mid), _descriptor(np, w, h, body, dim), True))
+            yield pd.DataFrame(
+                out, columns=["media_id", "embedding", "feature_ok"]
+            )
+
+    fn = feature_fake if fake else feature_real
+    return df.select("media_id", "content").mapInPandas(fn, _FEATURE_SCHEMA)

@@ -1,0 +1,204 @@
+"""Real codec path (round 5): stdlib PNG + WAV decode, PIL/soundfile
+optional, driven end-to-end through the mapInPandas operators into ANN.
+
+Everything here runs without PIL (the stdlib paths are dependency-free);
+the PIL-specific test skips when Pillow is absent.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from etl_file_loader_spark.operators import codecs, multimodal, similarity
+
+# ---------------------------------------------------------------------------
+# pure-codec unit tests (driver-side)
+# ---------------------------------------------------------------------------
+
+
+def test_png_round_trip_all_shapes_and_filters():
+    rng = np.random.default_rng(7)
+    for shape in [(2, 2, 3), (5, 7, 1), (4, 3, 4), (8, 8, 2), (1, 1, 3)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):  # None/Sub/Up/Average/Paeth scanline filters
+            assert (codecs.png_decode(codecs.png_encode(a, filter_type=ft)) == a).all()
+
+
+def test_png_decode_hand_built_bytes():
+    # independently constructed 2x2 RGB PNG (filter 0) — not our encoder
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    raw = b"\x00" + bytes([255, 0, 0, 0, 255, 0]) + b"\x00" + bytes([0, 0, 255, 255, 255, 255])
+    png = (
+        codecs.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = codecs.png_decode(png)
+    assert d.shape == (2, 2, 3)
+    assert d[0, 0].tolist() == [255, 0, 0]
+    assert d[0, 1].tolist() == [0, 255, 0]
+    assert d[1, 0].tolist() == [0, 0, 255]
+    assert d[1, 1].tolist() == [255, 255, 255]
+
+
+def test_png_decode_rejects_unsupported():
+    with pytest.raises(ValueError):
+        codecs.png_decode(b"not a png at all")
+    # 16-bit depth header
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        codecs.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        codecs.png_decode(deep)
+
+
+def test_wav_round_trip_and_rms():
+    t = np.arange(8000) / 8000.0
+    sine = (np.sin(2 * np.pi * 440 * t) * 16384).astype("<i2")
+    rate, x = codecs.wav_decode(codecs.wav_encode(8000, sine))
+    assert rate == 8000 and x.shape == (8000, 1)
+    # amplitude 0.5 sine -> rms 0.5/sqrt(2)
+    assert float(np.sqrt((x * x).mean())) == pytest.approx(0.5 / np.sqrt(2), abs=0.01)
+    # stereo preserves per-channel values
+    st = np.stack([sine, sine // 2], axis=1)
+    _, x2 = codecs.wav_decode(codecs.wav_encode(8000, st))
+    assert x2.shape == (8000, 2)
+    assert np.allclose(x2[:, 0] * 32768.0, sine)
+
+
+def test_wav_24_bit():
+    import io
+    import wave
+
+    vals = np.array([0, 1, -1, 8388607, -8388608, 123456], dtype=np.int64)
+    frames = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(48000)
+        f.writeframes(frames)
+    rate, x = codecs.wav_decode(buf.getvalue())
+    assert rate == 48000
+    assert np.allclose(x[:, 0] * 8388608.0, vals)
+
+
+def test_dispatch_fallbacks():
+    assert codecs.decode_image_bytes(b"garbage") is None
+    assert codecs.decode_audio_bytes(b"garbage") is None
+    if codecs.try_pil() is None:
+        # JPEG magic without PIL: honest None, not an exception
+        assert codecs.decode_image_bytes(b"\xff\xd8\xff\xe0rest") is None
+
+
+@pytest.mark.skipif(codecs.try_pil() is None, reason="Pillow not installed")
+def test_pil_jpeg_path():
+    import io
+
+    pil = codecs.try_pil()
+    img = pil.new("RGB", (6, 4), (200, 10, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    px = codecs.decode_image_bytes(buf.getvalue())
+    assert px is not None and px.shape[:2] == (4, 6)
+
+
+# ---------------------------------------------------------------------------
+# Spark end-to-end: real binaries -> decode -> features -> ANN
+# ---------------------------------------------------------------------------
+
+
+def _gradient_png(seed: int, w: int = 12, h: int = 9) -> bytes:
+    rng = np.random.default_rng(seed)
+    base = (np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 3) % 256
+    img = np.stack([base, (base * 2) % 256, rng.integers(0, 256, (h, w))], axis=2)
+    return codecs.png_encode(img.astype(np.uint8))
+
+
+def test_decode_image_real_on_spark(spark):
+    rows = [
+        (1, _gradient_png(1)),
+        (2, bytearray(b"not an image")),
+        (3, multimodal.pack_fake_image(3, 4, 4)),  # mixed synthetic payload
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in multimodal.decode_image(df).collect()}
+    assert out[1]["decode_ok"] and out[1]["width"] == 12 and out[1]["height"] == 9
+    expected_mean = codecs.png_decode(_gradient_png(1)).astype(np.int64).sum() / (12 * 9 * 3)
+    assert out[1]["mean_pixel"] == pytest.approx(expected_mean)
+    assert not out[2]["decode_ok"] and out[2]["width"] is None
+    assert out[3]["decode_ok"] and out[3]["width"] == 4  # FAKEIMG header semantics
+    assert not out[4]["decode_ok"]
+
+
+def test_decode_audio_real_on_spark(spark):
+    t = np.arange(4000) / 8000.0
+    tone = (np.sin(2 * np.pi * 220 * t) * 8192).astype("<i2")
+    rows = [
+        (1, codecs.wav_encode(8000, tone)),
+        (2, bytearray(b"RIFFbroken")),
+        (3, multimodal.pack_fake_audio(3, 16000, 32)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in multimodal.decode_audio(df).collect()}
+    assert out[1]["decode_ok"] and out[1]["sample_rate"] == 8000
+    assert out[1]["n_samples"] == 4000
+    assert out[1]["duration_sec"] == pytest.approx(0.5)
+    assert out[1]["rms"] == pytest.approx(0.25 / np.sqrt(2), abs=0.01)
+    assert not out[2]["decode_ok"]
+    assert out[3]["decode_ok"] and out[3]["sample_rate"] == 16000  # FAKEAUD path
+
+
+def test_resize_image_real_round_trip(spark):
+    src = _gradient_png(5, w=10, h=8)
+    df = spark.createDataFrame([(1, src)], "media_id long, content binary")
+    out = multimodal.resize_image(df, 5, 4).collect()[0]
+    assert (out["width"], out["height"]) == (5, 4)
+    resized = codecs.png_decode(bytes(out["content"]))
+    assert resized.shape == (4, 5, 3)
+    # nearest-neighbor: target pixel (y,x) samples source (y*h//th, x*w//tw)
+    srcpx = codecs.png_decode(src)
+    assert (resized[2, 3] == srcpx[(2 * 8) // 4, (3 * 10) // 5]).all()
+
+
+def test_real_decode_features_ann_end_to_end(spark):
+    """The round-5 'done' gate: real PNG/WAV binaries -> decode ->
+    feature extraction -> ANN top-k finds the visually-identical pair."""
+    a = _gradient_png(1)
+    rows = [
+        (1, a),
+        (2, a),                      # exact duplicate image
+        (3, _gradient_png(2)),       # same gradient family, new noise channel
+        (4, codecs.png_encode(np.full((9, 12, 3), 250, dtype=np.uint8))),  # far
+        (5, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    feats = multimodal.image_features(df, dim=8)
+    ok = feats.filter("feature_ok").collect()
+    assert sorted(r["media_id"] for r in ok) == [1, 2, 3, 4]
+    by_id = {r["media_id"]: r["embedding"] for r in ok}
+    top = similarity.cosine_topk(
+        feats.filter("feature_ok"), "media_id", "embedding", by_id[1], k=3
+    ).collect()
+    assert {top[0]["media_id"], top[1]["media_id"]} == {1, 2}  # dup pair first
+    assert top[0]["score"] == pytest.approx(1.0)
+    # duplicate images produce identical descriptors
+    assert by_id[1] == by_id[2]
