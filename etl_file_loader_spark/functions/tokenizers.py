@@ -1,0 +1,235 @@
+"""Pluggable tokenizer seam for the training-data layouts.
+
+``functions.tokens()`` (whitespace) is right for dedup statistics but wrong
+for TOKEN BUDGETS: training layouts (``sequence_chunks`` /
+``packed_sequences`` / ``pack_shards``) count what a subword tokenizer
+would produce, not words. This module is the seam: a tokenizer is an object
+with
+
+- ``name``       — stable identifier (manifests record it),
+- ``tokens(col)`` — Column expression: text -> array<string>,
+- ``duckdb_expr(expr)`` — the equivalent DuckDB SQL fragment, so every
+  layout built on the tokenizer stays cross-engine value-verifiable
+  (raises for tokenizers with no SQL form; the driver then records the
+  weaker rows-only check).
+
+Implementations, cheapest first:
+
+- :class:`WhitespaceTokenizer` — the historical default; zero-cost alias
+  of ``functions.tokens``.
+- :class:`RegexTokenizer` — GPT-2-style PRE-tokenization (letter runs,
+  digit runs, single punctuation marks). Pure ``regexp_extract_all``;
+  scan-shaped in both engines.
+- :class:`SubwordTokenizer` — regex pre-tokens split into fixed-width
+  character pieces (width ~4 approximates the ~4 chars/token of byte-pair
+  vocabularies). Deterministic, vocabulary-free, and expressible in both
+  engines — the oracle-checkable subword approximation the token budgets
+  use.
+- :class:`GreedyVocabTokenizer` — WordPiece-style greedy longest-match
+  against a LEARNED vocabulary (``fit_subword_vocab``), as an
+  Arrow-batched pandas UDF. The real-subword scale path; no SQL twin
+  (tests pin its invariants instead).
+
+All tokenizers treat null text as empty (no tokens).
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — resolves lazy UDF type annotations
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.functions import tokens as _ws_tokens
+
+# ASCII-explicit whitespace class: Java \s and RE2 \s disagree on \x0b, so
+# portable patterns must spell it out.
+_WS = r" \t\n\x0b\f\r"
+DEFAULT_PRETOKEN_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS}]"
+
+
+class WhitespaceTokenizer:
+    name = "whitespace"
+
+    def tokens(self, col: Column) -> Column:
+        return _ws_tokens(col)
+
+    def duckdb_expr(self, expr: str) -> str:
+        return (
+            rf"CASE WHEN length(trim({expr})) = 0 THEN CAST([] AS VARCHAR[]) "
+            rf"ELSE string_split_regex(trim({expr}), '\s+') END"
+        )
+
+
+class RegexTokenizer:
+    """Pre-tokenizer: one token per letter run / digit run / punctuation
+    mark. The pattern must be portable between Java regex and RE2 — the
+    default uses only explicit ASCII classes."""
+
+    def __init__(self, pattern: str = DEFAULT_PRETOKEN_PATTERN, name: str = "regex"):
+        self.pattern = pattern
+        self.name = name
+
+    def tokens(self, col: Column) -> Column:
+        return F.coalesce(
+            F.regexp_extract_all(col, F.lit(self.pattern), 0),
+            F.array().cast("array<string>"),
+        )
+
+    def duckdb_expr(self, expr: str) -> str:
+        return (
+            f"coalesce(regexp_extract_all({expr}, '{self.pattern}'), "
+            f"CAST([] AS VARCHAR[]))"
+        )
+
+
+class SubwordTokenizer:
+    """Regex pre-tokens chopped into ``max_piece``-character pieces.
+
+    ``ceil(len/4)`` tracks byte-pair token counts closely enough for
+    budget math (BPE averages ~4 chars/token on English web text), is
+    100% deterministic with no vocabulary artifact to ship, and has an
+    exact SQL twin — so packed-sequence layouts stay value-verifiable
+    under a non-whitespace tokenizer.
+    """
+
+    def __init__(self, max_piece: int = 4, pattern: str = DEFAULT_PRETOKEN_PATTERN):
+        if max_piece < 1:
+            raise ValueError("max_piece must be >= 1")
+        self.max_piece = max_piece
+        self.pattern = pattern
+        self.name = f"subword{max_piece}"
+
+    def tokens(self, col: Column) -> Column:
+        L = self.max_piece
+        pre = F.coalesce(
+            F.regexp_extract_all(col, F.lit(self.pattern), 0),
+            F.array().cast("array<string>"),
+        )
+        return F.flatten(
+            F.transform(
+                pre,
+                lambda w: F.transform(
+                    F.sequence(F.lit(0), F.floor((F.length(w) - 1) / L).cast("int")),
+                    lambda i: F.substring(w, i * L + 1, L),
+                ),
+            )
+        )
+
+    def duckdb_expr(self, expr: str) -> str:
+        L = self.max_piece
+        return (
+            f"flatten(list_transform("
+            f"coalesce(regexp_extract_all({expr}, '{self.pattern}'), CAST([] AS VARCHAR[])), "
+            f"w -> list_transform(range(0, ((length(w) - 1) // {L}) + 1), "
+            f"i -> substr(w, CAST(i * {L} + 1 AS BIGINT), {L}))))"
+        )
+
+
+def fit_subword_vocab(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 4096,
+    min_len: int = 2,
+    max_len: int = 8,
+    min_count: int = 2,
+    pattern: str = DEFAULT_PRETOKEN_PATTERN,
+) -> list[str]:
+    """Learn a subword vocabulary from the corpus: the ``vocab_size`` most
+    frequent word-internal character n-grams (length ``min_len..max_len``),
+    ranked by count (ties by gram, so the artifact is deterministic).
+
+    Distributed shape: regex pre-tokens -> per-word n-gram explode -> one
+    hash aggregation -> top-K. The only driver-side materialization is the
+    vocabulary itself (bounded by ``vocab_size``), the same artifact a BPE
+    trainer ships. Frequency-ranked greedy matching is the WordPiece
+    serving approximation — not a true merge-order BPE, but learned from
+    data and honest about it.
+    """
+    words = df.select(
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).alias("w")
+    )
+    grams = words.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(min_len), F.lit(max_len)),
+                    lambda n: F.when(
+                        F.length("w") >= n,
+                        F.transform(
+                            F.sequence(F.lit(0), F.length("w") - n),
+                            lambda i: F.substring(F.col("w"), i + 1, n),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            )
+        ).alias("g")
+    )
+    top = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .orderBy(F.col("c").desc(), F.col("g"))
+        .limit(vocab_size)
+    )
+    return [r["g"] for r in top.collect()]
+
+
+class GreedyVocabTokenizer:
+    """Greedy longest-match subword tokenization against a learned vocab
+    (WordPiece serving): at each position take the longest vocab entry
+    that prefixes the rest of the word, falling back to one character.
+
+    Arrow-batched pandas UDF over the regex pre-tokens; the vocab rides
+    the UDF closure (broadcast once per executor) — fine up to ~10^6
+    entries, which covers every real subword vocabulary. No SQL twin:
+    layouts built on it get rows-only driver checks; invariants
+    (coverage, concatenation identity, vocab membership) are pinned in
+    tests instead.
+    """
+
+    def __init__(self, vocab: list[str], pattern: str = DEFAULT_PRETOKEN_PATTERN,
+                 max_piece: int = 16):
+        self.vocab = frozenset(vocab)
+        self.pattern = pattern
+        self.max_piece = min(max(map(len, vocab), default=1), max_piece)
+        self.name = f"greedy{len(self.vocab)}"
+
+    def tokens(self, col: Column) -> Column:
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
+        vocab = self.vocab
+        longest = self.max_piece
+        rx = _re.compile(self.pattern)
+
+        @pandas_udf("array<string>")
+        def _tok(texts: pd.Series) -> pd.Series:
+            out = []
+            for text in texts:
+                pieces: list[str] = []
+                for w in rx.findall(text or ""):
+                    i, m = 0, len(w)
+                    while i < m:
+                        step = 1
+                        for ln in range(min(longest, m - i), 1, -1):
+                            if w[i : i + ln] in vocab:
+                                step = ln
+                                break
+                        pieces.append(w[i : i + step])
+                        i += step
+                out.append(pieces)
+            return pd.Series(out)
+
+        return _tok(col)
+
+    def duckdb_expr(self, expr: str) -> str:
+        raise NotImplementedError(
+            "greedy vocab matching has no portable SQL form; use "
+            "SubwordTokenizer for oracle-checked layouts"
+        )
+
+
+def token_count(tokenizer, col: Column) -> Column:
+    """Token-budget column under ``tokenizer`` (null text -> 0)."""
+    return F.coalesce(F.size(tokenizer.tokens(col)), F.lit(0)).cast("long")

@@ -205,6 +205,7 @@ def sequence_chunks(
     text_col: str,
     seq_len: int = 128,
     stride: int | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """Split each document's token stream into fixed-length training
     sequences: chunk i covers tokens [i*stride, i*stride + seq_len).
@@ -220,13 +221,18 @@ def sequence_chunks(
     zero shuffles — scan-shaped at any corpus size. Chunks carry a
     deterministic ``chunk_md5`` so downstream exact-dedup can run at
     sequence granularity (the RefinedWeb recipe).
+
+    ``tokenizer`` (functions.tokenizers protocol) controls what a "token"
+    is; default whitespace. Subword tokenizers make ``chunk_tokens`` a
+    real training-token budget instead of a word count.
     """
     if stride is None:
         stride = seq_len
     if seq_len < 1 or stride < 1:
         raise ValueError(f"seq_len ({seq_len}) and stride ({stride}) must be >= 1")
+    tok = tokenizer.tokens if tokenizer is not None else tokens
     base = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col), tok(F.col(text_col)).alias("_toks")
     ).select(F.col(id_col), "_toks", F.size("_toks").alias("_n"))
     ex = base.filter(F.col("_n") > 0).select(
         F.col(id_col),
@@ -255,6 +261,7 @@ def packed_sequences(
     order_col: str | None = None,
     allow_global_sort: bool = False,
     boundary: str = "<|endofdoc|>",
+    tokenizer=None,
 ) -> DataFrame:
     """GPT-style packed pretraining sequences: concatenate documents in
     training order with a boundary token after each, then emit fixed-length
@@ -276,6 +283,11 @@ def packed_sequences(
 
     Output per (partition..., seq_idx): token count, distinct docs spanned,
     and an order-sensitive content digest.
+
+    ``tokenizer`` (functions.tokenizers protocol) controls the token
+    stream; default whitespace. With a subword tokenizer the packed
+    sequences carry real training-token budgets (the oracle-checked
+    SubwordTokenizer keeps the layout cross-engine value-verifiable).
     """
     order = [order_col, id_col] if order_col else [id_col]
     if partition_cols:
@@ -290,9 +302,10 @@ def packed_sequences(
         )
     parts = [F.col(c) for c in (partition_cols or [])]
     keep = [F.col(id_col), *parts, *([F.col(order_col)] if order_col else [])]
+    tok = tokenizer.tokens if tokenizer is not None else tokens
     base = df.select(
         *keep,
-        F.concat(tokens(F.col(text_col)), F.array(F.lit(boundary))).alias("_t2"),
+        F.concat(tok(F.col(text_col)), F.array(F.lit(boundary))).alias("_t2"),
     ).withColumn("_n", F.size("_t2"))
     off = base.withColumn(
         "_off",

@@ -297,6 +297,58 @@ ORDER BY lang, seq_idx
 """
 
 
+def q_packed_sequences_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed pretraining sequences under the NON-whitespace tokenizer
+    (round 5): regex pre-tokens chopped into 4-char subword pieces, so
+    n_tokens is a real training-token budget (~4 chars/token like BPE),
+    cut into 64-piece cross-document sequences per language. The oracle
+    mirrors the tokenizer exactly (same SQL fragment the tokenizer seam
+    emits), so sequence contents stay value-verified under the subword
+    stream."""
+    from etl_file_loader_spark.functions.tokenizers import SubwordTokenizer
+    from etl_file_loader_spark.operators import sampling as sampling_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling_ops.packed_sequences(
+        docs, "doc_id", "text", seq_len=64, partition_cols=["lang"],
+        tokenizer=SubwordTokenizer(4),
+    ).orderBy("lang", "seq_idx")
+
+
+def _packed_subword_sql() -> str:
+    from etl_file_loader_spark.functions.tokenizers import SubwordTokenizer
+
+    tok = SubwordTokenizer(4).duckdb_expr("text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, list_append({tok}, '<|endofdoc|>') AS t2
+  FROM documents
+),
+w AS (SELECT doc_id, lang, t2, len(t2) AS n FROM d),
+o AS (
+  SELECT doc_id, lang, t2, n,
+         coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM w
+),
+tok AS (
+  SELECT lang, doc_id, off + i - 1 AS gpos, t2[i] AS tk
+  FROM o, unnest(range(1, n + 1)) u(i)
+)
+SELECT lang,
+       CAST(gpos // 64 AS BIGINT) AS seq_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       md5(string_agg(tk, ' ' ORDER BY gpos % 64)) AS seq_md5
+FROM tok
+GROUP BY lang, gpos // 64
+ORDER BY lang, seq_idx
+"""
+
+
+Q_PACKED_SEQUENCES_SUBWORD_SQL = _packed_subword_sql()
+
+
 def q_diversity_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Falsifiable gate for cluster-balanced sampling over the embeddings
     table (target 10/cluster over 16 k-means clusters): every cluster keeps
@@ -347,6 +399,7 @@ QUERIES.update(
         "training_order": q_training_order,
         "sequence_chunks": q_sequence_chunks,
         "packed_sequences": q_packed_sequences,
+        "packed_sequences_subword": q_packed_sequences_subword,
     }
 )
 
@@ -361,6 +414,7 @@ ORACLES.update(
         "training_order": Q_TRAINING_ORDER_SQL,
         "sequence_chunks": Q_SEQUENCE_CHUNKS_SQL,
         "packed_sequences": Q_PACKED_SEQUENCES_SQL,
+        "packed_sequences_subword": Q_PACKED_SEQUENCES_SUBWORD_SQL,
         "diversity_sample_check": Q_DIVERSITY_SAMPLE_SQL,
     }
 )

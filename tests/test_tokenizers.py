@@ -1,0 +1,112 @@
+"""Tokenizer seam (round 5): regex/subword/greedy-vocab tokenizers and
+their threading through the training layouts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.functions.tokenizers import (
+    GreedyVocabTokenizer,
+    RegexTokenizer,
+    SubwordTokenizer,
+    WhitespaceTokenizer,
+    fit_subword_vocab,
+    token_count,
+)
+from etl_file_loader_spark.operators import sampling
+
+
+@pytest.fixture
+def corpus(spark):
+    rows = [
+        (1, "Hello, world! This tokenizer handles punctuation."),
+        (2, "supercalifragilisticexpialidocious is one long word"),
+        (3, "numbers 12345 and hyphen-ated under_scores"),
+        (4, ""),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_regex_tokenizer_splits_punctuation(spark, corpus):
+    out = {r["doc_id"]: r["tk"] for r in corpus.select(
+        "doc_id", RegexTokenizer().tokens(F.col("text")).alias("tk")).collect()}
+    assert out[1][:4] == ["Hello", ",", "world", "!"]
+    assert out[3] == ["numbers", "12345", "and", "hyphen", "-", "ated",
+                      "under", "_", "scores"]
+    assert out[4] == [] and out[5] == []
+
+
+def test_subword_tokenizer_chunks_long_words(spark, corpus):
+    out = {r["doc_id"]: r["tk"] for r in corpus.select(
+        "doc_id", SubwordTokenizer(4).tokens(F.col("text")).alias("tk")).collect()}
+    # 34-char word -> ceil(34/4) = 9 pieces, concatenation restores the word
+    long_pieces = out[2][:9]
+    assert len(long_pieces) == 9
+    assert "".join(long_pieces) == "supercalifragilisticexpialidocious"
+    assert all(len(p) <= 4 for tk in out.values() for p in tk)
+
+
+def test_token_count_budget(spark, corpus):
+    counts = {r["doc_id"]: r["n"] for r in corpus.select(
+        "doc_id", token_count(SubwordTokenizer(4), F.col("text")).alias("n")).collect()}
+    assert counts[4] == 0 and counts[5] == 0
+    assert counts[2] == 9 + 1 + 1 + 1 + 1  # 9 pieces + is/one/long/word
+
+
+def test_fit_and_greedy_vocab_tokenizer(spark):
+    rows = [(i, "the quick brown foxes jumped over thirteen lazy dogs "
+                "thequickness of quickening browns") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = fit_subword_vocab(df, "text", vocab_size=64, min_len=2, max_len=6)
+    assert 0 < len(vocab) <= 64
+    assert "quick" in vocab  # frequent substring learned
+    tk = GreedyVocabTokenizer(vocab)
+    out = df.limit(1).select(tk.tokens(F.col("text")).alias("tk")).collect()[0]["tk"]
+    # invariants: every piece is a vocab entry or a single char; pieces
+    # concatenate back to the regex pre-token stream
+    for p in out:
+        assert p in tk.vocab or len(p) == 1
+    joined = "".join(out)
+    pre = df.limit(1).select(
+        RegexTokenizer().tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert joined == "".join(pre)
+    # greedy longest-match: 'quick' comes out whole, not as chars
+    assert "quick" in out
+    with pytest.raises(NotImplementedError):
+        tk.duckdb_expr("text")
+
+
+def test_sequence_chunks_with_subword_tokenizer(spark, corpus):
+    out = sampling.sequence_chunks(
+        corpus, "doc_id", "text", seq_len=4, tokenizer=SubwordTokenizer(4)
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 2: 13 subword tokens -> chunks of 4: [4,4,4,1]
+    sizes = [r["chunk_tokens"] for r in sorted(by_doc[2], key=lambda r: r["chunk_idx"])]
+    assert sizes == [4, 4, 4, 1]
+    assert 4 not in by_doc and 5 not in by_doc  # empty/null docs yield none
+
+
+def test_packed_sequences_subword_budget(spark, corpus):
+    df = corpus.withColumn("lang", F.lit("en"))
+    packed = sampling.packed_sequences(
+        df, "doc_id", "text", seq_len=8, partition_cols=["lang"],
+        tokenizer=SubwordTokenizer(4),
+    ).collect()
+    total = sum(r["n_tokens"] for r in packed)
+    # stream length = subword tokens + one boundary per doc (5 docs)
+    counts = df.select(token_count(SubwordTokenizer(4), F.col("text")).alias("n")).collect()
+    assert total == sum(r["n"] for r in counts) + 5
+    # every sequence but the last is exactly seq_len
+    sizes = [r["n_tokens"] for r in sorted(packed, key=lambda r: r["seq_idx"])]
+    assert all(s == 8 for s in sizes[:-1]) and 1 <= sizes[-1] <= 8
+
+
+def test_whitespace_tokenizer_is_default(spark, corpus):
+    a = sampling.sequence_chunks(corpus, "doc_id", "text", seq_len=8).collect()
+    b = sampling.sequence_chunks(
+        corpus, "doc_id", "text", seq_len=8, tokenizer=WhitespaceTokenizer()
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
