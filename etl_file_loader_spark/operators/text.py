@@ -216,6 +216,109 @@ def classifier_score(
     )
 
 
+def fit_classifier_nb(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    dim: int = 64,
+    alpha: float = 1.0,
+) -> tuple[list[int], int]:
+    """Closed-form distributed fit for :func:`classifier_score`:
+    per-feature Naive-Bayes log-odds over hashed token counts.
+
+    ``weight[f] = 1000 * (ln((pos_f + a)/(P + a*dim)) - ln((neg_f + a)/(N + a*dim)))``
+    with P/N the total positive/negative token mass and ``a`` the Laplace
+    smoothing; ``bias = 1000 * ln(pos_docs + a / neg_docs + a)``. This is
+    the SGD-free trainable path (multinomial NB is the classic
+    linear-classifier closed form — one aggregation, no iterations):
+    explode tokens -> hash -> ONE feature-keyed aggregation (shuffle
+    bounded by ``dim``), then only ``dim`` count rows ever reach the
+    driver. Works at any corpus size.
+
+    Returns integer MILLI-UNIT weights that plug straight into
+    :func:`classifier_score` / :func:`classifier_score_joined`, keeping the
+    fitted model oracle-checkable (thresholding mean log-odds at
+    ``threshold_milli=bias_milli`` keeps docs whose mean feature log-odds
+    favor the positive class).
+    """
+    import math
+
+    y = F.when(F.col(label_col).cast("int") >= 1, 1).otherwise(0)
+    ex = df.select(
+        y.alias("_y"),
+        F.explode(hashed_feature_indices(F.col(text_col), dim)).alias("feature"),
+    )
+    agg = ex.groupBy("feature").agg(
+        F.sum(F.col("_y")).cast("long").alias("pos"),
+        F.sum(1 - F.col("_y")).cast("long").alias("neg"),
+    )
+    counts = {int(r["feature"]): (r["pos"], r["neg"]) for r in agg.collect()}
+    total_pos = sum(p for p, _ in counts.values())
+    total_neg = sum(n for _, n in counts.values())
+    doc_tot = df.agg(
+        F.sum(y).alias("dp"), F.count(F.lit(1)).alias("dt")
+    ).collect()[0]
+    dp, dn = int(doc_tot["dp"] or 0), int(doc_tot["dt"]) - int(doc_tot["dp"] or 0)
+    weights = [
+        round(
+            1000.0
+            * (
+                math.log((counts.get(f, (0, 0))[0] + alpha) / (total_pos + alpha * dim))
+                - math.log((counts.get(f, (0, 0))[1] + alpha) / (total_neg + alpha * dim))
+            )
+        )
+        for f in range(dim)
+    ]
+    bias = round(1000.0 * math.log((dp + alpha) / (dn + alpha)))
+    return weights, bias
+
+
+def fit_classifier_lr(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    dim: int = 64,
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+) -> tuple[list[int], int]:
+    """Iterative twin of :func:`fit_classifier_nb`: distributed logistic
+    regression (``pyspark.ml``) on mean-pooled hashed bag-of-words
+    features — the SAME feature map :func:`classifier_score` applies
+    (md5-hash mod dim, counts normalized by doc length), so the exported
+    milli-unit coefficients reproduce the trained model's logit exactly
+    (modulo milli rounding) in the pure-expression scorer and its DuckDB
+    oracle.
+
+    Fit cost is the usual L-BFGS passes over the labeled seed set; labeled
+    seed sets are small by construction (CCNet fits on ~10^5 docs), so the
+    per-doc vector-assembly UDF sits outside any corpus-scale hot path —
+    SCORING always runs through the expression engine.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    idx = hashed_feature_indices(F.col(text_col), dim)
+
+    @F.udf(VectorUDT())
+    def to_vec(idxs):
+        from collections import Counter
+
+        if not idxs:
+            return SparseVector(dim, {})
+        c = Counter(int(i) for i in idxs)
+        n = len(idxs)
+        return SparseVector(dim, {k: v / n for k, v in sorted(c.items())})
+
+    train = df.select(
+        F.when(F.col(label_col).cast("int") >= 1, 1.0).otherwise(0.0).alias("label"),
+        to_vec(idx).alias("features"),
+    )
+    model = LogisticRegression(maxIter=max_iter, regParam=reg_param).fit(train)
+    weights = [round(1000.0 * float(c)) for c in model.coefficients]
+    bias = round(1000.0 * float(model.intercept))
+    return weights, bias
+
+
 def classifier_score_joined(
     df: DataFrame,
     id_col: str,

@@ -472,11 +472,17 @@ ORDER BY d.doc_id
 # model-based quality filtering (hashed linear classifier + unigram LM)
 # ---------------------------------------------------------------------------
 
-# deterministic demo model: 64 hashed features, milli-unit weights
+# FITTED model (round 5): closed-form NB log-odds weights trained by
+# tools/fit_quality_weights.py on sf0.001 documents with silver labels
+# from the quality_score heuristic at its perfect-score boundary
+# (balanced accuracy 0.85 vs the teacher at this dim; see the tool's
+# docstring for the dim study). Regenerate with that tool; the oracle SQL
+# below is built from these constants, so query and oracle always score
+# the same model.
 _CLF_DIM = 64
-_CLF_WEIGHTS_MILLI = [((i * 2654435761) % 4001) - 2000 for i in range(_CLF_DIM)]
-_CLF_BIAS_MILLI = 250
-_CLF_THRESHOLD_MILLI = 500
+_CLF_WEIGHTS_MILLI = [-159, -81, -3047, -3047, -3047, -117, -3047, -3047, -3047, -3047, 23, -3047, 33, -184, -1137, -3047, -3047, -3047, -3047, 37, -3047, -3047, -221, 103, -3047, -275, -3047, -85, -3047, -3047, -24, -52, 80, -3047, -3047, -3047, 490, -3047, -3047, -144, -3047, 340, -3047, -3047, -3047, 764, -3047, -3047, -129, 154, -3047, -3047, -3047, -3047, -3047, -193, -151, 1993, -38, -3047, -3047, -39, -3047, -3047]
+_CLF_BIAS_MILLI = 2420
+_CLF_THRESHOLD_MILLI = 2420  # keep iff mean feature log-odds >= 0
 _CLF_WEIGHTS_SQL = "[" + ", ".join(str(w) for w in _CLF_WEIGHTS_MILLI) + "]"
 
 

@@ -1,0 +1,94 @@
+"""Trainable quality classifier (round 5): distributed closed-form NB fit
+and pyspark.ml LogisticRegression fit, both exporting integer milli-unit
+weights that round-trip through the oracle-checkable expression scorer."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.operators import text
+
+
+@pytest.fixture
+def labeled(spark):
+    """Separable seed corpus: positives use an 'informative' vocabulary,
+    negatives a 'spam' vocabulary, with shared filler words."""
+    pos_words = ["analysis", "research", "method", "result", "detail"]
+    neg_words = ["buy", "click", "free", "winner", "prize"]
+    filler = ["the", "and", "some", "with"]
+    rows = []
+    for i in range(60):
+        vocab = pos_words if i % 2 == 0 else neg_words
+        body = " ".join(vocab[(i + j) % 5] for j in range(8))
+        pad = " ".join(filler[(i + j) % 4] for j in range(4))
+        rows.append((i, f"{body} {pad}", 1 if i % 2 == 0 else 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def _accuracy(scored, labeled):
+    j = scored.join(labeled.select("doc_id", "label"), "doc_id")
+    return j.agg(
+        F.avg((F.col("keep") == F.col("label")).cast("int"))
+    ).collect()[0][0]
+
+
+def test_nb_fit_export_score_round_trip(spark, labeled):
+    w, b = text.fit_classifier_nb(labeled, "text", "label", dim=32)
+    assert len(w) == 32 and all(isinstance(x, int) for x in w)
+    scored = text.classifier_score(
+        labeled, "doc_id", "text", weights_milli=w, bias_milli=b, threshold_milli=b
+    )
+    assert _accuracy(scored, labeled) >= 0.95
+    # the fitted logits genuinely separate the classes
+    j = scored.join(labeled.select("doc_id", "label"), "doc_id")
+    mpos = j.filter("label=1").agg(F.avg("logit")).collect()[0][0]
+    mneg = j.filter("label=0").agg(F.avg("logit")).collect()[0][0]
+    assert mpos > mneg
+
+
+def test_lr_fit_matches_expression_scorer(spark, labeled):
+    w, b = text.fit_classifier_lr(labeled, "text", "label", dim=32, max_iter=25)
+    scored = text.classifier_score(
+        labeled, "doc_id", "text", weights_milli=w, bias_milli=b, threshold_milli=0
+    )
+    assert _accuracy(scored, labeled) >= 0.95
+    # exported milli weights reproduce the ml model's logit in the pure
+    # expression scorer (same mean-pooled hashed features) to milli rounding:
+    # max error is dim * 0.5 milli on the pooled sum + 0.5 milli bias
+    from pyspark.ml.linalg import SparseVector
+    from collections import Counter
+
+    row = labeled.limit(1).collect()[0]
+    toks = row["text"].lower().split()
+    import hashlib
+
+    idxs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 32 for t in toks]
+    expr_logit = scored.filter(F.col("doc_id") == row["doc_id"]).collect()[0]["logit"]
+    manual = b / 1000.0 + sum(w[i] for i in idxs) / (1000.0 * len(idxs))
+    assert expr_logit == pytest.approx(manual)
+
+
+def test_fitted_suite_constants_behave(spark):
+    """The committed suite artifact (fitted NB weights) actually filters:
+    on sf0.001 it keeps most perfect-quality docs and rejects a majority
+    of the below-boundary teacher negatives (balanced accuracy >= 0.8)."""
+    from etl_file_loader_spark.suite.text import (
+        _CLF_BIAS_MILLI,
+        _CLF_THRESHOLD_MILLI,
+        _CLF_WEIGHTS_MILLI,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        "text",
+        (text.quality_score(F.col("text")) >= 1.0).cast("int").alias("label"),
+    )
+    scored = text.classifier_score(
+        docs, "doc_id", "text",
+        weights_milli=_CLF_WEIGHTS_MILLI,
+        bias_milli=_CLF_BIAS_MILLI,
+        threshold_milli=_CLF_THRESHOLD_MILLI,
+    )
+    j = scored.join(docs.select("doc_id", "label"), "doc_id")
+    recall = j.filter("label=1").agg(F.avg("keep")).collect()[0][0]
+    reject = j.filter("label=0").agg(F.avg(1 - F.col("keep"))).collect()[0][0]
+    assert (recall + reject) / 2 >= 0.8
