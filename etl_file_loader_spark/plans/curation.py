@@ -74,10 +74,11 @@ class CurationPipeline:
     def __init__(self, config: CurationConfig):
         self.config = config
 
-    def run(self, docs: DataFrame) -> CurationResult:
+    def _apply_filters(self, docs: DataFrame, counts: dict[str, int]) -> DataFrame:
+        """Stages 1-3 (quality floor, classifier, PII scrub) — shared by the
+        one-shot ``run`` and the versioned incremental driver."""
         c = self.config
         did, txt = c.id_col, c.text_col
-        counts: dict[str, int] = {"input": docs.count()}
         cur = docs
 
         if c.min_quality is not None:
@@ -100,6 +101,13 @@ class CurationPipeline:
         if c.scrub_pii:
             cur = cur.withColumn(txt, text_ops.scrub_pii(F.col(txt)))
             # redaction never drops rows; no count job needed
+        return cur
+
+    def run(self, docs: DataFrame) -> CurationResult:
+        c = self.config
+        did, txt = c.id_col, c.text_col
+        counts: dict[str, int] = {"input": docs.count()}
+        cur = self._apply_filters(docs, counts)
 
         if c.near_dedup:
             cur = dedup_ops.remove_near_duplicates(
@@ -139,3 +147,176 @@ class CurationPipeline:
             result.packed, path, "n_tokens", self.config.partition_cols
         )
         return result
+
+
+# ---------------------------------------------------------------------------
+# versioned incremental curation (round 5)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IngestResult:
+    version: int
+    stage_counts: dict[str, int]
+
+
+class VersionedCorpus:
+    """Grow a curated corpus across runs WITHOUT reworking old data:
+    ``corpus v(N) = delta_1 ∪ ... ∪ delta_N``.
+
+    Each :meth:`ingest` call curates only the new batch — filters, then
+    delta-vs-corpus dedup via the index-reducing incremental operators
+    (``incremental_dedup`` + ``incremental_near_dedup``: the corpus side
+    collapses to a fingerprint / band index ∝ distinct content, never a
+    rescan of old docs), then within-delta near-dedup — and writes ONE new
+    immutable delta directory plus a `_versions` registry row. Old deltas
+    are never rewritten (at 100 TB a version bump touches only the new
+    batch), shard layouts of prior versions are stable by construction,
+    and the held-out split is stable under growth because ``hash_split``
+    is a pure function of the doc id.
+
+    Layout under ``root``::
+
+        _versions/           registry: (version, delta_path, docs, tokens)
+        delta_v{N}/docs/     curated delta (id, ..., split, n_tokens, shard_id)
+        delta_v{N}/shards/   training shard layout for the delta
+
+    A trainer addresses shards as (version, partition..., shard_id);
+    :meth:`manifest` unions the per-delta manifests with the version key.
+    """
+
+    def __init__(self, spark, root: str, config: CurationConfig):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.config = config
+        self.pipeline = CurationPipeline(config)
+
+    # -- registry ----------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        try:
+            reg = self.spark.read.parquet(f"{self.root}/_versions")
+        except Exception:
+            return []
+        return sorted(r["version"] for r in reg.select("version").collect())
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def _register(self, version: int, docs: int, tokens: int) -> None:
+        row = self.spark.createDataFrame(
+            [(version, f"{self.root}/delta_v{version}", docs, tokens)],
+            "version int, delta_path string, docs long, tokens long",
+        )
+        row.write.mode("append").parquet(f"{self.root}/_versions")
+
+    # -- reads -------------------------------------------------------------
+
+    def read_docs(self, version: int | None = None) -> DataFrame:
+        """Corpus as of ``version`` (default latest): union of delta docs.
+        Spark unions are metadata-only — the scan still prunes columns and
+        pushes filters into every delta's parquet."""
+        v = self.latest_version() if version is None else version
+        out = None
+        for i in range(1, v + 1):
+            d = self.spark.read.parquet(f"{self.root}/delta_v{i}/docs").withColumn(
+                "corpus_version", F.lit(i)
+            )
+            out = d if out is None else out.unionByName(d)
+        if out is None:
+            raise FileNotFoundError(f"no versions under {self.root}")
+        return out
+
+    def manifest(self, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        out = None
+        for i in range(1, v + 1):
+            m = self.spark.read.parquet(
+                f"{self.root}/delta_v{i}/shards/_manifest"
+            ).withColumn("corpus_version", F.lit(i))
+            out = m if out is None else out.unionByName(m)
+        if out is None:
+            raise FileNotFoundError(f"no versions under {self.root}")
+        return out
+
+    # -- ingest ------------------------------------------------------------
+
+    def ingest(self, new_docs: DataFrame) -> IngestResult:
+        from etl_file_loader_spark.operators import dedup as dedup_ops2
+
+        c = self.config
+        did, txt = c.id_col, c.text_col
+        counts: dict[str, int] = {"input": new_docs.count()}
+        cur = self.pipeline._apply_filters(new_docs, counts)
+
+        prior_v = self.latest_version()
+        if c.near_dedup and prior_v:
+            prior = self.read_docs(prior_v).select(F.col(did), F.col(txt))
+            exact = dedup_ops2.incremental_dedup(cur, prior, did, txt)
+            cur = cur.join(
+                exact.filter("is_dup = 0").select(did), did, "left_semi"
+            )
+            counts["delta_vs_corpus_exact"] = cur.count()
+            near = dedup_ops2.incremental_near_dedup(
+                cur,
+                prior,
+                did,
+                txt,
+                num_hashes=c.minhash_hashes,
+                bands=c.lsh_bands,
+                rows_per_band=c.lsh_rows_per_band,
+            )
+            cur = cur.join(
+                near.filter("is_near_dup = 0").select(did), did, "left_semi"
+            )
+            counts["delta_vs_corpus_near"] = cur.count()
+        if c.near_dedup:
+            cur = dedup_ops2.remove_near_duplicates(
+                cur,
+                did,
+                txt,
+                num_hashes=c.minhash_hashes,
+                bands=c.lsh_bands,
+                rows_per_band=c.lsh_rows_per_band,
+            )
+            counts["within_delta_dedup"] = cur.count()
+
+        # split is a pure function of the id -> stable across versions; the
+        # docs frame KEEPS every split (held-out rows are part of the
+        # corpus); only keep_splits are packed into training shards
+        if c.split_fractions is not None:
+            cur = sampling_ops.hash_split(cur, did, c.split_fractions)
+        else:
+            cur = cur.withColumn("split", F.lit(c.keep_splits[0]))
+
+        with_tokens = cur.withColumn(
+            "n_tokens", text_ops.token_count(F.col(txt)).cast("long")
+        )
+        trainable = with_tokens.filter(F.col("split").isin(list(c.keep_splits)))
+        packed = sampling_ops.pack_shards(
+            trainable.withColumn(
+                "_sk", sampling_ops.shuffle_key(F.col(did), seed=c.shuffle_seed)
+            ),
+            did,
+            "n_tokens",
+            budget=c.shard_budget_tokens,
+            partition_cols=c.partition_cols,
+            order_col="_sk",
+        ).drop("_sk")
+
+        version = prior_v + 1
+        delta = f"{self.root}/delta_v{version}"
+        docs_out = with_tokens.join(
+            packed.select(F.col(did), F.col("shard_id")), did, "left"
+        )
+        docs_out.write.mode("errorifexists").parquet(f"{delta}/docs")
+        sampling_ops.write_training_shards(
+            packed, f"{delta}/shards", "n_tokens", c.partition_cols
+        )
+        written = self.spark.read.parquet(f"{delta}/docs").agg(
+            F.count(F.lit(1)).alias("d"), F.sum("n_tokens").alias("t")
+        ).collect()[0]
+        counts["delta_docs"] = int(written["d"])
+        self._register(version, int(written["d"]), int(written["t"] or 0))
+        return IngestResult(version=version, stage_counts=counts)
