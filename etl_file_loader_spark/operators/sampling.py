@@ -288,6 +288,18 @@ def packed_sequences(
     stream; default whitespace. With a subword tokenizer the packed
     sequences carry real training-token budgets (the oracle-checked
     SubwordTokenizer keeps the layout cross-engine value-verifiable).
+
+    Balance note (measured, tools/audit_partitions.py at sf1): the
+    prefix-sum window partitions by ``partition_cols`` ALONE, and Catalyst
+    correctly reuses that partitioning for the sequence aggregation (a
+    hash(partition_cols) layout already co-locates every (partition,
+    seq_idx) group — one shuffle, not two). The flip side: partition load
+    tracks per-stream token mass (a 40%-English corpus puts 40% of the
+    work in one partition, measured max/mean 2.07). The window's whole-
+    stream ordering makes this inherent to the stream key — at scale pick
+    ``partition_cols`` fine enough to bound any one stream (e.g.
+    (lang, source) or (lang, date_bucket)), which multiplies parallelism
+    while keeping each training stream contiguous and deterministic.
     """
     order = [order_col, id_col] if order_col else [id_col]
     if partition_cols:

@@ -106,3 +106,16 @@ def test_minhash_jaccard_pairs_persists_signatures(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     out.collect()  # and it still evaluates
+
+
+def test_partition_stats_tool(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.audit_partitions import partition_stats
+
+    df = spark.range(0, 10000).repartition(4, "id")
+    s = partition_stats(df)
+    assert s["n_partitions"] == 4
+    assert s["rows"]["total"] == 10000
+    assert s["rows"]["max_over_mean"] >= 1.0
+    assert s["bytes"]["total"] > 0
