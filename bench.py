@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "diversity_sample_check",
     "semantic_contamination_check",
     "bigram_logprob",
+    # round 5: subword-tokenized packed sequences
+    "packed_sequences_subword",
 ]
 
 

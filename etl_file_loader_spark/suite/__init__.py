@@ -72,12 +72,16 @@ q_analytics_digest = _digest.build_digest(
 q_corpus_digest = _digest.build_digest(
     _digest.CORPUS_DIGEST_MEMBERS, QUERIES, _DIGEST_SPEC
 )
+q_pipeline_digest = _digest.build_digest(
+    _digest.PIPELINE_DIGEST_MEMBERS, QUERIES, _DIGEST_SPEC
+)
 
 QUERIES.update(
     {
         "tpch_digest": q_tpch_digest,
         "analytics_digest": q_analytics_digest,
         "corpus_digest": q_corpus_digest,
+        "pipeline_digest": q_pipeline_digest,
     }
 )
 ORACLES.update(
@@ -91,33 +95,26 @@ ORACLES.update(
         "corpus_digest": _digest.build_digest_oracle(
             _digest.CORPUS_DIGEST_MEMBERS, ORACLES, _DIGEST_SPEC
         ),
+        "pipeline_digest": _digest.build_digest_oracle(
+            _digest.PIPELINE_DIGEST_MEMBERS, ORACLES, _DIGEST_SPEC
+        ),
     }
 )
 
 # Order matters: the driver checks a prefix. 50 entries — the window is FULL
 # (zero slack): adding a query here requires demoting another into a digest.
+#
+# Round-5 rotation (VERDICT r4 ask 3): the 15 long-green ingestion-pipeline
+# rows moved into pipeline_digest (still value-verified per round, one
+# driver row) and 14 previously-digest-only curation operators promoted to
+# individually-checked rows — 15 window entries the r04 window never had.
 CHECKED_QUERIES: list[str] = [
-    # flagship + the three digests (55 member queries verified up front)
+    # flagship + the four digests (members verified up front)
     "q1_pricing_summary",
     "tpch_digest",
     "analytics_digest",
     "corpus_digest",
-    # ingestion pipeline operators (SURVEY §2.1-2.5)
-    "validate_split",
-    "dlq_error_records",
-    "grain_audit",
-    "dup_grain_examples",
-    "audit_contract",
-    "threshold_stats",
-    "merge_upsert",
-    "publish_counts",
-    "file_loaded_check",
-    "dlq_cleanup",
-    "cleaners",
-    "excel_serial_dates",
-    "json_extract",
-    "file_row_number",
-    "row_hash_customer",
+    "pipeline_digest",
     # custom join operators
     "asof_join",
     "range_join_count",
@@ -133,6 +130,10 @@ CHECKED_QUERIES: list[str] = [
     "dedup_clusters",
     "near_dedup_corpus",
     "dedup_incremental",
+    # promoted round 5: end-to-end dedup + incremental-near + jaccard scoring
+    "simhash_dedup",
+    "dedup_incremental_near",
+    "dedup_minhash_jaccard",
     # similarity / ANN
     "similarity_topk",
     "similarity_lsh_recall",
@@ -146,10 +147,23 @@ CHECKED_QUERIES: list[str] = [
     "pii_scrub",
     "gopher_repetition",
     "contamination_check",
+    # promoted round 5: model-based filtering + LM scoring + line-level ops
+    "quality_classifier",
+    "unigram_logprob",
+    "bigram_logprob",
+    "line_dedup",
+    "duplicated_windows",
     # sampling / skew / sketches-adjacent
     "stratified_sample",
     "shard_packing",
     "skewed_event_counts",
+    # promoted round 5: training layouts + split/repeat + curation e2e
+    "hash_split",
+    "weighted_repeat",
+    "sequence_chunks",
+    "packed_sequences",
+    "packed_sequences_subword",
+    "corpus_curation",
     # multimodal + streaming (all oracle-bearing since round 4: the fake
     # decodes carry cross-engine arithmetic oracles)
     "multimodal_meta",
