@@ -30,12 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The curated driver window (suite.CHECKED_QUERIES, <=50 entries): every
-    distinct operator individually, plus three digest queries that fold the
-    TPC-H sweep / analytics variants / scale-variant dedup demos into one
-    value-verified row per member (see digest.py). The full per-query
-    registry stays in suite.QUERIES for bench and interactive use;
-    approximate result-set demos' graded contract is their oracle-checked
-    ``*_recall`` twin (same code path run against the exact operator)."""
+    distinct operator individually, plus four digest queries that fold the
+    TPC-H sweep / analytics variants / scale-variant dedup demos / long-green
+    ingestion-pipeline rows into one value-verified row per member (see
+    digest.py; window rotated round 5 — 15 entries the r04 window never
+    checked individually). The full per-query registry stays in
+    suite.QUERIES for bench and interactive use; approximate result-set
+    demos' graded contract is their oracle-checked ``*_recall`` twin (same
+    code path run against the exact operator)."""
     return {k: suite.QUERIES[k] for k in suite.CHECKED_QUERIES}
 
 

@@ -12,13 +12,20 @@ spark.sql.session.timeZone        UTC         determinism across executor
                                               locales + oracle parity; date
                                               arithmetic must not depend on
                                               which machine ran the task.
-spark.sql.shuffle.partitions      4 x cores   initial (pre-AQE) shuffle width.
-                                              Deliberately OVER-partitioned:
-                                              AQE coalesces small partitions
-                                              for free, but cannot split a
-                                              too-coarse non-skewed shuffle;
-                                              on a cluster set ~2-4 x total
-                                              cores (env SPARK_GRAFT_SHUFFLE).
+spark.sql.shuffle.partitions      1 x cores   initial (pre-AQE) shuffle width.
+                                              MEASURED, not assumed: 4x width
+                                              cost +10% suite wall at sf0.1
+                                              (iterative connected-components
+                                              1.8x, cached-partsupp consumers
+                                              1.4-2.7x) because AQE cannot
+                                              re-coalesce an InMemoryRelation
+                                              or per-round checkpoint loops —
+                                              only fresh exchanges. On a real
+                                              cluster set SPARK_GRAFT_SHUFFLE
+                                              ~2-4 x total cores so the
+                                              initial width isn't too coarse
+                                              to split; locally cores = the
+                                              right width for every shape.
 spark.sql.adaptive.enabled        true        runtime re-planning: stats at
                                               stage boundaries beat estimates
                                               at 100 TB (selectivity is
@@ -71,7 +78,7 @@ from pyspark.sql import SparkSession
 
 def engine_confs(cpus: int) -> dict[str, str]:
     """The pinned conf table (see module docstring for rationale)."""
-    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "") or str(4 * cpus)
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "") or str(cpus)
     return {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.shuffle.partitions": shuffle,

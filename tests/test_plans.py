@@ -192,6 +192,17 @@ def test_packed_sequences_single_data_shuffle(spark):
     assert "posexplode" in plan, plan
 
 
+def test_packed_sequences_subword_same_shape(spark):
+    """The subword tokenizer is pure column expressions (regexp_extract_all
+    + nested transform/substring), so the subword variant keeps the base
+    op's shape: at most window + agg exchanges, no joins, no Python UDFs
+    in the plan."""
+    plan = plan_of(spark, "packed_sequences_subword")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_simhash_dedup_quotient_and_no_cartesian(spark):
     """The pairwise machinery must run on the fingerprint quotient (an
     aggregate over simhash feeds the candidate join) and never plan a

@@ -7,8 +7,9 @@ from etl_file_loader_spark.session import engine_confs
 def test_engine_conf_table_values():
     c = engine_confs(cpus=32)
     assert c["spark.sql.session.timeZone"] == "UTC"
-    # over-partitioned initial width for AQE to coalesce (can't split coarse)
-    assert int(c["spark.sql.shuffle.partitions"]) == 128
+    # 1x cores locally (measured: wider widths regress iterative/cached
+    # shapes that AQE cannot re-coalesce); clusters override via env
+    assert int(c["spark.sql.shuffle.partitions"]) == 32
     assert c["spark.sql.adaptive.enabled"] == "true"
     assert c["spark.sql.adaptive.coalescePartitions.enabled"] == "true"
     assert c["spark.sql.adaptive.skewJoin.enabled"] == "true"

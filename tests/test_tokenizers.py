@@ -110,3 +110,18 @@ def test_whitespace_tokenizer_is_default(spark, corpus):
         corpus, "doc_id", "text", seq_len=8, tokenizer=WhitespaceTokenizer()
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sequence_chunks_with_greedy_vocab_tokenizer(spark):
+    """The learned-vocab tokenizer (no SQL twin) threads through the
+    layouts: chunk token counts equal the tokenizer's own counts."""
+    rows = [(i, "quickening brownstone quicksand " * 3) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = fit_subword_vocab(df, "text", vocab_size=32, min_len=3, max_len=6)
+    tk = GreedyVocabTokenizer(vocab)
+    n = df.select(token_count(tk, F.col("text")).alias("n")).collect()[0]["n"]
+    chunks = sampling.sequence_chunks(
+        df, "doc_id", "text", seq_len=5, tokenizer=tk
+    ).collect()
+    per_doc = sum(r["chunk_tokens"] for r in chunks if r["doc_id"] == 0)
+    assert per_doc == n and n > 9  # subword pieces, not 9 whitespace words
