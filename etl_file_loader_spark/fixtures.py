@@ -84,3 +84,84 @@ def clustered_embeddings(
         _CACHE.pop(next(iter(_CACHE)))
     _CACHE[key] = df
     return df
+
+
+def media_png_corpus(spark: SparkSession, n: int = 200) -> DataFrame:
+    """REAL PNG payloads with closed-form pixel contents, so the stdlib
+    decoder's output is cross-engine value-verifiable: image i is
+    (4 + i%13) x (3 + i%7) RGB with pixel value
+    ``(i*31 + y*7 + x*3 + c) % 256`` — a formula DuckDB re-evaluates from
+    ``range()`` without ever decoding a byte. Scanline filter ``i % 5``
+    exercises every decoder branch (None/Sub/Up/Average/Paeth); the
+    mean_pixel the decode reports is an exact int/int quotient, so the
+    oracle matches bit-for-bit, proving the zlib+unfilter pipeline
+    recovers the exact pixel buffer."""
+    import pandas as pd
+
+    from etl_file_loader_spark.operators import codecs
+
+    key = (spark.sparkContext.applicationId, "media_png", n)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
+    payloads = []
+    for i in range(n):
+        w, h = 4 + i % 13, 3 + i % 7
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        px = ((i * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
+        payloads.append(codecs.png_encode(px, filter_type=i % 5))
+    pdf = pd.DataFrame(
+        {"media_id": np.arange(n, dtype=np.int64), "content": payloads}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(pdf, schema)
+    while len(_CACHE) >= _CACHE_MAX:
+        _CACHE.pop(next(iter(_CACHE)))
+    _CACHE[key] = df
+    return df
+
+
+def media_wav_corpus(spark: SparkSession, n: int = 200) -> DataFrame:
+    """REAL PCM-16 WAV payloads with closed-form samples: clip i has
+    ``64 + i%50`` mono frames at ``8000 + i`` Hz, sample t =
+    ``((i*7 + t*13) % 65536) - 32768``. The decoder's RMS over
+    [-1,1)-normalized samples is sqrt(sum(v^2)/2^30 / n) — every partial
+    sum is a dyadic rational exactly representable in float64 (v^2 needs
+    30 mantissa bits, n < 2^7 adds 7), so the value is identical across
+    engines and summation orders, and DuckDB recomputes it from
+    ``range()`` without a codec."""
+    import pandas as pd
+
+    from etl_file_loader_spark.operators import codecs
+
+    key = (spark.sparkContext.applicationId, "media_wav", n)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
+    payloads = []
+    for i in range(n):
+        frames = 64 + i % 50
+        t = np.arange(frames, dtype=np.int64)
+        v = ((i * 7 + t * 13) % 65536) - 32768
+        payloads.append(codecs.wav_encode(8000 + i, v.astype("<i2")))
+    pdf = pd.DataFrame(
+        {"media_id": np.arange(n, dtype=np.int64), "content": payloads}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(pdf, schema)
+    while len(_CACHE) >= _CACHE_MAX:
+        _CACHE.pop(next(iter(_CACHE)))
+    _CACHE[key] = df
+    return df

@@ -155,11 +155,78 @@ FROM sums
 """
 
 
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec verification (round 5): decode genuine PNG payloads
+    (zlib + all five scanline filters) whose pixels follow a closed-form
+    formula, so DuckDB value-verifies width/height/mean_pixel WITHOUT a
+    codec — proving the stdlib decoder recovers the exact pixel buffer.
+    mean_pixel is an exact int/int quotient (bit-identical across engines)."""
+    from etl_file_loader_spark import fixtures
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    corpus = fixtures.media_png_corpus(spark, n=200)
+    return mm.decode_image(corpus, fake=False).orderBy("media_id")
+
+
+Q_MULTIMODAL_DECODE_REAL_SQL = """
+WITH dims AS (
+  SELECT i, 4 + i % 13 AS w, 3 + i % 7 AS h FROM range(0, 200) t(i)
+),
+px AS (
+  SELECT i, w, h, (i*31 + y*7 + x*3 + c) % 256 AS v
+  FROM dims,
+       unnest(range(0, h)) u1(y),
+       unnest(range(0, w)) u2(x),
+       unnest(range(0, 3)) u3(c)
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(sum(v) AS DOUBLE) / count(*) AS mean_pixel,
+       TRUE AS decode_ok
+FROM px GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+def q_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV-codec verification (round 5): decode genuine PCM-16 WAVs
+    with closed-form samples; rate/frames/duration/RMS are recomputed by
+    DuckDB from range(). Every partial sum in the RMS is a dyadic rational
+    exact in float64 (see fixtures.media_wav_corpus), so the value matches
+    bit-for-bit across engines and summation orders."""
+    from etl_file_loader_spark import fixtures
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    corpus = fixtures.media_wav_corpus(spark, n=200)
+    return mm.decode_audio(corpus, fake=False).orderBy("media_id")
+
+
+Q_AUDIO_DECODE_REAL_SQL = """
+WITH clips AS (
+  SELECT i, 64 + i % 50 AS frames, 8000 + i AS rate FROM range(0, 200) c(i)
+),
+samp AS (
+  SELECT i, frames, rate,
+         ((i*7 + t*13) % 65536) - 32768 AS v
+  FROM clips, unnest(range(0, frames)) u(t)
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(frames AS BIGINT) AS n_samples,
+       CAST(frames AS DOUBLE) / rate AS duration_sec,
+       sqrt((CAST(sum(v*v) AS DOUBLE) / 1073741824.0) / frames) AS rms,
+       TRUE AS decode_ok
+FROM samp GROUP BY i, frames, rate ORDER BY media_id
+"""
+
+
 QUERIES.update(
     {
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         "audio_decode_fake": q_audio_decode_fake,
+        "multimodal_decode_real": q_multimodal_decode_real,
+        "audio_decode_real": q_audio_decode_real,
     }
 )
 
@@ -169,5 +236,7 @@ ORACLES.update(
         "multimodal_meta": Q_MULTIMODAL_META_SQL,
         "multimodal_decode_fake": Q_MULTIMODAL_DECODE_FAKE_SQL,
         "audio_decode_fake": Q_AUDIO_DECODE_FAKE_SQL,
+        "multimodal_decode_real": Q_MULTIMODAL_DECODE_REAL_SQL,
+        "audio_decode_real": Q_AUDIO_DECODE_REAL_SQL,
     }
 )
