@@ -79,6 +79,29 @@ COMMENTARY = {
         "functions, which would break codegen) → zero exchanges. The errors "
         "column prunes away entirely for consumers that only read validity."
     ),
+    "packed_sequences_subword": (
+        "Round 5: the subword tokenizer (regexp_extract_all + nested "
+        "transform/substring) stays pure column expressions — no Python "
+        "eval nodes anywhere. Catalyst reuses the prefix-sum window's "
+        "partition_cols exchange for the sequence aggregation (hash(lang) "
+        "already co-locates every (lang, seq_idx) group), so the whole "
+        "layout costs the window exchange + the presentation sort and "
+        "nothing else."
+    ),
+    "quality_classifier": (
+        "Round 5 (fitted weights): the model rides the plan as a literal "
+        "array; scoring is one scan-shaped projection (hash indices + "
+        "integer aggregate fold) with zero exchanges before the "
+        "presentation sort — classifier filtering at scan speed "
+        "regardless of corpus size, fitted or hand-set weights alike."
+    ),
+    "multimodal_decode_real": (
+        "Round 5: the REAL PNG decode is one Arrow mapInPandas node over "
+        "the binary scan — a narrow projection with zero shuffles; decode "
+        "parallelism equals scan parallelism at any corpus size. The "
+        "closed-form fixture oracle proves the node's output values, the "
+        "plan proves its cost shape."
+    ),
     "near_dedup_corpus": (
         "End-to-end near-dedup: Arrow signature node (once) → banded bucket "
         "join → min-label components (localCheckpoint-bounded lineage) → "
