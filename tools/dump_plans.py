@@ -79,6 +79,58 @@ COMMENTARY = {
         "functions, which would break codegen) → zero exchanges. The errors "
         "column prunes away entirely for consumers that only read validity."
     ),
+    "duplicated_windows": (
+        "Exact substring-duplication stats. The exploded (doc, window) "
+        "subtree appears twice — once to derive the duplicated-gram set, "
+        "once as the probe side — deliberately recomputed from the scan "
+        "rather than persisted: at 100 TB a corpus-sized intermediate is "
+        "exactly what you don't materialize. All exchanges are key-shaped "
+        "(gram, then doc_id), none row-shaped; the dup-gram set broadcasts "
+        "at test scale and AQE flips it to a gram-keyed shuffled hash join "
+        "at 100 TB. No pairwise stage anywhere."
+    ),
+    "semantic_dedup_clustered": (
+        "Three bounded jobs: ml.KMeans fit on a cached SAMPLE (never the "
+        "corpus); assign = one projection adding the bucket; dedup = "
+        "within-cluster candidate pairs (self equi-join on the bucket over "
+        "a persisted slim frame — pair volume Σ m_c²), Arrow einsum "
+        "rescore, min-label components, LEFT ANTI of the small loser set "
+        "(AQE broadcasts; the corpus never shuffles). Same tail shape as "
+        "near_dedup_corpus with the k-means bucket replacing the band."
+    ),
+    "dedup_incremental_near": (
+        "Delta-vs-corpus near-dedup (the streaming face shares the "
+        "design): the corpus collapses to its band index (one row per "
+        "distinct (band_idx, band_hash), min owner id) — the persisted "
+        "artifact, size ∝ distinct content. Per batch: Arrow minhash "
+        "projection (no shuffle) -> band explode -> flag join against the "
+        "index (broadcast while small, band-keyed SMJ later — never keyed "
+        "on rows). Nothing scales with history."
+    ),
+    "unigram_logprob": (
+        "LM fit + score in one plan: explode -> vocab count (1 shuffle) -> "
+        "token join back (AQE broadcast here; token-keyed SMJ at vocab "
+        "scale with stream-side skew split for Zipf-hot tokens) -> per-doc "
+        "aggs -> 1-row total via a bounded cross join -> left join to "
+        "reinstate empty docs. ~5 real shuffles, all keyed on token or "
+        "doc id — ∝ corpus tokens, which is what an LM pass costs."
+    ),
+    "packed_sequences": (
+        "Window prefix-sum (per-language sort, parallel across "
+        "partitions) -> posexplode of positioned tokens -> two-phase "
+        "aggregate on (lang, seq_idx) -> ONE real exchange on the sequence "
+        "key + the presentation sort. No per-group stream materialization "
+        "anywhere; Generate feeds partial aggregation inside one stage."
+    ),
+    "simhash_dedup": (
+        "Arrow fingerprint projection (no shuffle) -> fingerprint-quotient "
+        "groupBy -> blocked candidates over DISTINCT fingerprints (join "
+        "variant, streams template buckets) -> hamming rescore -> "
+        "min-label components (localCheckpoint-bounded) -> loser union -> "
+        "LeftAnti against the corpus scan (AQE broadcasts the small loser "
+        "side). Every pairwise stage sees distinct content, not corpus "
+        "rows."
+    ),
     "packed_sequences_subword": (
         "Round 5: the subword tokenizer (regexp_extract_all + nested "
         "transform/substring) stays pure column expressions — no Python "
