@@ -220,6 +220,46 @@ FROM samp GROUP BY i, frames, rate ORDER BY media_id
 """
 
 
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize verification (round 5): decode genuine PNGs, numpy
+    nearest-neighbor resize to 5x4, re-encode as PNG on the workers, then
+    decode AGAIN — the full codec cycle (decode -> resize -> encode ->
+    decode) — and compare the resulting mean_pixel against DuckDB's
+    closed-form recomputation of the nearest-neighbor index mapping
+    (target (y,x) samples source ((y*h)//4, (x*w)//5)). Exact int/int
+    quotient, bit-identical across engines."""
+    from etl_file_loader_spark import fixtures
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    corpus = fixtures.media_png_corpus(spark, n=200)
+    resized = mm.resize_image(corpus, 5, 4).select("media_id", "content")
+    return mm.decode_image(resized, fake=False).orderBy("media_id")
+
+
+Q_MULTIMODAL_RESIZE_REAL_SQL = """
+WITH dims AS (
+  SELECT i, 4 + i % 13 AS w, 3 + i % 7 AS h FROM range(0, 200) t(i)
+),
+px AS (
+  SELECT i,
+         (i*31
+          + least((yt * h) // 4, h - 1) * 7
+          + least((xt * w) // 5, w - 1) * 3
+          + c) % 256 AS v
+  FROM dims,
+       unnest(range(0, 4)) u1(yt),
+       unnest(range(0, 5)) u2(xt),
+       unnest(range(0, 3)) u3(c)
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(5 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(sum(v) AS DOUBLE) / count(*) AS mean_pixel,
+       TRUE AS decode_ok
+FROM px GROUP BY i ORDER BY media_id
+"""
+
+
 QUERIES.update(
     {
         "multimodal_meta": q_multimodal_meta,
@@ -227,6 +267,7 @@ QUERIES.update(
         "audio_decode_fake": q_audio_decode_fake,
         "multimodal_decode_real": q_multimodal_decode_real,
         "audio_decode_real": q_audio_decode_real,
+        "multimodal_resize_real": q_multimodal_resize_real,
     }
 )
 
@@ -238,5 +279,6 @@ ORACLES.update(
         "audio_decode_fake": Q_AUDIO_DECODE_FAKE_SQL,
         "multimodal_decode_real": Q_MULTIMODAL_DECODE_REAL_SQL,
         "audio_decode_real": Q_AUDIO_DECODE_REAL_SQL,
+        "multimodal_resize_real": Q_MULTIMODAL_RESIZE_REAL_SQL,
     }
 )

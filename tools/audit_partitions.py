@@ -76,10 +76,16 @@ def _scenarios(spark, sf_dir: str) -> dict[str, DataFrame]:
     packed = sampling_ops.packed_sequences(
         docs, "doc_id", "text", seq_len=64, partition_cols=["lang"]
     )
+    # the documented mitigation for per-stream mass skew: a finer stream key
+    # multiplies window parallelism while keeping streams contiguous
+    packed_fine = sampling_ops.packed_sequences(
+        docs, "doc_id", "text", seq_len=64, partition_cols=["lang", "source"]
+    )
     return {
         "merge_upsert_join": merged,
         "merge_upsert_join_salted": merged_salted,
         "packed_sequences_seq_shuffle": packed,
+        "packed_sequences_fine_streams": packed_fine,
     }
 
 
