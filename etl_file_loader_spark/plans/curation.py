@@ -51,6 +51,10 @@ class CurationConfig:
     shuffle_seed: str = "shuffle"
     shard_budget_tokens: int = 100_000
     partition_cols: list[str] = field(default_factory=lambda: ["lang"])
+    # tokenizer (functions.tokenizers protocol) for the token budgets; None
+    # keeps the historical whitespace counts. A subword tokenizer makes
+    # shard_budget_tokens a real training-token budget.
+    tokenizer: object | None = None
 
 
 @dataclass
@@ -73,6 +77,15 @@ class CurationPipeline:
 
     def __init__(self, config: CurationConfig):
         self.config = config
+
+    def _token_count(self, col):
+        """Token-budget column under the configured tokenizer (default:
+        historical whitespace counts)."""
+        if self.config.tokenizer is not None:
+            from etl_file_loader_spark.functions.tokenizers import token_count
+
+            return token_count(self.config.tokenizer, col)
+        return text_ops.token_count(col).cast("long")
 
     def _apply_filters(self, docs: DataFrame, counts: dict[str, int]) -> DataFrame:
         """Stages 1-3 (quality floor, classifier, PII scrub) — shared by the
@@ -126,7 +139,7 @@ class CurationPipeline:
             counts["split_kept"] = cur.count()
 
         with_tokens = cur.withColumn(
-            "n_tokens", text_ops.token_count(F.col(txt)).cast("long")
+            "n_tokens", self._token_count(F.col(txt))
         ).withColumn(
             "_sk", sampling_ops.shuffle_key(F.col(did), seed=c.shuffle_seed)
         )
@@ -291,7 +304,7 @@ class VersionedCorpus:
             cur = cur.withColumn("split", F.lit(c.keep_splits[0]))
 
         with_tokens = cur.withColumn(
-            "n_tokens", text_ops.token_count(F.col(txt)).cast("long")
+            "n_tokens", self.pipeline._token_count(F.col(txt))
         )
         trainable = with_tokens.filter(F.col("split").isin(list(c.keep_splits)))
         packed = sampling_ops.pack_shards(

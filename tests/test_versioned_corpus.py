@@ -114,3 +114,30 @@ def test_versioned_corpus_empty_root_raises(spark, tmp_path, corpus_config):
     vc = VersionedCorpus(spark, str(tmp_path / "nothing"), corpus_config)
     with pytest.raises(FileNotFoundError):
         vc.read_docs()
+
+
+def test_curation_pipeline_with_subword_tokenizer(spark, corpus_config):
+    """CurationConfig.tokenizer threads the seam end-to-end: subword
+    budgets exceed whitespace budgets on the same docs, changing packing."""
+    from dataclasses import replace
+
+    from etl_file_loader_spark.functions.tokenizers import SubwordTokenizer
+    from etl_file_loader_spark.plans.curation import CurationPipeline
+
+    docs = spark.createDataFrame(
+        [(i, _doc(i, "tk"), "en") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    ws = CurationPipeline(corpus_config).run(docs)
+    sub = CurationPipeline(
+        replace(corpus_config, tokenizer=SubwordTokenizer(4))
+    ).run(docs)
+    ws_tokens = sum(r["n_tokens"] for r in ws.packed.collect())
+    sub_tokens = sum(r["n_tokens"] for r in sub.packed.collect())
+    # per-doc unique words like 'wtk3x7' (6 chars) split into 2 subword
+    # pieces each -> strictly more budget under the subword tokenizer
+    assert sub_tokens > ws_tokens
+    assert sub.stage_counts["packed"] == ws.stage_counts["packed"]  # same docs
+    # more tokens at the same budget -> at least as many shards
+    assert (max(r["shard_id"] for r in sub.packed.collect())
+            >= max(r["shard_id"] for r in ws.packed.collect()))
