@@ -54,9 +54,11 @@ class WhitespaceTokenizer:
         return _ws_tokens(col)
 
     def duckdb_expr(self, expr: str) -> str:
+        # Explicit ASCII class, not \s: RE2 \s omits \x0b while Java \s
+        # (the Spark side) includes it — 'x\x0by' must split identically.
         return (
             rf"CASE WHEN length(trim({expr})) = 0 THEN CAST([] AS VARCHAR[]) "
-            rf"ELSE string_split_regex(trim({expr}), '\s+') END"
+            rf"ELSE string_split_regex(trim({expr}), '[{_WS}]+') END"
         )
 
 
@@ -76,8 +78,9 @@ class RegexTokenizer:
         )
 
     def duckdb_expr(self, expr: str) -> str:
+        pat = self.pattern.replace("'", "''")
         return (
-            f"coalesce(regexp_extract_all({expr}, '{self.pattern}'), "
+            f"coalesce(regexp_extract_all({expr}, '{pat}'), "
             f"CAST([] AS VARCHAR[]))"
         )
 
@@ -117,9 +120,10 @@ class SubwordTokenizer:
 
     def duckdb_expr(self, expr: str) -> str:
         L = self.max_piece
+        pat = self.pattern.replace("'", "''")
         return (
             f"flatten(list_transform("
-            f"coalesce(regexp_extract_all({expr}, '{self.pattern}'), CAST([] AS VARCHAR[])), "
+            f"coalesce(regexp_extract_all({expr}, '{pat}'), CAST([] AS VARCHAR[])), "
             f"w -> list_transform(range(0, ((length(w) - 1) // {L}) + 1), "
             f"i -> substr(w, CAST(i * {L} + 1 AS BIGINT), {L}))))"
         )
@@ -189,9 +193,13 @@ class GreedyVocabTokenizer:
 
     def __init__(self, vocab: list[str], pattern: str = DEFAULT_PRETOKEN_PATTERN,
                  max_piece: int = 16):
-        self.vocab = frozenset(vocab)
+        # Entries longer than max_piece can never match (the scan caps its
+        # lookahead at max_piece) — drop them so self.vocab reports exactly
+        # the reachable vocabulary instead of silently advertising dead
+        # entries.
+        self.vocab = frozenset(v for v in vocab if len(v) <= max_piece)
         self.pattern = pattern
-        self.max_piece = min(max(map(len, vocab), default=1), max_piece)
+        self.max_piece = min(max(map(len, self.vocab), default=1), max_piece)
         self.name = f"greedy{len(self.vocab)}"
 
     def tokens(self, col: Column) -> Column:

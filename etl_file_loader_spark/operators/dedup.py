@@ -299,7 +299,12 @@ def minhash_jaccard_pairs(
     # corpus) feeds three consumers — the banding pass and both sides of
     # the rescore join; without this it executes three times (the same
     # shape simhash_pairs_blocked persists for the same reason).
-    signatures = signatures.persist()
+    # Persist a LOCAL alias, not the caller's frame: the caller's own
+    # persist/unpersist bookkeeping stays untouched. The cached blocks live
+    # until Spark's LRU evicts them or the session clearCache()s — a lazy
+    # return value cannot unpersist behind itself; callers looping over many
+    # corpora should spark.catalog.clearCache() between iterations.
+    signatures = signatures.alias("_mjp_sigs").persist()
     pairs = lsh_candidate_pairs(signatures, id_col, bands, rows_per_band)
     sa = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
     sb = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))

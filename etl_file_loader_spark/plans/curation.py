@@ -207,10 +207,16 @@ class VersionedCorpus:
     # -- registry ----------------------------------------------------------
 
     def versions(self) -> list[int]:
+        from pyspark.errors import AnalysisException
+
         try:
             reg = self.spark.read.parquet(f"{self.root}/_versions")
-        except Exception:
-            return []
+        except AnalysisException as exc:
+            # ONLY missing-registry means "no versions"; corrupt footers,
+            # permission errors etc. must surface, not read as empty.
+            if "PATH_NOT_FOUND" in str(exc) or "does not exist" in str(exc):
+                return []
+            raise
         return sorted(r["version"] for r in reg.select("version").collect())
 
     def latest_version(self) -> int:
@@ -318,18 +324,32 @@ class VersionedCorpus:
             order_col="_sk",
         ).drop("_sk")
 
+        # Atomic publish: build the whole delta under a staging dir, rename
+        # into place, register LAST. A crash mid-build leaves only staging
+        # garbage (cleared on the next attempt), never a half-delta that
+        # poisons retries with errorifexists; a crash between the rename and
+        # _register leaves an unregistered delta_v{N} that the next ingest's
+        # overwrite-tolerant cleanup removes (versions() is the source of
+        # truth, so an unregistered directory is invisible to readers).
+        from etl_file_loader_spark.fs import FS
+
+        fs = FS(self.spark)
         version = prior_v + 1
         delta = f"{self.root}/delta_v{version}"
+        staging = f"{self.root}/_staging/delta_v{version}"
+        fs.rmtree(staging)  # orphan from a prior failed attempt
+        fs.rmtree(delta)  # unregistered half-publish from a prior crash
         docs_out = with_tokens.join(
             packed.select(F.col(did), F.col("shard_id")), did, "left"
         )
-        docs_out.write.mode("errorifexists").parquet(f"{delta}/docs")
+        docs_out.write.mode("errorifexists").parquet(f"{staging}/docs")
         sampling_ops.write_training_shards(
-            packed, f"{delta}/shards", "n_tokens", c.partition_cols
+            packed, f"{staging}/shards", "n_tokens", c.partition_cols
         )
-        written = self.spark.read.parquet(f"{delta}/docs").agg(
+        written = self.spark.read.parquet(f"{staging}/docs").agg(
             F.count(F.lit(1)).alias("d"), F.sum("n_tokens").alias("t")
         ).collect()[0]
+        fs.move(staging, delta)
         counts["delta_docs"] = int(written["d"])
         self._register(version, int(written["d"]), int(written["t"] or 0))
         return IngestResult(version=version, stage_counts=counts)
