@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "bigram_logprob",
     # round 5: subword-tokenized packed sequences
     "packed_sequences_subword",
+    # round 6: HTML boilerplate extraction + learned-vocab greedy layout
+    "html_extract",
+    "packed_sequences_greedy",
 ]
 
 

@@ -185,10 +185,16 @@ class GreedyVocabTokenizer:
 
     Arrow-batched pandas UDF over the regex pre-tokens; the vocab rides
     the UDF closure (broadcast once per executor) — fine up to ~10^6
-    entries, which covers every real subword vocabulary. No SQL twin:
-    layouts built on it get rows-only driver checks; invariants
-    (coverage, concatenation identity, vocab membership) are pinned in
-    tests instead.
+    entries, which covers every real subword vocabulary.
+
+    Oracle story: no per-COLUMN SQL form (``duckdb_expr`` raises — greedy
+    matching is a sequential scan, not a scalar expression), but the
+    LAYOUT-level oracle exists since round 6: ``packed_sequences_greedy``
+    (suite/sampling.py) re-learns the same vocabulary in SQL and replays
+    greedy longest-match as a recursive CTE over distinct words, so
+    sequences built on this tokenizer are value-verified cross-engine.
+    Invariants (coverage, concatenation identity, vocab membership) are
+    additionally pinned in tests.
     """
 
     def __init__(self, vocab: list[str], pattern: str = DEFAULT_PRETOKEN_PATTERN,
@@ -233,8 +239,10 @@ class GreedyVocabTokenizer:
 
     def duckdb_expr(self, expr: str) -> str:
         raise NotImplementedError(
-            "greedy vocab matching has no portable SQL form; use "
-            "SubwordTokenizer for oracle-checked layouts"
+            "greedy vocab matching has no scalar SQL form (it is a "
+            "sequential scan); layout-level oracles exist instead — see "
+            "packed_sequences_greedy (recursive-CTE replay) or use "
+            "SubwordTokenizer for expression-level oracle checks"
         )
 
 

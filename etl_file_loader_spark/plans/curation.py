@@ -31,6 +31,12 @@ class CurationConfig:
 
     id_col: str = "doc_id"
     text_col: str = "text"
+    # stage 0: HTML -> visible text (the web-crawl front door; the raw
+    # text_col is REPLACED by the extracted main text before any
+    # quality/dedup stage sees it)
+    html_extract: bool = False
+    html_min_words: int = 3
+    html_max_link_density_milli: int = 500
     # stage 1: heuristic quality floor (None disables)
     min_quality: float | None = 0.5
     # stage 2: hashed linear classifier (milli-unit weights; None disables)
@@ -93,6 +99,17 @@ class CurationPipeline:
         c = self.config
         did, txt = c.id_col, c.text_col
         cur = docs
+
+        if c.html_extract:
+            from etl_file_loader_spark.operators import html as html_ops
+
+            cur = cur.withColumn(
+                txt,
+                html_ops.extract_text(
+                    F.col(txt), c.html_min_words, c.html_max_link_density_milli
+                ),
+            )
+            # extraction rewrites text in place, never drops rows; no count
 
         if c.min_quality is not None:
             cur = cur.filter(text_ops.quality_score(F.col(txt)) >= c.min_quality)

@@ -73,11 +73,23 @@ class PipelineRunner:
         delete_source: bool = False,
         duplicate_dir: str | None = None,
         on_stage=None,
+        merge_backend=None,
     ):
         self.spark = spark
         self.warehouse = warehouse
         self.config = config
         self.path = path
+        # MERGE execution seam (plans/merge_backend.py): default is the
+        # pure-Spark bounded bucket rewrite — identical behavior to the
+        # pre-seam inline calls; a DeltaMergeBackend (or custom) can own
+        # the merge+persist step instead.
+        if merge_backend is None:
+            from etl_file_loader_spark.plans.merge_backend import (
+                SparkRewriteMergeBackend,
+            )
+
+            merge_backend = SparkRewriteMergeBackend()
+        self.merge_backend = merge_backend
         from etl_file_loader_spark.fs import basename
 
         self.filename = basename(path)
@@ -278,17 +290,16 @@ class PipelineRunner:
                                     f.name, F.lit(None).cast(f.dtype)
                                 )
                         pub_counts = publish_ops.publish_counts(target, stage, cfg.grain)
-                        merged = publish_ops.merge_upsert(
+                        self.merge_backend.merge(
+                            self.warehouse,
+                            cfg.target_table,
                             target,
                             stage,
                             cfg.grain,
                             cfg.business_columns,
-                            salt_buckets=cfg.merge_salt_buckets,
-                        )
-                        self.warehouse.merge_overwrite(
-                            cfg.target_table,
-                            merged.withColumn(BUCKET_COL, bucket),
+                            bucket,
                             touched_buckets=touched,
+                            salt_buckets=cfg.merge_salt_buckets,
                             partition_by=cfg.target_partition_by,
                         )
                 st.row_count = pub_counts.inserts + pub_counts.updates

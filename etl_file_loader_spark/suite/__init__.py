@@ -104,10 +104,14 @@ ORACLES.update(
 # Order matters: the driver checks a prefix. 50 entries — the window is FULL
 # (zero slack): adding a query here requires demoting another into a digest.
 #
-# Round-5 rotation (VERDICT r4 ask 3): the 15 long-green ingestion-pipeline
-# rows moved into pipeline_digest (still value-verified per round, one
-# driver row) and 14 previously-digest-only curation operators promoted to
-# individually-checked rows — 15 window entries the r04 window never had.
+# Round-6 rotation (VERDICT r5 ask 4): 11 long-green dedup/text rows
+# (individually checked rounds 1-5) demoted into corpus_digest — still
+# value-verified per round through the digest row — and 12 entries the r05
+# window never had promoted: the NEW html_extract operator plus 11
+# previously-digest-only ops (set_ops, both sketch checks,
+# supplier_part_stats from analytics_digest; knn_join, training_order,
+# dedup_minhash_orders, dedup_fingerprint, multimodal_resize_real,
+# audio_decode_real from corpus_digest).
 CHECKED_QUERIES: list[str] = [
     # flagship + the four digests (members verified up front)
     "q1_pricing_summary",
@@ -118,58 +122,57 @@ CHECKED_QUERIES: list[str] = [
     # custom join operators
     "asof_join",
     "range_join_count",
+    # analytics promoted round 6: set ops + sketch accuracy + partsupp stats
+    "set_ops",
+    "sketch_distinct_check",
+    "sketch_percentile_check",
+    "supplier_part_stats",
     # dedup family
     "dedup_exact",
-    "dedup_minhash_signature",
-    "dedup_lsh_candidates",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_pairs",
     "dedup_embedding_lsh_recall",
     "dedup_embedding_clustered_recall",
     "dedup_clusters",
     "near_dedup_corpus",
     "dedup_incremental",
-    # promoted round 5: end-to-end dedup + incremental-near + jaccard scoring
     "simhash_dedup",
     "dedup_incremental_near",
     "dedup_minhash_jaccard",
+    # promoted round 6: orders-table minhash + char-shingle fingerprints
+    "dedup_minhash_orders",
+    "dedup_fingerprint",
     # similarity / ANN
     "similarity_topk",
     "similarity_lsh_recall",
     "similarity_ivf_recall",
     "knn_join_recall",
+    "knn_join",
     # text analysis
-    "text_stats",
-    "text_quality_lang",
-    "doc_length_stats",
-    "text_rolling_fingerprint",
-    "pii_scrub",
-    "gopher_repetition",
+    "html_extract",
     "contamination_check",
-    # promoted round 5: model-based filtering + LM scoring + line-level ops
     "quality_classifier",
     "unigram_logprob",
     "bigram_logprob",
     "line_dedup",
     "duplicated_windows",
-    # sampling / skew / sketches-adjacent
+    # sampling / skew / training layouts
     "stratified_sample",
     "shard_packing",
     "skewed_event_counts",
-    # promoted round 5: training layouts + split/repeat + curation e2e
     "hash_split",
     "weighted_repeat",
     "sequence_chunks",
     "packed_sequences",
     "packed_sequences_subword",
     "corpus_curation",
-    # multimodal + streaming (all oracle-bearing since round 4: the fake
-    # decodes carry cross-engine arithmetic oracles)
+    "training_order",
+    # multimodal + streaming (all oracle-bearing: fake decodes carry
+    # cross-engine arithmetic oracles, real decodes closed-form fixtures)
     "multimodal_meta",
     "multimodal_decode_fake",
-    "streaming_events_hourly",
+    "multimodal_resize_real",
+    "audio_decode_real",
     "audio_decode_fake",
+    "streaming_events_hourly",
 ]
 
 assert len(CHECKED_QUERIES) <= 50, (

@@ -628,6 +628,120 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# HTML / boilerplate extraction (round 6 — curation front door)
+# ---------------------------------------------------------------------------
+
+# Deterministic HTML fixture synthesized from the documents table in BOTH
+# engines: nav/footer link bars (boilerplate to drop), a doc_id-dependent
+# promo block (id % 3), the real document text as the body paragraph, an
+# entity-bearing appendix with an inline link (id % 2 — content that must
+# SURVIVE despite containing a link), plus script/style/comment junk.
+_HTML_FIX_HEAD = (
+    '<html><head><title>Doc {id}</title>'
+    '<style>body {{ color: #333; font-size: 14px; }}</style>'
+    '<script type="text/javascript">if (1 < 2 && nav) {{ track("{id}"); }}</script>'
+    '</head><body><!-- generated: do not edit -->'
+    '<div class="nav"><ul><li><a href="/home">Home</a></li>'
+    '<li><a href="/about">About&nbsp;Us</a></li>'
+    '<li><a href="/contact">Contact</a></li></ul></div>'
+)
+_HTML_FIX_PROMO = (
+    '<div class="promo"><a href="/buy">Buy now &amp; save</a> '
+    '<a href="/deals">See deals</a></div>'
+)
+_HTML_FIX_H1 = '<h1>Document &quot;{id}&quot; report</h1>'
+_HTML_FIX_APPENDIX = (
+    '<p>Appendix with a <a href="/ref">reference link</a>: '
+    'rating 4 &lt; 5 &amp; rising; it&#39;s fine. '
+)
+_HTML_FIX_FOOTER = (
+    '<div class="footer"><a href="/tos">Terms of Service</a> | '
+    '<a href="/privacy">Privacy</a></div></body></html>'
+)
+
+
+def _html_fixture_expr():
+    istr = F.col("doc_id").cast("string")
+    head_pre, head_post = _HTML_FIX_HEAD.replace("{{", "{").replace("}}", "}").split(
+        "{id}", 1
+    )
+    script_pre, script_post = head_post.split("{id}", 1)
+    h1_pre, h1_post = _HTML_FIX_H1.split("{id}", 1)
+    return F.concat(
+        F.lit(head_pre), istr, F.lit(script_pre), istr, F.lit(script_post),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_HTML_FIX_PROMO)).otherwise(F.lit("")),
+        F.lit(h1_pre), istr, F.lit(h1_post),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(_HTML_FIX_APPENDIX),
+                F.substring(F.col("text"), 1, 120),
+                F.lit("</p>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(_HTML_FIX_FOOTER),
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-stripped visible text of synthetic HTML pages.
+
+    Plan shape: documents scan -> one projection (regex + array HOFs, zero
+    Python, zero shuffle) -> presentation sort. The extraction itself is
+    scan-shaped and scales with input bytes.
+    """
+    from etl_file_loader_spark.operators import html as html_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    s = html_ops.extract_struct(_html_fixture_expr())
+    return docs.withColumn("_s", s).select(
+        "doc_id",
+        F.col("_s")["text"].alias("extracted"),
+        F.col("_s")["n_lines"].alias("n_lines"),
+        F.col("_s")["n_kept"].alias("n_kept"),
+    ).orderBy("doc_id")
+
+
+def _html_fixture_sql() -> str:
+    head = _HTML_FIX_HEAD.replace("{{", "{").replace("}}", "}")
+    head_sql = "' || CAST(doc_id AS VARCHAR) || '".join(
+        p.replace("'", "''") for p in head.split("{id}")
+    )
+    h1_sql = "' || CAST(doc_id AS VARCHAR) || '".join(
+        p.replace("'", "''") for p in _HTML_FIX_H1.split("{id}")
+    )
+    return (
+        f"'{head_sql}'"
+        f" || CASE WHEN doc_id % 3 = 0 THEN '{_HTML_FIX_PROMO}' ELSE '' END"
+        f" || '{h1_sql}'"
+        " || '<p>' || text || '</p>'"
+        f" || CASE WHEN doc_id % 2 = 0 THEN '{_HTML_FIX_APPENDIX.replace(chr(39), chr(39) * 2)}'"
+        " || substr(text, 1, 120) || '</p>' ELSE '' END"
+        f" || '{_HTML_FIX_FOOTER}'"
+    )
+
+
+def _q_html_extract_sql() -> str:
+    from etl_file_loader_spark.operators import html as html_ops
+
+    cs = html_ops.duckdb_line_structs_sql("html")
+    frag = html_ops.duckdb_extract_sql("cs")
+    return f"""
+WITH pages AS (SELECT doc_id, {_html_fixture_sql()} AS html FROM documents),
+L AS (SELECT doc_id, {cs} AS cs FROM pages)
+SELECT doc_id,
+       {frag["text"]} AS extracted,
+       {frag["n_lines"]} AS n_lines,
+       {frag["n_kept"]} AS n_kept
+FROM L ORDER BY doc_id
+"""
+
+
+Q_HTML_EXTRACT_SQL = _q_html_extract_sql()
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
@@ -643,6 +757,7 @@ QUERIES.update(
         "line_dedup": q_line_dedup,
         "quality_classifier": q_quality_classifier,
         "unigram_logprob": q_unigram_logprob,
+        "html_extract": q_html_extract,
     }
 )
 
@@ -662,5 +777,6 @@ ORACLES.update(
         "quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
+        "html_extract": Q_HTML_EXTRACT_SQL,
     }
 )
