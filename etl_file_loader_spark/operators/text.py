@@ -192,14 +192,26 @@ def classifier_score(
     """
     dim = len(weights_milli)
     warr = F.array(*[F.lit(int(w)) for w in weights_milli])
-    idx = hashed_feature_indices(F.col(text_col), dim)
+    # Alias the feature-index array in its OWN projection: the null-safety
+    # wrapper below references n (hence size of the index array) six times,
+    # and Catalyst does not CSE the expensive tokenize+md5 subtree across
+    # When/Coalesce branches in this non-codegen (HOF) projection — inlining
+    # idx at every reference measured 2.1x slower at sf0.1 (the round-5
+    # bench regression). CollapseProject keeps the two projections separate
+    # exactly because the alias is expensive and multiply-referenced, so the
+    # array is computed once per row and every later reference is a cheap
+    # attribute read.
+    base = df.select(
+        F.col(id_col), hashed_feature_indices(F.col(text_col), dim).alias("_f")
+    )
+    ix = F.col("_f")
     # null text -> tokens() yields a null array -> size() is null/-1; coalesce
     # so null behaves as empty (n=0 -> logit=bias), bit-identical to the
     # joined form's explode_outer path.
-    n = F.coalesce(F.size(idx), F.lit(0))
+    n = F.coalesce(F.size(ix), F.lit(0))
     n = F.when(n < 0, F.lit(0)).otherwise(n)
     s = F.aggregate(
-        idx,
+        ix,
         F.lit(0).cast("long"),
         lambda acc, i: acc + F.element_at(warr, (i + 1).cast("int")),
     )
@@ -207,7 +219,7 @@ def classifier_score(
     logit = F.when(n == 0, F.lit(bias)).otherwise(
         F.lit(bias) + s.cast("double") / (F.lit(1000.0) * n)
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         logit.alias("logit"),
