@@ -238,8 +238,17 @@ def main() -> None:
     # the pipeline, not 85 queries' worth of stale cache pressure — measured
     # 1.6x drag on the sf1 e2e when left in place (NOTES_r5 §5).
     spark.catalog.clearCache()
+    # Run the e2e line TWICE and report both (driver/builder parity watch,
+    # VERDICT r5 ask 8): the first run carries whatever first-touch costs
+    # this JVM still owes (codegen for the pipeline shapes, FS metadata);
+    # the second is the steady-state pipeline cost. The headline
+    # pipeline_e2e_* stays the FIRST (cold) run — comparable to every prior
+    # round's record — with the steady-state run alongside so a gap between
+    # records is attributable to warm-up rather than engine drift.
     e2e_sec, e2e_rows = bench_pipeline_e2e(spark, sf_dir)
     times["pipeline_e2e_ingest"] = round(e2e_sec, 3)
+    spark.catalog.clearCache()
+    e2e2_sec, _ = bench_pipeline_e2e(spark, sf_dir)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -251,6 +260,8 @@ def main() -> None:
                 "sf": sf,
                 "pipeline_e2e_rows": e2e_rows,
                 "pipeline_e2e_rows_per_sec": round(e2e_rows / e2e_sec, 1),
+                "pipeline_e2e_steady_sec": round(e2e2_sec, 3),
+                "pipeline_e2e_steady_rows_per_sec": round(e2e_rows / e2e2_sec, 1),
             }
         )
     )

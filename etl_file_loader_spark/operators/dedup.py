@@ -230,6 +230,33 @@ def _bucket_member_pairs(
     return pairs.select("_p.id_a", "_p.id_b").distinct()
 
 
+def _bucket_star_edges(
+    members: DataFrame, id_col: str, bucket_cols: list[str]
+) -> DataFrame:
+    """Distinct (id_a < id_b) edges connecting every bucket member to its
+    bucket's MIN id — the clustering-only variant of the pair builders.
+
+    For candidate pairs consumed SOLELY by connected components (no
+    per-pair verification), the full within-bucket clique is redundant: a
+    star to the bucket minimum yields IDENTICAL connectivity (every member
+    reaches the min, so the bucket is one component; cross-bucket unions
+    compose unchanged) at O(members) edges instead of O(members²).
+    Measured at sf10 (~80-member near-dup families from the ×100 scale
+    generator): the clique form is Σ family² ≈ quadratic in duplication
+    density, the star form stays linear. Do NOT use where pairs are
+    verified individually afterwards (SimHash hamming check, cosine
+    threshold) — dropping a verified pair changes results there.
+    """
+    slim = members.select(F.col(id_col), *bucket_cols)
+    reps = slim.groupBy(*bucket_cols).agg(F.min(F.col(id_col)).alias("id_a"))
+    return (
+        slim.join(reps, bucket_cols)
+        .filter(F.col(id_col) > F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
 def _band_rows(
     signatures: DataFrame,
     id_col: str,
@@ -799,7 +826,13 @@ def remove_near_duplicates(
         groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
     sigs = minhash_signatures(rep_docs, id_col, text_col, num_hashes=num_hashes, n=n)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
+    # STAR edges, not the full within-bucket clique: the candidates here
+    # feed ONLY connected_components (no per-pair verification), and a star
+    # to each bucket's min id gives identical components at O(members)
+    # edges — the clique form is Σ family² and went quadratic on sf10's
+    # ~80-member near-dup families (round 6, NOTES_r6 §4).
+    band_rows = _band_rows(sigs, id_col, bands, rows_per_band)
+    pairs = _bucket_star_edges(band_rows, id_col, ["band_idx", "band_hash"])
     comp = connected_components(pairs, max_iterations=max_iterations)
     rep_losers = comp.filter(F.col("cluster_id") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)

@@ -161,6 +161,21 @@ COMMENTARY = {
         "loser side is small, so AQE broadcasts it; the corpus never "
         "shuffles."
     ),
+    "html_extract": (
+        "Round 6: HTML→text extraction is ONE projection over the documents "
+        "scan (regex chains + array higher-order functions, no Python, no "
+        "exchange before the presentation sort) — boilerplate removal at "
+        "scan speed; cost ∝ input bytes, the 100 TB web-crawl front door."
+    ),
+    "packed_sequences_greedy": (
+        "Round 6: the learned-vocab layout adds exactly one plan element "
+        "over the subword twin — an ArrowEvalPython (pandas_udf) tokenizer "
+        "node in the scan projection (the vocab rides the closure; greedy "
+        "matching is per-row, no shuffle). Downstream stays the single "
+        "seq-keyed exchange the packed layout always had. The vocab FIT is "
+        "a separate one-shot aggregation bounded by vocab_size rows to the "
+        "driver — the same artifact shape a BPE trainer ships."
+    ),
 }
 
 
