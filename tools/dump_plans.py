@@ -156,10 +156,12 @@ COMMENTARY = {
     ),
     "near_dedup_corpus": (
         "End-to-end near-dedup: Arrow signature node (once) → banded bucket "
-        "join → min-label components (localCheckpoint-bounded lineage) → "
-        "LEFT ANTI join of the loser set against the corpus scan — the "
-        "loser side is small, so AQE broadcasts it; the corpus never "
-        "shuffles."
+        "STAR edges (round 6: each member joins its bucket's min id — "
+        "identical connectivity to the clique at O(members) edges; 13x at "
+        "sf10's dense duplicate families) → min-label components "
+        "(localCheckpoint-bounded lineage) → LEFT ANTI join of the loser "
+        "set against the corpus scan — the loser side is small, so AQE "
+        "broadcasts it; the corpus never shuffles."
     ),
     "html_extract": (
         "Round 6: HTML→text extraction is ONE projection over the documents "
