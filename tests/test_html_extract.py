@@ -120,3 +120,48 @@ def test_curation_stage_flag(spark):
     assert texts[1].strip() == body.strip()
     assert "Home" not in texts[1]
     assert res.stage_counts["packed"] == 2
+
+
+# ---------------------------------------------------------------------------
+# property-based cross-engine agreement: randomized HTML assembled from a
+# component alphabet must extract IDENTICALLY in Spark and DuckDB — guards
+# the regex-dialect seams (Java vs RE2) the twin depends on.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "it&#39;s", "4", "&lt;tag&gt;", "x", "Reference"]
+_frag = st.one_of(
+    st.sampled_from([
+        "<p>", "</p>", "<div class='a'>", "</div>", "<br/>", "<li>", "</li>",
+        "<a href='/x'>", "</a>", "<b>", "</b>", "<h1>", "</h1>",
+        "<script>var a = 1 < 2;</script>", "<style>p{x:1}</style>",
+        "<!-- c -->", "&nbsp;", "&amp;", " ", "\t", "\n",
+    ]),
+    st.sampled_from(_WORDS),
+)
+_pages = st.lists(
+    st.lists(_frag, max_size=30).map("".join), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_pages)
+def test_extraction_matches_duckdb_on_random_html(spark, pages):
+    import duckdb
+
+    df = spark.createDataFrame(list(enumerate(pages)), "doc_id long, html string")
+    got = sorted(
+        (r["doc_id"], r["s"]["text"], r["s"]["n_lines"], r["s"]["n_kept"])
+        for r in df.select("doc_id", H.extract_struct(F.col("html")).alias("s")).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", list(enumerate(pages)))
+    cs = H.duckdb_line_structs_sql("html")
+    frag = H.duckdb_extract_sql("cs")
+    want = sorted(con.execute(
+        f"WITH L AS (SELECT doc_id, {cs} AS cs FROM p) "
+        f"SELECT doc_id, {frag['text']}, {frag['n_lines']}, {frag['n_kept']} FROM L"
+    ).fetchall())
+    assert got == want
