@@ -6,9 +6,12 @@ inside ``mapInPandas``. Preference order per payload:
 1. **PIL / soundfile** when importable (fast C paths, all formats) —
    optional, absent in this container.
 2. **Pure-stdlib fallbacks** (always available): PNG via ``zlib`` +
-   ``struct`` + numpy unfiltering; WAV (PCM 8/16/24/32-bit) via the
-   ``wave`` stdlib module. These make ``fake=False`` a REAL path in any
-   environment — no more plan-time NotImplementedError.
+   ``struct`` + numpy unfiltering; baseline-sequential JPEG via
+   ``operators/jpeg.py`` (round 6 — Huffman/DCT in numpy, 4:4:4/4:2:2/
+   4:2:0, restart markers; progressive still needs PIL); WAV (PCM
+   8/16/24/32-bit) via the ``wave`` stdlib module. These make
+   ``fake=False`` a REAL path in any environment — no more plan-time
+   NotImplementedError.
 3. Payloads neither path can decode yield ``decode_ok=False`` rows — the
    DLQ-style per-row contract a pipeline wants, instead of failing the job.
 
@@ -236,7 +239,10 @@ def wav_encode(rate: int, samples: np.ndarray) -> bytes:
 def decode_image_bytes(b: bytes):
     """(h, w, channels) uint8 pixels, or None if nothing can decode it.
 
-    PIL first when present (every format), stdlib PNG otherwise.
+    PIL first when present (fast C paths, every format); stdlib PNG and
+    baseline-JPEG decoders otherwise (round 6: ``operators/jpeg.py`` —
+    SOF0 Huffman streams, i.e. the vast majority of real-world JPEGs;
+    progressive JPEGs still need PIL).
     """
     pil = try_pil()
     if pil is not None:
@@ -248,6 +254,13 @@ def decode_image_bytes(b: bytes):
     if b[:8] == PNG_SIG:
         try:
             return png_decode(b)
+        except Exception:
+            return None
+    if b[:2] == b"\xff\xd8":
+        from etl_file_loader_spark.operators import jpeg as _jpeg
+
+        try:
+            return _jpeg.jpeg_decode(b)
         except Exception:
             return None
     return None

@@ -6,14 +6,17 @@ struct. Decode / feature-extract / resize / frame-sample run as Arrow-batched
 Python — so a 1000-executor cluster streams binary batches through the
 decoder with zero shuffle.
 
-The codec step is REAL (round 5): ``fake=False`` decodes PNG via the
-dependency-free ``operators.codecs`` (zlib + numpy unfilter) and WAV via
+The codec step is REAL (rounds 5-6): ``fake=False`` decodes PNG via the
+dependency-free ``operators.codecs`` (zlib + numpy unfilter), baseline
+sequential JPEG via ``operators.jpeg`` (round 6 — stdlib Huffman/DCT,
+4:4:4/4:2:2/4:2:0, the vast majority of real-world JPEGs), and WAV via
 the stdlib ``wave`` module, picking up Pillow / soundfile automatically
-when importable for the remaining formats (JPEG, FLAC, ...). Payloads no
-installed codec can decode yield ``decode_ok=False`` rows — per-row
-DLQ-style honesty instead of failing the job. ``fake=True`` keeps the
-deterministic 12-byte-header parser the cross-engine value oracles pin
-(the plumbing contract the driver verifies every round).
+when importable for the remaining formats (progressive JPEG, WebP,
+FLAC, ...). Payloads no installed codec can decode yield
+``decode_ok=False`` rows — per-row DLQ-style honesty instead of failing
+the job. ``fake=True`` keeps the deterministic 12-byte-header parser the
+cross-engine value oracles pin (the plumbing contract the driver
+verifies every round).
 """
 
 from __future__ import annotations
