@@ -188,6 +188,47 @@ FROM px GROUP BY i, w, h ORDER BY media_id
 """
 
 
+def q_multimodal_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stdlib-JPEG verification (round 6): decode genuine baseline
+    JPEGs (4:4:4 and 4:2:0, three quality levels) whose solid-color
+    contents derive from the media id. JPEG is lossy, so instead of exact
+    means the gate checks |decoded mean - closed-form mean| <= 2 (solid
+    colors are DC-only blocks — a broken Huffman/DCT/upsample path lands
+    far outside that), with exact dims + decode_ok, and a corrupt trailer
+    row that must degrade to decode_ok=false rather than fail the job."""
+    from etl_file_loader_spark import fixtures
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    n = 60
+    corpus = fixtures.media_jpeg_corpus(spark, n=n)
+    dec = mm.decode_image(corpus, fake=False)
+    i = F.col("media_id")
+    expected = ((i * 37) % 256 + (i * 59) % 256 + (i * 83) % 256) / F.lit(3.0)
+    return dec.select(
+        "media_id",
+        F.coalesce(F.col("width"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).alias("height"),
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+        F.when(
+            i >= n, (~F.col("decode_ok")).cast("int")  # corrupt row: ok iff rejected
+        )
+        .otherwise(
+            (F.abs(F.col("mean_pixel") - expected) <= 2.0).cast("int")
+        )
+        .alias("value_ok"),
+    ).orderBy("media_id")
+
+
+Q_MULTIMODAL_JPEG_REAL_SQL = """
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(CASE WHEN i >= 60 THEN -1 ELSE 16 * (1 + i % 3) END AS INT) AS width,
+       CAST(CASE WHEN i >= 60 THEN -1 ELSE 16 * (1 + i % 2) END AS INT) AS height,
+       CAST(CASE WHEN i >= 60 THEN 0 ELSE 1 END AS INT) AS decode_ok,
+       CAST(1 AS INT) AS value_ok
+FROM range(0, 61) t(i) ORDER BY media_id
+"""
+
+
 def q_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV-codec verification (round 5): decode genuine PCM-16 WAVs
     with closed-form samples; rate/frames/duration/RMS are recomputed by
@@ -266,6 +307,7 @@ QUERIES.update(
         "multimodal_decode_fake": q_multimodal_decode_fake,
         "audio_decode_fake": q_audio_decode_fake,
         "multimodal_decode_real": q_multimodal_decode_real,
+        "multimodal_jpeg_real": q_multimodal_jpeg_real,
         "audio_decode_real": q_audio_decode_real,
         "multimodal_resize_real": q_multimodal_resize_real,
     }
@@ -278,6 +320,7 @@ ORACLES.update(
         "multimodal_decode_fake": Q_MULTIMODAL_DECODE_FAKE_SQL,
         "audio_decode_fake": Q_AUDIO_DECODE_FAKE_SQL,
         "multimodal_decode_real": Q_MULTIMODAL_DECODE_REAL_SQL,
+        "multimodal_jpeg_real": Q_MULTIMODAL_JPEG_REAL_SQL,
         "audio_decode_real": Q_AUDIO_DECODE_REAL_SQL,
         "multimodal_resize_real": Q_MULTIMODAL_RESIZE_REAL_SQL,
     }
