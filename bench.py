@@ -111,8 +111,10 @@ BENCH_QUERIES = [
     # round 5: subword-tokenized packed sequences
     "packed_sequences_subword",
     # round 6: HTML boilerplate extraction + learned-vocab greedy layout
+    # + stdlib baseline-JPEG decode gate
     "html_extract",
     "packed_sequences_greedy",
+    "multimodal_jpeg_real",
 ]
 
 
