@@ -21,12 +21,17 @@ first 8 hex chars as int64 — identical in DuckDB as
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_file_loader_spark.functions import token_hash32, token_hash_bits, tokens
+
+logger = logging.getLogger(__name__)
 
 # Mersenne prime 2^31-1; (a*x + b) % p stays well inside int64 for 32-bit x
 _MH_PRIME = 2147483647
@@ -257,6 +262,67 @@ def _bucket_star_edges(
     )
 
 
+def _cap_buckets(
+    members: DataFrame, id_col: str, bucket_cols: list[str], cap: int
+) -> DataFrame:
+    """Truncate every bucket to its ``cap`` smallest ids, with LOUD
+    accounting (the no-silent-caps rule).
+
+    The hot-bucket mitigation for VERIFIED-pair paths, where the star-edge
+    trick is off the table (every candidate pair is individually rescored,
+    so dropping a pair can change results): a bucket of m members expands
+    to m(m-1)/2 verification pairs, and duplication-dense corpora put
+    thousands of near-identical docs on one bucket value (measured at sf10:
+    ~80-member families -> Σ family² pair verification dominated
+    ``simhash_dedup`` at 419 of 1007 s — NOTES_r6 §8). Capping keeps the
+    smallest ``cap`` ids per bucket (deterministic across runs), so pair
+    work is bounded by buckets·cap²/2.
+
+    EXACTNESS CAVEAT: a truncated member can still pair up through any of
+    its OTHER buckets (each doc carries ``blocks`` block values), but the
+    pigeonhole guarantee no longer covers pairs whose every shared bucket
+    was truncated — results may keep docs an uncapped run would have
+    dropped (never the reverse: capping only removes candidate pairs, and
+    fewer pairs merge fewer clusters). The truncation volume is logged at
+    WARNING with bucket and member counts; run
+    ``tools/audit_family_sizes.py`` first to see whether a corpus needs the
+    cap at all, and prefer composing near-dedup BEFORE simhash
+    (``CurationConfig.simhash_dedup``) so families collapse upstream.
+
+    Costs one extra shuffle (the per-bucket window) plus one eager
+    bucket-size aggregate for the accounting — opt-in, never on the
+    default path.
+    """
+    if cap < 2:
+        raise ValueError(f"cap ({cap}) must be >= 2 to keep any pairs")
+    w = Window.partitionBy(*bucket_cols).orderBy(F.col(id_col))
+    ranked = members.withColumn("_rnk", F.row_number().over(w))
+    over = (
+        ranked.groupBy(*bucket_cols)
+        .agg(F.max("_rnk").alias("_m"))
+        .filter(F.col("_m") > cap)
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.sum(F.col("_m") - cap).alias("members_dropped"),
+            F.sum(
+                (F.col("_m") * (F.col("_m") - 1) - F.lit(cap) * (cap - 1)) / 2
+            ).alias("pairs_avoided"),
+        )
+        .collect()[0]
+    )
+    if over["buckets"]:
+        logger.warning(
+            "bucket cap %d truncated %d hot bucket(s): %d member slots dropped, "
+            "~%d candidate pairs skipped — results may RETAIN near-duplicates an "
+            "uncapped run would remove (pairs are only lost, never invented)",
+            cap,
+            over["buckets"],
+            over["members_dropped"],
+            int(over["pairs_avoided"]),
+        )
+    return ranked.filter(F.col("_rnk") <= cap).drop("_rnk")
+
+
 def _band_rows(
     signatures: DataFrame,
     id_col: str,
@@ -326,12 +392,15 @@ def minhash_jaccard_pairs(
     # corpus) feeds three consumers — the banding pass and both sides of
     # the rescore join; without this it executes three times (the same
     # shape simhash_pairs_blocked persists for the same reason).
-    # Persist a LOCAL alias, not the caller's frame: the caller's own
-    # persist/unpersist bookkeeping stays untouched. The cached blocks live
-    # until Spark's LRU evicts them or the session clearCache()s — a lazy
-    # return value cannot unpersist behind itself; callers looping over many
-    # corpora should spark.catalog.clearCache() between iterations.
-    signatures = signatures.alias("_mjp_sigs").persist()
+    # Lifetime is honest, not isolated (ADVICE r6): SubqueryAlias
+    # canonicalizes to its child, so CacheManager would match the caller's
+    # identical frame anyway — an alias wrapper cannot fence the cache
+    # entry. The cached blocks live until Spark's LRU evicts them or the
+    # session clearCache()s — a lazy return value cannot unpersist behind
+    # itself; callers looping over many corpora should
+    # spark.catalog.clearCache() between iterations, and a caller
+    # unpersist() of the same plan drops this cache too.
+    signatures = signatures.persist()
     pairs = lsh_candidate_pairs(signatures, id_col, bands, rows_per_band)
     sa = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
     sb = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
@@ -451,6 +520,7 @@ def simhash_pairs_blocked(
     bits: int = 60,
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs WITHOUT the all-pairs join: block the
     fingerprint into ``blocks`` equal bit-slices and equi-join on
@@ -476,15 +546,24 @@ def simhash_pairs_blocked(
     pair expansion streams those buckets instead of materializing them.
     """
     sh = simhash(df, id_col, text_col, bits=bits).persist()
-    return _blocked_pairs_from_fingerprints(sh, id_col, bits, max_hamming, blocks)
+    return _blocked_pairs_from_fingerprints(
+        sh, id_col, bits, max_hamming, blocks, max_bucket_size=max_bucket_size
+    )
 
 
 def _blocked_pairs_from_fingerprints(
-    sh: DataFrame, id_col: str, bits: int, max_hamming: int, blocks: int
+    sh: DataFrame,
+    id_col: str,
+    bits: int,
+    max_hamming: int,
+    blocks: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Blocked candidate generation + true-Hamming rescore over an
     (id, simhash) frame. ``sh`` should be persisted by the caller — it
-    feeds the block explosion AND both sides of the rescore join."""
+    feeds the block explosion AND both sides of the rescore join.
+    ``max_bucket_size`` opts into the hot-bucket cap (see
+    :func:`_cap_buckets` for the exactness caveat + accounting)."""
     if bits % blocks != 0:
         raise ValueError(f"bits ({bits}) must divide evenly into {blocks} blocks")
     if blocks < max_hamming + 1:
@@ -508,6 +587,10 @@ def _blocked_pairs_from_fingerprints(
     block_rows = sh.select(F.col(id_col), F.explode(slices).alias("_b")).select(
         id_col, "_b.block_idx", "_b.block_val"
     )
+    if max_bucket_size is not None:
+        block_rows = _cap_buckets(
+            block_rows, id_col, ["block_idx", "block_val"], max_bucket_size
+        )
     # join variant, NOT the explode variant: simhash blocks are the
     # large-bucket case (template-heavy corpora put thousands of docs on one
     # block value, and the explode variant materializes a bucket's full pair
@@ -536,6 +619,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     blocks: int = 4,
     max_iterations: int = 20,
+    max_family_size: int | None = None,
 ) -> DataFrame:
     """End-to-end SimHash near-dedup: ``df`` minus near-dup losers, one
     min-id representative per Hamming-connected cluster.
@@ -554,11 +638,33 @@ def simhash_dedup(
     of each fingerprint group + representatives whose component label is
     not their own; the loser side broadcasts against the corpus scan.
     Output is ~corpus-sized, never pair-list-sized.
+
+    SCALE WARNING (measured, NOTES_r6 §8): the exact Manku guarantee
+    requires verifying every candidate pair's true Hamming distance, so on
+    duplication-DENSE corpora where near-identical docs have DISTINCT
+    fingerprints (CommonCrawl-grade template families; the ×100 synthetic
+    generator's ~80-member families), pair verification is Σ family² —
+    at sf10 that was 419 of 1007 s for 500k docs. Two first-class
+    remedies, in preference order:
+
+    1. Compose MinHash near-dedup BEFORE simhash so families collapse
+       upstream (``CurationConfig.simhash_dedup`` runs exactly this order;
+       measured well under the solo number at sf10 — NOTES_r7).
+    2. Opt into ``max_family_size``: caps every block bucket to that many
+       smallest ids before pair expansion, with loud truncation accounting
+       (see :func:`_cap_buckets` — capping can only RETAIN extra docs,
+       never over-delete).
+
+    Run ``tools/audit_family_sizes.py`` on a corpus sample first — it
+    predicts the pair-verification volume from the bucket histogram, so
+    the Σ family² blowup is visible before a 100 TB run, not during it.
     """
     sh = simhash(df, id_col, text_col, bits=bits).persist()
     groups = sh.groupBy("simhash").agg(F.min(F.col(id_col)).alias("_rep"))
     reps = groups.select(F.col("_rep").alias(id_col), "simhash").persist()
-    pairs = _blocked_pairs_from_fingerprints(reps, id_col, bits, max_hamming, blocks)
+    pairs = _blocked_pairs_from_fingerprints(
+        reps, id_col, bits, max_hamming, blocks, max_bucket_size=max_family_size
+    )
     comp = connected_components(pairs, max_iterations=max_iterations)
     rep_losers = comp.filter(F.col("cluster_id") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)

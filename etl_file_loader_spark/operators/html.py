@@ -264,9 +264,16 @@ def duckdb_extract_sql(
     )
     kept = f"list_filter({expr}, {keep})"
     return {
-        # coalesce: DuckDB's array_to_string yields NULL on an empty list,
-        # Spark's array_join yields '' — pin the Spark behavior
-        "text": f"coalesce(array_to_string(list_transform({kept}, s -> s.t), chr(10)), '')",
+        # Null contract, pinned to the measured Spark behavior (ADVICE r6):
+        # NULL html -> all three outputs NULL on the Spark side (size() and
+        # array_join() both propagate NULL). DuckDB's len()/list_filter()
+        # propagate NULL already; array_to_string does too, but its
+        # empty-list result is NULL where Spark's array_join gives '' — so
+        # the '' coalesce must apply ONLY when the input list is non-NULL.
+        "text": (
+            f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
+            f"coalesce(array_to_string(list_transform({kept}, s -> s.t), chr(10)), '') END"
+        ),
         "n_lines": f"len(list_filter({expr}, s -> s.wc > 0))",
         "n_kept": f"len({kept})",
     }

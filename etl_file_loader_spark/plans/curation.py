@@ -50,6 +50,18 @@ class CurationConfig:
     minhash_hashes: int = 16
     lsh_bands: int = 4
     lsh_rows_per_band: int = 4
+    # stage 4b: SimHash hamming-ball dedup AFTER the MinHash pass — the
+    # scale composition from NOTES_r6 §8: MinHash collapse removes the
+    # near-identical families FIRST, so SimHash's exact per-pair hamming
+    # verification (inherently Σ family² on duplication-dense corpora)
+    # runs over family representatives, not full families. Optional
+    # simhash_max_family_size additionally caps hot block buckets with
+    # loud truncation accounting (dedup._cap_buckets).
+    simhash_dedup: bool = False
+    simhash_bits: int = 60
+    simhash_max_hamming: int = 3
+    simhash_blocks: int = 4
+    simhash_max_family_size: int | None = None
     # stage 5: held-out split (label -> fraction; None disables)
     split_fractions: dict[str, float] | None = None
     keep_splits: tuple[str, ...] = ("train",)
@@ -133,6 +145,24 @@ class CurationPipeline:
             # redaction never drops rows; no count job needed
         return cur
 
+    def _apply_simhash(self, cur: DataFrame, counts: dict[str, int]) -> DataFrame:
+        """Stage 4b: SimHash dedup, always AFTER any MinHash near-dedup —
+        shared by ``run`` and the versioned incremental driver."""
+        c = self.config
+        if not c.simhash_dedup:
+            return cur
+        cur = dedup_ops.simhash_dedup(
+            cur,
+            c.id_col,
+            c.text_col,
+            bits=c.simhash_bits,
+            max_hamming=c.simhash_max_hamming,
+            blocks=c.simhash_blocks,
+            max_family_size=c.simhash_max_family_size,
+        )
+        counts["simhash_dedup"] = cur.count()
+        return cur
+
     def run(self, docs: DataFrame) -> CurationResult:
         c = self.config
         did, txt = c.id_col, c.text_col
@@ -149,6 +179,8 @@ class CurationPipeline:
                 rows_per_band=c.lsh_rows_per_band,
             )
             counts["near_dedup"] = cur.count()
+
+        cur = self._apply_simhash(cur, counts)
 
         if c.split_fractions is not None:
             cur = sampling_ops.hash_split(cur, did, c.split_fractions)
@@ -317,6 +349,8 @@ class VersionedCorpus:
                 rows_per_band=c.lsh_rows_per_band,
             )
             counts["within_delta_dedup"] = cur.count()
+
+        cur = self.pipeline._apply_simhash(cur, counts)
 
         # split is a pure function of the id -> stable across versions; the
         # docs frame KEEPS every split (held-out rows are part of the

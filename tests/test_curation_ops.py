@@ -447,3 +447,83 @@ def test_bigram_logprob_math(spark):
     # short/empty docs: no bigrams, NULL score
     assert out[3]["n_bigrams"] == 0 and out[3]["mean_logprob"] is None
     assert out[4]["n_bigrams"] == 0 and out[4]["mean_logprob"] is None
+
+
+# ---------------------------------------------------------------------------
+# simhash family-size cap + curation composition (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_cap_noop_when_buckets_small(spark, docs, caplog):
+    """A cap above every bucket size must be a byte-identical no-op, with
+    no truncation warning."""
+    import logging
+
+    base = dedup.simhash_dedup(docs, "doc_id", "text", bits=60, max_hamming=3, blocks=4)
+    with caplog.at_level(logging.WARNING, logger="etl_file_loader_spark.operators.dedup"):
+        capped = dedup.simhash_dedup(
+            docs, "doc_id", "text", bits=60, max_hamming=3, blocks=4,
+            max_family_size=1000,
+        )
+        got = {r["doc_id"] for r in capped.collect()}
+    assert got == {r["doc_id"] for r in base.collect()}
+    assert not [r for r in caplog.records if "bucket cap" in r.message]
+
+
+def test_simhash_cap_truncation_accounting(spark, caplog):
+    """A hot bucket over the cap fires the loud warning with exact
+    accounting, and capping only RETAINS extra docs (never over-deletes)."""
+    import logging
+
+    # 12 docs of one near-identical family (distinct fingerprints, shared
+    # blocks) + 2 unrelated docs
+    family = [
+        (i, f"the quick brown fox jumps over the lazy dog variant token{i}")
+        for i in range(1, 13)
+    ]
+    other = [(100, "completely unrelated subject matter entirely"),
+             (101, "another standalone document body")]
+    df = spark.createDataFrame(family + other, "doc_id long, text string")
+    base = {r["doc_id"] for r in
+            dedup.simhash_dedup(df, "doc_id", "text", bits=60, max_hamming=5,
+                                blocks=6).collect()}
+    with caplog.at_level(logging.WARNING, logger="etl_file_loader_spark.operators.dedup"):
+        capped = {r["doc_id"] for r in
+                  dedup.simhash_dedup(df, "doc_id", "text", bits=60, max_hamming=5,
+                                      blocks=6, max_family_size=3).collect()}
+    warnings = [r for r in caplog.records if "bucket cap" in r.message]
+    assert warnings, "expected a truncation warning for the hot bucket"
+    # capping drops candidate pairs only -> fewer merges -> superset survivors
+    assert capped >= base
+    assert 100 in capped and 101 in capped
+
+
+def test_simhash_cap_rejects_degenerate(spark, docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cap"):
+        dedup.simhash_dedup(docs, "doc_id", "text", max_family_size=1).collect()
+
+
+def test_curation_simhash_stage(spark):
+    """CurationConfig.simhash_dedup composes near-dedup BEFORE simhash and
+    reports the stage count."""
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = CurationConfig(
+        min_quality=None,
+        scrub_pii=False,
+        near_dedup=True,
+        simhash_dedup=True,
+        simhash_max_family_size=64,
+        split_fractions=None,
+        shard_budget_tokens=5000,
+        partition_cols=["lang"],
+    )
+    result = CurationPipeline(cfg).run(docs)
+    c = result.stage_counts
+    assert "simhash_dedup" in c
+    # simhash runs AFTER minhash near-dedup: monotone, and keyed in order
+    assert c["input"] >= c["near_dedup"] >= c["simhash_dedup"] > 0
+    assert c["packed"] == c["simhash_dedup"]

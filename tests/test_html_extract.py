@@ -165,3 +165,28 @@ def test_extraction_matches_duckdb_on_random_html(spark, pages):
         f"SELECT doc_id, {frag['text']}, {frag['n_lines']}, {frag['n_kept']} FROM L"
     ).fetchall())
     assert got == want
+
+
+def test_null_html_matches_duckdb(spark):
+    """NULL html -> NULL text/n_lines/n_kept on BOTH engines (ADVICE r6:
+    the oracle's ''-coalesce must not fire on a NULL input list)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "<p>one two three four</p>")], "doc_id long, html string"
+    )
+    got = sorted(
+        (r["doc_id"], r["s"]["text"], r["s"]["n_lines"], r["s"]["n_kept"])
+        for r in df.select("doc_id", H.extract_struct(F.col("html")).alias("s")).collect()
+    )
+    assert got[0] == (0, None, None, None)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", [(0, None), (1, "<p>one two three four</p>")])
+    cs = H.duckdb_line_structs_sql("html")
+    frag = H.duckdb_extract_sql("cs")
+    want = sorted(con.execute(
+        f"WITH L AS (SELECT doc_id, {cs} AS cs FROM p) "
+        f"SELECT doc_id, {frag['text']}, {frag['n_lines']}, {frag['n_kept']} FROM L"
+    ).fetchall())
+    assert got == want
