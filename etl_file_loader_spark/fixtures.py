@@ -168,15 +168,17 @@ def media_wav_corpus(spark: SparkSession, n: int = 200) -> DataFrame:
 
 
 def media_jpeg_corpus(spark: SparkSession, n: int = 60) -> DataFrame:
-    """REAL baseline-JPEG payloads (round 6) with id-derived solid colors,
-    so the stdlib JPEG decoder is gate-verifiable without any codec on the
-    oracle side: image i is a solid (r,g,b) = ((i*37)%256, (i*59)%256,
-    (i*83)%256) rectangle of 16*(1 + i%3) x 16*(1 + i%2) pixels, quality
-    85 + 5*(i%3), 4:2:0-subsampled for odd i. A solid color is DC-only in
-    every 8x8 block, so the lossy cycle reproduces it to within ~1 pixel
-    unit (tolerance 2 in the gate covers chroma quantization + rounding);
-    dims and decode_ok are exact. The final row (media_id = n) is a
-    corrupt JPEG that must degrade to decode_ok=false."""
+    """REAL JPEG payloads (round 6; progressive added round 7) with
+    id-derived solid colors, so the stdlib JPEG decoder is gate-verifiable
+    without any codec on the oracle side: image i is a solid (r,g,b) =
+    ((i*37)%256, (i*59)%256, (i*83)%256) rectangle of 16*(1 + i%3) x
+    16*(1 + i%2) pixels, quality 85 + 5*(i%3), 4:2:0-subsampled for odd i,
+    and PROGRESSIVE (SOF2, the full DC/AC first + refinement scan script)
+    for every fifth id — the mix a real crawl delivers. A solid color is
+    DC-only in every 8x8 block, so the lossy cycle reproduces it to within
+    ~1 pixel unit (tolerance 2 in the gate covers chroma quantization +
+    rounding); dims and decode_ok are exact. The final row (media_id = n)
+    is a corrupt JPEG that must degrade to decode_ok=false."""
     import pandas as pd
 
     from etl_file_loader_spark.operators import jpeg as jpegc
@@ -190,9 +192,8 @@ def media_jpeg_corpus(spark: SparkSession, n: int = 60) -> DataFrame:
         w, h = 16 * (1 + i % 3), 16 * (1 + i % 2)
         color = ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
         img = np.full((h, w, 3), color, dtype=np.uint8)
-        payloads.append(
-            jpegc.jpeg_encode(img, quality=85 + 5 * (i % 3), subsample=bool(i % 2))
-        )
+        codec = jpegc.jpeg_encode_progressive if i % 5 == 4 else jpegc.jpeg_encode
+        payloads.append(codec(img, quality=85 + 5 * (i % 3), subsample=bool(i % 2)))
     payloads.append(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x55" * 48)
     pdf = pd.DataFrame(
         {"media_id": np.arange(n + 1, dtype=np.int64), "content": payloads}

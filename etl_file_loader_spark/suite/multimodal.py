@@ -189,9 +189,11 @@ FROM px GROUP BY i, w, h ORDER BY media_id
 
 
 def q_multimodal_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL stdlib-JPEG verification (round 6): decode genuine baseline
-    JPEGs (4:4:4 and 4:2:0, three quality levels) whose solid-color
-    contents derive from the media id. JPEG is lossy, so instead of exact
+    """REAL stdlib-JPEG verification (round 6; round 7 adds progressive):
+    decode genuine JPEGs (4:4:4 and 4:2:0, three quality levels, every
+    fifth payload progressive SOF2 with the full refinement scan script)
+    whose solid-color contents derive from the media id. JPEG is lossy,
+    so instead of exact
     means the gate checks |decoded mean - closed-form mean| <= 2 (solid
     colors are DC-only blocks — a broken Huffman/DCT/upsample path lands
     far outside that), with exact dims + decode_ok, and a corrupt trailer

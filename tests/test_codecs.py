@@ -307,13 +307,128 @@ def test_jpeg_420_subsampled_decode():
     assert dec.shape == img.shape and float(d.mean()) < 3.0 and int(d.max()) <= 12
 
 
-def test_jpeg_progressive_rejected():
-    # SOF2 marker must raise (keeps the decode_ok=False contract honest)
+def test_jpeg_mislabeled_progressive_rejected():
+    # round 7: SOF2 now DECODES, but a baseline scan mislabeled as
+    # progressive (Ss=0, Se=63 is invalid for a progressive DC scan) must
+    # still raise — the old hard "non-baseline" rejection became a real
+    # scan-header validity check
     enc = bytearray(jpegc.jpeg_encode(np.full((8, 8), 99, dtype=np.uint8)))
     i = enc.find(b"\xff\xc0")
     enc[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         jpegc.jpeg_decode(bytes(enc))
+
+
+def test_jpeg_arithmetic_still_rejected():
+    enc = bytearray(jpegc.jpeg_encode(np.full((8, 8), 99, dtype=np.uint8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(ValueError, match="coding process"):
+        jpegc.jpeg_decode(bytes(enc))
+
+
+def test_jpeg_progressive_solid_exact_round_trip():
+    img = np.full((16, 24, 3), (10, 200, 90), dtype=np.uint8)
+    enc = jpegc.jpeg_encode_progressive(img, quality=90)
+    assert b"\xff\xc2" in enc  # really SOF2
+    assert np.array_equal(jpegc.jpeg_decode(enc), img)
+
+
+@pytest.mark.parametrize("subsample,gray", [(False, False), (True, False), (False, True)])
+def test_jpeg_progressive_matches_baseline_decode(subsample, gray):
+    """The strongest PIL-free oracle: both encoders quantize to the SAME
+    coefficients, so the two decodes must agree bit-for-bit — this drives
+    every progressive scan type (DC first/refine, AC first per band, AC
+    refinement with correction bits) against the sequential path."""
+    rng = np.random.default_rng(11)
+    if gray:
+        img = rng.integers(0, 256, (19, 37), dtype=np.uint8).astype(np.uint8)
+    else:
+        img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8).astype(np.uint8)
+    base = jpegc.jpeg_decode(jpegc.jpeg_encode(img, quality=85, subsample=subsample))
+    prog = jpegc.jpeg_decode(
+        jpegc.jpeg_encode_progressive(img, quality=85, subsample=subsample)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_fill_bytes_and_tem_marker_tolerated():
+    """Spec-valid 0xFF fill padding + standalone TEM (0xFF01) between
+    segments must not derail the marker walk (ADVICE r6)."""
+    img = np.full((8, 16), 77, dtype=np.uint8)
+    enc = jpegc.jpeg_encode(img, quality=90)
+    i = enc.find(b"\xff\xdb")  # before DQT
+    padded = enc[:i] + b"\xff\xff\xff" + b"\xff\x01" + enc[i:]
+    assert np.array_equal(jpegc.jpeg_decode(padded), jpegc.jpeg_decode(enc))
+
+
+def test_jpeg_truncated_streams_raise_valueerror_only():
+    """The error contract is self-contained (ADVICE r6): corrupt streams
+    raise ValueError, never IndexError/KeyError."""
+    img = np.full((16, 16, 3), (1, 2, 3), dtype=np.uint8)
+    enc = jpegc.jpeg_encode(img, quality=85)
+    prog = jpegc.jpeg_encode_progressive(img, quality=85)
+    rng = np.random.default_rng(5)
+    streams = [enc[:k] for k in (3, 10, 25, len(enc) // 2, len(enc) - 3)]
+    streams += [prog[:k] for k in (25, len(prog) // 2)]
+    garb = bytearray(enc)
+    for j in rng.integers(4, len(garb), 40):
+        garb[j] ^= 0xFF
+    streams.append(bytes(garb))
+    for s in streams:
+        try:
+            jpegc.jpeg_decode(s)
+        except ValueError:
+            pass  # the documented contract
+        # any other exception type fails the test by propagating
+
+
+def test_jpeg_eobn_run_decoding():
+    """General EOBn (run > 1 block) decoding, which the progressive
+    encoder never emits (Annex-K tables lack EOBn symbols): hand-build a
+    2-block grayscale scan with a custom AC table whose EOB1 symbol covers
+    both all-zero-AC blocks."""
+    import struct as _st
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _st.pack(">H", len(body) + 2) + body
+
+    q = np.ones((8, 8), dtype=np.int64)  # flat quant: DC value = mean-128 scaled
+    out = bytearray(jpegc.JPEG_SOI)
+    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in q.reshape(64)[jpegc.ZIGZAG]))
+    # SOF2: 8x16 grayscale, 1x1 sampling
+    out += seg(0xC2, _st.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(jpegc.DC_LUMA_BITS) + bytes(jpegc.DC_LUMA_VALS))
+    # custom AC table: two 2-bit codes -> symbols 0x10 (EOB1), 0x01
+    ac_bits = [0, 2] + [0] * 14
+    ac_vals = [0x10, 0x01]
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    dc_t = jpegc._enc_table(jpegc.DC_LUMA_BITS, jpegc.DC_LUMA_VALS)
+    # scan 1: DC first (Al=0), two blocks with DC 16 then 24 (diff 16, 8)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    bw = jpegc._BitWriter()
+    for diff in (16, 8):
+        t, mag = jpegc._mag_bits(diff)
+        code, ln = dc_t[t]
+        bw.write(code, ln)
+        bw.write(mag, t)
+    bw.flush()
+    out += bw.out
+    # scan 2: AC first 1-63 (Al=0): EOB1 symbol + 1 extra bit (0) -> run=1,
+    # covering BOTH blocks with one symbol
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    bw = jpegc._BitWriter()
+    code, ln = jpegc._enc_table(ac_bits, ac_vals)[0x10]
+    bw.write(code, ln)
+    bw.write(0, 1)  # extra EOBn bit: run = (1<<1)-1+0 = 1 more block
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    dec = jpegc.jpeg_decode(bytes(out))
+    # DC 16 -> idct flat value 16/8 + 128 = 130; DC 24 -> 131
+    assert dec.shape == (8, 16)
+    assert np.array_equal(dec[:, :8], np.full((8, 8), 130, dtype=np.uint8))
+    assert np.array_equal(dec[:, 8:], np.full((8, 8), 131, dtype=np.uint8))
 
 
 def test_stdlib_jpeg_decodes_on_spark(spark):
