@@ -249,3 +249,160 @@ class GreedyVocabTokenizer:
 def token_count(tokenizer, col: Column) -> Column:
     """Token-budget column under ``tokenizer`` (null text -> 0)."""
     return F.coalesce(F.size(tokenizer.tokens(col)), F.lit(0)).cast("long")
+
+
+def _merge_pass(seg: list[str], a: str, b: str) -> list[str]:
+    """One left-to-right merge pass: every non-overlapping (a, b) adjacency
+    becomes a||b (the T.81-of-BPE single-pass rule both engines replay:
+    after a merge the scan resumes AFTER the merged token)."""
+    out: list[str] = []
+    i, n = 0, len(seg)
+    while i < n:
+        if i + 1 < n and seg[i] == a and seg[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seg[i])
+            i += 1
+    return out
+
+
+def fit_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 12,
+    min_count: int = 2,
+    pattern: str = DEFAULT_PRETOKEN_PATTERN,
+    max_words: int | None = None,
+) -> list[tuple[str, str]]:
+    """Learn a TRUE byte-pair-encoding merges table (ranked pair merges,
+    the GPT-style artifact) from the corpus.
+
+    Algorithm: words start as character sequences; ``num_merges`` times,
+    the most frequent adjacent symbol pair (weighted by word occurrence
+    count; ties broken by pair lexicographic order so the artifact is
+    deterministic) is recorded and merged everywhere. Stops early when no
+    pair reaches ``min_count``.
+
+    Distributed shape — the same split real BPE trainers use: the corpus-
+    sized work is ONE aggregation (pre-token explode -> word counts,
+    shuffle ∝ distinct words); merge learning then runs over the bounded
+    word-count table on the driver (HuggingFace/SentencePiece train
+    in-memory over exactly this table). At 100 TB bound the table with
+    ``max_words`` (top-K by count, ties by word — logged loudly when it
+    truncates; the dropped tail is the low-frequency words that barely
+    move pair counts).
+
+    The SQL oracle (``packed_sequences_bpe``) RE-LEARNS these merges with
+    the identical counting, tie-break, and single-pass merge rules, so
+    the artifact itself is cross-engine verified — not just trusted.
+    """
+    import logging
+
+    words = df.select(
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if max_words is not None:
+        total = counts.count()
+        if total > max_words:
+            logging.getLogger(__name__).warning(
+                "fit_bpe_merges: word table truncated %d -> %d (top by count); "
+                "pair statistics exclude the dropped low-frequency tail",
+                total,
+                max_words,
+            )
+        counts = counts.orderBy(F.col("c").desc(), F.col("w")).limit(max_words)
+    wc = [(r["w"], int(r["c"])) for r in counts.collect()]
+
+    segs: list[list[str]] = [list(w) for w, _ in wc]
+    freqs = [c for _, c in wc]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for seg, c in zip(segs, freqs):
+            for i in range(len(seg) - 1):
+                p = (seg[i], seg[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        best = None
+        for p, c in pair_counts.items():
+            if c < min_count:
+                continue
+            # max count; ties -> lexicographically SMALLEST pair
+            if best is None or c > best[1] or (c == best[1] and p < best[0]):
+                best = (p, c)
+        if best is None:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        segs = [_merge_pass(s, a, b) if a in s else s for s in segs]
+    return merges
+
+
+class BPETokenizer:
+    """True BPE encode against a learned merges table: start from
+    characters, repeatedly apply the LOWEST-RANK merge present until none
+    applies — the GPT-2 serving algorithm. Equivalent to applying the
+    merges in rank order (a later merge can never outrank an earlier one,
+    since its components must already exist), which is what the SQL twin
+    replays.
+
+    Arrow-batched pandas UDF over regex pre-tokens with a per-batch word
+    cache (web text repeats words heavily); the ranks table rides the UDF
+    closure. No scalar SQL form — the layout-level oracle is
+    ``packed_sequences_bpe`` (suite/sampling.py), which re-learns the
+    merges in SQL and replays them over DISTINCT words.
+    """
+
+    def __init__(self, merges: list[tuple[str, str]], pattern: str = DEFAULT_PRETOKEN_PATTERN):
+        self.merges = [tuple(m) for m in merges]
+        self.ranks = {tuple(m): i for i, m in enumerate(self.merges)}
+        self.pattern = pattern
+        self.name = f"bpe{len(self.merges)}"
+
+    def _encode_word(self, w: str) -> list[str]:
+        seg = list(w)
+        ranks = self.ranks
+        while len(seg) > 1:
+            best = None
+            for i in range(len(seg) - 1):
+                r = ranks.get((seg[i], seg[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = self.merges[best]
+            seg = _merge_pass(seg, a, b)
+        return seg
+
+    def tokens(self, col: Column) -> Column:
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
+        rx = _re.compile(self.pattern)
+        encode = self._encode_word
+
+        @pandas_udf("array<string>")
+        def _tok(texts: pd.Series) -> pd.Series:
+            cache: dict[str, list[str]] = {}
+            out = []
+            for text in texts:
+                pieces: list[str] = []
+                for w in rx.findall(text or ""):
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode(w)
+                        cache[w] = enc
+                    pieces.extend(enc)
+                out.append(pieces)
+            return pd.Series(out)
+
+        return _tok(col)
+
+    def duckdb_expr(self, expr: str) -> str:
+        raise NotImplementedError(
+            "BPE encode has no scalar SQL form (rank-ordered merge passes); "
+            "the layout-level oracle packed_sequences_bpe re-learns the "
+            "merges table in SQL and replays it over distinct words"
+        )

