@@ -526,6 +526,122 @@ def bigram_logprob(
     )
 
 
+def trigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus-trained trigram LM with interpolated (Jelinek-Mercer) backoff:
+    per-doc mean of ``ln(0.6*P3 + 0.3*P2 + 0.1*P1)`` over trigram positions
+    — the order-3 rung of the CCNet fluency-filter ladder (round 7, one up
+    from :func:`bigram_logprob`; real pipelines run 5-gram KenLM, which is
+    this estimator with Kneser-Ney discounts instead of fixed lambdas).
+
+    Each order is exactly normalized over its own event space (context
+    counts are sums over the order's events, so Σ_w P_k(w|·) = 1), and the
+    fixed-lambda mixture therefore normalizes too — no boundary slack, and
+    unseen-in-context words still score via the lower orders (the backoff
+    property the pure trigram MLE lacks).
+
+    Distributed shape: three event explodes (shuffle ∝ tokens) -> count
+    aggregates per order -> key-joined back to the trigram stream -> one
+    per-doc aggregate. Cross-engine parity discipline: the mixture is
+    computed in ONE fixed left-to-right double expression (identical parse
+    in Spark and DuckDB), and the per-doc sum folds over the
+    (c3, x3, c2, x2, c1 -> multiplicity) profile in ascending sorted order
+    — the canonical-fold rule that keeps 1-ulp ``ln`` engine drift from
+    compounding differently per engine. Docs with < 3 tokens: n_trigrams =
+    0, NULL score.
+    """
+    toks_expr = F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))
+    # bind-once: the token array feeds three event builders below
+    base = df.select(F.col(id_col), toks_expr.alias("_toks"))
+    t = F.col("_toks")
+
+    tg_arr = F.when(
+        F.size(t) < 3, F.array().cast("array<struct<p2:string,p1:string,w:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 3),
+            lambda i: F.struct(
+                F.get(t, i).alias("p2"),
+                F.get(t, i + 1).alias("p1"),
+                F.get(t, i + 2).alias("w"),
+            ),
+        )
+    )
+    bg_arr = F.when(
+        F.size(t) < 2, F.array().cast("array<struct<p1:string,w:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda p, w: F.struct(p.alias("p1"), w.alias("w")),
+        )
+    )
+
+    tg = base.select(F.col(id_col), F.explode(tg_arr).alias("_t")).select(
+        F.col(id_col), "_t.p2", "_t.p1", "_t.w"
+    )
+    bg = base.select(F.explode(bg_arr).alias("_b")).select("_b.p1", "_b.w")
+    ug = base.select(F.explode(t).alias("w"))
+
+    c3 = tg.groupBy("p2", "p1", "w").agg(F.count(F.lit(1)).alias("c3"))
+    x3 = tg.groupBy("p2", "p1").agg(F.count(F.lit(1)).alias("x3"))
+    c2 = bg.groupBy("p1", "w").agg(F.count(F.lit(1)).alias("c2"))
+    x2 = bg.groupBy("p1").agg(F.count(F.lit(1)).alias("x2"))
+    c1 = ug.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    n1 = ug.agg(F.count(F.lit(1)).alias("n1"))
+
+    j = (
+        tg.join(c3, ["p2", "p1", "w"])
+        .join(x3, ["p2", "p1"])
+        .join(c2, ["p1", "w"])
+        .join(x2, ["p1"])
+        .join(c1, ["w"])
+    )
+    prof = j.groupBy(id_col, "c3", "x3", "c2", "x2", "c1").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    doc = prof.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_trigrams"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("c3").cast("long").alias("c3"),
+                    F.col("x3").cast("long").alias("x3"),
+                    F.col("c2").cast("long").alias("c2"),
+                    F.col("x2").cast("long").alias("x2"),
+                    F.col("c1").cast("long").alias("c1"),
+                    F.col("m").cast("long").alias("m"),
+                )
+            )
+        ).alias("_profile"),
+    ).crossJoin(F.broadcast(n1))
+    # ONE left-to-right mixture expression, identical in the SQL twin
+    lp_sum = F.aggregate(
+        F.col("_profile"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["m"].cast("double")
+        * F.log(
+            F.lit(0.6) * (s["c3"].cast("double") / s["x3"].cast("double"))
+            + F.lit(0.3) * (s["c2"].cast("double") / s["x2"].cast("double"))
+            + F.lit(0.1) * (s["c1"].cast("double") / F.col("n1").cast("double"))
+        ),
+    )
+    out = doc.select(
+        F.col(id_col),
+        F.col("n_trigrams"),
+        F.round(lp_sum / F.col("n_trigrams"), 6).alias("mean_logprob"),
+    )
+    return df.select(F.col(id_col)).join(out, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias("n_trigrams"),
+        F.col("mean_logprob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
