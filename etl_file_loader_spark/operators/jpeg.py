@@ -921,6 +921,18 @@ def _enc_ac_first_block(bw, zzvec, ss, se, al, act_t):
 
 
 def _enc_ac_refine_block(bw, zzvec, ss, se, ah, al, act_t):
+    # Index of the LAST newly-significant coefficient (t == 1) in the band.
+    # ZRLs may only be emitted while k <= eob; past it, zero runs fold into
+    # the trailing EOB0. This mirrors libjpeg's encode_mcu_AC_refine
+    # (`while (r > 15 && k <= EOB)`), and the flush must run at EVERY
+    # nonzero-history coefficient — not only newly-significant ones.
+    # Otherwise a correction bit buffered before a >15 zero-history run is
+    # written after the ZRL, but the decoder's ZRL walk never traverses
+    # that coefficient's position, desyncing every bit that follows.
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if (abs(int(zzvec[k])) >> al) == 1:
+            eob = k
     pending: list[int] = []  # correction bits buffered until the next symbol
     r = 0
     for k in range(ss, se + 1):
@@ -929,16 +941,17 @@ def _enc_ac_refine_block(bw, zzvec, ss, se, ah, al, act_t):
         if t == 0:
             r += 1
             continue
-        if t > 1:  # significant in history: one correction bit
-            pending.append(t & 1)
-            continue
-        # newly significant (t == 1 with ah == al + 1)
-        while r > 15:
+        while r > 15 and k <= eob:
             _emit(bw, act_t, 0xF0)
             r -= 16
             for b in pending:
                 bw.write(b, 1)
             pending = []
+        if t > 1:  # significant in history: one correction bit
+            pending.append(t & 1)
+            continue
+        # newly significant (t == 1 with ah == al + 1); k <= eob here, so
+        # the flush loop above already brought r down to <= 15
         _emit(bw, act_t, (r << 4) | 1)
         bw.write(1 if v > 0 else 0, 1)
         for b in pending:

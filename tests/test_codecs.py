@@ -352,6 +352,84 @@ def test_jpeg_progressive_matches_baseline_decode(subsample, gray):
     assert np.array_equal(base, prog)
 
 
+def _refine_scan_round_trip(values: dict[int, int]):
+    """Encode ONE AC-refinement scan (ah=1, al=0) of a crafted coefficient
+    block and decode it against the correct history; return (decoded, want)."""
+    ss, se, ah, al = 1, 63, 1, 0
+    zzvec = np.zeros(64, dtype=np.int32)
+    for k, v in values.items():
+        zzvec[k] = v
+    bw = jpegc._BitWriter()
+    jpegc._enc_ac_refine_block(
+        bw, zzvec, ss, se, ah, al, jpegc._enc_table(jpegc.AC_LUMA_BITS, jpegc.AC_LUMA_VALS)
+    )
+    bw.flush()
+    br = jpegc._BitReader(bytes(bw.out) + b"\xff\xd9", 0)
+    zz = np.zeros(64, dtype=np.int32)  # history: |v| truncated to ah precision
+    for k, v in values.items():
+        hist = (abs(v) >> ah) << ah
+        zz[k] = hist if v >= 0 else -hist
+    jpegc._ac_refine(
+        br, zz, jpegc._build_huff(jpegc.AC_LUMA_BITS, jpegc.AC_LUMA_VALS), [0], ss, se, al
+    )
+    return zz, zzvec
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        {18: 5, 21: 1},          # ADVICE repro: 17 zeros, |5| at 18, new 1 at 21
+        {18: -5, 21: -1},        # negative twin
+        {3: 4, 20: 7, 24: 1},    # correction bits before AND inside the long run
+        {2: 1, 20: 5},           # already-significant AFTER the last new (k > EOB)
+        {37: 5, 40: 1},          # 36-zero run -> two ZRLs straddling the coef
+        {10: 6, 30: 4},          # refinement-only block (no newly-significant)
+    ],
+)
+def test_jpeg_ac_refine_zrl_straddles_significant_coefficient(values):
+    """A zero-HISTORY run > 15 straddling an already-significant coefficient:
+    the ZRL flush must run at EVERY nonzero absvalue (libjpeg
+    encode_mcu_AC_refine order, guarded by k <= EOB) or the buffered
+    correction bit lands where the decoder's ZRL walk never consumes it,
+    desyncing the stream ('invalid refinement magnitude')."""
+    zz, want = _refine_scan_round_trip(values)
+    assert np.array_equal(zz[1:], want[1:])
+
+
+def test_jpeg_progressive_sparse_highfreq_round_trip():
+    """End-to-end twin of the scan-level ZRL test: images built by inverse
+    DCT of crafted sparse blocks (one |coef| >= 4 followed 17+ positions
+    later by a +/-1) so the full progressive encoder emits the
+    straddled-correction-bit pattern. Pre-fix this failed 19/40."""
+    quality = 85
+    qt = jpegc._scaled_qt(jpegc.QT_LUMA, quality)
+    rng = np.random.default_rng(0)
+    checked = 0
+    for _ in range(20):
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0] = int(rng.integers(-20, 20))
+        k_nh = int(rng.integers(2, 30))
+        zz[k_nh] = int(rng.choice([-7, -5, 4, 5, 6, 7]))
+        k_new = min(63, k_nh + 17 + int(rng.integers(0, 12)))
+        zz[k_new] = int(rng.choice([-1, 1]))
+        nat = np.zeros(64)
+        nat[jpegc.ZIGZAG] = zz  # scatter zigzag -> natural, THEN dequantize
+        nat *= qt.reshape(64)
+        img = np.clip(
+            np.round(jpegc._C.T @ nat.reshape(8, 8) @ jpegc._C + 128.0), 0, 255
+        ).astype(np.uint8)
+        got = jpegc._quantized_zz(
+            [img.astype(np.float64) - 128.0], [qt], [0], [(1, 1)], 1, 1
+        )[0][0, 0]
+        if not (abs(got[k_nh]) >= 4 and abs(got[k_new]) == 1):
+            continue  # rounding ate the pattern; skip, count the rest
+        checked += 1
+        base = jpegc.jpeg_decode(jpegc.jpeg_encode(img, quality=quality))
+        prog = jpegc.jpeg_decode(jpegc.jpeg_encode_progressive(img, quality=quality))
+        assert np.array_equal(base, prog)
+    assert checked >= 15  # the construction reliably produces the pattern
+
+
 def test_jpeg_fill_bytes_and_tem_marker_tolerated():
     """Spec-valid 0xFF fill padding + standalone TEM (0xFF01) between
     segments must not derail the marker walk (ADVICE r6)."""
