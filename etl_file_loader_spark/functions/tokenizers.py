@@ -273,7 +273,7 @@ def fit_bpe_merges(
     num_merges: int = 12,
     min_count: int = 2,
     pattern: str = DEFAULT_PRETOKEN_PATTERN,
-    max_words: int | None = None,
+    max_words: int | None = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn a TRUE byte-pair-encoding merges table (ranked pair merges,
     the GPT-style artifact) from the corpus.
@@ -288,10 +288,13 @@ def fit_bpe_merges(
     sized work is ONE aggregation (pre-token explode -> word counts,
     shuffle ∝ distinct words); merge learning then runs over the bounded
     word-count table on the driver (HuggingFace/SentencePiece train
-    in-memory over exactly this table). At 100 TB bound the table with
-    ``max_words`` (top-K by count, ties by word — logged loudly when it
-    truncates; the dropped tail is the low-frequency words that barely
-    move pair counts).
+    in-memory over exactly this table). The driver collect is bounded BY
+    DEFAULT: ``max_words`` keeps the top-K words by count (ties by word —
+    logged loudly when it truncates; the dropped tail is the
+    low-frequency words that barely move pair counts). 2M is the
+    HF/SentencePiece-convention scale for trainer word tables; pass
+    ``max_words=None`` to opt out explicitly. Truncation detection rides
+    the same TakeOrdered job (top K+1 rows), no extra count pass.
 
     The SQL oracle (``packed_sequences_bpe``) RE-LEARNS these merges with
     the identical counting, tie-break, and single-pass merge rules, so
@@ -304,16 +307,20 @@ def fit_bpe_merges(
     )
     counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     if max_words is not None:
-        total = counts.count()
-        if total > max_words:
+        # K+1 rows through the same global TakeOrdered: row K+1 existing IS
+        # the truncation signal — no separate counts.count() job
+        rows = counts.orderBy(F.col("c").desc(), F.col("w")).limit(max_words + 1).collect()
+        if len(rows) > max_words:
             logging.getLogger(__name__).warning(
-                "fit_bpe_merges: word table truncated %d -> %d (top by count); "
-                "pair statistics exclude the dropped low-frequency tail",
-                total,
+                "fit_bpe_merges: word table truncated to top %d by count; "
+                "pair statistics exclude the dropped low-frequency tail "
+                "(pass max_words=None to collect the full table)",
                 max_words,
             )
-        counts = counts.orderBy(F.col("c").desc(), F.col("w")).limit(max_words)
-    wc = [(r["w"], int(r["c"])) for r in counts.collect()]
+            rows = rows[:max_words]
+    else:
+        rows = counts.collect()
+    wc = [(r["w"], int(r["c"])) for r in rows]
 
     segs: list[list[str]] = [list(w) for w, _ in wc]
     freqs = [c for _, c in wc]

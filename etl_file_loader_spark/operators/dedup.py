@@ -289,17 +289,19 @@ def _cap_buckets(
     cap at all, and prefer composing near-dedup BEFORE simhash
     (``CurationConfig.simhash_dedup``) so families collapse upstream.
 
-    Costs one extra shuffle (the per-bucket window) plus one eager
-    bucket-size aggregate for the accounting — opt-in, never on the
-    default path.
+    Costs one extra shuffle (the per-bucket window, executed ONCE — in the
+    returned frame) plus one eager plain bucket-size aggregate for the
+    accounting (groupBy count, no window sort: bucket size == max row
+    number, so ranking isn't needed to detect truncation) — opt-in, never
+    on the default path.
     """
     if cap < 2:
         raise ValueError(f"cap ({cap}) must be >= 2 to keep any pairs")
     w = Window.partitionBy(*bucket_cols).orderBy(F.col(id_col))
     ranked = members.withColumn("_rnk", F.row_number().over(w))
     over = (
-        ranked.groupBy(*bucket_cols)
-        .agg(F.max("_rnk").alias("_m"))
+        members.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_m"))
         .filter(F.col("_m") > cap)
         .agg(
             F.count(F.lit(1)).alias("buckets"),
