@@ -628,6 +628,79 @@ ORDER BY d.doc_id
 """
 
 
+def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM fluency scoring with interpolated (Jelinek-Mercer)
+    backoff: per-doc mean of ``ln(0.6*P3 + 0.3*P2 + 0.1*P1)`` under the
+    corpus's own counts — the order-3 rung above ``bigram_logprob``
+    (operators/text.py:trigram_logprob)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.trigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# Twin discipline (same as the bigram oracle, one order up): the mixture is
+# ONE fixed left-to-right double expression, and the per-doc sum folds over
+# the (c3, x3, c2, x2, c1 -> m) profile in ascending sorted order — the
+# canonical fold that keeps 1-ulp ln() engine drift inside the round(6) grid.
+Q_TRIGRAM_LOGPROB_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END,
+           t -> lower(t)) AS toks
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, toks[i] AS p2, toks[i + 1] AS p1, toks[i + 2] AS w
+  FROM base, unnest(range(1, len(toks) - 1)) t(i)
+  WHERE len(toks) >= 3
+),
+bg AS (
+  SELECT toks[i] AS p1, toks[i + 1] AS w
+  FROM base, unnest(range(1, len(toks))) t(i)
+  WHERE len(toks) >= 2
+),
+ug AS (SELECT u.w FROM base, unnest(toks) u(w)),
+c3 AS (SELECT p2, p1, w, count(*) AS c3 FROM tg GROUP BY p2, p1, w),
+x3 AS (SELECT p2, p1, count(*) AS x3 FROM tg GROUP BY p2, p1),
+c2 AS (SELECT p1, w, count(*) AS c2 FROM bg GROUP BY p1, w),
+x2 AS (SELECT p1, count(*) AS x2 FROM bg GROUP BY p1),
+c1 AS (SELECT w, count(*) AS c1 FROM ug GROUP BY w),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS T1 FROM ug),
+j AS (
+  SELECT tg.doc_id, c3.c3, x3.x3, c2.c2, x2.x2, c1.c1
+  FROM tg JOIN c3 USING (p2, p1, w) JOIN x3 USING (p2, p1)
+          JOIN c2 USING (p1, w) JOIN x2 USING (p1) JOIN c1 USING (w)
+),
+prof AS (
+  SELECT doc_id, c3, x3, c2, x2, c1, count(*) AS m
+  FROM j GROUP BY doc_id, c3, x3, c2, x2, c1
+),
+doc AS (
+  SELECT doc_id,
+         CAST(sum(m) AS BIGINT) AS n_trigrams,
+         list(struct_pack(c3 := c3, x3 := x3, c2 := c2, x2 := x2, c1 := c1, m := m)
+              ORDER BY c3, x3, c2, x2, c1) AS profile
+  FROM prof GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(doc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       CASE WHEN doc.n_trigrams IS NULL THEN NULL
+            ELSE round(
+              list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(doc.profile,
+                    s -> CAST(s.m AS DOUBLE) * ln(
+                      0.6 * (CAST(s.c3 AS DOUBLE) / CAST(s.x3 AS DOUBLE))
+                      + 0.3 * (CAST(s.c2 AS DOUBLE) / CAST(s.x2 AS DOUBLE))
+                      + 0.1 * (CAST(s.c1 AS DOUBLE) / tot.T1)))),
+                (a, b) -> a + b)
+              / doc.n_trigrams, 6) END AS mean_logprob
+FROM documents d LEFT JOIN doc USING (doc_id), tot
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # HTML / boilerplate extraction (round 6 — curation front door)
 # ---------------------------------------------------------------------------
@@ -746,6 +819,7 @@ QUERIES.update(
     {
         "text_stats": q_text_stats,
         "bigram_logprob": q_bigram_logprob,
+        "trigram_logprob": q_trigram_logprob,
         "text_quality_lang": q_text_quality_lang,
         "doc_length_stats": q_doc_length_stats,
         "corpus_curation": q_corpus_curation,
@@ -777,6 +851,7 @@ ORACLES.update(
         "quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
+        "trigram_logprob": Q_TRIGRAM_LOGPROB_SQL,
         "html_extract": Q_HTML_EXTRACT_SQL,
     }
 )

@@ -449,6 +449,41 @@ def test_bigram_logprob_math(spark):
     assert out[4]["n_bigrams"] == 0 and out[4]["mean_logprob"] is None
 
 
+def test_trigram_logprob_math(spark):
+    """Hand-computable Jelinek-Mercer mixture ln(0.6*P3 + 0.3*P2 + 0.1*P1).
+
+    Corpus "a b a b a" + "a c": trigrams only from doc 1 (aba x2, bab x1,
+    so x3(a,b)=2, x3(b,a)=1); bigrams ab x2, ba x2, ac x1 (x2(a)=3,
+    x2(b)=2); unigrams a=4, b=2, c=1, N=7."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a c"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.trigram_logprob(df, "doc_id", "text").collect()}
+    # doc 1 positions: (a,b->a): P3=2/2, P2=ba|b=2/2, P1=4/7
+    #                  (b,a->b): P3=1/1, P2=ab|a=2/3, P1=2/7
+    #                  (a,b->a) again
+    mix_aba = 0.6 * 1.0 + 0.3 * 1.0 + 0.1 * (4 / 7)
+    mix_bab = 0.6 * 1.0 + 0.3 * (2 / 3) + 0.1 * (2 / 7)
+    expect1 = round((2 * math.log(mix_aba) + math.log(mix_bab)) / 3, 6)
+    assert out[1]["n_trigrams"] == 3
+    assert out[1]["mean_logprob"] == pytest.approx(expect1, abs=1e-9)
+    # < 3 tokens: no trigrams, NULL score
+    assert out[2]["n_trigrams"] == 0 and out[2]["mean_logprob"] is None
+    assert out[3]["n_trigrams"] == 0 and out[3]["mean_logprob"] is None
+
+
+def test_trigram_logprob_single_doc_probe(spark):
+    """The VERDICT r7 probe pinned as a regression: one doc "a b a b a"
+    trained on itself. Counts: c3(aba)=2/x3(ab)=2, c3(bab)=1/x3(ba)=1,
+    c2(ab)=c2(ba)=2 with x2(a)=x2(b)=2, unigrams a=3 b=2 N=5, so the three
+    positions mix to 0.96, 0.94, 0.96."""
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    row = text.trigram_logprob(df, "doc_id", "text").collect()[0]
+    expect = round((2 * math.log(0.96) + math.log(0.94)) / 3, 6)
+    assert row["n_trigrams"] == 3
+    assert row["mean_logprob"] == pytest.approx(expect, abs=1e-9)
+
+
 # ---------------------------------------------------------------------------
 # simhash family-size cap + curation composition (round 7)
 # ---------------------------------------------------------------------------
