@@ -33,11 +33,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distinct operator individually, plus four digest queries that fold the
     TPC-H sweep / analytics variants / scale-variant dedup demos / long-green
     ingestion-pipeline rows into one value-verified row per member (see
-    digest.py; window rotated round 5 — 15 entries the r04 window never
-    checked individually). The full per-query registry stays in
-    suite.QUERIES for bench and interactive use; approximate result-set
-    demos' graded contract is their oracle-checked ``*_recall`` twin (same
-    code path run against the exact operator)."""
+    digest.py; window rotated rounds 5, 6, and 8 — the round-8 rotation
+    promoted all 14 queries the driver had never checked directly plus the
+    new trigram LM, demoting 15 long-green rows into corpus_digest). The
+    full per-query registry stays in suite.QUERIES for bench and
+    interactive use. Eight window entries are approximate result-set demos
+    with no SQL oracle (suite._ROWS_ONLY — the driver records rows-only for
+    them); their graded value contract is their oracle-checked
+    ``*_recall``/``*_check`` twin in this same window (same code path run
+    against the exact operator)."""
     return {k: suite.QUERIES[k] for k in suite.CHECKED_QUERIES}
 
 

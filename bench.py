@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "html_extract",
     "packed_sequences_greedy",
     "multimodal_jpeg_real",
+    # round 8: true-BPE layout + order-3 interpolated-backoff LM
+    "packed_sequences_bpe",
+    "trigram_logprob",
 ]
 
 

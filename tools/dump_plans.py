@@ -178,6 +178,22 @@ COMMENTARY = {
         "a separate one-shot aggregation bounded by vocab_size rows to the "
         "driver — the same artifact shape a BPE trainer ships."
     ),
+    "packed_sequences_bpe": (
+        "Round 8: same single seq-keyed exchange as the other packed "
+        "layouts; the only additions are the one-shot merges FIT (a word "
+        "count aggregate whose driver collect is bounded by max_words "
+        "TakeOrdered — 2M default) and an ArrowEvalPython BPE encode node "
+        "with a per-batch word cache in the scan projection. Serving "
+        "shuffles nothing extra; fit shuffle ∝ distinct words."
+    ),
+    "trigram_logprob": (
+        "Round 8: order-3 rung of the LM ladder — three event explodes "
+        "(shuffle ∝ corpus tokens) feed five count aggregates, key-joined "
+        "back to the trigram stream, then ONE per-doc aggregate folding "
+        "the count profile in canonical order. Zipf-hot context keys ride "
+        "AQE skew-split like the bigram; no driver-side state at all (the "
+        "\"model\" stays distributed as count tables)."
+    ),
 }
 
 
