@@ -651,7 +651,8 @@ def simhash_dedup(
 
     1. Compose MinHash near-dedup BEFORE simhash so families collapse
        upstream (``CurationConfig.simhash_dedup`` runs exactly this order;
-       measured well under the solo number at sf10 — NOTES_r7).
+       measured 36.3 s vs 1007 s solo at sf10 — NOTES_r8 §7 /
+       BENCH_sf10_r8.json).
     2. Opt into ``max_family_size``: caps every block bucket to that many
        smallest ids before pair expansion, with loud truncation accounting
        (see :func:`_cap_buckets` — capping can only RETAIN extra docs,
