@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     # round 8: true-BPE layout + order-3 interpolated-backoff LM
     "packed_sequences_bpe",
     "trigram_logprob",
+    # round 8: exact-substring span removal (Lee et al. semantics)
+    "span_dedup",
 ]
 
 

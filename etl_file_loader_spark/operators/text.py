@@ -934,3 +934,123 @@ def contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("matched_grams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring span removal (self-dedup of duplicated text, not docs)
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_spans(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Remove verbatim-duplicated token spans from documents, keeping the
+    globally-FIRST occurrence of each duplicated window.
+
+    The span-level counterpart of suffix-array exact-substring dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): instead of dropping whole documents, cut the duplicated
+    SPANS out of each doc and keep the unique remainder. Granularity is
+    the w-token window (the same primitive as
+    :func:`duplicated_window_stats`): any window string occurring >= 2
+    times corpus-wide (same-doc repeats count) is duplicated text; every
+    occurrence EXCEPT the global first — min ``(doc id, position)`` — is
+    marked, marked windows ``[p, p+w)`` merge per doc into maximal spans
+    (overlapping or touching windows coalesce), and the doc rebuilds from
+    its uncovered tokens. A doc duplicated in full rebuilds to ''.
+    Whitespace canonicalizes to single spaces in the rebuilt text (same
+    contract as :func:`line_dedup`'s rebuild).
+
+    Plan shape (100 TB): one posexplode to (doc, pos, window-string) rows
+    [shuffle ∝ corpus tokens]; ONE map-side-combinable gram aggregation
+    computing (count, min (doc,pos)) per window string; a gram-keyed join
+    back restricted to duplicated grams (Zipf-hot boilerplate grams ride
+    AQE skew-join); then all per-doc work — interval island-merge via one
+    (doc, pos)-sorted window chain and the span/token rebuild — in a
+    single doc-keyed shuffle. No pairwise comparison, no driver state.
+    Cross-engine: integers + strings only, DuckDB-oracle-checked
+    (suite ``span_dedup``).
+
+    Returns (id, n_tokens, removed_tokens, n_spans, cleaned_text).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    base = corpus.select(F.col(id_col), toks.alias("_toks")).persist()
+    occ = base.select(
+        F.col(id_col),
+        F.posexplode(_gram_array(F.col("_toks"), window)).alias("_pos", "_gram"),
+    )
+    # one combinable aggregate per window string: total occurrences + the
+    # lexicographic-min (doc, pos) = the occurrence that survives
+    firsts = (
+        occ.groupBy("_gram")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col(id_col).alias("_fid"), F.col("_pos").alias("_fpos"))).alias("_first"),
+        )
+        .filter(F.col("_cnt") >= 2)
+        .select("_gram", "_first")
+    )
+    marked = (
+        occ.join(firsts, "_gram")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_first._fid"))
+                & (F.col("_pos") == F.col("_first._fpos"))
+            )
+        )
+        .select(F.col(id_col), F.col("_pos"))
+    )
+    # island merge: one doc-keyed sort shared by the whole window chain
+    wd = Window.partitionBy(id_col).orderBy("_pos")
+    m = (
+        marked.withColumn("_end", F.col("_pos") + F.lit(window))
+        .withColumn(
+            "_pmax",
+            F.max("_end").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_pmax").isNull() | (F.col("_pos") > F.col("_pmax")), 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(wd))
+    )
+    spans = (
+        m.groupBy(id_col, "_isl")
+        .agg(F.min("_pos").alias("_s"), F.max("_end").alias("_e"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_s"), F.col("_e")))
+            ).alias("_spans")
+        )
+    )
+    joined = base.join(spans, id_col, "left")
+    empty_spans = F.array().cast("array<struct<_s:long,_e:long>>")
+    sp = F.coalesce(F.col("_spans").cast("array<struct<_s:long,_e:long>>"), empty_spans)
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_spans"), lambda s: (i >= s["_s"]) & (i < s["_e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(F.col("_toks")).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(
+                sp, F.lit(0).cast("long"), lambda acc, s: acc + s["_e"] - s["_s"]
+            ),
+            F.lit(0).cast("long"),
+        ).alias("removed_tokens"),
+        F.coalesce(F.size(F.col("_spans")), F.lit(0)).cast("long").alias("n_spans"),
+        F.when(
+            F.col("_spans").isNull(), F.array_join(F.col("_toks"), " ")
+        ).otherwise(F.array_join(kept, " ")).alias("cleaned_text"),
+    )

@@ -422,6 +422,85 @@ ORDER BY b.doc_id
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring SPAN removal (Lee et al. 2021 semantics at 5-token
+    windows): duplicated windows — >= 2 occurrences corpus-wide, same-doc
+    repeats included — are cut out of every doc except the globally-first
+    occurrence, overlapping windows merging into maximal spans; docs
+    rebuild from their uncovered tokens. The oracle replays the identical
+    count/rank/island-merge/rebuild pipeline in DuckDB window functions."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.remove_duplicate_spans(docs, "doc_id", "text", window=5).orderBy(
+        "doc_id"
+    )
+
+
+Q_SPAN_DEDUP_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS g
+  FROM d, unnest(range(1, len(w) - 5 + 2)) t(i)
+  WHERE len(w) >= 5
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY g) AS cnt,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk
+    FROM occ
+  ) WHERE cnt >= 2 AND rk >= 2
+),
+isl AS (
+  SELECT doc_id, pos, pos + 5 AS e,
+         max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM marked
+),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(e) AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS tok
+  FROM d, unnest(range(1, len(w) + 1)) t(i)
+),
+keptt AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.e)
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM keptt GROUP BY doc_id
+),
+sp AS (
+  SELECT doc_id,
+         CAST(sum(e - s) AS BIGINT) AS removed_tokens,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sp.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+       COALESCE(a.cleaned_text, '') AS cleaned_text
+FROM d LEFT JOIN sp USING (doc_id) LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global line dedup over the documents table: first occurrence
     of every distinct non-blank line survives, docs rebuild from surviving
@@ -829,6 +908,7 @@ QUERIES.update(
         "contamination_check": q_contamination_check,
         "duplicated_windows": q_duplicated_windows,
         "line_dedup": q_line_dedup,
+        "span_dedup": q_span_dedup,
         "quality_classifier": q_quality_classifier,
         "unigram_logprob": q_unigram_logprob,
         "html_extract": q_html_extract,
@@ -848,6 +928,7 @@ ORACLES.update(
         "contamination_check": Q_CONTAMINATION_SQL,
         "duplicated_windows": Q_DUPLICATED_WINDOWS_SQL,
         "line_dedup": Q_LINE_DEDUP_SQL,
+        "span_dedup": Q_SPAN_DEDUP_SQL,
         "quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "bigram_logprob": Q_BIGRAM_LOGPROB_SQL,

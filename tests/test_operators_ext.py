@@ -786,3 +786,96 @@ def test_remove_near_duplicates_keeps_representatives(spark):
     )
     # min-id representative (1) survives its cluster {1,2,3}; 4 untouched
     assert kept == [1, 4]
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans (exact-substring span removal, Lee et al. semantics)
+# ---------------------------------------------------------------------------
+
+
+def _span_rows(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r
+        for r in text.remove_duplicate_spans(df, "doc_id", "text", window=5).collect()
+    }
+
+
+def test_span_dedup_cross_doc_keeps_first(spark):
+    shared = "alpha bravo charlie delta echo"
+    out = _span_rows(
+        spark,
+        [
+            (1, f"{shared} unique one tail words here"),
+            (2, f"prefix words go here {shared}"),
+        ],
+    )
+    # doc 1 holds the globally-first occurrence -> untouched
+    assert out[1]["n_spans"] == 0
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["cleaned_text"].startswith(shared)
+    # doc 2's copy is cut; its unique prefix survives
+    assert out[2]["n_spans"] == 1
+    assert out[2]["removed_tokens"] == 5
+    assert out[2]["cleaned_text"] == "prefix words go here"
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    s = "one two three four five"
+    out = _span_rows(spark, [(1, f"{s} mid {s}")])
+    # second in-doc occurrence removed, first kept
+    assert out[1]["n_spans"] == 1
+    assert out[1]["removed_tokens"] == 5
+    assert out[1]["cleaned_text"] == f"{s} mid"
+
+
+def test_span_dedup_overlapping_windows_merge(spark):
+    # 7 shared tokens -> 3 overlapping dup windows in doc 2 -> ONE span of 7
+    shared = "w1 w2 w3 w4 w5 w6 w7"
+    out = _span_rows(
+        spark,
+        [
+            (1, f"{shared} doc one specific closing words"),
+            (2, f"doc two specific opening words {shared}"),
+        ],
+    )
+    assert out[2]["n_spans"] == 1
+    assert out[2]["removed_tokens"] == 7
+    assert out[2]["cleaned_text"] == "doc two specific opening words"
+
+
+def test_span_dedup_full_doc_duplicate(spark):
+    t = "exact copy of this entire short document text body"
+    out = _span_rows(spark, [(1, t), (2, t)])
+    assert out[1]["cleaned_text"] == t  # first occurrence survives verbatim
+    assert out[2]["cleaned_text"] == ""
+    assert out[2]["removed_tokens"] == out[2]["n_tokens"]
+
+
+def test_span_dedup_two_separate_islands(spark):
+    a = "a1 a2 a3 a4 a5"
+    b = "b1 b2 b3 b4 b5"
+    out = _span_rows(
+        spark,
+        [
+            (1, f"{a} filler {b}"),
+            (2, f"{a} gap1 gap2 gap3 gap4 gap5 gap6 {b}"),
+        ],
+    )
+    # both shared 5-grams duplicated; doc 2 loses two disjoint spans
+    assert out[2]["n_spans"] == 2
+    assert out[2]["removed_tokens"] == 10
+    assert out[2]["cleaned_text"] == "gap1 gap2 gap3 gap4 gap5 gap6"
+
+
+def test_span_dedup_no_dups_and_short_docs(spark):
+    out = _span_rows(
+        spark,
+        [(1, "totally unique words nothing shared anywhere"), (2, "tiny doc"), (3, "")],
+    )
+    for i in (1, 2, 3):
+        assert out[i]["n_spans"] == 0
+        assert out[i]["removed_tokens"] == 0
+    assert out[1]["cleaned_text"] == "totally unique words nothing shared anywhere"
+    assert out[2]["cleaned_text"] == "tiny doc"
+    assert out[3]["cleaned_text"] == ""

@@ -186,6 +186,16 @@ COMMENTARY = {
         "with a per-batch word cache in the scan projection. Serving "
         "shuffles nothing extra; fit shuffle ∝ distinct words."
     ),
+    "span_dedup": (
+        "Round 8: exact-substring SPAN removal. One posexplode (rows ∝ "
+        "corpus tokens) -> ONE map-side-combinable gram aggregate carrying "
+        "(count, min (doc,pos)) so 'first occurrence' costs nothing extra "
+        "-> gram-keyed join back restricted to duplicated grams (Zipf-hot "
+        "boilerplate grams ride AQE skew-join) -> island merge + rebuild "
+        "in a single doc-keyed sort shared by the whole window chain. No "
+        "pairwise comparison, no driver state; the rebuild is a pure HOF "
+        "filter over the token array against the per-doc span list."
+    ),
     "trigram_logprob": (
         "Round 8: order-3 rung of the LM ladder — three event explodes "
         "(shuffle ∝ corpus tokens) feed five count aggregates, key-joined "
