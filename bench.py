@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "trigram_logprob",
     # round 8: exact-substring span removal (Lee et al. semantics)
     "span_dedup",
+    # round 8: interpolated Kneser-Ney rung of the LM ladder
+    "kn_bigram_logprob",
 ]
 
 

@@ -75,6 +75,68 @@ FROM base ORDER BY doc_id
 """
 
 
+def q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram fluency scoring (fixed D = 0.75):
+    per-doc mean of ``ln((c-D)/ctx + D*f/ctx*pc/B)`` under the corpus's
+    own counts — the KN-smoothed rung of the LM ladder
+    (operators/text.py:kn_bigram_logprob). The oracle recomputes the
+    identical type-table-derived quantities and the identical
+    left-to-right mixture expression."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.kn_bigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+Q_KN_BIGRAM_LOGPROB_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END,
+           t -> lower(t)) AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+  FROM base, unnest(range(1, len(toks))) t(i)
+  WHERE len(toks) >= 2
+),
+cb AS (SELECT p, w, count(*) AS c FROM bg GROUP BY p, w),
+ctxf AS (SELECT p, sum(c) AS ctx, count(*) AS f FROM cb GROUP BY p),
+pcs AS (SELECT w, count(*) AS pc FROM cb GROUP BY w),
+bt AS (SELECT count(*) AS bt FROM cb),
+j AS (
+  SELECT bg.doc_id, cb.c, ctxf.ctx, ctxf.f, pcs.pc
+  FROM bg JOIN cb USING (p, w) JOIN ctxf USING (p) JOIN pcs USING (w)
+),
+prof AS (
+  SELECT doc_id, c, ctx, f, pc, count(*) AS m
+  FROM j GROUP BY doc_id, c, ctx, f, pc
+),
+doc AS (
+  SELECT doc_id,
+         CAST(sum(m) AS BIGINT) AS n_bigrams,
+         list(struct_pack(c := c, ctx := ctx, f := f, pc := pc, m := m)
+              ORDER BY c, ctx, f, pc) AS profile
+  FROM prof GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(doc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN doc.n_bigrams IS NULL THEN NULL
+            ELSE round(
+              list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(doc.profile,
+                    s -> CAST(s.m AS DOUBLE) * ln(
+                      (CAST(s.c AS DOUBLE) - 0.75) / CAST(s.ctx AS DOUBLE)
+                      + 0.75 * CAST(s.f AS DOUBLE) / CAST(s.ctx AS DOUBLE)
+                        * CAST(s.pc AS DOUBLE) / CAST(bt.bt AS DOUBLE)))),
+                (a, b) -> a + b)
+              / doc.n_bigrams, 6) END AS mean_logprob
+FROM documents d LEFT JOIN doc USING (doc_id) CROSS JOIN bt
+ORDER BY d.doc_id
+"""
+
+
 def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score + heuristic language ID + canonical fingerprint."""
     docs = _t(spark, sf_dir, "documents")
@@ -899,6 +961,7 @@ QUERIES.update(
         "text_stats": q_text_stats,
         "bigram_logprob": q_bigram_logprob,
         "trigram_logprob": q_trigram_logprob,
+        "kn_bigram_logprob": q_kn_bigram_logprob,
         "text_quality_lang": q_text_quality_lang,
         "doc_length_stats": q_doc_length_stats,
         "corpus_curation": q_corpus_curation,
@@ -933,6 +996,7 @@ ORACLES.update(
         "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
         "trigram_logprob": Q_TRIGRAM_LOGPROB_SQL,
+        "kn_bigram_logprob": Q_KN_BIGRAM_LOGPROB_SQL,
         "html_extract": Q_HTML_EXTRACT_SQL,
     }
 )

@@ -484,6 +484,98 @@ def test_trigram_logprob_single_doc_probe(spark):
     assert row["mean_logprob"] == pytest.approx(expect, abs=1e-9)
 
 
+def test_kn_bigram_logprob_math(spark):
+    """Hand-computable interpolated Kneser-Ney mixture (D = 0.75).
+
+    Corpus = one doc "a b a b": bigram types (a,b) c=2, (b,a) c=1;
+    ctx(a)=2 f(a)=1, ctx(b)=1 f(b)=1; pc(a)=1 pc(b)=1; B=2.
+    P(b|a) = (2-.75)/2 + .75*1/2*1/2 = 0.8125
+    P(a|b) = (1-.75)/1 + .75*1/1*1/2 = 0.625"""
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "z"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in text.kn_bigram_logprob(df, "doc_id", "text").collect()
+    }
+    expect1 = round((2 * math.log(0.8125) + math.log(0.625)) / 3, 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_logprob"] == pytest.approx(expect1, abs=1e-9)
+    assert out[2]["n_bigrams"] == 0 and out[2]["mean_logprob"] is None
+    assert out[3]["n_bigrams"] == 0 and out[3]["mean_logprob"] is None
+
+
+def test_kn_bigram_matches_reference_implementation(spark):
+    """Cross-check the distributed KN estimator against a direct Python
+    reimplementation on a multi-doc corpus with shared vocabulary."""
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog"),
+    ]
+    from collections import Counter
+
+    D = 0.75
+    bigrams = []
+    per_doc: dict[int, list[tuple[str, str]]] = {}
+    for did, txt in corpus:
+        ts = txt.lower().split()
+        bgs = list(zip(ts, ts[1:]))
+        per_doc[did] = bgs
+        bigrams.extend(bgs)
+    c = Counter(bigrams)
+    ctx = Counter()
+    f = Counter()
+    pc = Counter()
+    for (p, w), n in c.items():
+        ctx[p] += n
+        f[p] += 1
+        pc[w] += 1
+    B = len(c)
+
+    def prob(p, w):
+        return (c[(p, w)] - D) / ctx[p] + D * f[p] / ctx[p] * pc[w] / B
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in text.kn_bigram_logprob(df, "doc_id", "text").collect()
+    }
+    for did, bgs in per_doc.items():
+        expect = round(sum(math.log(prob(p, w)) for p, w in bgs) / len(bgs), 6)
+        assert out[did]["n_bigrams"] == len(bgs)
+        assert out[did]["mean_logprob"] == pytest.approx(expect, abs=1e-9), did
+
+
+def test_kn_bigram_vocabulary_normalization(spark):
+    """The KN estimator's defining property: for every context p,
+    sum over the FULL vocab of P(w|p) -- observed types via the
+    discounted term, everything else via backoff mass -- equals 1."""
+    corpus = [(1, "a b a c a b"), (2, "b c b a")]
+    from collections import Counter
+
+    D = 0.75
+    bigrams = []
+    for _, txt in corpus:
+        ts = txt.split()
+        bigrams.extend(zip(ts, ts[1:]))
+    c = Counter(bigrams)
+    ctx = Counter()
+    f = Counter()
+    pc = Counter()
+    vocab = set()
+    for (p, w), n in c.items():
+        ctx[p] += n
+        f[p] += 1
+        pc[w] += 1
+        vocab.update((p, w))
+    B = len(c)
+    for p in ctx:
+        total = sum(
+            (max(c[(p, w)] - D, 0.0)) / ctx[p] + D * f[p] / ctx[p] * pc[w] / B
+            for w in vocab
+        )
+        assert total == pytest.approx(1.0, abs=1e-12), p
+
+
 # ---------------------------------------------------------------------------
 # simhash family-size cap + curation composition (round 7)
 # ---------------------------------------------------------------------------

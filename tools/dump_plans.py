@@ -186,6 +186,15 @@ COMMENTARY = {
         "with a per-batch word cache in the scan projection. Serving "
         "shuffles nothing extra; fit shuffle ∝ distinct words."
     ),
+    "kn_bigram_logprob": (
+        "Round 8: Kneser-Ney smoothing costs LESS than the bigram MLE rung "
+        "despite the richer model — ctx/follower-type/predecessor-type "
+        "counts all derive from the bigram TYPE table (rows ∝ distinct "
+        "bigrams, not tokens), so the explode stream is aggregated exactly "
+        "once; the total-types scalar broadcasts. One explode shuffle + "
+        "type-table aggregates + key-join back + one per-doc canonical "
+        "fold. Zipf-hot contexts ride AQE skew-split like the other rungs."
+    ),
     "span_dedup": (
         "Round 8: exact-substring SPAN removal. One posexplode (rows ∝ "
         "corpus tokens) -> ONE map-side-combinable gram aggregate carrying "
