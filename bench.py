@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "span_dedup",
     # round 8: interpolated Kneser-Ney rung of the LM ladder
     "kn_bigram_logprob",
+    # round 8: UniMax/alpha-sampling domain mixture
+    "temperature_mixture",
 ]
 
 

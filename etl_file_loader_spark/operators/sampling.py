@@ -450,3 +450,73 @@ def shard_manifest(
         )
         .orderBy(*keys)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    size_col: str,
+    alpha: float = 0.5,
+    budget: float | None = None,
+    max_epochs: float | None = None,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based domain mixture with an epoch cap — the UniMax /
+    multilingual alpha-sampling schedule (Conneau-Lample temperature
+    sampling; Chung et al. 2023 UniMax caps): resample each domain toward
+
+        ``p_d ∝ T_d^alpha``   (T_d = the domain's total ``size_col``)
+
+    so low-resource domains are boosted and high-resource ones tempered
+    (alpha = 1 keeps natural proportions, alpha -> 0 approaches uniform),
+    with ``max_epochs`` bounding any domain's repeat factor (the UniMax
+    rule: never see a corpus more than N times, spend the leftover budget
+    elsewhere). The per-domain weight is ``B * T_d^alpha / Σ T^alpha /
+    T_d`` (B = ``budget``, default the corpus's own total size), applied
+    through :func:`weighted_repeat`'s deterministic per-doc Bernoulli.
+
+    Cross-engine determinism discipline: domain totals are EXACT integer
+    sums; the normalizer folds ``T^alpha`` over the ascending-domain
+    array (canonical order); alpha = 0.5 uses ``sqrt`` (IEEE-exact in
+    every engine, unlike ``pow``'s 1-ulp license — the suite oracle runs
+    this alpha); the weight is ONE left-to-right double expression.
+
+    Plan shape (100 TB): one map-side-combinable aggregate to |domains|
+    rows, a 1-row canonical fold, two broadcasts back — the corpus itself
+    is never shuffled; the repeat explode is a narrow projection.
+    Output: input columns + ``_mix_w`` (the applied weight) + ``_epoch``.
+    """
+    totals = df.groupBy(domain_col).agg(
+        F.sum(F.col(size_col).cast("long")).alias("_T")
+    )
+    arr = totals.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(domain_col).alias("d"), F.col("_T").alias("t")))
+        ).alias("_ds")
+    )
+    if alpha == 0.5:
+        powf = lambda c: F.sqrt(c)  # noqa: E731 — sqrt is IEEE-exact; pow is not
+    else:
+        powf = lambda c: F.pow(c, F.lit(float(alpha)))  # noqa: E731
+    scal = arr.select(
+        F.aggregate(
+            F.col("_ds"), F.lit(0.0), lambda a, s: a + powf(s["t"].cast("double"))
+        ).alias("_norm"),
+        F.aggregate(
+            F.col("_ds"), F.lit(0).cast("long"), lambda a, s: a + s["t"]
+        ).alias("_G"),
+    )
+    wtab = totals.crossJoin(F.broadcast(scal))
+    b = F.lit(float(budget)) if budget is not None else F.col("_G").cast("double")
+    w = (
+        b
+        * powf(F.col("_T").cast("double"))
+        / F.col("_norm")
+        / F.col("_T").cast("double")
+    )
+    if max_epochs is not None:
+        w = F.least(w, F.lit(float(max_epochs)))
+    wtab = wtab.select(F.col(domain_col), w.alias("_mix_w"))
+    joined = df.join(F.broadcast(wtab), domain_col)
+    return weighted_repeat(joined, id_col, F.col("_mix_w"), salt=salt)

@@ -187,6 +187,62 @@ ORDER BY doc_id, _epoch
 """
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax / alpha-sampling domain mixture (alpha = 0.5, epoch cap 3):
+    per-language char totals -> p_d ∝ sqrt(T_d) -> capped repeat factors
+    -> deterministic per-doc Bernoulli expansion
+    (operators/sampling.py:temperature_mixture). Checked row-for-row:
+    every (doc, epoch) copy under the exact same weight arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling_ops.temperature_mixture(
+            docs, "doc_id", "lang", "n_chars", alpha=0.5, max_epochs=3.0
+        )
+        .select("doc_id", "lang", "_epoch")
+        .orderBy("doc_id", "_epoch")
+    )
+
+
+Q_TEMPERATURE_MIXTURE_SQL = """
+WITH tot AS (
+  SELECT lang, CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS T
+  FROM documents GROUP BY lang
+),
+arr AS (
+  SELECT list(struct_pack(d := lang, t := T) ORDER BY lang) AS ds FROM tot
+),
+scal AS (
+  SELECT
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(ds, x -> sqrt(CAST(x.t AS DOUBLE)))), (a, b) -> a + b) AS norm,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(ds, x -> x.t)), (a, b) -> a + b) AS G
+  FROM arr
+),
+w AS (
+  SELECT lang,
+         least(CAST(G AS DOUBLE) * sqrt(CAST(T AS DOUBLE)) / norm
+               / CAST(T AS DOUBLE), 3.0) AS w
+  FROM tot, scal
+),
+keyed AS (
+  SELECT d.doc_id, d.lang,
+         ('0x' || substr(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS k,
+         w.w AS w
+  FROM documents d JOIN w USING (lang)
+),
+counts AS (
+  SELECT doc_id, lang,
+         CAST(floor(w) AS BIGINT)
+         + CASE WHEN k < round((w - floor(w)) * 10000) THEN 1 ELSE 0 END AS n
+  FROM keyed
+)
+SELECT doc_id, lang, CAST(e AS BIGINT) AS _epoch
+FROM counts, unnest(range(1, n + 1)) t(e)
+ORDER BY doc_id, _epoch
+"""
+
+
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-layout tail: deterministic pseudorandom shuffle
     (md5 ordering key) -> per-language token-budget packing in shuffled
@@ -527,6 +583,7 @@ QUERIES.update(
         "shard_packing": q_shard_packing,
         "hash_split": q_hash_split,
         "weighted_repeat": q_weighted_repeat,
+        "temperature_mixture": q_temperature_mixture,
         "training_order": q_training_order,
         "sequence_chunks": q_sequence_chunks,
         "packed_sequences": q_packed_sequences,
@@ -543,6 +600,7 @@ ORACLES.update(
         "shard_packing": Q_SHARD_PACKING_SQL,
         "hash_split": Q_HASH_SPLIT_SQL,
         "weighted_repeat": Q_WEIGHTED_REPEAT_SQL,
+        "temperature_mixture": Q_TEMPERATURE_MIXTURE_SQL,
         "training_order": Q_TRAINING_ORDER_SQL,
         "sequence_chunks": Q_SEQUENCE_CHUNKS_SQL,
         "packed_sequences": Q_PACKED_SEQUENCES_SQL,

@@ -879,3 +879,76 @@ def test_span_dedup_no_dups_and_short_docs(spark):
     assert out[1]["cleaned_text"] == "totally unique words nothing shared anywhere"
     assert out[2]["cleaned_text"] == "tiny doc"
     assert out[3]["cleaned_text"] == ""
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture (UniMax / alpha-sampling domain mixture)
+# ---------------------------------------------------------------------------
+
+
+def _mix_df(spark, rows):
+    from etl_file_loader_spark.operators import sampling
+
+    df = spark.createDataFrame(rows, "doc_id long, dom string, sz long")
+    return sampling.temperature_mixture(
+        df, "doc_id", "dom", "sz", alpha=0.5, max_epochs=4.0
+    )
+
+
+def test_temperature_mixture_boosts_small_domains(spark):
+    # big: 9 docs of 100; small: 1 doc of 100 -> T_big=900, T_small=100
+    # sqrt weights: 30 / 10; B = 1000
+    # w_big = 1000*30/40/900 = 0.8333..., w_small = 1000*10/40/100 = 2.5
+    rows = [(i, "big", 100) for i in range(9)] + [(100, "small", 100)]
+    out = _mix_df(spark, rows).collect()
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    # the small domain's doc repeats 2 or 3 times (floor 2 + Bernoulli)
+    assert per_doc[100] in (2, 3)
+    # every big-domain doc appears at most once (weight < 1)
+    assert all(per_doc.get(i, 0) <= 1 for i in range(9))
+    # weight column surfaced
+    w = {r["dom"]: r["_mix_w"] for r in out}
+    assert w["small"] == pytest.approx(2.5)
+    assert w["big"] == pytest.approx(1000 * 30 / 40 / 900)
+
+
+def test_temperature_mixture_epoch_cap(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    # tiny domain would get weight 5.05 uncapped; cap at 2 -> exactly 2 copies
+    rows = [(i, "big", 1000) for i in range(10)] + [(99, "tiny", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, sz long")
+    out = sampling.temperature_mixture(
+        df, "doc_id", "dom", "sz", alpha=0.5, max_epochs=2.0
+    ).collect()
+    tiny = [r for r in out if r["doc_id"] == 99]
+    assert len(tiny) == 2
+    assert {r["_epoch"] for r in tiny} == {1, 2}
+
+
+def test_temperature_mixture_alpha_one_is_identity_weights(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    # alpha = 1: p_d proportional to T_d -> every weight exactly 1.0
+    rows = [(1, "a", 50), (2, "a", 150), (3, "b", 400)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, sz long")
+    out = sampling.temperature_mixture(df, "doc_id", "dom", "sz", alpha=1.0).collect()
+    assert len(out) == 3
+    assert all(r["_mix_w"] == pytest.approx(1.0) for r in out)
+    assert all(r["_epoch"] == 1 for r in out)
+
+
+def test_temperature_mixture_budget_scales_output(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    # explicit half budget with alpha=1 -> every weight exactly 0.5
+    rows = [(i, "a", 100) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, sz long")
+    out = sampling.temperature_mixture(
+        df, "doc_id", "dom", "sz", alpha=1.0, budget=2000.0
+    ).collect()
+    assert all(r["_mix_w"] == pytest.approx(0.5) for r in out)
+    # deterministic Bernoulli keeps roughly half (exact set fixed by md5 keys)
+    assert 10 <= len(out) <= 30

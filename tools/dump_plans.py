@@ -186,6 +186,14 @@ COMMENTARY = {
         "with a per-batch word cache in the scan projection. Serving "
         "shuffles nothing extra; fit shuffle ∝ distinct words."
     ),
+    "temperature_mixture": (
+        "Round 8: UniMax/alpha-sampling mixture — the corpus is NEVER "
+        "shuffled: one map-side-combinable aggregate to |domains| rows, a "
+        "1-row canonical fold for the normalizer (sqrt for alpha=0.5: "
+        "IEEE-exact cross-engine, unlike pow), two broadcasts back, then "
+        "the weighted_repeat explode as a narrow projection. Output rows "
+        "∝ Σ capped weights."
+    ),
     "kn_bigram_logprob": (
         "Round 8: Kneser-Ney smoothing costs LESS than the bigram MLE rung "
         "despite the richer model — ctx/follower-type/predecessor-type "
