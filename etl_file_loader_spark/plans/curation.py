@@ -62,6 +62,14 @@ class CurationConfig:
     simhash_max_hamming: int = 3
     simhash_blocks: int = 4
     simhash_max_family_size: int | None = None
+    # stage 4c: corpus-trained LM fluency filter (CCNet's discipline:
+    # perplexity-filter AFTER dedup so boilerplate mass can't dominate the
+    # model the corpus trains on itself). Docs whose interpolated
+    # Kneser-Ney mean log-probability (operators/text.kn_bigram_logprob)
+    # falls below the floor are dropped; docs too short to score
+    # (n_bigrams = 0) pass through — length floors are stage 1's job.
+    perplexity_filter: bool = False
+    min_mean_logprob: float = -8.0
     # stage 5: held-out split (label -> fraction; None disables)
     split_fractions: dict[str, float] | None = None
     keep_splits: tuple[str, ...] = ("train",)
@@ -163,6 +171,21 @@ class CurationPipeline:
         counts["simhash_dedup"] = cur.count()
         return cur
 
+    def _apply_perplexity(self, cur: DataFrame, counts: dict[str, int]) -> DataFrame:
+        """Stage 4c: Kneser-Ney fluency floor, always AFTER dedup — shared
+        by ``run`` and the versioned incremental driver."""
+        c = self.config
+        if not c.perplexity_filter:
+            return cur
+        scored = text_ops.kn_bigram_logprob(cur, c.id_col, c.text_col)
+        keep_ids = scored.filter(
+            (F.col("n_bigrams") == 0)
+            | (F.col("mean_logprob") >= F.lit(float(c.min_mean_logprob)))
+        ).select(c.id_col)
+        cur = cur.join(keep_ids, c.id_col, "left_semi")
+        counts["perplexity_filter"] = cur.count()
+        return cur
+
     def run(self, docs: DataFrame) -> CurationResult:
         c = self.config
         did, txt = c.id_col, c.text_col
@@ -181,6 +204,7 @@ class CurationPipeline:
             counts["near_dedup"] = cur.count()
 
         cur = self._apply_simhash(cur, counts)
+        cur = self._apply_perplexity(cur, counts)
 
         if c.split_fractions is not None:
             cur = sampling_ops.hash_split(cur, did, c.split_fractions)
@@ -351,6 +375,7 @@ class VersionedCorpus:
             counts["within_delta_dedup"] = cur.count()
 
         cur = self.pipeline._apply_simhash(cur, counts)
+        cur = self.pipeline._apply_perplexity(cur, counts)
 
         # split is a pure function of the id -> stable across versions; the
         # docs frame KEEPS every split (held-out rows are part of the

@@ -654,3 +654,61 @@ def test_curation_simhash_stage(spark):
     # simhash runs AFTER minhash near-dedup: monotone, and keyed in order
     assert c["input"] >= c["near_dedup"] >= c["simhash_dedup"] > 0
     assert c["packed"] == c["simhash_dedup"]
+
+
+# ---------------------------------------------------------------------------
+# perplexity filter stage (round 8: CCNet-style KN fluency floor)
+# ---------------------------------------------------------------------------
+
+
+def _ppl_corpus(spark):
+    # shared phrasing across docs 1-4 -> high self-trained logprob;
+    # doc 5 is word salad with all-unique bigrams -> much lower score;
+    # doc 6 too short to score (no bigrams)
+    rows = [
+        (1, "the model trains on the corpus and the model scores the corpus"),
+        (2, "the model trains on the corpus and the model keeps the corpus"),
+        (3, "the model trains on the corpus and the model filters the corpus"),
+        (4, "the model scores the corpus and the model trains again"),
+        (5, "zq xv plw ognt rrsb vcxm uyt eew qqa zzx"),
+        (6, "single"),
+    ]
+    rows = [(i, txt, "en") for i, txt in rows]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_perplexity_filter_drops_gibberish(spark):
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    docs = _ppl_corpus(spark)
+    # pick the floor between the fluent docs and the word salad
+    scored = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in text.kn_bigram_logprob(docs, "doc_id", "text").collect()
+    }
+    fluent_min = min(scored[i] for i in (1, 2, 3, 4))
+    assert scored[5] < fluent_min  # the premise of the threshold
+    floor = (scored[5] + fluent_min) / 2
+
+    cfg = CurationConfig(
+        min_quality=None,
+        scrub_pii=False,
+        near_dedup=False,
+        perplexity_filter=True,
+        min_mean_logprob=floor,
+    )
+    res = CurationPipeline(cfg).run(docs)
+    kept = {r["doc_id"] for r in res.packed.select("doc_id").collect()}
+    assert 5 not in kept
+    assert {1, 2, 3, 4, 6} <= kept  # short doc 6 passes through unscored
+    assert res.stage_counts["perplexity_filter"] == 5
+
+
+def test_perplexity_filter_disabled_is_noop(spark):
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    docs = _ppl_corpus(spark)
+    cfg = CurationConfig(min_quality=None, scrub_pii=False, near_dedup=False)
+    res = CurationPipeline(cfg).run(docs)
+    assert "perplexity_filter" not in res.stage_counts
+    assert res.stage_counts["packed"] == 6
