@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "kn_bigram_logprob",
     # round 8: UniMax/alpha-sampling domain mixture
     "temperature_mixture",
+    # round 8: unigram-LM (SentencePiece-style) packed layout
+    "packed_sequences_unigram",
 ]
 
 

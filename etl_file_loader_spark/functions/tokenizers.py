@@ -413,3 +413,240 @@ class BPETokenizer:
             "the layout-level oracle packed_sequences_bpe re-learns the "
             "merges table in SQL and replays it over distinct words"
         )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) tokenizer: Viterbi under piece log-probs
+# ---------------------------------------------------------------------------
+
+
+def _round_half_away(x: float) -> int:
+    """Round half AWAY from zero — SQL ``round`` semantics. Python's
+    built-in ``round`` is banker's rounding; every engine-shared integer
+    quantization in this module must use THIS rule."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _viterbi_segment(
+    w: str, scores: dict[str, int], max_len: int, unk_milli: int
+) -> tuple[tuple[int, ...], int]:
+    """Best segmentation of ``w`` under integer milli-log-prob ``scores``.
+
+    Maximizes (total score, piece-length sequence lexicographically) —
+    the length-sequence tie-break is TOTAL (two same-coverage paths can
+    never be prefix-ordered: equal coverage forces equal length sums, so
+    they differ at some element), which makes the argmax deterministic
+    and exactly replayable as ``max(struct(score, lens))`` in SQL.
+    Positions whose character is outside the inventory fall back to a
+    1-char piece at ``unk_milli``. Returns (lens, score).
+    """
+    n = len(w)
+    # dp[i]: best (score, lens) covering w[:i]
+    dp: list[tuple[int, tuple[int, ...]] | None] = [None] * (n + 1)
+    dp[0] = (0, ())
+    for i in range(1, n + 1):
+        best = None
+        for j in range(1, min(max_len, i) + 1):
+            prev = dp[i - j]
+            if prev is None:
+                continue
+            piece = w[i - j : i]
+            sc = scores.get(piece)
+            if sc is None:
+                if j != 1:
+                    continue
+                sc = unk_milli  # uncovered single char
+            cand = (prev[0] + sc, prev[1] + (j,))
+            if best is None or cand > best:
+                best = cand
+        dp[i] = best
+    assert dp[n] is not None  # 1-char fallback guarantees a path
+    return dp[n][1], dp[n][0]
+
+
+def fit_unigram_pieces(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 64,
+    max_piece_len: int = 4,
+    seed_multiplier: int = 4,
+    min_count: int = 2,
+    pattern: str = DEFAULT_PRETOKEN_PATTERN,
+    max_words: int | None = 2_000_000,
+) -> list[tuple[str, int]]:
+    """Learn a unigram-LM piece inventory (the SentencePiece algorithm
+    family, Kudo 2018) with ONE deterministic hard-EM round:
+
+    1. SEED: all single characters (coverage floor, always kept) + the
+       ``vocab_size * seed_multiplier`` most frequent word-internal
+       substrings of length 2..``max_piece_len`` (occurrence-weighted,
+       count >= ``min_count``, ties by piece). Seed scores are integer
+       MILLI-log-probs ``round(1000 * ln(cnt / total))`` — the integer
+       quantization is what makes every downstream Viterbi argmax
+       engine-exact instead of 1-ulp-fragile.
+    2. E-STEP (hard): Viterbi-segment every distinct word under the seed
+       scores (:func:`_viterbi_segment`'s total tie-break).
+    3. M-STEP + PRUNE: piece usage = Σ word_freq × uses; the final
+       inventory is every single char + the top ``vocab_size - n_chars``
+       multi-char pieces by (usage DESC, piece ASC) among usage >= 1;
+       final scores are Laplace-smoothed milli-log-probs
+       ``round(1000 * ln((usage+1) / (total_usage + |V|)))`` (the +1
+       keeps never-chosen chars finite).
+
+    Distributed shape — the same trainer split as :func:`fit_bpe_merges`:
+    corpus-sized work is TWO aggregations (word counts; substring seed
+    counts — both shuffle ∝ distinct keys, map-side combinable); Viterbi
+    + usage counting run over the bounded word table on the driver
+    (``max_words`` top-K cap by default, loud truncation, K+1-row
+    detection on the same TakeOrdered job). The SQL oracle
+    (``packed_sequences_unigram``) RE-LEARNS the inventory end-to-end —
+    seed counting, the unrolled Viterbi DP, usage pruning, re-scoring —
+    so the artifact is cross-engine verified, not just trusted.
+    """
+    import logging
+    import math
+
+    words = df.select(
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).alias("w")
+    )
+    # seed counting: every substring occurrence of length 1..max_piece_len
+    subs = words.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(max_piece_len)),
+                    lambda n: F.when(
+                        F.length("w") >= n,
+                        F.transform(
+                            F.sequence(F.lit(0), F.length("w") - n),
+                            lambda i: F.substring(F.col("w"), i + 1, n),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            )
+        ).alias("p")
+    )
+    pc = subs.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    chars = {r["p"]: int(r["c"]) for r in pc.filter(F.length("p") == 1).collect()}
+    multi_rows = (
+        pc.filter((F.length("p") >= 2) & (F.col("c") >= min_count))
+        .orderBy(F.col("c").desc(), F.col("p"))
+        .limit(vocab_size * seed_multiplier)
+        .collect()
+    )
+    multi = {r["p"]: int(r["c"]) for r in multi_rows}
+    seed_counts = {**chars, **multi}
+    total0 = sum(seed_counts.values())
+    scores0 = {
+        p: _round_half_away(1000.0 * math.log(c / total0))
+        for p, c in seed_counts.items()
+    }
+    inv_maxlen = max((len(p) for p in scores0), default=1)
+
+    # bounded word table (identical discipline to fit_bpe_merges)
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if max_words is not None:
+        rows = counts.orderBy(F.col("c").desc(), F.col("w")).limit(max_words + 1).collect()
+        if len(rows) > max_words:
+            logging.getLogger(__name__).warning(
+                "fit_unigram_pieces: word table truncated to top %d by "
+                "count; usage statistics exclude the dropped tail "
+                "(pass max_words=None to collect the full table)",
+                max_words,
+            )
+            rows = rows[:max_words]
+    else:
+        rows = counts.collect()
+
+    usage: dict[str, int] = {}
+    for r in rows:
+        w, c = r["w"], int(r["c"])
+        lens, _ = _viterbi_segment(w, scores0, inv_maxlen, unk_milli=0)
+        off = 0
+        for ln in lens:
+            piece = w[off : off + ln]
+            usage[piece] = usage.get(piece, 0) + c
+            off += ln
+    final: dict[str, int] = {ch: usage.get(ch, 0) for ch in chars}
+    n_multi = max(vocab_size - len(chars), 0)
+    ranked = sorted(
+        ((p, u) for p, u in usage.items() if len(p) >= 2 and u >= 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:n_multi]
+    final.update(dict(ranked))
+    tot_u = sum(final.values())
+    v = len(final)
+    return sorted(
+        (p, _round_half_away(1000.0 * math.log((u + 1) / (tot_u + v))))
+        for p, u in final.items()
+    )
+
+
+class UnigramTokenizer:
+    """Viterbi segmentation against a learned unigram-LM inventory (the
+    SentencePiece serving algorithm): each regex pre-token is split into
+    the piece sequence maximizing the summed integer milli-log-prob
+    scores, with :func:`_viterbi_segment`'s total tie-break.
+
+    Arrow-batched pandas UDF with a per-batch word cache; the inventory
+    rides the UDF closure. Characters outside the inventory become 1-char
+    pieces at ``unk_milli``. No scalar SQL form — the layout-level oracle
+    is ``packed_sequences_unigram`` (suite/sampling.py), which re-learns
+    the inventory in SQL and replays the identical DP over distinct
+    words.
+    """
+
+    def __init__(
+        self,
+        pieces: list[tuple[str, int]],
+        pattern: str = DEFAULT_PRETOKEN_PATTERN,
+        unk_milli: int = -10_000_000,
+    ):
+        self.scores = {p: int(s) for p, s in pieces}
+        self.pattern = pattern
+        self.unk_milli = unk_milli
+        self.max_piece = max((len(p) for p in self.scores), default=1)
+        self.name = f"unigram{len(self.scores)}"
+
+    def _encode_word(self, w: str) -> list[str]:
+        lens, _ = _viterbi_segment(w, self.scores, self.max_piece, self.unk_milli)
+        out, off = [], 0
+        for ln in lens:
+            out.append(w[off : off + ln])
+            off += ln
+        return out
+
+    def tokens(self, col: Column) -> Column:
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
+        rx = _re.compile(self.pattern)
+        encode = self._encode_word
+
+        @pandas_udf("array<string>")
+        def _tok(texts: pd.Series) -> pd.Series:
+            cache: dict[str, list[str]] = {}
+            out = []
+            for text in texts:
+                pieces: list[str] = []
+                for w in rx.findall(text or ""):
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode(w)
+                        cache[w] = enc
+                    pieces.extend(enc)
+                out.append(pieces)
+            return pd.Series(out)
+
+        return _tok(col)
+
+    def duckdb_expr(self, expr: str) -> str:
+        raise NotImplementedError(
+            "unigram-LM Viterbi has no scalar SQL form (a DP over word "
+            "positions); the layout-level oracle packed_sequences_unigram "
+            "re-learns the inventory in SQL and replays the identical DP "
+            "over distinct words"
+        )

@@ -752,3 +752,195 @@ Q_PACKED_SEQUENCES_BPE_SQL = _packed_bpe_sql()
 
 QUERIES.update({"packed_sequences_bpe": q_packed_sequences_bpe})
 ORACLES.update({"packed_sequences_bpe": Q_PACKED_SEQUENCES_BPE_SQL})
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) packed layout (round 8)
+# ---------------------------------------------------------------------------
+
+_UNI_VOCAB = 64
+_UNI_MAXLEN = 4      # max piece length
+_UNI_SEED_MULT = 4
+_UNI_MIN_COUNT = 2
+_UNI_LMAX = 12       # DP unroll depth == max word length the ORACLE supports
+                     # (corpus max is 8; the operator itself has no limit)
+
+
+def q_packed_sequences_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed pretraining sequences under a UNIGRAM-LM tokenizer (round 8
+    — the SentencePiece algorithm family, completing the subword trio:
+    greedy/WordPiece, BPE, unigram): ``fit_unigram_pieces`` learns a
+    64-piece inventory (char coverage floor + one hard-EM round over the
+    seed substrings, integer milli-log-prob scores), then
+    ``UnigramTokenizer`` Viterbi-segments every word and drives the same
+    64-piece packed layout as the other twins. The oracle RE-LEARNS the
+    inventory end-to-end in SQL — seed counting, a position-unrolled
+    Viterbi DP whose argmax is ``max(struct(score, lens))`` (the
+    length-sequence tie-break is total, so the integer argmax is
+    engine-exact), usage pruning, Laplace re-scoring, then a second DP
+    under the final scores — so both the ARTIFACT and the sequence
+    contents are value-verified cross-engine.
+    """
+    from etl_file_loader_spark.functions.tokenizers import (
+        UnigramTokenizer,
+        fit_unigram_pieces,
+    )
+    from etl_file_loader_spark.operators import sampling as sampling_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces = fit_unigram_pieces(
+        docs,
+        "text",
+        vocab_size=_UNI_VOCAB,
+        max_piece_len=_UNI_MAXLEN,
+        seed_multiplier=_UNI_SEED_MULT,
+        min_count=_UNI_MIN_COUNT,
+    )
+    return sampling_ops.packed_sequences(
+        docs, "doc_id", "text", seq_len=64, partition_cols=["lang"],
+        tokenizer=UnigramTokenizer(pieces),
+    ).orderBy("lang", "seq_idx")
+
+
+def _unigram_dp_sql(prefix: str, inv: str, src: str) -> str:
+    """Generate the position-unrolled Viterbi CTE chain ``{prefix}0 ..
+    {prefix}{LMAX}`` + ``{prefix}fin`` over the distinct-word table
+    ``src`` under inventory ``inv`` (columns p, sc). State per (word,
+    covered-prefix-length): max(struct(score, lens)) — total tie-break."""
+    blocks = [f"""
+{prefix}0 AS MATERIALIZED (
+  SELECT w, struct_pack(s := CAST(0 AS BIGINT), l := CAST([] AS BIGINT[])) AS st
+  FROM {src}
+)"""]
+    for i in range(1, _UNI_LMAX + 1):
+        branches = []
+        for j in range(1, min(_UNI_MAXLEN, i) + 1):
+            branches.append(f"""
+    SELECT d.w, d.st.s + v.sc AS sc, list_append(d.st.l, CAST({j} AS BIGINT)) AS ll
+    FROM {prefix}{i - j} d JOIN {inv} v ON v.p = substr(d.w, {i - j + 1}, {j})
+    WHERE length(d.w) >= {i}""")
+        u = "\n    UNION ALL".join(branches)
+        blocks.append(f"""
+{prefix}{i} AS MATERIALIZED (
+  SELECT w, max(struct_pack(s := sc, l := ll)) AS st
+  FROM ({u}
+  ) GROUP BY w
+)""")
+    fins = "\n  UNION ALL".join(
+        f"  SELECT d.w, d.st.l AS lens FROM {prefix}{i} d WHERE length(d.w) = {i}"
+        for i in range(1, _UNI_LMAX + 1)
+    )
+    blocks.append(f"""
+{prefix}fin AS MATERIALIZED (
+{fins}
+)""")
+    return ",".join(blocks)
+
+
+def _seg_sql(prefix: str) -> str:
+    """Explode ``{prefix}fin`` (w, lens) into ordered pieces (w, k, p)."""
+    return f"""
+{prefix}e AS (
+  SELECT w, u.k, lens[u.k] AS ln
+  FROM {prefix}fin, unnest(range(1, len(lens) + 1)) u(k)
+),
+{prefix}o AS (
+  SELECT w, k, ln,
+         coalesce(sum(ln) OVER (PARTITION BY w ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM {prefix}e
+),
+{prefix}seg AS MATERIALIZED (
+  SELECT w, k, substr(w, CAST(off + 1 AS BIGINT), CAST(ln AS BIGINT)) AS p
+  FROM {prefix}o
+)"""
+
+
+def _packed_unigram_sql() -> str:
+    from etl_file_loader_spark.functions.tokenizers import (
+        DEFAULT_PRETOKEN_PATTERN,
+    )
+
+    pat = DEFAULT_PRETOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH
+occ AS MATERIALIZED (
+  SELECT doc_id, lang, regexp_extract_all(text, '{pat}') AS ws FROM documents
+),
+wl AS MATERIALIZED (
+  SELECT doc_id, lang, i AS wi, ws[i] AS w
+  FROM occ, unnest(range(1, len(ws) + 1)) u(i)
+),
+dw AS MATERIALIZED (SELECT w, count(*) AS c FROM wl GROUP BY w),
+sub AS MATERIALIZED (
+  SELECT substr(w, CAST(s AS BIGINT), CAST(l AS BIGINT)) AS p, sum(c) AS cnt
+  FROM dw, unnest(range(1, {_UNI_MAXLEN} + 1)) ll(l),
+       unnest(range(1, length(w) - l + 2)) ss(s)
+  GROUP BY 1
+),
+chars AS MATERIALIZED (SELECT p, cnt FROM sub WHERE length(p) = 1),
+multi AS MATERIALIZED (
+  SELECT p, cnt FROM sub WHERE length(p) >= 2 AND cnt >= {_UNI_MIN_COUNT}
+  ORDER BY cnt DESC, p LIMIT {_UNI_VOCAB * _UNI_SEED_MULT}
+),
+inv0 AS MATERIALIZED (
+  SELECT i.p,
+         CAST(round(1000 * ln(CAST(i.cnt AS DOUBLE) / t.tot)) AS BIGINT) AS sc
+  FROM (SELECT * FROM chars UNION ALL SELECT * FROM multi) i,
+       (SELECT CAST(sum(cnt) AS DOUBLE) AS tot
+        FROM (SELECT cnt FROM chars UNION ALL SELECT cnt FROM multi)) t
+),{_unigram_dp_sql("f", "inv0", "dw")},{_seg_sql("f")},
+usage AS MATERIALIZED (
+  SELECT s.p, sum(dw.c) AS u FROM fseg s JOIN dw USING (w) GROUP BY s.p
+),
+charsF AS (
+  SELECT c.p, coalesce(u.u, 0) AS u FROM chars c LEFT JOIN usage u ON u.p = c.p
+),
+multiF AS (
+  SELECT p, u FROM (
+    SELECT u.p, u.u, row_number() OVER (ORDER BY u.u DESC, u.p) AS rk
+    FROM usage u WHERE length(u.p) >= 2 AND u.u >= 1
+  ) WHERE rk <= greatest({_UNI_VOCAB} - (SELECT count(*) FROM chars), 0)
+),
+invF AS MATERIALIZED (
+  SELECT i.p,
+         CAST(round(1000 * ln((CAST(i.u AS DOUBLE) + 1) / t.den)) AS BIGINT) AS sc
+  FROM (SELECT * FROM charsF UNION ALL SELECT * FROM multiF) i,
+       (SELECT CAST(sum(u) AS DOUBLE) + count(*) AS den
+        FROM (SELECT u FROM charsF UNION ALL SELECT u FROM multiF)) t
+),{_unigram_dp_sql("g", "invF", "dw")},{_seg_sql("g")},
+per_doc AS (
+  SELECT wl.doc_id, list(gseg.p ORDER BY wl.wi, gseg.k) AS lst
+  FROM wl JOIN gseg ON gseg.w = wl.w GROUP BY wl.doc_id
+),
+d AS (
+  SELECT doc.doc_id, doc.lang,
+         list_append(coalesce(pd.lst, CAST([] AS VARCHAR[])), '<|endofdoc|>') AS t2
+  FROM documents doc LEFT JOIN per_doc pd USING (doc_id)
+),
+w2 AS (SELECT doc_id, lang, t2, len(t2) AS n FROM d),
+o AS (
+  SELECT doc_id, lang, t2, n,
+         coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM w2
+),
+tok AS (
+  SELECT lang, doc_id, off + i - 1 AS gpos, t2[i] AS tk
+  FROM o, unnest(range(1, n + 1)) u(i)
+)
+SELECT lang,
+       CAST(gpos // 64 AS BIGINT) AS seq_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       md5(string_agg(tk, ' ' ORDER BY gpos % 64)) AS seq_md5
+FROM tok
+GROUP BY lang, gpos // 64
+ORDER BY lang, seq_idx
+"""
+
+
+Q_PACKED_SEQUENCES_UNIGRAM_SQL = _packed_unigram_sql()
+
+QUERIES.update({"packed_sequences_unigram": q_packed_sequences_unigram})
+ORACLES.update({"packed_sequences_unigram": Q_PACKED_SEQUENCES_UNIGRAM_SQL})

@@ -237,3 +237,88 @@ def test_bpe_duckdb_expr_raises():
 
     with pytest.raises(NotImplementedError):
         BPETokenizer([("a", "b")]).duckdb_expr("text")
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_viterbi_picks_best_scoring_split():
+    from etl_file_loader_spark.functions.tokenizers import UnigramTokenizer
+
+    # "abcd": 'abcd' not in inventory; 'ab'+'cd' = -2000, 'a'+'bcd' = -4000
+    tok = UnigramTokenizer(
+        [("a", -3000), ("b", -3000), ("c", -3000), ("d", -3000),
+         ("ab", -1000), ("cd", -1000), ("bcd", -1000)]
+    )
+    assert tok._encode_word("abcd") == ["ab", "cd"]
+
+
+def test_unigram_tiebreak_prefers_lexmax_length_sequence():
+    from etl_file_loader_spark.functions.tokenizers import UnigramTokenizer
+
+    # two segmentations tie at -2000: ('abc','d') lens (3,1) vs ('a','bcd')
+    # lens (1,3) -> lex-max length sequence wins: longest FIRST piece
+    tok = UnigramTokenizer(
+        [("a", -1000), ("d", -1000), ("abc", -1000), ("bcd", -1000),
+         ("b", -9000), ("c", -9000)]
+    )
+    assert tok._encode_word("abcd") == ["abc", "d"]
+
+
+def test_unigram_unk_char_fallback():
+    from etl_file_loader_spark.functions.tokenizers import UnigramTokenizer
+
+    tok = UnigramTokenizer([("a", -1000), ("ab", -500)])
+    # 'z' outside the inventory -> 1-char unk piece, word still covered
+    assert tok._encode_word("abz") == ["ab", "z"]
+
+
+def test_unigram_fit_properties(spark):
+    from etl_file_loader_spark.functions.tokenizers import (
+        UnigramTokenizer,
+        fit_unigram_pieces,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "banana band bandana ban banana"), (2, "an na ban and banana")],
+        "doc_id long, text string",
+    )
+    pieces = fit_unigram_pieces(df, "text", vocab_size=12, max_piece_len=3, min_count=2)
+    inv = dict(pieces)
+    # coverage floor: every corpus character is in the inventory
+    assert {"a", "b", "n", "d"} <= set(inv)
+    # deterministic artifact: identical on refit
+    assert pieces == fit_unigram_pieces(
+        df, "text", vocab_size=12, max_piece_len=3, min_count=2
+    )
+    # scores are negative integer milli-log-probs
+    assert all(isinstance(s, int) and s < 0 for s in inv.values())
+    # concatenation identity through serving
+    tok = UnigramTokenizer(pieces)
+    from pyspark.sql import functions as F
+
+    out = df.select("text", tok.tokens(F.col("text")).alias("t")).collect()
+    import re
+
+    rx = re.compile(tok.pattern)
+    for r in out:
+        assert "".join(r["t"]) == "".join(rx.findall(r["text"]))
+
+
+def test_unigram_half_away_rounding():
+    from etl_file_loader_spark.functions.tokenizers import _round_half_away
+
+    # SQL round semantics, NOT Python banker's rounding
+    assert _round_half_away(-2772.5) == -2773
+    assert _round_half_away(2.5) == 3
+    assert _round_half_away(-2.4) == -2
+    assert _round_half_away(2.4) == 2
+
+
+def test_unigram_duckdb_expr_raises():
+    from etl_file_loader_spark.functions.tokenizers import UnigramTokenizer
+
+    with pytest.raises(NotImplementedError):
+        UnigramTokenizer([("a", -1000)]).duckdb_expr("text")

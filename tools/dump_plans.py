@@ -186,6 +186,15 @@ COMMENTARY = {
         "with a per-batch word cache in the scan projection. Serving "
         "shuffles nothing extra; fit shuffle ∝ distinct words."
     ),
+    "packed_sequences_unigram": (
+        "Round 8: same single seq-keyed exchange as the other packed "
+        "layouts; the fit adds TWO map-side-combinable aggregates (word "
+        "counts + substring seed counts, shuffle ∝ distinct keys) and a "
+        "bounded driver Viterbi over the word table (max_words top-K, 2M "
+        "default — the HF/SentencePiece trainer-table split); serving is "
+        "an ArrowEvalPython Viterbi node with a per-batch word cache. "
+        "Integer milli-log-prob scores keep the DP argmax engine-exact."
+    ),
     "temperature_mixture": (
         "Round 8: UniMax/alpha-sampling mixture — the corpus is NEVER "
         "shuffled: one map-side-combinable aggregate to |domains| rows, a "
