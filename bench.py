@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "temperature_mixture",
     # round 8: unigram-LM (SentencePiece-style) packed layout
     "packed_sequences_unigram",
+    # round 8: published Gopher document-shape rules
+    "gopher_quality",
 ]
 
 

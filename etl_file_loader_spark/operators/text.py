@@ -1156,3 +1156,152 @@ def remove_duplicate_spans(
             F.col("_spans").isNull(), F.array_join(F.col("_toks"), " ")
         ).otherwise(F.array_join(kept, " ")).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A)
+# ---------------------------------------------------------------------------
+
+# the Gopher "stop words" (presence check, not the ratio stopword list)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_share: float = 0.9,
+    max_ellipsis_share: float = 0.3,
+    min_alpha_share: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher quality-filter rule set (Rae et al. 2021,
+    Appendix A) as one scan-shaped projection — per doc, every signal plus
+    the conjunctive keep decision:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - symbol-to-word ratio (``#`` or ``...``) <= max_symbol_ratio
+    - share of lines starting with a bullet < max_bullet_share
+      (Gopher: "90% of lines must not start with a bullet point")
+    - share of lines ending with an ellipsis <= max_ellipsis_share
+    - share of words containing >= 1 alphabetic char >= min_alpha_share
+    - >= min_stop_hits of the Gopher stop words present
+
+    Pure Column expressions (no UDFs, no shuffle — at 100 TB this runs at
+    scan speed next to the other quality signals); every ratio is rounded
+    to 6 places under the house cross-engine discipline, and the keep
+    decision compares the ROUNDED ratios so both engines threshold the
+    identical values. Empty docs fail the word-count floor. The
+    repetition signals live in :func:`repetition_stats`; this op is the
+    document-shape half of the Gopher filter.
+    """
+    from etl_file_loader_spark.functions import bind_once
+
+    toks = tokens(F.col(text_col))
+
+    def stats(t: Column) -> Column:
+        n_words = F.size(t)
+        mean_len = F.when(
+            n_words > 0,
+            F.round(
+                F.aggregate(
+                    t, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+                ).cast("double")
+                / n_words,
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+        n_symbols = F.aggregate(
+            t,
+            F.lit(0).cast("long"),
+            lambda a, w: a
+            + F.when(w.contains("#") | w.contains("..."), F.lit(1)).otherwise(F.lit(0)),
+        )
+        symbol_ratio = F.when(
+            n_words > 0, F.round(n_symbols.cast("double") / n_words, 6)
+        ).otherwise(F.lit(0.0))
+        n_alpha = F.aggregate(
+            t,
+            F.lit(0).cast("long"),
+            lambda a, w: a
+            + F.when(w.rlike("[A-Za-z]"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        alpha_share = F.when(
+            n_words > 0, F.round(n_alpha.cast("double") / n_words, 6)
+        ).otherwise(F.lit(0.0))
+        stop_hits = F.size(
+            F.array_intersect(
+                F.transform(t, lambda w: F.lower(w)),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        )
+        return F.struct(
+            n_words.cast("long").alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_ratio"),
+            alpha_share.alias("alpha_word_share"),
+            stop_hits.cast("long").alias("n_stop_hits"),
+        )
+
+    # line structure: split on \n only (blank lines are structure)
+    lines_expr = F.filter(
+        F.split(F.col(text_col), "\n", -1), lambda l: F.length(F.trim(l)) > 0
+    )
+
+    def line_stats(ls: Column) -> Column:
+        n_lines = F.size(ls)
+        bullets = F.size(
+            F.filter(
+                ls,
+                lambda l: F.trim(l).startswith("-")
+                | F.trim(l).startswith("*")
+                | F.trim(l).startswith("•"),
+            )
+        )
+        ellipsis = F.size(
+            F.filter(ls, lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"))
+        )
+        share = lambda c: F.when(  # noqa: E731
+            n_lines > 0, F.round(c.cast("double") / n_lines, 6)
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            n_lines.cast("long").alias("n_lines"),
+            share(bullets).alias("bullet_line_share"),
+            share(ellipsis).alias("ellipsis_line_share"),
+        )
+
+    out = df.select(
+        F.col(id_col),
+        bind_once(toks, stats).alias("_w"),
+        bind_once(lines_expr, line_stats).alias("_l"),
+    )
+    w, l = F.col("_w"), F.col("_l")
+    keep = (
+        (w["n_words"] >= min_words)
+        & (w["n_words"] <= max_words)
+        & (w["mean_word_len"] >= min_mean_word_len)
+        & (w["mean_word_len"] <= max_mean_word_len)
+        & (w["symbol_ratio"] <= max_symbol_ratio)
+        & (l["bullet_line_share"] < max_bullet_share)
+        & (l["ellipsis_line_share"] <= max_ellipsis_share)
+        & (w["alpha_word_share"] >= min_alpha_share)
+        & (w["n_stop_hits"] >= min_stop_hits)
+    )
+    return out.select(
+        F.col(id_col),
+        w["n_words"].alias("n_words"),
+        w["mean_word_len"].alias("mean_word_len"),
+        w["symbol_ratio"].alias("symbol_ratio"),
+        l["n_lines"].alias("n_lines"),
+        l["bullet_line_share"].alias("bullet_line_share"),
+        l["ellipsis_line_share"].alias("ellipsis_line_share"),
+        w["alpha_word_share"].alias("alpha_word_share"),
+        w["n_stop_hits"].alias("n_stop_hits"),
+        keep.cast("int").cast("long").alias("keep"),
+    )

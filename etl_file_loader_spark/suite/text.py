@@ -484,6 +484,63 @@ ORDER BY b.doc_id
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-shape rules (Rae et al. 2021 App. A)
+    over the documents table: word-count band, mean-word-length band,
+    symbol ratio, bullet/ellipsis line shares, alphabetic-word share,
+    stop-word presence, and the conjunctive keep decision
+    (operators/text.py:gopher_quality). Full per-doc value check."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.gopher_quality(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in text_ops.GOPHER_STOPWORDS)
+
+Q_GOPHER_QUALITY_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w,
+         list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ls
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(w) > 0
+              THEN round(CAST(len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE) / len(w), 6)
+              ELSE 0.0 END AS symbol_ratio,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CASE WHEN len(ls) > 0
+              THEN round(CAST(len(list_filter(ls, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS DOUBLE) / len(ls), 6)
+              ELSE 0.0 END AS bullet_line_share,
+         CASE WHEN len(ls) > 0
+              THEN round(CAST(len(list_filter(ls, l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS DOUBLE) / len(ls), 6)
+              ELSE 0.0 END AS ellipsis_line_share,
+         CASE WHEN len(w) > 0
+              THEN round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w), 6)
+              ELSE 0.0 END AS alpha_word_share,
+         CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+                                 [{_GOPHER_STOPS_SQL}])) AS BIGINT) AS n_stop_hits
+  FROM d
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_lines,
+       bullet_line_share, ellipsis_line_share, alpha_word_share, n_stop_hits,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                  AND symbol_ratio <= 0.1
+                  AND bullet_line_share < 0.9
+                  AND ellipsis_line_share <= 0.3
+                  AND alpha_word_share >= 0.8
+                  AND n_stop_hits >= 2
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s ORDER BY doc_id
+"""
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring SPAN removal (Lee et al. 2021 semantics at 5-token
     windows): duplicated windows — >= 2 occurrences corpus-wide, same-doc
@@ -972,6 +1029,7 @@ QUERIES.update(
         "duplicated_windows": q_duplicated_windows,
         "line_dedup": q_line_dedup,
         "span_dedup": q_span_dedup,
+        "gopher_quality": q_gopher_quality,
         "quality_classifier": q_quality_classifier,
         "unigram_logprob": q_unigram_logprob,
         "html_extract": q_html_extract,
@@ -992,6 +1050,7 @@ ORACLES.update(
         "duplicated_windows": Q_DUPLICATED_WINDOWS_SQL,
         "line_dedup": Q_LINE_DEDUP_SQL,
         "span_dedup": Q_SPAN_DEDUP_SQL,
+        "gopher_quality": Q_GOPHER_QUALITY_SQL,
         "quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "bigram_logprob": Q_BIGRAM_LOGPROB_SQL,

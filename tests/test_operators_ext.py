@@ -952,3 +952,60 @@ def test_temperature_mixture_budget_scales_output(spark):
     assert all(r["_mix_w"] == pytest.approx(0.5) for r in out)
     # deterministic Bernoulli keeps roughly half (exact set fixed by md5 keys)
     assert 10 <= len(out) <= 30
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality (Rae et al. 2021 Appendix A document-shape rules)
+# ---------------------------------------------------------------------------
+
+
+def _gq(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r for r in text.gopher_quality(df, "doc_id", "text", **kw).collect()
+    }
+
+
+def test_gopher_quality_word_count_band(spark):
+    good = "the words flow and that have with more body " * 6  # 54 words
+    short = "the and that have with brief"
+    out = _gq(spark, [(1, good), (2, short)])
+    assert out[1]["n_words"] == 54 and out[1]["keep"] == 1
+    assert out[2]["keep"] == 0  # below the 50-word floor
+
+
+def test_gopher_quality_symbol_and_alpha_rules(spark):
+    base = "the and that have with solid wording overall " + " ".join(
+        f"w{i}" for i in range(45)
+    )
+    hashy = base + " " + " ".join("#tag" for _ in range(12))
+    numeric = "the and that have with " + " ".join(str(i) for i in range(50))
+    out = _gq(spark, [(1, base), (2, hashy), (3, numeric)])
+    assert out[1]["keep"] == 1
+    assert out[2]["symbol_ratio"] > 0.1 and out[2]["keep"] == 0
+    assert out[3]["alpha_word_share"] < 0.8 and out[3]["keep"] == 0
+
+
+def test_gopher_quality_line_rules(spark):
+    body = "the and that have with steady prose here " * 7  # 56 words
+    bullets = "\n".join("- item number " + str(i) for i in range(10))
+    dots = "\n".join("the and that have with trailing part..." for _ in range(10))
+    out = _gq(spark, [(1, body), (2, bullets), (3, dots)])
+    assert out[1]["bullet_line_share"] == 0.0 and out[1]["keep"] == 1
+    assert out[2]["bullet_line_share"] == 1.0 and out[2]["keep"] == 0
+    assert out[3]["ellipsis_line_share"] == 1.0 and out[3]["keep"] == 0
+
+
+def test_gopher_quality_stopword_presence_and_empty(spark):
+    nostops = " ".join(f"token{i}" for i in range(60))
+    out = _gq(spark, [(1, nostops), (2, "")])
+    assert out[1]["n_stop_hits"] < 2 and out[1]["keep"] == 0
+    assert out[2]["n_words"] == 0 and out[2]["keep"] == 0
+
+
+def test_gopher_quality_mean_word_length_band(spark):
+    longwords = "the and that have with " + " ".join(
+        "supercalifragilistic" for _ in range(50)
+    )
+    out = _gq(spark, [(1, longwords)])
+    assert out[1]["mean_word_len"] > 10.0 and out[1]["keep"] == 0

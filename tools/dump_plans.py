@@ -186,6 +186,13 @@ COMMENTARY = {
         "with a per-batch word cache in the scan projection. Serving "
         "shuffles nothing extra; fit shuffle ∝ distinct words."
     ),
+    "gopher_quality": (
+        "Round 8: the published Gopher document-shape rules as ONE "
+        "scan-shaped projection — two bind-once'd HOF folds (word stats, "
+        "line stats) and a conjunctive keep over the ROUNDED ratios. No "
+        "UDF, no shuffle; at 100 TB this runs at scan speed beside the "
+        "other quality signals."
+    ),
     "packed_sequences_unigram": (
         "Round 8: same single seq-keyed exchange as the other packed "
         "layouts; the fit adds TWO map-side-combinable aggregates (word "
