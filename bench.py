@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "packed_sequences_unigram",
     # round 8: published Gopher document-shape rules
     "gopher_quality",
+    # round 8: Type-2 SCD merge
+    "scd2_merge",
 ]
 
 

@@ -167,3 +167,122 @@ def publish_counts(target: DataFrame, stage: DataFrame, grain: list[str]) -> Pub
 def is_file_loaded(target: DataFrame, filename: str) -> bool:
     """Duplicate-file check (reference db_utils.py:243-258): filter+limit, not a join."""
     return not target.filter(F.col(FILENAME_COL) == filename).limit(1).isEmpty()
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    effective_ts: str,
+    close_missing: bool = False,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: apply a batch of ``updates``
+    to an SCD2 ``current`` table, preserving full history.
+
+    ``current`` carries ``keys + tracked + valid_from, valid_to,
+    is_current`` (``valid_to`` NULL on current rows; validity columns are
+    strings — callers with DATE columns cast at the boundary).
+    ``updates`` carries ``keys + tracked``. Change detection is the house
+    row-hash discipline (md5 over '|'-joined, null->'' values in sorted
+    column name order — the same semantics as ``etl_row_hash``):
+
+    - new key                -> insert current row (valid_from = ts)
+    - changed hash           -> close old (valid_to = ts, is_current = 0)
+                                + insert new current row
+    - unchanged hash         -> row passes through untouched
+    - key absent from batch  -> untouched, or closed when
+                                ``close_missing`` (full-snapshot feeds)
+    - history rows           -> pass through untouched, never rescanned
+                                for change detection
+
+    Plan shape (100 TB): ONE equi-join between the is_current slice and
+    the batch (shuffle ∝ current keys + batch rows; AQE broadcasts small
+    batches); history is a pass-through union — no shuffle touches it.
+    Output is the complete new SCD2 state; to publish incrementally, pair
+    with the bounded bucket-rewrite writer (``merge_upsert`` /
+    ``plans.merge_backend``) so only touched buckets rewrite on disk.
+    Cross-engine: hash + case logic only, DuckDB-oracle-checked
+    (suite ``scd2_merge``).
+    """
+    meta = ["valid_from", "valid_to", "is_current"]
+    out_cols = [*keys, *tracked, *meta]
+
+    # pre-project both sides into disjoint column names BEFORE the join:
+    # applying scd2_apply to its own output (the incremental loop) makes
+    # `updates` part of `current`'s lineage, and a string-key join between
+    # frames sharing lineage hits Spark's self-join attribute ambiguity —
+    # renamed projections give the join distinct attributes to resolve.
+    # The explicit _in_u marker exists because a full-outer row missing the
+    # updates side has all-null u data columns but a NON-null md5 of
+    # empties, so side presence must not be inferred from data columns.
+    cur = current.filter(F.col("is_current") == 1).select(
+        *[F.col(k).alias(f"_ck_{k}") for k in keys],
+        *[F.col(c).alias(f"_c_{c}") for c in tracked],
+        F.col("valid_from").alias("_c_valid_from"),
+        F.col("valid_to").alias("_c_valid_to"),
+        F.lit(True).alias("_in_c"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    for c in sorted(tracked)
+                ],
+            )
+        ).alias("_hc"),
+    )
+    hist = current.filter(F.col("is_current") == 0).select(*out_cols)
+    upd = updates.select(
+        *[F.col(k).alias(f"_uk_{k}") for k in keys],
+        *[F.col(c).alias(f"_u_{c}") for c in tracked],
+        F.lit(True).alias("_in_u"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    for c in sorted(tracked)
+                ],
+            )
+        ).alias("_hu"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ck_{k}") == F.col(f"_uk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = cur.join(upd, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"_ck_{k}"), F.col(f"_uk_{k}")).alias(k)
+            for k in keys
+        ],
+        *[F.col(f"_c_{c}") for c in tracked],
+        *[F.col(f"_u_{c}") for c in tracked],
+        "_c_valid_from",
+        "_c_valid_to",
+        F.coalesce(F.col("_in_c"), F.lit(False)).alias("_in_c"),
+        F.coalesce(F.col("_in_u"), F.lit(False)).alias("_in_u"),
+        "_hc",
+        "_hu",
+    )
+    changed = F.col("_in_c") & F.col("_in_u") & (F.col("_hc") != F.col("_hu"))
+    close = changed | (
+        F.col("_in_c") & ~F.col("_in_u") & F.lit(bool(close_missing))
+    )
+    from_cur = j.filter(F.col("_in_c")).select(
+        *keys,
+        *[F.col(f"_c_{c}").alias(c) for c in tracked],
+        F.col("_c_valid_from").alias("valid_from"),
+        F.when(close, F.lit(effective_ts)).otherwise(F.col("_c_valid_to")).alias(
+            "valid_to"
+        ),
+        F.when(close, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("is_current"),
+    )
+    from_upd = j.filter(F.col("_in_u") & (~F.col("_in_c") | changed)).select(
+        *keys,
+        *[F.col(f"_u_{c}").alias(c) for c in tracked],
+        F.lit(effective_ts).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(1).cast("long").alias("is_current"),
+    )
+    return hist.unionByName(from_cur).unionByName(from_upd)

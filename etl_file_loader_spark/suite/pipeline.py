@@ -523,6 +523,100 @@ SELECT event_id, file_row_number FROM (
 """
 
 
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge (operators/publish.py:scd2_apply): a customer
+    dimension with pre-existing history receives a batch where 1/4 of
+    keys changed segment, half are unchanged, odd keys are absent, and
+    1% are brand new. Full per-row value check of the closed/new/
+    passthrough/history logic under the house row-hash discipline."""
+    cust = _t(spark, sf_dir, "customer")
+    tracked = ["c_mktsegment", "c_name", "c_nationkey"]
+    hist = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", *tracked,
+        F.lit("2019-01-01").alias("valid_from"),
+        F.lit("2020-01-01").alias("valid_to"),
+        F.lit(0).cast("long").alias("is_current"),
+    )
+    cur = cust.select(
+        "c_custkey", *tracked,
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(1).cast("long").alias("is_current"),
+    )
+    current = hist.unionByName(cur)
+    upd = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 4 == 0, F.concat(F.col("c_mktsegment"), F.lit("_R8"))
+        ).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        "c_name", "c_nationkey",
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+            F.lit("NEW").alias("c_name"),
+            "c_nationkey",
+        )
+    )
+    out = publish_ops.scd2_apply(
+        current, upd, ["c_custkey"], tracked, "2021-01-01"
+    )
+    return out.orderBy("c_custkey", "valid_from", "is_current")
+
+
+_SCD2_HASH = (
+    "md5(concat_ws('|', coalesce({a}.c_mktsegment, ''), "
+    "coalesce({a}.c_name, ''), coalesce(CAST({a}.c_nationkey AS VARCHAR), '')))"
+)
+
+Q_SCD2_MERGE_SQL = f"""
+WITH hist AS (
+  SELECT c_custkey, c_mktsegment, c_name, c_nationkey,
+         '2019-01-01' AS valid_from, '2020-01-01' AS valid_to,
+         CAST(0 AS BIGINT) AS is_current
+  FROM customer WHERE c_custkey % 10 = 0
+),
+cur AS (
+  SELECT c_custkey, c_mktsegment, c_name, c_nationkey FROM customer
+),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 4 = 0 THEN c_mktsegment || '_R8'
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_name, c_nationkey
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWSEG', 'NEW', c_nationkey
+  FROM customer WHERE c_custkey % 100 = 0
+),
+j AS (
+  SELECT coalesce(c.c_custkey, u.c_custkey) AS k,
+         c.c_mktsegment AS c_seg, c.c_name AS c_nm, c.c_nationkey AS c_nk,
+         u.c_mktsegment AS u_seg, u.c_name AS u_nm, u.c_nationkey AS u_nk,
+         (c.c_custkey IS NOT NULL) AS in_c, (u.c_custkey IS NOT NULL) AS in_u,
+         ({_SCD2_HASH.format(a="c")} <> {_SCD2_HASH.format(a="u")}) AS differs
+  FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey
+),
+flags AS (SELECT *, in_c AND in_u AND differs AS changed FROM j)
+SELECT c_custkey, c_mktsegment, c_name, c_nationkey,
+       valid_from, valid_to, is_current
+FROM (
+  SELECT c_custkey, c_mktsegment, c_name, c_nationkey,
+         valid_from, valid_to, is_current FROM hist
+  UNION ALL
+  SELECT k, c_seg, c_nm, c_nk, '2020-01-01',
+         CASE WHEN changed THEN '2021-01-01' ELSE NULL END,
+         CAST(CASE WHEN changed THEN 0 ELSE 1 END AS BIGINT)
+  FROM flags WHERE in_c
+  UNION ALL
+  SELECT k, u_seg, u_nm, u_nk, '2021-01-01', NULL, CAST(1 AS BIGINT)
+  FROM flags WHERE in_u AND (NOT in_c OR changed)
+) t(c_custkey, c_mktsegment, c_name, c_nationkey, valid_from, valid_to, is_current)
+ORDER BY c_custkey, valid_from, is_current
+"""
+
 QUERIES.update(
     {
         "row_hash_customer": q_row_hash_customer,
@@ -533,6 +627,7 @@ QUERIES.update(
         "audit_contract": q_audit_contract,
         "threshold_stats": q_threshold_stats,
         "merge_upsert": q_merge_upsert,
+        "scd2_merge": q_scd2_merge,
         "publish_counts": q_publish_counts,
         "file_loaded_check": q_file_loaded_check,
         "dlq_cleanup": q_dlq_cleanup,
@@ -554,6 +649,7 @@ ORACLES.update(
         "audit_contract": Q_AUDIT_CONTRACT_SQL,
         "threshold_stats": Q_THRESHOLD_STATS_SQL,
         "merge_upsert": Q_MERGE_UPSERT_SQL,
+        "scd2_merge": Q_SCD2_MERGE_SQL,
         "publish_counts": Q_PUBLISH_COUNTS_SQL,
         "file_loaded_check": Q_FILE_LOADED_CHECK_SQL,
         "dlq_cleanup": Q_DLQ_CLEANUP_SQL,

@@ -108,3 +108,79 @@ def test_merge_salt_is_pure_function_of_grain(spark):
     assert [r["s"] for r in s1] == [r["s"] for r in s2]
     assert all(0 <= r["s"] < 64 for r in s1)
     assert len({r["s"] for r in s1}) > 32  # actually spreads
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply (round 8: Type-2 slowly-changing-dimension merge)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_frames(spark):
+    current = spark.createDataFrame(
+        [
+            # pre-existing history for key 1
+            (1, "segA", "2019-01-01", "2020-01-01", 0),
+            (1, "segB", "2020-01-01", None, 1),
+            (2, "segC", "2020-01-01", None, 1),
+            (3, "segD", "2020-01-01", None, 1),
+        ],
+        "k long, seg string, valid_from string, valid_to string, is_current long",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "segB2"),  # changed -> close + insert
+            (2, "segC"),   # unchanged -> passthrough
+            (9, "segNew"), # new key -> insert
+        ],
+        "k long, seg string",
+    )
+    return current, updates
+
+
+def test_scd2_apply_core_semantics(spark):
+    current, updates = _scd2_frames(spark)
+    out = publish.scd2_apply(current, updates, ["k"], ["seg"], "2021-01-01")
+    rows = {(r["k"], r["valid_from"]): r for r in out.collect()}
+    assert len(rows) == 6
+    # history untouched
+    assert rows[(1, "2019-01-01")]["is_current"] == 0
+    assert rows[(1, "2019-01-01")]["valid_to"] == "2020-01-01"
+    # changed key: old row closed at ts, new current inserted
+    closed = rows[(1, "2020-01-01")]
+    assert closed["is_current"] == 0 and closed["valid_to"] == "2021-01-01"
+    assert closed["seg"] == "segB"
+    new = rows[(1, "2021-01-01")]
+    assert new["is_current"] == 1 and new["valid_to"] is None and new["seg"] == "segB2"
+    # unchanged key passes through
+    assert rows[(2, "2020-01-01")]["is_current"] == 1
+    assert rows[(2, "2020-01-01")]["valid_to"] is None
+    # key absent from batch: untouched by default
+    assert rows[(3, "2020-01-01")]["is_current"] == 1
+    # brand-new key
+    brand = rows[(9, "2021-01-01")]
+    assert brand["is_current"] == 1 and brand["seg"] == "segNew"
+
+
+def test_scd2_apply_close_missing(spark):
+    current, updates = _scd2_frames(spark)
+    out = publish.scd2_apply(
+        current, updates, ["k"], ["seg"], "2021-01-01", close_missing=True
+    )
+    rows = {(r["k"], r["valid_from"]): r for r in out.collect()}
+    # key 3 absent from the snapshot batch -> closed
+    gone = rows[(3, "2020-01-01")]
+    assert gone["is_current"] == 0 and gone["valid_to"] == "2021-01-01"
+    # but present keys behave as before
+    assert rows[(2, "2020-01-01")]["is_current"] == 1
+
+
+def test_scd2_apply_idempotent_on_unchanged_batch(spark):
+    current, updates = _scd2_frames(spark)
+    once = publish.scd2_apply(current, updates, ["k"], ["seg"], "2021-01-01")
+    twice = publish.scd2_apply(once, updates, ["k"], ["seg"], "2022-01-01")
+    # replaying the same batch later changes nothing but timestamps never
+    # fire: same row count, same current rows
+    assert once.count() == twice.count()
+    cur_once = {(r["k"], r["seg"]) for r in once.filter("is_current = 1").collect()}
+    cur_twice = {(r["k"], r["seg"]) for r in twice.filter("is_current = 1").collect()}
+    assert cur_once == cur_twice

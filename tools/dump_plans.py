@@ -186,6 +186,15 @@ COMMENTARY = {
         "with a per-batch word cache in the scan projection. Serving "
         "shuffles nothing extra; fit shuffle ∝ distinct words."
     ),
+    "scd2_merge": (
+        "Round 8: Type-2 SCD merge — ONE equi-join between the is_current "
+        "slice and the batch (AQE broadcasts small batches; shuffle ∝ "
+        "current keys + batch rows); history is a pass-through union no "
+        "shuffle ever touches. Both sides pre-project into disjoint "
+        "attribute names so the incremental self-application loop "
+        "(current = scd2_apply(current, ...)) never hits Spark's "
+        "self-join ambiguity."
+    ),
     "gopher_quality": (
         "Round 8: the published Gopher document-shape rules as ONE "
         "scan-shaped projection — two bind-once'd HOF folds (word stats, "
