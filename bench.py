@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "gopher_quality",
     # round 8: Type-2 SCD merge
     "scd2_merge",
+    # round 8: FULL published Gopher repetition table
+    "gopher_repetition_rules",
 ]
 
 

@@ -1305,3 +1305,279 @@ def gopher_quality(
         w["n_stop_hits"].alias("n_stop_hits"),
         keep.cast("int").cast("long").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021, Appendix A / Table A1)
+# ---------------------------------------------------------------------------
+
+# (signal, threshold) pairs exactly as published; keep = every signal <= its
+# threshold (the paper phrases each as "remove if fraction > t").
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _dup_run_stats(elems: Column) -> Column:
+    """Fold over the SORTED element array: (n, dup_count, dup_chars,
+    total_chars), where dup_count = sum over distinct values of (count-1)
+    — i.e. every occurrence after the first — and dup_chars the same sum
+    weighted by element length. In-place per row, no shuffle."""
+    from etl_file_loader_spark.functions import bind_once
+
+    def fold(sorted_elems: Column) -> Column:
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("dups"),
+            F.lit(0).cast("long").alias("dupchars"),
+            F.lit(0).cast("long").alias("chars"),
+        )
+        is_dup = lambda acc, e: acc["prev"].isNotNull() & (e == acc["prev"])  # noqa: E731
+        folded = F.aggregate(
+            sorted_elems,
+            acc0,
+            lambda acc, e: F.struct(
+                e.alias("prev"),
+                (acc["dups"] + F.when(is_dup(acc, e), 1).otherwise(0)).alias("dups"),
+                (
+                    acc["dupchars"]
+                    + F.when(is_dup(acc, e), F.length(e).cast("long")).otherwise(0)
+                ).alias("dupchars"),
+                (acc["chars"] + F.length(e)).alias("chars"),
+            ),
+        )
+        return F.struct(
+            F.size(sorted_elems).cast("long").alias("n"),
+            folded["dups"].alias("dups"),
+            folded["dupchars"].alias("dupchars"),
+            folded["chars"].alias("chars"),
+        )
+
+    return bind_once(F.array_sort(elems), fold)
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """The published Gopher repetition-filter rule set (Rae et al. 2021,
+    Appendix A, Table A1) — the other half of the Gopher filter next to
+    :func:`gopher_quality`'s document-shape rules. Per document, all
+    thirteen signals plus the conjunctive keep decision:
+
+    - duplicate line / paragraph fraction: occurrences after the first of
+      a repeated line (split ``\\n``, blank lines dropped) or paragraph
+      (split on blank-line runs, ``\\n{2,}``), over the line/para count
+    - duplicate line / paragraph CHARACTER fraction: the same occurrences
+      weighted by element length, over total element characters
+    - top n-gram character fraction (n = 2, 3, 4): occurrences of the
+      single most frequent word n-gram x its word characters, over total
+      word characters (ties broken lexicographically-smallest so both
+      engines pick the identical gram)
+    - duplicate n-gram character fraction (n = 5..10): characters of words
+      covered by at least one n-gram occurring more than once, overlaps
+      counted ONCE (the union-of-covered-token-positions form — an
+      order-independent restatement of the linear left-to-right scan in
+      published reimplementations, chosen because a declarative engine has
+      no scan order; documented difference: the scan variant skips ahead
+      n tokens after a hit, so it can report slightly fewer covered chars)
+
+    keep = every ROUNDED signal <= its threshold (both engines threshold
+    identical 6-decimal values). Docs too short for an n produce 0 for
+    that signal (nothing repeats). Character denominators are word/element
+    characters (whitespace excluded), engine-portable.
+
+    Plan shape: line/paragraph signals are in-place sorted-array folds
+    (zero shuffle, scan speed). The n-gram signals are ONE explode of
+    (n, pos, gram) for all nine n values -> groupBy(doc, n, gram) with
+    map-side partial aggregation -> per-(doc, n) reduce -> two slim
+    per-doc joins. Shuffle ~ 9x corpus tokens: the honest distributed
+    shape — counting is never done in task memory, so million-token
+    documents cannot blow an executor (same reasoning as
+    repetition_stats engine="explode"). At 100 TB this is the same
+    aggregate pattern as the LM count tables.
+    """
+    from etl_file_loader_spark.functions import bind_once, tokens
+
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown gopher repetition signals: {sorted(unknown)}")
+        th.update(thresholds)
+
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n", -1), lambda l: F.length(F.trim(l)) > 0)
+    paras = F.filter(F.split(text, r"\n{2,}", -1), lambda p: F.length(F.trim(p)) > 0)
+    toks = tokens(text)
+
+    def all_grams(t: Column) -> Column:
+        def gram_at(n: int):
+            # closure factory: PySpark infers HOF arity from the lambda's
+            # parameter count, so the usual `lambda i, n=n` capture would be
+            # handed the array index as `n`
+            def build(i: Column) -> Column:
+                return F.struct(
+                    F.lit(n).alias("n"),
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                    ).alias("gram"),
+                )
+
+            return build
+
+        per_n = [
+            F.when(
+                F.size(t) >= n,
+                F.transform(F.sequence(F.lit(0), F.size(t) - n), gram_at(n)),
+            ).otherwise(F.array().cast("array<struct<n:int,pos:int,gram:string>>"))
+            for n in range(2, 11)
+        ]
+        return F.flatten(F.array(*per_n))
+
+    # Two independent scan branches (each computes ONLY what it needs — a
+    # shared struct would drag the 9x-token gram array through the per-doc
+    # branch, because the bind_once encoding hides the struct from
+    # SimplifyExtractValueOps): per-doc stats stay shuffle-free; the gram
+    # branch goes straight into the distributed count aggregate.
+    doc_side = df.select(
+        F.col(id_col),
+        _dup_run_stats(lines).alias("_l"),
+        _dup_run_stats(paras).alias("_p"),
+        bind_once(
+            toks,
+            lambda t: F.struct(
+                F.aggregate(
+                    t, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+                ).alias("content_chars"),
+                F.transform(t, lambda w: F.length(w).cast("long")).alias("tok_lens"),
+            ),
+        ).alias("_w"),
+    ).select(
+        F.col(id_col),
+        "_l",
+        "_p",
+        F.col("_w")["content_chars"].alias("_content_chars"),
+        F.col("_w")["tok_lens"].alias("_tok_lens"),
+    )
+
+    ex = df.select(
+        F.col(id_col), F.explode(bind_once(toks, all_grams)).alias("_g")
+    )
+    counts = ex.groupBy(
+        F.col(id_col),
+        F.col("_g")["n"].alias("_n"),
+        F.col("_g")["gram"].alias("_gram"),
+    ).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.collect_list(F.col("_g")["pos"]).alias("_poss"),
+    )
+
+    # ONE downstream chain off the count table (computing the top-gram and
+    # coverage reductions as separate frames would re-run the explode +
+    # count shuffle per branch — Spark has no common-plan sharing):
+    # per (doc, n) reduce BOTH signals, then one per-doc pivot.
+    # - top n-gram (n=2..4): arg-min of (-count, gram) = max count, lex-min
+    #   gram; covered word chars = count * (gram length minus its n-1
+    #   spaces)
+    # - duplicated n-grams (n=5..10, count > 1): union of covered token
+    #   positions (overlaps once), word-length summed via the per-doc
+    #   token-length array after the join
+    per_n = counts.groupBy(id_col, "_n").agg(
+        F.min(
+            F.when(
+                F.col("_n") <= 4,
+                F.struct(
+                    (-F.col("_cnt")).alias("negc"),
+                    F.col("_gram").alias("gram"),
+                    (
+                        F.col("_cnt")
+                        * (F.length(F.col("_gram")) - (F.col("_n") - 1))
+                    ).cast("long").alias("covered"),
+                ),
+            )
+        )["covered"].alias("_covered"),
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(
+                    F.when(
+                        (F.col("_n") >= 5) & (F.col("_cnt") > 1),
+                        F.flatten(
+                            F.transform(
+                                F.col("_poss"),
+                                lambda p: F.sequence(p, p + F.col("_n") - 1),
+                            )
+                        ),
+                    )
+                )
+            )
+        ).alias("_idxs"),
+    )
+    pivoted = per_n.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_covered"))).alias(f"_top{n}")
+            for n in (2, 3, 4)
+        ],
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_idxs"))).alias(f"_idx{n}")
+            for n in range(5, 11)
+        ],
+    )
+
+    joined = doc_side.join(pivoted, id_col, "left")
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        )
+
+    lens = F.col("_tok_lens")
+    content = F.col("_content_chars")
+    sig = {
+        "dup_line_frac": frac(F.col("_l")["dups"], F.col("_l")["n"]),
+        "dup_para_frac": frac(F.col("_p")["dups"], F.col("_p")["n"]),
+        "dup_line_char_frac": frac(F.col("_l")["dupchars"], F.col("_l")["chars"]),
+        "dup_para_char_frac": frac(F.col("_p")["dupchars"], F.col("_p")["chars"]),
+    }
+    for n in (2, 3, 4):
+        sig[f"top_{n}gram_char_frac"] = frac(
+            F.coalesce(F.col(f"_top{n}"), F.lit(0)), content
+        )
+    for n in range(5, 11):
+        covered_chars = F.when(
+            F.col(f"_idx{n}").isNull(), F.lit(0).cast("long")
+        ).otherwise(
+            F.aggregate(
+                F.col(f"_idx{n}"),
+                F.lit(0).cast("long"),
+                lambda a, i: a + F.element_at(lens, i + 1),
+            )
+        )
+        sig[f"dup_{n}gram_char_frac"] = frac(covered_chars, content)
+
+    keep = F.lit(True)
+    for name, t in th.items():
+        keep = keep & (sig[name] <= F.lit(t))
+
+    return joined.select(
+        F.col(id_col),
+        F.col("_l")["n"].alias("n_lines"),
+        F.col("_p")["n"].alias("n_paras"),
+        *[sig[name].alias(name) for name in GOPHER_REPETITION_THRESHOLDS],
+        keep.cast("int").cast("long").alias("keep"),
+    )

@@ -1013,6 +1013,141 @@ FROM L ORDER BY doc_id
 Q_HTML_EXTRACT_SQL = _q_html_extract_sql()
 
 
+def q_gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL published Gopher repetition rule set (Rae et al. 2021
+    Table A1) over the documents table: dup line/paragraph (char)
+    fractions, top 2-4-gram char fractions, dup 5-10-gram coverage char
+    fractions, conjunctive keep (operators/text.py:gopher_repetition).
+    Full per-doc value check; `gopher_repetition` (top-bigram share) is
+    the single-signal fast path, this is the whole table."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.gopher_repetition(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_GRR_TH = text_ops.GOPHER_REPETITION_THRESHOLDS
+
+Q_GOPHER_REPETITION_RULES_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+),
+le AS (
+  SELECT doc_id, elem FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS elem FROM d
+  ) WHERE length(trim(elem)) > 0
+),
+pe AS (
+  SELECT doc_id, elem FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\n{{2,}}')) AS elem FROM d
+  ) WHERE length(trim(elem)) > 0
+),
+lc AS (SELECT doc_id, elem, count(*) AS cnt FROM le GROUP BY 1, 2),
+pc AS (SELECT doc_id, elem, count(*) AS cnt FROM pe GROUP BY 1, 2),
+lstats AS (
+  SELECT doc_id, sum(cnt) AS n, sum(cnt - 1) AS dups,
+         sum((cnt - 1) * length(elem)) AS dupchars,
+         sum(cnt * length(elem)) AS chars
+  FROM lc GROUP BY doc_id
+),
+pstats AS (
+  SELECT doc_id, sum(cnt) AS n, sum(cnt - 1) AS dups,
+         sum((cnt - 1) * length(elem)) AS dupchars,
+         sum(cnt * length(elem)) AS chars
+  FROM pc GROUP BY doc_id
+),
+ws AS (
+  SELECT doc_id,
+         COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS content_chars
+  FROM d
+),
+g AS (
+  SELECT d.doc_id, tn.n, ti.i - 1 AS pos,
+         array_to_string(w[ti.i:ti.i + tn.n - 1], ' ') AS gram
+  FROM d,
+       unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) tn(n),
+       unnest(range(1, len(w) - tn.n + 2)) ti(i)
+  WHERE len(w) >= tn.n
+),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+topg AS (
+  SELECT doc_id, n, cnt * (length(gram) - (n - 1)) AS covered,
+         row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c WHERE n <= 4
+),
+top AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN covered END) AS top2,
+         max(CASE WHEN n = 3 THEN covered END) AS top3,
+         max(CASE WHEN n = 4 THEN covered END) AS top4
+  FROM topg WHERE rn = 1 GROUP BY doc_id
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.n, g.pos + tk.k AS idx
+  FROM g
+  JOIN c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram,
+       unnest(range(0, g.n)) tk(k)
+  WHERE g.n >= 5 AND c.cnt > 1
+),
+covchars AS (
+  SELECT cov.doc_id,
+         max(CASE WHEN cov.n = 5 THEN ch END) AS cov5,
+         max(CASE WHEN cov.n = 6 THEN ch END) AS cov6,
+         max(CASE WHEN cov.n = 7 THEN ch END) AS cov7,
+         max(CASE WHEN cov.n = 8 THEN ch END) AS cov8,
+         max(CASE WHEN cov.n = 9 THEN ch END) AS cov9,
+         max(CASE WHEN cov.n = 10 THEN ch END) AS cov10
+  FROM (
+    SELECT cov.doc_id, cov.n, sum(length(d.w[cov.idx + 1])) AS ch
+    FROM cov JOIN d ON cov.doc_id = d.doc_id
+    GROUP BY 1, 2
+  ) cov GROUP BY cov.doc_id
+),
+sig AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(l.n, 0) AS BIGINT) AS n_lines,
+         CAST(COALESCE(p.n, 0) AS BIGINT) AS n_paras,
+         round(CASE WHEN COALESCE(l.n, 0) > 0 THEN CAST(l.dups AS DOUBLE) / l.n ELSE 0 END, 6) AS dup_line_frac,
+         round(CASE WHEN COALESCE(p.n, 0) > 0 THEN CAST(p.dups AS DOUBLE) / p.n ELSE 0 END, 6) AS dup_para_frac,
+         round(CASE WHEN COALESCE(l.chars, 0) > 0 THEN CAST(l.dupchars AS DOUBLE) / l.chars ELSE 0 END, 6) AS dup_line_char_frac,
+         round(CASE WHEN COALESCE(p.chars, 0) > 0 THEN CAST(p.dupchars AS DOUBLE) / p.chars ELSE 0 END, 6) AS dup_para_char_frac,
+         round(CASE WHEN ws.content_chars > 0 THEN CAST(COALESCE(t.top2, 0) AS DOUBLE) / ws.content_chars ELSE 0 END, 6) AS top_2gram_char_frac,
+         round(CASE WHEN ws.content_chars > 0 THEN CAST(COALESCE(t.top3, 0) AS DOUBLE) / ws.content_chars ELSE 0 END, 6) AS top_3gram_char_frac,
+         round(CASE WHEN ws.content_chars > 0 THEN CAST(COALESCE(t.top4, 0) AS DOUBLE) / ws.content_chars ELSE 0 END, 6) AS top_4gram_char_frac,
+         round(CASE WHEN ws.content_chars > 0 THEN CAST(COALESCE(cc.cov5, 0) AS DOUBLE) / ws.content_chars ELSE 0 END, 6) AS dup_5gram_char_frac,
+         round(CASE WHEN ws.content_chars > 0 THEN CAST(COALESCE(cc.cov6, 0) AS DOUBLE) / ws.content_chars ELSE 0 END, 6) AS dup_6gram_char_frac,
+         round(CASE WHEN ws.content_chars > 0 THEN CAST(COALESCE(cc.cov7, 0) AS DOUBLE) / ws.content_chars ELSE 0 END, 6) AS dup_7gram_char_frac,
+         round(CASE WHEN ws.content_chars > 0 THEN CAST(COALESCE(cc.cov8, 0) AS DOUBLE) / ws.content_chars ELSE 0 END, 6) AS dup_8gram_char_frac,
+         round(CASE WHEN ws.content_chars > 0 THEN CAST(COALESCE(cc.cov9, 0) AS DOUBLE) / ws.content_chars ELSE 0 END, 6) AS dup_9gram_char_frac,
+         round(CASE WHEN ws.content_chars > 0 THEN CAST(COALESCE(cc.cov10, 0) AS DOUBLE) / ws.content_chars ELSE 0 END, 6) AS dup_10gram_char_frac
+  FROM d
+  JOIN ws USING (doc_id)
+  LEFT JOIN lstats l USING (doc_id)
+  LEFT JOIN pstats p USING (doc_id)
+  LEFT JOIN top t USING (doc_id)
+  LEFT JOIN covchars cc USING (doc_id)
+)
+SELECT sig.*,
+       CAST(CASE WHEN dup_line_frac <= {_GRR_TH["dup_line_frac"]}
+                  AND dup_para_frac <= {_GRR_TH["dup_para_frac"]}
+                  AND dup_line_char_frac <= {_GRR_TH["dup_line_char_frac"]}
+                  AND dup_para_char_frac <= {_GRR_TH["dup_para_char_frac"]}
+                  AND top_2gram_char_frac <= {_GRR_TH["top_2gram_char_frac"]}
+                  AND top_3gram_char_frac <= {_GRR_TH["top_3gram_char_frac"]}
+                  AND top_4gram_char_frac <= {_GRR_TH["top_4gram_char_frac"]}
+                  AND dup_5gram_char_frac <= {_GRR_TH["dup_5gram_char_frac"]}
+                  AND dup_6gram_char_frac <= {_GRR_TH["dup_6gram_char_frac"]}
+                  AND dup_7gram_char_frac <= {_GRR_TH["dup_7gram_char_frac"]}
+                  AND dup_8gram_char_frac <= {_GRR_TH["dup_8gram_char_frac"]}
+                  AND dup_9gram_char_frac <= {_GRR_TH["dup_9gram_char_frac"]}
+                  AND dup_10gram_char_frac <= {_GRR_TH["dup_10gram_char_frac"]}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sig
+ORDER BY doc_id
+"""
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
@@ -1030,6 +1165,7 @@ QUERIES.update(
         "line_dedup": q_line_dedup,
         "span_dedup": q_span_dedup,
         "gopher_quality": q_gopher_quality,
+        "gopher_repetition_rules": q_gopher_repetition_rules,
         "quality_classifier": q_quality_classifier,
         "unigram_logprob": q_unigram_logprob,
         "html_extract": q_html_extract,
@@ -1051,6 +1187,7 @@ ORACLES.update(
         "line_dedup": Q_LINE_DEDUP_SQL,
         "span_dedup": Q_SPAN_DEDUP_SQL,
         "gopher_quality": Q_GOPHER_QUALITY_SQL,
+        "gopher_repetition_rules": Q_GOPHER_REPETITION_RULES_SQL,
         "quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "bigram_logprob": Q_BIGRAM_LOGPROB_SQL,

@@ -1009,3 +1009,104 @@ def test_gopher_quality_mean_word_length_band(spark):
     )
     out = _gq(spark, [(1, longwords)])
     assert out[1]["mean_word_len"] > 10.0 and out[1]["keep"] == 0
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition (Rae et al. 2021 Table A1 repetition rules)
+# ---------------------------------------------------------------------------
+
+
+def _gr(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r
+        for r in text.gopher_repetition(df, "doc_id", "text", **kw).collect()
+    }
+
+
+def test_gopher_repetition_line_and_para_fractions(spark):
+    doc = "hello world\nhello world\nunique line\n\npara one\n\npara one"
+    out = _gr(spark, [(1, doc)])
+    r = out[1]
+    # 5 nonblank lines, 2 dup occurrences; chars 49, dup chars 11 + 8
+    assert r["n_lines"] == 5 and r["dup_line_frac"] == pytest.approx(0.4)
+    assert r["dup_line_char_frac"] == pytest.approx(round(19 / 49, 6))
+    # 3 paragraphs (blank-line split), 1 dup occurrence of "para one"
+    assert r["n_paras"] == 3 and r["dup_para_frac"] == pytest.approx(round(1 / 3, 6))
+    assert r["dup_para_char_frac"] == pytest.approx(round(8 / 51, 6))
+
+
+def test_gopher_repetition_top_gram_tiebreak_and_chars(spark):
+    # "a b"x3 / "b a"x2 -> top bigram "a b", covered 3*2 of 6 word chars;
+    # trigrams tie at 2 ("a b a" vs "b a b") -> lex-smallest "a b a"
+    out = _gr(spark, [(1, "a b a b a b")])
+    r = out[1]
+    assert r["top_2gram_char_frac"] == pytest.approx(1.0)
+    assert r["top_3gram_char_frac"] == pytest.approx(1.0)  # 2*3 / 6
+    # top 4-gram "a b a b" x2 -> 8/6: overlapping occurrences may exceed 1
+    assert r["top_4gram_char_frac"] == pytest.approx(round(8 / 6, 6))
+
+
+def test_gopher_repetition_dup_gram_coverage_counts_overlaps_once(spark):
+    # every 5..8-gram of this 10-token doc repeats -> full coverage (1.0),
+    # NOT the sum of occurrence lengths (which would be > 1)
+    out = _gr(spark, [(1, "x y x y x y x y x y"), (2, "a b c d e f g h i j")])
+    r = out[1]
+    for n in (5, 6, 7, 8):
+        assert r[f"dup_{n}gram_char_frac"] == pytest.approx(1.0)
+    # 9- and 10-grams occur once each -> no duplicated coverage
+    assert r["dup_9gram_char_frac"] == 0.0 and r["dup_10gram_char_frac"] == 0.0
+    assert r["keep"] == 0
+    # all-distinct tokens: nothing repeats at any n
+    r2 = out[2]
+    for n in range(5, 11):
+        assert r2[f"dup_{n}gram_char_frac"] == 0.0
+
+
+def test_gopher_repetition_partial_coverage_value(spark):
+    # 12 tokens, one duplicated 5-gram ("p q r s t" at pos 0 and 7 after
+    # filler) -> covered positions are exactly those two spans (10 tokens)
+    doc = "p q r s t u v p q r s t"
+    out = _gr(spark, [(1, doc)])
+    r = out[1]
+    # covered tokens: 0..4 and 7..11 -> 10 of 12 single-char words
+    assert r["dup_5gram_char_frac"] == pytest.approx(round(10 / 12, 6))
+    assert r["dup_6gram_char_frac"] == 0.0
+
+
+def test_gopher_repetition_thresholds_and_keep(spark):
+    clean = " ".join(f"w{i}" for i in range(40))
+    # dup_line_frac 0.5 > 0.30 -> dropped by line rule only
+    liney = "\n".join(["same line"] * 3 + ["other one", "another x", "final yz"])
+    out = _gr(spark, [(1, clean), (2, liney)])
+    assert out[1]["keep"] == 1
+    r = out[2]
+    assert r["dup_line_frac"] == pytest.approx(round(2 / 6, 6))
+    assert r["keep"] == 0
+    # raising every fired threshold readmits the doc (the repeated line
+    # also dominates the char and top-gram signals)
+    out2 = _gr(
+        spark,
+        [(2, liney)],
+        thresholds={
+            "dup_line_frac": 0.5,
+            "dup_line_char_frac": 0.4,
+            "top_2gram_char_frac": 0.6,
+            "top_3gram_char_frac": 0.6,
+            "top_4gram_char_frac": 0.7,
+        },
+    )
+    assert out2[2]["keep"] == 1
+
+
+def test_gopher_repetition_empty_and_unknown_threshold(spark):
+    # a lone bigram covers 100% of a 2-word doc: the published top-gram
+    # rule fires even at count 1 (shape rules normally remove tiny docs
+    # before repetition runs)
+    out = _gr(spark, [(1, ""), (2, "word"), (3, "one two")])
+    assert out[1]["keep"] == 1 and out[1]["n_lines"] == 0
+    assert out[2]["keep"] == 1  # no grams at all
+    assert out[3]["top_2gram_char_frac"] == pytest.approx(1.0)
+    assert out[3]["keep"] == 0
+    with pytest.raises(ValueError, match="unknown gopher repetition"):
+        _gr(spark, [(1, "a b")], thresholds={"nope": 0.1})

@@ -195,6 +195,18 @@ COMMENTARY = {
         "(current = scd2_apply(current, ...)) never hits Spark's "
         "self-join ambiguity."
     ),
+    "gopher_repetition_rules": (
+        "Round 8: the FULL published Gopher repetition table. Line/paragraph "
+        "signals are in-place sorted-array folds on the scan branch (zero "
+        "shuffle); the nine n-gram signals share ONE explode of (n, pos, "
+        "gram) structs into a groupBy(doc, n, gram) count with map-side "
+        "partial aggregation (shuffle ~ 9x corpus tokens), then ONE "
+        "per-(doc, n) reduce computing both the top-gram and coverage "
+        "signals, one per-doc pivot, one join (a branch per signal would "
+        "re-run the explode: no common-plan sharing). Counting never "
+        "happens in task memory, so million-token docs cannot blow an "
+        "executor — the same aggregate discipline as the LM count tables."
+    ),
     "gopher_quality": (
         "Round 8: the published Gopher document-shape rules as ONE "
         "scan-shaped projection — two bind-once'd HOF folds (word stats, "
