@@ -1581,3 +1581,123 @@ def gopher_repetition(
         *[sig[name].alias(name) for name in GOPHER_REPETITION_THRESHOLDS],
         keep.cast("int").cast("long").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def _eq_lit(term: str):
+    # closure factory (PySpark infers HOF arity from the lambda's
+    # parameter count, so `lambda w, t=term:` would bind the element index)
+    return lambda w: w == F.lit(term)
+
+
+def bm25_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed bag-of-words
+    query (Robertson/Sparck-Jones idf, the non-negative ``ln(1 + ...)``
+    form): per doc
+
+        score = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t) = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+
+    with tf the term's count in the doc, dl the doc token length, avgdl the
+    corpus mean, df_t the term's document frequency, N the corpus size.
+
+    Plan: per-doc tf for each of the Q query terms is an in-place filter
+    over the bound token array (terms are literals — no explode, no
+    vocabulary join); the corpus statistics (N, sum dl, per-term df)
+    collapse into ONE scalar-aggregate row that broadcast-joins back. Total
+    cost = one scan + one all-to-one aggregate: at 100 TB this is a scan
+    plus Q counters, the minimal shape for fixed-query retrieval. (Ad-hoc
+    many-query retrieval would instead explode into an inverted-index
+    join — see similarity.py for the vector-side analog.)
+
+    Cross-engine determinism: the per-term contributions are summed in
+    query-term order as one left-associated expression, every constant is
+    the identical Python double on both engines, and the score is rounded
+    to 6 places (ln is the one 1-ulp-licensed primitive, invisible at 6dp).
+    Duplicate query terms are collapsed (first occurrence wins).
+    """
+    from etl_file_loader_spark.functions import bind_once, tokens
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms: list[str] = []
+    for t in query_terms:
+        lt = t.lower()
+        if lt not in terms:
+            terms.append(lt)
+
+    base = df.select(
+        F.col(id_col),
+        bind_once(
+            F.transform(tokens(F.col(text_col)), lambda w: F.lower(w)),
+            lambda lt: F.struct(
+                F.size(lt).cast("long").alias("dl"),
+                *[
+                    F.size(F.filter(lt, _eq_lit(term))).cast("long").alias(f"tf{i}")
+                    for i, term in enumerate(terms)
+                ],
+            ),
+        ).alias("_s"),
+    ).select(
+        F.col(id_col),
+        F.col("_s")["dl"].alias("_dl"),
+        *[F.col("_s")[f"tf{i}"].alias(f"_tf{i}") for i in range(len(terms))],
+    )
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    n = F.col("_n_docs").cast("double")
+    avgdl = F.col("_sum_dl").cast("double") / n
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        dfi = F.col(f"_df{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / avgdl
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / denom
+
+    return (
+        base.join(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("_dl").alias("n_tokens"),
+            F.round(score, 6).alias("bm25"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by :func:`bm25_score` (score DESC, id ASC — the
+    rounded score makes the cut deterministic across engines). The
+    sort+limit compiles to TakeOrderedAndProject: per-partition top-k
+    heaps, k rows to the driver — no global sort exchange."""
+    scored = bm25_score(df, id_col, text_col, query_terms, k1=k1, b=b)
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)

@@ -1148,6 +1148,76 @@ ORDER BY doc_id
 """
 
 
+_BM25_TERMS = ["window", "merge", "scan"]
+_BM25_K = 50
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the documents table: top-50 docs
+    for a fixed bag-of-words query (operators/text.py:bm25_score). One
+    scan (per-term tf via in-place filters over the bound token array) +
+    one scalar-aggregate corpus-stats row broadcast back + a
+    TakeOrderedAndProject top-k — no global sort. Deterministic cut:
+    rounded score DESC, doc_id ASC."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    # identical Python doubles on both engines; left-associated term sum
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1, b, k1p1 = repr(_BM25_K1), repr(_BM25_B), repr(_BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - _BM25_B)
+    term_sum = "\n         + ".join(
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * {k1p1}"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * ({one_minus_b}"
+        f" + {b} * CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END,
+           t -> lower(t)) AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(w) AS dl,
+         {tf_cols}
+  FROM d
+),
+st AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+       round(0.0 + {term_sum}, 6) AS bm25
+FROM base CROSS JOIN st
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+Q_BM25_RETRIEVAL_SQL = _bm25_oracle_sql()
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
@@ -1166,6 +1236,7 @@ QUERIES.update(
         "span_dedup": q_span_dedup,
         "gopher_quality": q_gopher_quality,
         "gopher_repetition_rules": q_gopher_repetition_rules,
+        "bm25_retrieval": q_bm25_retrieval,
         "quality_classifier": q_quality_classifier,
         "unigram_logprob": q_unigram_logprob,
         "html_extract": q_html_extract,
@@ -1188,6 +1259,7 @@ ORACLES.update(
         "span_dedup": Q_SPAN_DEDUP_SQL,
         "gopher_quality": Q_GOPHER_QUALITY_SQL,
         "gopher_repetition_rules": Q_GOPHER_REPETITION_RULES_SQL,
+        "bm25_retrieval": Q_BM25_RETRIEVAL_SQL,
         "quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "bigram_logprob": Q_BIGRAM_LOGPROB_SQL,

@@ -1110,3 +1110,47 @@ def test_gopher_repetition_empty_and_unknown_threshold(spark):
     assert out[3]["keep"] == 0
     with pytest.raises(ValueError, match="unknown gopher repetition"):
         _gr(spark, [(1, "a b")], thresholds={"nope": 0.1})
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.bm25_score(df, "doc_id", "text", ["apple", "banana"]).collect()
+    }
+    # N=3, avgdl=2, df_apple=1, df_banana=2
+    idf_a = math.log(1 + (3 - 1 + 0.5) / 1.5)
+    idf_b = math.log(1 + (3 - 2 + 0.5) / 2.5)
+
+    def part(tf, dl, idf):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+
+    assert out[1]["bm25"] == pytest.approx(
+        round(part(2, 3, idf_a) + part(1, 3, idf_b), 6)
+    )
+    assert out[2]["bm25"] == pytest.approx(round(part(1, 2, idf_b), 6))
+    assert out[3]["bm25"] == 0.0
+    assert out[1]["n_tokens"] == 3
+
+
+def test_bm25_topk_order_and_dedup_terms(spark):
+    df = spark.createDataFrame(
+        [(i, "match term here" if i % 2 else "other words only") for i in range(10)],
+        "doc_id long, text string",
+    )
+    # duplicate + mixed-case terms collapse; k cuts deterministically by id
+    top = text.bm25_topk(df, "doc_id", "text", ["Match", "match"], k=3).collect()
+    assert [r["doc_id"] for r in top] == [1, 3, 5]
+    assert all(r["bm25"] > 0 for r in top)
+    with pytest.raises(ValueError, match="non-empty"):
+        text.bm25_score(df, "doc_id", "text", [])

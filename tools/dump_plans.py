@@ -195,6 +195,15 @@ COMMENTARY = {
         "(current = scd2_apply(current, ...)) never hits Spark's "
         "self-join ambiguity."
     ),
+    "bm25_retrieval": (
+        "Round 8: fixed-query BM25 — per-term tf via in-place filters over "
+        "the bound lowercased token array (terms are literals: no explode, "
+        "no vocabulary join), corpus stats (N, sum dl, per-term df) as ONE "
+        "scalar-aggregate row broadcast back, then TakeOrderedAndProject "
+        "for the top-k (per-partition heaps, k rows to the driver — no "
+        "global sort exchange). One scan + Q counters: the minimal "
+        "fixed-query retrieval shape at 100 TB."
+    ),
     "gopher_repetition_rules": (
         "Round 8: the FULL published Gopher repetition table. Line/paragraph "
         "signals are in-place sorted-array folds on the scan branch (zero "
