@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval
     "bm25_retrieval",
+    # round 8: DSIR importance resampling
+    "dsir_selection",
 ]
 
 

@@ -520,3 +520,184 @@ def temperature_mixture(
     wtab = wtab.select(F.col(domain_col), w.alias("_mix_w"))
     joined = df.join(F.broadcast(wtab), domain_col)
     return weighted_repeat(joined, id_col, F.col("_mix_w"), salt=salt)
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_features(df: DataFrame, id_col: str, text_col: str, num_buckets: int) -> DataFrame:
+    """(id, bkt) stream of hashed unigram + bigram features: the published
+    DSIR featurization (hashed n-grams, n in {1,2}) with the house
+    md5-prefix->int64 bucket idiom (bit-identical in DuckDB)."""
+    from etl_file_loader_spark.functions import bind_once, token_hash32
+
+    def feats(t: Column) -> Column:
+        unis = F.transform(t, lambda w: F.lower(w))
+        bis = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.lower(F.element_at(t, i)), F.lower(F.element_at(t, i + 1))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(unis, bis)
+
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col), F.explode(bind_once(toks, feats)).alias("_f")
+    ).select(
+        F.col(id_col), (token_hash32(F.col("_f")) % num_buckets).alias("_bkt")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): score every raw
+    document by how target-like its hashed-n-gram profile is,
+
+        log w(d) = sum_f c_f(d) * (ln p_target(f) - ln q_raw(f))
+
+    under Laplace-``alpha``-smoothed bag-of-features models
+    ``p(f) = (c_f + alpha) / (T + alpha*B)`` fit on the target and raw
+    corpora respectively. Features are hashed unigrams + bigrams (the
+    published featurization) in ``num_buckets`` buckets.
+
+    Plan at 100 TB: two feature-count aggregates (shuffle ∝ corpus
+    tokens, map-side combine), whose results are BOUNDED by B buckets —
+    the log-ratio table broadcasts; per-doc scoring is one
+    groupBy(id, bkt) count plus a broadcast join and an in-place fold, so
+    no token-keyed shuffle join ever happens (contrast unigram_logprob's
+    vocab join: the hash trick is what buys the bounded table).
+
+    Cross-engine: fold in ascending-bucket order (canonical float
+    summation, same discipline as the LM ladder); md5-prefix buckets are
+    bit-identical in DuckDB; log-ratios are pure ln/arithmetic on
+    identical doubles. Output: (id, n_feats, log_weight) for EVERY raw
+    doc (featureless docs score 0.0 — the empty product).
+    """
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    tgt = _dsir_features(target, id_col, text_col, num_buckets)
+    rawf = _dsir_features(raw, id_col, text_col, num_buckets)
+
+    ct = tgt.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_ct"))
+    cq = rawf.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cq"))
+    tt = tgt.agg(F.count(F.lit(1)).alias("_tt"))
+    tq = rawf.agg(F.count(F.lit(1)).alias("_tq"))
+
+    ab = float(alpha) * num_buckets
+    lr_tab = (
+        ct.join(cq, "_bkt", "full_outer")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tq))
+        .select(
+            F.col("_bkt"),
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+                    / (F.col("_tt").cast("double") + F.lit(ab))
+                )
+                - F.log(
+                    (F.coalesce(F.col("_cq"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+                    / (F.col("_tq").cast("double") + F.lit(ab))
+                )
+            ).alias("_lr"),
+        )
+    )
+
+    prof = rawf.groupBy(id_col, "_bkt").agg(F.count(F.lit(1)).alias("_m"))
+    doc = (
+        prof.join(F.broadcast(lr_tab), "_bkt")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_m").cast("long").alias("n_feats"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_bkt").cast("long").alias("bkt"),
+                        F.col("_m").cast("long").alias("m"),
+                        F.col("_lr").alias("lr"),
+                    )
+                )
+            ).alias("_profile"),
+        )
+    )
+    lw = F.aggregate(
+        F.col("_profile"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["m"].cast("double") * s["lr"],
+    )
+    scored = doc.select(
+        F.col(id_col), F.col("n_feats"), F.round(lw, 6).alias("log_weight")
+    )
+    base = raw.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_buckets: int = 1024,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k resampling over :func:`dsir_weights`
+    — sampling k docs WITHOUT replacement with probability ∝ w(d) equals
+    taking the top k by ``log w(d) + Gumbel(0,1)`` (the Gumbel-max
+    trick). The Gumbel draw is DETERMINISTIC: u from the doc id's
+    md5-prefix (the house uniform idiom), g = -ln(-ln(u)) — reruns and
+    both engines select the identical sample.
+
+    Returns every raw doc with its selection key and a ``selected`` flag
+    (the flag is a broadcast semi-probe against the top-k id set, and the
+    top-k itself is a TakeOrderedAndProject — no global sort, no global
+    window; at 100 TB the only added cost over scoring is one k-row
+    broadcast). Keys are rounded to 6 places with doc-id tie-break so the
+    cut is engine-stable.
+    """
+    from etl_file_loader_spark.functions import token_hash32
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = dsir_weights(raw, target, id_col, text_col, num_buckets, alpha)
+    h = token_hash32(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+    keyed = w.select(
+        F.col(id_col), "n_feats", "log_weight", key.alias("sel_key")
+    )
+    topk = (
+        keyed.orderBy(F.col("sel_key").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("_sel_id"))
+    )
+    return keyed.join(
+        F.broadcast(topk),
+        keyed[id_col] == F.col("_sel_id"),
+        "left",
+    ).select(
+        F.col(id_col),
+        "n_feats",
+        "log_weight",
+        "sel_key",
+        F.col("_sel_id").isNotNull().cast("int").cast("long").alias("selected"),
+    )

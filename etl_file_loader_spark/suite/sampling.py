@@ -944,3 +944,99 @@ Q_PACKED_SEQUENCES_UNIGRAM_SQL = _packed_unigram_sql()
 
 QUERIES.update({"packed_sequences_unigram": q_packed_sequences_unigram})
 ORACLES.update({"packed_sequences_unigram": Q_PACKED_SEQUENCES_UNIGRAM_SQL})
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 8)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256
+_DSIR_K = 100
+_DSIR_SEED = "dsir"
+
+
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023) over the documents table:
+    hashed unigram+bigram importance log-weights of every doc against the
+    lang='en' slice as target, plus the deterministic Gumbel-top-100
+    selection flag (operators/sampling.py:dsir_select). The bucket table
+    is bounded (256) so the log-ratio join broadcasts; selection is
+    TakeOrderedAndProject + a k-row broadcast semi-probe."""
+    from etl_file_loader_spark.operators import sampling as sampling_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return sampling_ops.dsir_select(
+        docs, target, "doc_id", "text", k=_DSIR_K,
+        num_buckets=_DSIR_B, seed=_DSIR_SEED,
+    ).orderBy("doc_id")
+
+
+def _dsir_oracle_sql() -> str:
+    b = _DSIR_B
+    h = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+    feats = rf"""
+  SELECT doc_id, {h.format(x='f')} % {b} AS bkt
+  FROM (
+    SELECT doc_id, lower(t.f) AS f
+    FROM base, unnest(w) t(f)
+    UNION ALL
+    SELECT doc_id, lower(w[i]) || ' ' || lower(w[i + 1]) AS f
+    FROM base, unnest(range(1, len(w))) t(i)
+    WHERE len(w) >= 2
+  )"""
+    return rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+),
+rawf AS ({feats}),
+tgtf AS (
+  SELECT f.* FROM ({feats}) f JOIN base USING (doc_id) WHERE base.lang = 'en'
+),
+ct AS (SELECT bkt, count(*) AS c FROM tgtf GROUP BY bkt),
+cq AS (SELECT bkt, count(*) AS c FROM rawf GROUP BY bkt),
+tt AS (SELECT count(*) AS t FROM tgtf),
+tq AS (SELECT count(*) AS t FROM rawf),
+lr AS (
+  SELECT COALESCE(ct.bkt, cq.bkt) AS bkt,
+         ln((CAST(COALESCE(ct.c, 0) AS DOUBLE) + 1.0) / (CAST(tt.t AS DOUBLE) + {float(b)!r}))
+         - ln((CAST(COALESCE(cq.c, 0) AS DOUBLE) + 1.0) / (CAST(tq.t AS DOUBLE) + {float(b)!r})) AS lr
+  FROM ct FULL OUTER JOIN cq ON ct.bkt = cq.bkt
+  CROSS JOIN tt CROSS JOIN tq
+),
+prof AS (SELECT doc_id, bkt, count(*) AS m FROM rawf GROUP BY 1, 2),
+doc AS (
+  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+         list(struct_pack(bkt := bkt, m := m, lr := lr) ORDER BY bkt) AS pl
+  FROM prof JOIN lr USING (bkt) GROUP BY doc_id
+),
+scored AS (
+  SELECT b.doc_id,
+         COALESCE(doc.n_feats, 0) AS n_feats,
+         COALESCE(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(doc.pl, s -> CAST(s.m AS DOUBLE) * s.lr)),
+           (a, x) -> a + x), 6), 0.0) AS log_weight
+  FROM base b LEFT JOIN doc USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, n_feats, log_weight,
+         round(log_weight - ln(-ln(
+           (CAST({h.format(x="CAST(doc_id AS VARCHAR) || ':{seed}'")} AS DOUBLE) + 0.5)
+           / 4294967296.0)), 6) AS sel_key
+  FROM scored
+),
+sel AS (SELECT doc_id FROM keyed ORDER BY sel_key DESC, doc_id LIMIT {_DSIR_K})
+SELECT k.doc_id, k.n_feats, k.log_weight, k.sel_key,
+       CAST(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS selected
+FROM keyed k LEFT JOIN sel s ON k.doc_id = s.doc_id
+ORDER BY k.doc_id
+""".replace("{seed}", _DSIR_SEED)
+
+
+Q_DSIR_SELECTION_SQL = _dsir_oracle_sql()
+
+QUERIES.update({"dsir_selection": q_dsir_selection})
+ORACLES.update({"dsir_selection": Q_DSIR_SELECTION_SQL})

@@ -1154,3 +1154,104 @@ def test_bm25_topk_order_and_dedup_terms(spark):
     assert all(r["bm25"] > 0 for r in top)
     with pytest.raises(ValueError, match="non-empty"):
         text.bm25_score(df, "doc_id", "text", [])
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_py_weight(doc, target_docs, raw_docs, B=64, alpha=1.0):
+    """Reference implementation: hashed uni+bigram Laplace log-ratio."""
+    import hashlib
+    import math
+
+    def feats(t):
+        w = [x.lower() for x in t.split()]
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bkt(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+
+    ct, cq = {}, {}
+    for d in target_docs:
+        for f in feats(d):
+            ct[bkt(f)] = ct.get(bkt(f), 0) + 1
+    for d in raw_docs:
+        for f in feats(d):
+            cq[bkt(f)] = cq.get(bkt(f), 0) + 1
+    tt, tq = sum(ct.values()), sum(cq.values())
+    s = 0.0
+    prof = {}
+    for f in feats(doc):
+        prof[bkt(f)] = prof.get(bkt(f), 0) + 1
+    for b in sorted(prof):
+        lr = math.log((ct.get(b, 0) + alpha) / (tt + alpha * B)) - math.log(
+            (cq.get(b, 0) + alpha) / (tq + alpha * B)
+        )
+        s += prof[b] * lr
+    return round(s, 6)
+
+
+def test_dsir_weights_match_reference_impl(spark):
+    from etl_file_loader_spark.operators import sampling as S
+
+    raws = [
+        "the cat sat on the mat",
+        "der hund lief im park",
+        "the dog ran in the park",
+        "query plan cache hit",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(raws)), "doc_id long, text string"
+    )
+    target = df.filter("doc_id in (0, 2)")
+    out = {
+        r["doc_id"]: r["log_weight"]
+        for r in S.dsir_weights(df, target, "doc_id", "text", num_buckets=64).collect()
+    }
+    tdocs = [raws[0], raws[2]]
+    for i, d in enumerate(raws):
+        assert out[i] == pytest.approx(_dsir_py_weight(d, tdocs, raws, B=64)), i
+    # target-like docs outrank the off-target ones
+    assert min(out[0], out[2]) > max(out[1], out[3])
+
+
+def test_dsir_select_flags_and_determinism(spark):
+    from etl_file_loader_spark.operators import sampling as S
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} filler words here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    target = df.filter("doc_id < 10")
+    out = S.dsir_select(df, target, "doc_id", "text", k=8, num_buckets=64).collect()
+    assert sum(r["selected"] for r in out) == 8
+    assert len(out) == 40
+    # deterministic: identical rerun, different seed -> (almost surely) different sample
+    again = S.dsir_select(df, target, "doc_id", "text", k=8, num_buckets=64).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = S.dsir_select(
+        df, target, "doc_id", "text", k=8, num_buckets=64, seed="other"
+    ).collect()
+    assert {r["doc_id"] for r in out if r["selected"]} != {
+        r["doc_id"] for r in other if r["selected"]
+    }
+    with pytest.raises(ValueError, match="k must be"):
+        S.dsir_select(df, target, "doc_id", "text", k=0)
+    with pytest.raises(ValueError, match="num_buckets"):
+        S.dsir_weights(df, target, "doc_id", "text", num_buckets=0)
+
+
+def test_dsir_empty_doc_scores_zero(spark):
+    from etl_file_loader_spark.operators import sampling as S
+
+    df = spark.createDataFrame(
+        [(1, "some target words"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in S.dsir_weights(df, df.filter("doc_id = 1"), "doc_id", "text").collect()
+    }
+    assert out[2]["n_feats"] == 0 and out[2]["log_weight"] == 0.0
+    assert out[1]["n_feats"] == 5  # 3 unigrams + 2 bigrams

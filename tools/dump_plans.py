@@ -195,6 +195,15 @@ COMMENTARY = {
         "(current = scd2_apply(current, ...)) never hits Spark's "
         "self-join ambiguity."
     ),
+    "dsir_selection": (
+        "Round 8: DSIR — two feature-count aggregates (shuffle ~ corpus "
+        "tokens with map-side combine) reduce to a BOUNDED bucket table "
+        "(256 rows) whose log-ratio join broadcasts; per-doc scoring is "
+        "groupBy(id, bkt) + broadcast join + in-place ascending-bucket "
+        "fold — the hash trick means no token-keyed shuffle join exists "
+        "anywhere. Selection = TakeOrderedAndProject top-k + a k-row "
+        "broadcast semi-probe: no global sort, no global window."
+    ),
     "bm25_retrieval": (
         "Round 8: fixed-query BM25 — per-term tf via in-place filters over "
         "the bound lowercased token array (terms are literals: no explode, "
