@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "bm25_retrieval",
     # round 8: DSIR importance resampling
     "dsir_selection",
+    # round 8: C4 cleaning heuristics
+    "c4_filter",
 ]
 
 

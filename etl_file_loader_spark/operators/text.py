@@ -1701,3 +1701,93 @@ def bm25_topk(
     heaps, k rows to the driver — no global sort exchange."""
     scored = bm25_score(df, id_col, text_col, query_terms, k1=k1, b=b)
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning heuristics (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+
+def c4_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The published C4 line/page cleaning rules (Raffel et al. 2020,
+    §2.2) as one scan-shaped projection:
+
+    line level (kept lines rebuild the doc, '\\n'-joined):
+    - ends in a terminal punctuation mark (``.``, ``!``, ``?``, ``"``)
+    - has at least ``min_words_per_line`` words
+    - does not contain "javascript" (case-insensitive)
+
+    page level (flags + conjunctive keep):
+    - at least ``min_sentences`` sentences in the kept text (sentence ~
+      one terminal ``[.!?]`` character — the C4 split-on-punctuation
+      approximation; an ellipsis counts its dots)
+    - does not contain "lorem ipsum" (case-insensitive)
+    - does not contain a curly bracket ``{``
+
+    (The remaining published rules live elsewhere: the bad-words list is
+    a deployment wordlist, and the three-sentence-span global dedup is
+    :func:`remove_duplicate_spans` / :func:`line_dedup`.)
+
+    Pure Column expressions — filter/HOF over the split line array, zero
+    shuffle, scan speed at 100 TB. The kept text is emitted as an md5
+    (house style for large rebuilt strings) plus counts, so the oracle
+    value-checks the rebuild without shipping doc bodies.
+    """
+    from etl_file_loader_spark.functions import bind_once
+
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n", -1), lambda l: F.length(F.trim(l)) > 0)
+
+    def is_kept(l: Column) -> Column:
+        t = F.trim(l)
+        terminal = (
+            t.endswith(".") | t.endswith("!") | t.endswith("?") | t.endswith('"')
+        )
+        n_words = F.size(F.split(t, r"\s+"))
+        return (
+            terminal
+            & (n_words >= min_words_per_line)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    def stats(ls: Column) -> Column:
+        kept = F.filter(ls, is_kept)
+        kept_text = F.array_join(kept, "\n")
+        n_sentences = F.length(kept_text) - F.length(
+            F.regexp_replace(kept_text, r"[.!?]", "")
+        )
+        return F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept_lines"),
+            n_sentences.cast("long").alias("n_sentences"),
+            F.md5(kept_text).alias("kept_md5"),
+        )
+
+    out = df.select(
+        F.col(id_col),
+        bind_once(lines, stats).alias("_s"),
+        F.lower(text).contains("lorem ipsum").alias("_lorem"),
+        text.contains("{").alias("_brace"),
+    )
+    s = F.col("_s")
+    keep = (
+        (s["n_sentences"] >= min_sentences)
+        & ~F.col("_lorem")
+        & ~F.col("_brace")
+    )
+    return out.select(
+        F.col(id_col),
+        s["n_lines"].alias("n_lines"),
+        s["n_kept_lines"].alias("n_kept_lines"),
+        s["n_sentences"].alias("n_sentences"),
+        F.col("_lorem").cast("int").cast("long").alias("has_lorem_ipsum"),
+        F.col("_brace").cast("int").cast("long").alias("has_curly_brace"),
+        s["kept_md5"].alias("kept_md5"),
+        keep.cast("int").cast("long").alias("keep"),
+    )

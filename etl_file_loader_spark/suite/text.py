@@ -1218,6 +1218,57 @@ LIMIT {_BM25_K}
 Q_BM25_RETRIEVAL_SQL = _bm25_oracle_sql()
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published C4 cleaning heuristics (Raffel et al. 2020 §2.2)
+    over the documents table: terminal-punctuation + min-words +
+    javascript line filters, lorem-ipsum / curly-brace / min-sentences
+    page rules, kept-text rebuild as md5
+    (operators/text.py:c4_filter). Full per-doc value check."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.c4_filter(docs, "doc_id", "text").orderBy("doc_id")
+
+
+Q_C4_FILTER_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ls
+  FROM documents
+),
+k AS (
+  SELECT doc_id, text, ls,
+         list_filter(ls, l ->
+           (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+            OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+           AND len(string_split_regex(trim(l), '\s+')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM d
+),
+s AS (
+  SELECT doc_id, text,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         COALESCE(array_to_string(kept, chr(10)), '') AS kept_text
+  FROM k
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       CAST(length(kept_text)
+            - length(regexp_replace(kept_text, '[.!?]', '', 'g')) AS BIGINT)
+         AS n_sentences,
+       CAST(CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS BIGINT)
+         AS has_lorem_ipsum,
+       CAST(CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS BIGINT)
+         AS has_curly_brace,
+       md5(kept_text) AS kept_md5,
+       CAST(CASE WHEN length(kept_text)
+                      - length(regexp_replace(kept_text, '[.!?]', '', 'g')) >= 3
+                  AND NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{')
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
@@ -1237,6 +1288,7 @@ QUERIES.update(
         "gopher_quality": q_gopher_quality,
         "gopher_repetition_rules": q_gopher_repetition_rules,
         "bm25_retrieval": q_bm25_retrieval,
+        "c4_filter": q_c4_filter,
         "quality_classifier": q_quality_classifier,
         "unigram_logprob": q_unigram_logprob,
         "html_extract": q_html_extract,
@@ -1260,6 +1312,7 @@ ORACLES.update(
         "gopher_quality": Q_GOPHER_QUALITY_SQL,
         "gopher_repetition_rules": Q_GOPHER_REPETITION_RULES_SQL,
         "bm25_retrieval": Q_BM25_RETRIEVAL_SQL,
+        "c4_filter": Q_C4_FILTER_SQL,
         "quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
         "bigram_logprob": Q_BIGRAM_LOGPROB_SQL,

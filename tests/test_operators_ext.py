@@ -1255,3 +1255,50 @@ def test_dsir_empty_doc_scores_zero(spark):
     }
     assert out[2]["n_feats"] == 0 and out[2]["log_weight"] == 0.0
     assert out[1]["n_feats"] == 5  # 3 unigrams + 2 bigrams
+
+
+# ---------------------------------------------------------------------------
+# c4_filter (Raffel et al. 2020 §2.2 cleaning heuristics)
+# ---------------------------------------------------------------------------
+
+
+def _c4(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r for r in text.c4_filter(df, "doc_id", "text", **kw).collect()}
+
+
+def test_c4_line_rules(spark):
+    doc = (
+        "This is a good first sentence line.\n"
+        "Short one.\n"                                  # < 5 words
+        "Another quite long proper sentence here!\n"
+        "A trailing double quote counts as terminal\"\n"
+        "no terminal punctuation on this line at all\n"
+        "Please enable javascript to view this page."   # javascript
+    )
+    r = _c4(spark, [(1, doc)])[1]
+    assert r["n_lines"] == 6 and r["n_kept_lines"] == 3
+    assert r["n_sentences"] == 2  # the quote-terminated line has none
+    assert r["keep"] == 0  # below the 3-sentence floor
+
+
+def test_c4_page_rules(spark):
+    good = "\n".join(f"Good long sentence number {i} right here." for i in range(4))
+    r = _c4(spark, [(1, good), (2, good + "\nlorem ipsum dolor."),
+                    (3, good + "\ncode block {" ), (4, "")])
+    assert r[1]["keep"] == 1 and r[1]["n_sentences"] == 4
+    assert r[2]["has_lorem_ipsum"] == 1 and r[2]["keep"] == 0
+    assert r[3]["has_curly_brace"] == 1 and r[3]["keep"] == 0
+    assert r[4]["n_lines"] == 0 and r[4]["keep"] == 0
+
+
+def test_c4_kept_text_rebuild(spark):
+    import hashlib
+
+    doc = "Keep this first long sentence now.\nDrop me.\nKeep this second long sentence too."
+    r = _c4(spark, [(1, doc)])[1]
+    rebuilt = "Keep this first long sentence now.\nKeep this second long sentence too."
+    assert r["kept_md5"] == hashlib.md5(rebuilt.encode()).hexdigest()
+    # thresholds are parameters
+    r2 = _c4(spark, [(1, doc)], min_words_per_line=2, min_sentences=3)[1]
+    assert r2["n_kept_lines"] == 3 and r2["n_sentences"] == 3 and r2["keep"] == 1

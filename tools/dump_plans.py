@@ -195,6 +195,12 @@ COMMENTARY = {
         "(current = scd2_apply(current, ...)) never hits Spark's "
         "self-join ambiguity."
     ),
+    "c4_filter": (
+        "Round 8: the published C4 line/page cleaning rules as ONE "
+        "scan-shaped projection — line filters + kept-text rebuild + page "
+        "flags are a single bind-once'd HOF over the split line array. No "
+        "UDF, no shuffle; scan speed at 100 TB."
+    ),
     "dsir_selection": (
         "Round 8: DSIR — two feature-count aggregates (shuffle ~ corpus "
         "tokens with map-side combine) reduce to a BOUNDED bucket table "
