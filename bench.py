@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "gopher_quality",
     # round 8: Type-2 SCD merge
     "scd2_merge",
+    # round 8: CDC apply-changes merge
+    "cdc_apply",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -617,6 +617,138 @@ FROM (
 ORDER BY c_custkey, valid_from, is_current
 """
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes merge (operators/publish.py:cdc_apply): a keyed
+    customer snapshot (seq=100) receives a change feed exercising every
+    branch — latest-of-multiple upserts (seq 150 vs 200), deletes that
+    out-sequence overlapping upserts (seq 210), stale changes below the
+    target's seq (50, ignored), brand-new keys, deletes of absent keys
+    (no-op), and an equal-seq upsert/delete tie (delete wins)."""
+    cust = _t(spark, sf_dir, "customer")
+    tracked = ["c_mktsegment", "c_name", "c_nationkey"]
+    target = cust.select(
+        "c_custkey", *tracked, F.lit(100).cast("long").alias("seq")
+    )
+
+    def chg(df, seg, seq, op):
+        return df.select(
+            "c_custkey",
+            seg.alias("c_mktsegment"),
+            "c_name",
+            "c_nationkey",
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    changes = (
+        chg(cust.filter(F.col("c_custkey") % 3 == 0),
+            F.concat(F.col("c_mktsegment"), F.lit("_C1")), 200, "U")
+        .unionByName(chg(cust.filter(F.col("c_custkey") % 6 == 0),
+                         F.concat(F.col("c_mktsegment"), F.lit("_MID")), 150, "U"))
+        .unionByName(chg(cust.filter(F.col("c_custkey") % 7 == 0),
+                         F.col("c_mktsegment"), 210, "D"))
+        .unionByName(chg(cust.filter(F.col("c_custkey") % 5 == 0),
+                         F.lit("STALE"), 50, "U"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 2000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit("NEW").alias("c_name"),
+                "c_nationkey",
+                F.lit(200).cast("long").alias("seq"),
+                F.lit("I").alias("op"),
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 3000000).alias("c_custkey"),
+                F.lit("GONE").alias("c_mktsegment"),
+                F.lit("GONE").alias("c_name"),
+                "c_nationkey",
+                F.lit(220).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(chg(cust.filter(F.col("c_custkey") % 11 == 0),
+                         F.lit("TIE_U"), 300, "U"))
+        .unionByName(chg(cust.filter(F.col("c_custkey") % 11 == 0),
+                         F.col("c_mktsegment"), 300, "D"))
+    )
+    out = publish_ops.cdc_apply(
+        target, changes, ["c_custkey"], tracked, "seq"
+    )
+    return out.orderBy("c_custkey")
+
+
+Q_CDC_APPLY_SQL = """
+WITH target AS (
+  SELECT c_custkey, c_mktsegment, c_name, c_nationkey,
+         CAST(100 AS BIGINT) AS seq
+  FROM customer
+),
+changes AS (
+  SELECT c_custkey, c_mktsegment || '_C1' AS c_mktsegment, c_name,
+         c_nationkey, CAST(200 AS BIGINT) AS seq, 'U' AS op
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_MID', c_name, c_nationkey, 150, 'U'
+  FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_name, c_nationkey, 210, 'D'
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, 'STALE', c_name, c_nationkey, 50, 'U'
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 2000000, 'NEWSEG', 'NEW', c_nationkey, 200, 'I'
+  FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT c_custkey + 3000000, 'GONE', 'GONE', c_nationkey, 220, 'D'
+  FROM customer WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT c_custkey, 'TIE_U', c_name, c_nationkey, 300, 'U'
+  FROM customer WHERE c_custkey % 11 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_name, c_nationkey, 300, 'D'
+  FROM customer WHERE c_custkey % 11 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT c_custkey, c_mktsegment, c_name, c_nationkey, seq,
+           (op = 'D') AS is_del,
+           row_number() OVER (
+             PARTITION BY c_custkey
+             ORDER BY seq DESC, (op = 'D') DESC,
+                      md5(concat_ws('|', coalesce(c_mktsegment, ''),
+                                    coalesce(c_name, ''),
+                                    coalesce(CAST(c_nationkey AS VARCHAR), ''))) DESC
+           ) AS rn
+    FROM changes
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT coalesce(t.c_custkey, u.c_custkey) AS k,
+         t.c_mktsegment AS t_seg, t.c_name AS t_nm, t.c_nationkey AS t_nk,
+         t.seq AS t_seq,
+         u.c_mktsegment AS u_seg, u.c_name AS u_nm, u.c_nationkey AS u_nk,
+         u.seq AS u_seq, u.is_del,
+         (t.c_custkey IS NOT NULL) AS in_t, (u.c_custkey IS NOT NULL) AS in_u
+  FROM target t FULL OUTER JOIN latest u ON t.c_custkey = u.c_custkey
+),
+flags AS (
+  SELECT *, in_u AND (NOT in_t OR u_seq > t_seq) AS applies FROM j
+)
+SELECT k AS c_custkey,
+       CASE WHEN applies AND NOT is_del THEN u_seg ELSE t_seg END AS c_mktsegment,
+       CASE WHEN applies AND NOT is_del THEN u_nm ELSE t_nm END AS c_name,
+       CASE WHEN applies AND NOT is_del THEN u_nk ELSE t_nk END AS c_nationkey,
+       CASE WHEN applies AND NOT is_del THEN u_seq ELSE t_seq END AS seq
+FROM flags
+WHERE (applies AND NOT is_del) OR (in_t AND NOT (applies AND is_del))
+ORDER BY c_custkey
+"""
+
+
 QUERIES.update(
     {
         "row_hash_customer": q_row_hash_customer,
@@ -628,6 +760,7 @@ QUERIES.update(
         "threshold_stats": q_threshold_stats,
         "merge_upsert": q_merge_upsert,
         "scd2_merge": q_scd2_merge,
+        "cdc_apply": q_cdc_apply,
         "publish_counts": q_publish_counts,
         "file_loaded_check": q_file_loaded_check,
         "dlq_cleanup": q_dlq_cleanup,
@@ -650,6 +783,7 @@ ORACLES.update(
         "threshold_stats": Q_THRESHOLD_STATS_SQL,
         "merge_upsert": Q_MERGE_UPSERT_SQL,
         "scd2_merge": Q_SCD2_MERGE_SQL,
+        "cdc_apply": Q_CDC_APPLY_SQL,
         "publish_counts": Q_PUBLISH_COUNTS_SQL,
         "file_loaded_check": Q_FILE_LOADED_CHECK_SQL,
         "dlq_cleanup": Q_DLQ_CLEANUP_SQL,

@@ -184,3 +184,76 @@ def test_scd2_apply_idempotent_on_unchanged_batch(spark):
     cur_once = {(r["k"], r["seg"]) for r in once.filter("is_current = 1").collect()}
     cur_twice = {(r["k"], r["seg"]) for r in twice.filter("is_current = 1").collect()}
     assert cur_once == cur_twice
+
+
+def _cdc_frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100), (3, "c", 100), (4, "d", 100)],
+        "k long, seg string, seq long",
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: two upserts, latest (seq 300) must win
+            (1, "a_mid", 200, "U"),
+            (1, "a_new", 300, "U"),
+            # k=2: delete
+            (2, "b", 250, "D"),
+            # k=3: stale change (seq 50 <= target 100) ignored
+            (3, "c_stale", 50, "U"),
+            # k=5: brand-new key
+            (5, "e", 200, "I"),
+            # k=6: delete of an absent key is a no-op
+            (6, "x", 200, "D"),
+            # k=4: equal-seq upsert/delete tie — delete wins
+            (4, "d_tie", 400, "U"),
+            (4, "d", 400, "D"),
+        ],
+        "k long, seg string, seq long, op string",
+    )
+    return target, changes
+
+
+def test_cdc_apply_core_semantics(spark):
+    target, changes = _cdc_frames(spark)
+    out = publish.cdc_apply(target, changes, ["k"], ["seg"], "seq")
+    rows = {r["k"]: r for r in out.collect()}
+    # k=1 latest upsert applied; k=2 deleted; k=3 stale change ignored;
+    # k=4 equal-seq tie resolved to delete; k=5 inserted; k=6 never existed
+    assert set(rows) == {1, 3, 5}
+    assert rows[1]["seg"] == "a_new" and rows[1]["seq"] == 300
+    assert rows[3]["seg"] == "c" and rows[3]["seq"] == 100
+    assert rows[5]["seg"] == "e" and rows[5]["seq"] == 200
+
+
+def test_cdc_apply_idempotent_replay(spark):
+    target, changes = _cdc_frames(spark)
+    once = publish.cdc_apply(target, changes, ["k"], ["seg"], "seq")
+    # replaying the same batch: every change's seq is now <= the row's
+    # seq (or the key is gone), so nothing moves — idempotent recovery
+    twice = publish.cdc_apply(once, changes, ["k"], ["seg"], "seq")
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b
+
+
+def test_cdc_apply_incremental_batches_compose(spark):
+    target, _ = _cdc_frames(spark)
+    b1 = spark.createDataFrame(
+        [(1, "a2", 200, "U"), (2, "b", 200, "D")],
+        "k long, seg string, seq long, op string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "a3", 300, "U"), (2, "b_back", 300, "I")],
+        "k long, seg string, seq long, op string",
+    )
+    # applying b1 then b2 equals applying b1+b2 in one batch
+    step = publish.cdc_apply(
+        publish.cdc_apply(target, b1, ["k"], ["seg"], "seq"),
+        b2, ["k"], ["seg"], "seq",
+    )
+    both = publish.cdc_apply(
+        target, b1.unionByName(b2), ["k"], ["seg"], "seq"
+    )
+    assert sorted(tuple(r) for r in step.collect()) == sorted(
+        tuple(r) for r in both.collect()
+    )

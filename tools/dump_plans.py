@@ -195,6 +195,15 @@ COMMENTARY = {
         "(current = scd2_apply(current, ...)) never hits Spark's "
         "self-join ambiguity."
     ),
+    "cdc_apply": (
+        "Round 8: CDC apply-changes merge — one window shuffle on the keys "
+        "over the CHANGE BATCH only (latest change per key: seq desc, "
+        "delete-beats-upsert, row-hash tie-break) + ONE full-outer "
+        "equi-join against the target (AQE broadcasts small deduped "
+        "batches). Stale changes (seq <= target seq) are ignored, so "
+        "replaying a batch is a no-op — idempotent recovery without a "
+        "target-side window or second pass."
+    ),
     "c4_filter": (
         "Round 8: the published C4 line/page cleaning rules as ONE "
         "scan-shaped projection — line filters + kept-text rebuild + page "
