@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "scd2_merge",
     # round 8: CDC apply-changes merge
     "cdc_apply",
+    # round 8: generic table profiler
+    "profile_orders",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

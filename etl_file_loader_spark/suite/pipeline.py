@@ -749,6 +749,85 @@ ORDER BY c_custkey
 """
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic table profiler (operators/profile.py:profile_table) over a
+    derived orders frame covering every branch: bigint / string / double /
+    timestamp dtypes, a null-bearing column (priority with '1-URGENT'
+    nulled), and an all-null column (n_distinct 0, NULL extrema/mode)."""
+    from etl_file_loader_spark.operators.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.expr("nullif(o_orderpriority, '1-URGENT')").alias("prio"),
+        F.lit(None).cast("string").alias("all_null"),
+    )
+    return profile_table(src).orderBy("col_name")
+
+
+def _profile_branch(col: str, dtype: str, floaty: bool = False) -> str:
+    """One oracle UNION branch: aggregate stats + mode scalar subqueries."""
+    if floaty:
+        mn = "CAST(NULL AS VARCHAR)"
+        mx = "CAST(NULL AS VARCHAR)"
+        mnn = f"min({col})"
+        mxn = f"max({col})"
+        top_v = "CAST(NULL AS VARCHAR)"
+    else:
+        mn = f"CAST(min({col}) AS VARCHAR)"
+        mx = f"CAST(max({col}) AS VARCHAR)"
+        mnn = "CAST(NULL AS DOUBLE)"
+        mxn = "CAST(NULL AS DOUBLE)"
+        top_v = f"(SELECT v FROM mode_{col})"
+    return f"""
+  SELECT '{col}' AS col_name, '{dtype}' AS dtype,
+         count(*) AS n_rows,
+         count(*) - count({col}) AS n_nulls,
+         count(DISTINCT CAST({col} AS VARCHAR)) AS n_distinct,
+         {mn} AS min_str, {mx} AS max_str,
+         {mnn} AS min_num, {mxn} AS max_num,
+         {top_v} AS top_val,
+         (SELECT cnt FROM mode_{col}) AS top_count
+  FROM src"""
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint", False),
+    ("o_orderstatus", "string", False),
+    ("o_totalprice", "double", True),
+    ("o_orderdate", "timestamp", False),
+    ("prio", "string", False),
+    ("all_null", "string", False),
+]
+
+Q_PROFILE_ORDERS_SQL = (
+    """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+         nullif(o_orderpriority, '1-URGENT') AS prio,
+         CAST(NULL AS VARCHAR) AS all_null
+  FROM orders
+),
+"""
+    + ",\n".join(
+        f"""mode_{c} AS (
+  SELECT v, cnt FROM (
+    SELECT CAST({c} AS VARCHAR) AS v, count(*) AS cnt
+    FROM src WHERE {c} IS NOT NULL
+    GROUP BY 1 ORDER BY cnt DESC, v ASC LIMIT 1
+  )
+)"""
+        for c, _, _ in _PROFILE_COLS
+    )
+    + "\nSELECT * FROM ("
+    + "\n  UNION ALL".join(_profile_branch(c, d, fl) for c, d, fl in _PROFILE_COLS)
+    + "\n) ORDER BY col_name"
+)
+
+
 QUERIES.update(
     {
         "row_hash_customer": q_row_hash_customer,
@@ -761,6 +840,7 @@ QUERIES.update(
         "merge_upsert": q_merge_upsert,
         "scd2_merge": q_scd2_merge,
         "cdc_apply": q_cdc_apply,
+        "profile_orders": q_profile_orders,
         "publish_counts": q_publish_counts,
         "file_loaded_check": q_file_loaded_check,
         "dlq_cleanup": q_dlq_cleanup,
@@ -784,6 +864,7 @@ ORACLES.update(
         "merge_upsert": Q_MERGE_UPSERT_SQL,
         "scd2_merge": Q_SCD2_MERGE_SQL,
         "cdc_apply": Q_CDC_APPLY_SQL,
+        "profile_orders": Q_PROFILE_ORDERS_SQL,
         "publish_counts": Q_PUBLISH_COUNTS_SQL,
         "file_loaded_check": Q_FILE_LOADED_CHECK_SQL,
         "dlq_cleanup": Q_DLQ_CLEANUP_SQL,

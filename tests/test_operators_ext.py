@@ -1302,3 +1302,68 @@ def test_c4_kept_text_rebuild(spark):
     # thresholds are parameters
     r2 = _c4(spark, [(1, doc)], min_words_per_line=2, min_sentences=3)[1]
     assert r2["n_kept_lines"] == 3 and r2["n_sentences"] == 3 and r2["keep"] == 1
+
+
+# ---------------------------------------------------------------------------
+# profile_table (round 8): generic per-column profiler
+# ---------------------------------------------------------------------------
+
+
+def _profile_rows(spark, data, schema, **kw):
+    from etl_file_loader_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(data, schema)
+    return {r["col_name"]: r for r in profile_table(df, **kw).collect()}
+
+
+def test_profile_table_core_stats(spark):
+    rows = _profile_rows(
+        spark,
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, 2.5), (4, "b", None)],
+        "k long, s string, x double",
+    )
+    assert set(rows) == {"k", "s", "x"}
+    k = rows["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 4)
+    assert k["min_str"] == "1" and k["max_str"] == "4"
+    assert k["min_num"] is None and k["top_count"] == 1
+    s = rows["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert s["top_val"] == "b" and s["top_count"] == 2
+    x = rows["x"]
+    # float column: numeric extrema, no engine-local strings
+    assert x["min_num"] == 1.5 and x["max_num"] == 2.5
+    assert x["min_str"] is None and x["top_val"] is None
+    assert x["n_distinct"] == 2 and x["top_count"] == 2
+
+
+def test_profile_table_all_null_column(spark):
+    rows = _profile_rows(
+        spark,
+        [(1, None), (2, None)],
+        "k long, dead string",
+    )
+    d = rows["dead"]
+    assert (d["n_rows"], d["n_nulls"], d["n_distinct"]) == (2, 2, 0)
+    assert d["min_str"] is None and d["top_val"] is None and d["top_count"] is None
+
+
+def test_profile_table_mode_tie_breaks_value_asc(spark):
+    rows = _profile_rows(
+        spark,
+        [(1, "z"), (2, "z"), (3, "a"), (4, "a"), (5, "m")],
+        "k long, s string",
+    )
+    s = rows["s"]
+    # 'a' and 'z' both appear twice: count-desc then value-asc picks 'a'
+    assert s["top_val"] == "a" and s["top_count"] == 2
+
+
+def test_profile_table_column_subset(spark):
+    rows = _profile_rows(
+        spark,
+        [(1, "a", 9.0)],
+        "k long, s string, x double",
+        columns=["s"],
+    )
+    assert set(rows) == {"s"}

@@ -204,6 +204,15 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "profile_orders": (
+        "Round 8: generic table profiler — pass 1 is ONE scalar aggregate "
+        "(map-side partials, 1-row exchange) for counts + typed min/max; "
+        "pass 2 unpivots via stack (scan-shaped, no Python) into ONE "
+        "(col, value) hash agg, then two tiny per-column rollups (distinct "
+        "count; max-count + min-value = deterministic mode). NO window "
+        "over a column's values anywhere, so a unique-key column never "
+        "lands in a single task."
+    ),
     "c4_filter": (
         "Round 8: the published C4 line/page cleaning rules as ONE "
         "scan-shaped projection — line filters + kept-text rebuild + page "
