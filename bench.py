@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "cdc_apply",
     # round 8: generic table profiler
     "profile_orders",
+    # round 8: WordPiece packed layout (completes the tokenizer quartet)
+    "packed_sequences_wordpiece",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -416,6 +416,190 @@ class BPETokenizer:
 
 
 # ---------------------------------------------------------------------------
+# WordPiece: likelihood-scored merges + greedy longest-match serving
+# ---------------------------------------------------------------------------
+
+
+def _wp_merge_pass(seg: list[str], a: str, b: str) -> list[str]:
+    """One left-to-right WordPiece merge pass: (a, b) -> a + b-without-##.
+
+    The second element of any adjacency is a continuation symbol (##-
+    prefixed — s0 puts ## on every non-initial char and merges preserve
+    the first element's prefix), so the merged symbol strips b's ##."""
+    out: list[str] = []
+    i, n = 0, len(seg)
+    while i < n:
+        if i + 1 < n and seg[i] == a and seg[i + 1] == b:
+            out.append(a + b[2:])
+            i += 2
+        else:
+            out.append(seg[i])
+            i += 1
+    return out
+
+
+def fit_wordpiece_vocab(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 12,
+    min_count: int = 2,
+    pattern: str = DEFAULT_PRETOKEN_PATTERN,
+    max_words: int | None = 2_000_000,
+) -> list[str]:
+    """Learn a WordPiece vocabulary (the BERT trainer): like BPE, but each
+    round merges the pair with the highest LIKELIHOOD score
+    ``count(ab) / (count(a) * count(b))`` instead of the raw pair count
+    (ties -> lexicographically smallest pair). Words are represented as
+    first-char + ##-prefixed continuations; a merge of (a, ##b) yields
+    ``ab``, of (##a, ##b) yields ``##ab``.
+
+    Returns the vocabulary: the full alphabet of initial symbols (word-
+    start chars + ##-chars), sorted, followed by the merge products in
+    learn order. Serving is greedy longest-match (``WordPieceTokenizer``).
+
+    Distributed shape: identical to ``fit_bpe_merges`` — ONE word-count
+    aggregation (shuffle ∝ distinct words), then merge learning over the
+    bounded driver-side word table (``max_words`` top-K cap with the same
+    loud truncation warning, rides the TakeOrdered job).
+
+    Cross-engine determinism of the score compare: counts are exact
+    BIGINTs < 2^26, so ``cnt_a * cnt_b`` < 2^52 is exactly representable
+    and the single IEEE division is correctly rounded identically in
+    Python and DuckDB — score ordering is bit-reproducible, no epsilon.
+    The SQL oracle (``packed_sequences_wordpiece``) RE-LEARNS the vocab
+    with the same counting, scoring, and single-pass merge rules, then
+    replays greedy matching — artifact and layout both value-verified.
+    """
+    import logging
+
+    words = df.select(
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if max_words is not None:
+        rows = counts.orderBy(F.col("c").desc(), F.col("w")).limit(max_words + 1).collect()
+        if len(rows) > max_words:
+            logging.getLogger(__name__).warning(
+                "fit_wordpiece_vocab: word table truncated to top %d by "
+                "count; pair statistics exclude the dropped low-frequency "
+                "tail (pass max_words=None to collect the full table)",
+                max_words,
+            )
+            rows = rows[:max_words]
+    else:
+        rows = counts.collect()
+    wc = [(r["w"], int(r["c"])) for r in rows]
+
+    segs: list[list[str]] = [
+        [w[0]] + ["##" + ch for ch in w[1:]] for w, _ in wc
+    ]
+    freqs = [c for _, c in wc]
+    alphabet = sorted({s for seg in segs for s in seg})
+    pieces: list[str] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
+        for seg, c in zip(segs, freqs):
+            for s in seg:
+                sym_counts[s] = sym_counts.get(s, 0) + c
+            for i in range(len(seg) - 1):
+                p = (seg[i], seg[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        best = None
+        for p, c in pair_counts.items():
+            if c < min_count:
+                continue
+            score = c / (sym_counts[p[0]] * sym_counts[p[1]])
+            if (
+                best is None
+                or score > best[1]
+                or (score == best[1] and p < best[0])
+            ):
+                best = (p, score)
+        if best is None:
+            break
+        a, b = best[0]
+        pieces.append(a + b[2:])
+        segs = [_wp_merge_pass(s, a, b) if a in s else s for s in segs]
+    return alphabet + pieces
+
+
+class WordPieceTokenizer:
+    """WordPiece greedy longest-match serving (the BERT algorithm): at the
+    word start match the longest vocabulary prefix, then repeatedly the
+    longest ##-continuation piece; any position with no match turns the
+    WHOLE word into ``[UNK]``.
+
+    Arrow-batched pandas UDF over regex pre-tokens with a per-batch word
+    cache. No scalar SQL form — the layout-level oracle is
+    ``packed_sequences_wordpiece`` (suite/sampling.py), which re-learns
+    the vocabulary in SQL and replays greedy matching over DISTINCT
+    words as a recursive CTE.
+    """
+
+    UNK = "[UNK]"
+
+    def __init__(self, vocab: list[str], pattern: str = DEFAULT_PRETOKEN_PATTERN):
+        self.vocab = set(vocab)
+        self.pattern = pattern
+        self.name = f"wordpiece{len(self.vocab)}"
+
+    def _encode_word(self, w: str) -> list[str]:
+        vocab = self.vocab
+        out: list[str] = []
+        i, n = 0, len(w)
+        while i < n:
+            end = n
+            piece = None
+            while end > i:
+                sub = w[i:end]
+                if i > 0:
+                    sub = "##" + sub
+                if sub in vocab:
+                    piece = sub
+                    break
+                end -= 1
+            if piece is None:
+                return [self.UNK]
+            out.append(piece)
+            i = end
+        return out
+
+    def tokens(self, col: Column) -> Column:
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
+        rx = _re.compile(self.pattern)
+        encode = self._encode_word
+
+        @pandas_udf("array<string>")
+        def _tok(texts: pd.Series) -> pd.Series:
+            cache: dict[str, list[str]] = {}
+            out = []
+            for text in texts:
+                pieces: list[str] = []
+                for w in rx.findall(text or ""):
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode(w)
+                        cache[w] = enc
+                    pieces.extend(enc)
+                out.append(pieces)
+            return pd.Series(out)
+
+        return _tok(col)
+
+    def duckdb_expr(self, expr: str) -> str:
+        raise NotImplementedError(
+            "WordPiece encode has no scalar SQL form (greedy longest-match "
+            "over a learned vocab); the layout-level oracle "
+            "packed_sequences_wordpiece re-learns the vocab in SQL and "
+            "replays greedy matching over distinct words"
+        )
+
+
+# ---------------------------------------------------------------------------
 # unigram-LM (SentencePiece-style) tokenizer: Viterbi under piece log-probs
 # ---------------------------------------------------------------------------
 

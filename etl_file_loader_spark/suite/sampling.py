@@ -754,6 +754,196 @@ QUERIES.update({"packed_sequences_bpe": q_packed_sequences_bpe})
 ORACLES.update({"packed_sequences_bpe": Q_PACKED_SEQUENCES_BPE_SQL})
 
 
+_WP_NUM_MERGES = 12
+_WP_MIN_COUNT = 4
+
+
+def q_packed_sequences_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed pretraining sequences under a WordPiece tokenizer (round 8 —
+    completes the learned-tokenizer quartet: greedy-vocab, BPE, unigram-LM,
+    WordPiece): a vocabulary is learned from the corpus with the BERT
+    trainer (``fit_wordpiece_vocab``: per round, merge the adjacency with
+    the highest likelihood score count(ab)/(count(a)*count(b)) — exact
+    integer counts, one IEEE division, so the score order is
+    bit-reproducible cross-engine), then ``WordPieceTokenizer`` (greedy
+    longest-match with ## continuations, whole-word [UNK] on failure)
+    drives the same 64-piece packed layout as its three siblings. The
+    oracle RE-LEARNS the vocabulary in SQL — 12 unrolled merge rounds,
+    each adding symbol-count tables to the BPE round shape so the score
+    can be computed — then replays greedy matching as a recursive CTE
+    over DISTINCT words with the ##-continuation and [UNK] rules."""
+    from etl_file_loader_spark.functions.tokenizers import (
+        WordPieceTokenizer,
+        fit_wordpiece_vocab,
+    )
+    from etl_file_loader_spark.operators import sampling as sampling_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = fit_wordpiece_vocab(
+        docs, "text", num_merges=_WP_NUM_MERGES, min_count=_WP_MIN_COUNT
+    )
+    return sampling_ops.packed_sequences(
+        docs, "doc_id", "text", seq_len=64, partition_cols=["lang"],
+        tokenizer=WordPieceTokenizer(vocab),
+    ).orderBy("lang", "seq_idx")
+
+
+def _packed_wordpiece_sql() -> str:
+    from etl_file_loader_spark.functions.tokenizers import (
+        DEFAULT_PRETOKEN_PATTERN,
+    )
+
+    pat = DEFAULT_PRETOKEN_PATTERN.replace("'", "''")
+    mc = _WP_MIN_COUNT
+    steps = []
+    for k in range(1, _WP_NUM_MERGES + 1):
+        p = k - 1
+        steps.append(f"""
+sc{k} AS MATERIALIZED (
+  SELECT s AS sym, sum(c) AS scnt FROM s{p}, unnest(t) v(s) GROUP BY s
+),
+pc{k} AS MATERIALIZED (
+  SELECT t[i] AS a, t[i + 1] AS b, sum(c) AS cnt
+  FROM s{p}, unnest(range(1, len(t))) u(i)
+  GROUP BY t[i], t[i + 1]
+),
+best{k} AS MATERIALIZED (
+  -- likelihood score: exact BIGINT counts, one IEEE division -> the
+  -- DOUBLE compares bit-identically to the Python trainer's
+  SELECT pr.a, pr.b FROM pc{k} pr
+  JOIN sc{k} x ON x.sym = pr.a
+  JOIN sc{k} y ON y.sym = pr.b
+  WHERE pr.cnt >= {mc}
+  ORDER BY CAST(pr.cnt AS DOUBLE) / (x.scnt * y.scnt) DESC, pr.a, pr.b
+  LIMIT 1
+),
+mt{k} AS MATERIALIZED (
+  SELECT s.w, u.i
+  FROM s{p} s, unnest(range(1, len(s.t))) u(i), best{k} b
+  WHERE s.t[u.i] = b.a AND s.t[u.i + 1] = b.b
+),
+kp{k} AS MATERIALIZED (
+  SELECT w, i FROM (
+    SELECT w, i, min(i) OVER (PARTITION BY w, i - rn) AS rs
+    FROM (SELECT w, i, row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+          FROM mt{k})
+  ) WHERE (i - rs) % 2 = 0
+),
+s{k} AS MATERIALIZED (
+  SELECT x.w, x.c,
+         list(CASE WHEN kp.i IS NOT NULL THEN x.tk || substr(x.tk1, 3)
+              ELSE x.tk END ORDER BY x.i) AS t
+  FROM (
+    SELECT s.w, s.c, u.i, s.t[u.i] AS tk, s.t[u.i + 1] AS tk1
+    FROM s{p} s, unnest(range(1, len(s.t) + 1)) u(i)
+  ) x
+  LEFT JOIN kp{k} kp ON kp.w = x.w AND kp.i = x.i
+  LEFT JOIN kp{k} kq ON kq.w = x.w AND kq.i = x.i - 1
+  WHERE kq.i IS NULL
+  GROUP BY x.w, x.c
+)""")
+    merge_steps = ",".join(steps)
+    K = _WP_NUM_MERGES
+    piece_unions = "\n  ".join(
+        f"UNION SELECT a || substr(b, 3) FROM best{k}" for k in range(1, K + 1)
+    )
+    return f"""
+WITH RECURSIVE
+occ AS MATERIALIZED (
+  SELECT doc_id, lang, regexp_extract_all(text, '{pat}') AS ws FROM documents
+),
+wl AS MATERIALIZED (
+  SELECT doc_id, lang, i AS wi, ws[i] AS w
+  FROM occ, unnest(range(1, len(ws) + 1)) u(i)
+),
+dw AS MATERIALIZED (SELECT w, count(*) AS c FROM wl GROUP BY w),
+s0 AS MATERIALIZED (
+  SELECT w, c,
+         list_transform(range(1, length(w) + 1),
+                        i -> CASE WHEN i = 1
+                             THEN substr(w, CAST(i AS BIGINT), 1)
+                             ELSE '##' || substr(w, CAST(i AS BIGINT), 1)
+                             END) AS t
+  FROM dw
+),{merge_steps},
+vocab AS MATERIALIZED (
+  SELECT DISTINCT s AS v FROM s0, unnest(t) q(s)
+  {piece_unions}
+),
+vs AS MATERIALIZED (
+  SELECT v, CASE WHEN v LIKE '##%' THEN substr(v, 3) ELSE v END AS raw,
+         (v LIKE '##%') AS cont
+  FROM vocab
+),
+m AS MATERIALIZED (
+  -- greedy step at each position: longest vocab piece that fits, with
+  -- word-start pieces at pos 1 and ##-continuations after
+  SELECT dw.w, i AS pos, max(length(raw)) AS st
+  FROM dw, unnest(range(1, length(dw.w) + 1)) p(i)
+  JOIN vs ON vs.cont = (i > 1)
+         AND length(vs.raw) <= length(dw.w) - i + 1
+         AND substr(dw.w, CAST(i AS BIGINT), length(vs.raw)) = vs.raw
+  GROUP BY dw.w, i
+),
+walk AS (
+  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS piece,
+         CAST(0 AS BIGINT) AS k, false AS failed
+  FROM dw
+  UNION ALL
+  SELECT walk.w, walk.pos + coalesce(m.st, 1),
+         CASE WHEN m.st IS NULL THEN NULL
+              WHEN walk.pos > 1
+              THEN '##' || substr(walk.w, CAST(walk.pos AS BIGINT), m.st)
+              ELSE substr(walk.w, CAST(walk.pos AS BIGINT), m.st) END,
+         walk.k + 1,
+         m.st IS NULL
+  FROM walk LEFT JOIN m ON m.w = walk.w AND m.pos = walk.pos
+  WHERE walk.pos <= length(walk.w)
+),
+bad AS (SELECT DISTINCT w FROM walk WHERE failed),
+tw AS (
+  SELECT w, k, piece FROM walk
+  WHERE piece IS NOT NULL AND w NOT IN (SELECT w FROM bad)
+  UNION ALL
+  SELECT w, CAST(1 AS BIGINT), '[UNK]' FROM bad
+),
+per_doc AS (
+  SELECT wl.doc_id, list(tw.piece ORDER BY wl.wi, tw.k) AS lst
+  FROM wl JOIN tw ON tw.w = wl.w GROUP BY wl.doc_id
+),
+d AS (
+  SELECT doc.doc_id, doc.lang,
+         list_append(coalesce(pd.lst, CAST([] AS VARCHAR[])), '<|endofdoc|>') AS t2
+  FROM documents doc LEFT JOIN per_doc pd USING (doc_id)
+),
+w2 AS (SELECT doc_id, lang, t2, len(t2) AS n FROM d),
+o AS (
+  SELECT doc_id, lang, t2, n,
+         coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM w2
+),
+tok AS (
+  SELECT lang, doc_id, off + i - 1 AS gpos, t2[i] AS tk
+  FROM o, unnest(range(1, n + 1)) u(i)
+)
+SELECT lang,
+       CAST(gpos // 64 AS BIGINT) AS seq_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       md5(string_agg(tk, ' ' ORDER BY gpos % 64)) AS seq_md5
+FROM tok
+GROUP BY lang, gpos // 64
+ORDER BY lang, seq_idx
+"""
+
+
+Q_PACKED_SEQUENCES_WORDPIECE_SQL = _packed_wordpiece_sql()
+
+QUERIES.update({"packed_sequences_wordpiece": q_packed_sequences_wordpiece})
+ORACLES.update({"packed_sequences_wordpiece": Q_PACKED_SEQUENCES_WORDPIECE_SQL})
+
+
 # ---------------------------------------------------------------------------
 # unigram-LM (SentencePiece-style) packed layout (round 8)
 # ---------------------------------------------------------------------------

@@ -322,3 +322,73 @@ def test_unigram_duckdb_expr_raises():
 
     with pytest.raises(NotImplementedError):
         UnigramTokenizer([("a", -1000)]).duckdb_expr("text")
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (round 8): likelihood-scored merges + greedy ## serving
+# ---------------------------------------------------------------------------
+
+
+def test_wp_merge_pass_strips_continuation_prefix():
+    from etl_file_loader_spark.functions.tokenizers import _wp_merge_pass
+
+    assert _wp_merge_pass(["a", "##b", "##c"], "a", "##b") == ["ab", "##c"]
+    assert _wp_merge_pass(["##a", "##b"], "##a", "##b") == ["##ab"]
+    # non-overlapping left-to-right: a ##a a ##a -> merged twice
+    assert _wp_merge_pass(["a", "##a", "a", "##a"], "a", "##a") == ["aa", "aa"]
+
+
+def test_fit_wordpiece_likelihood_beats_raw_count(spark):
+    from etl_file_loader_spark.functions.tokenizers import fit_wordpiece_vocab
+
+    # "ab" appears 4x and "cd" 3x, but c/d occur ONLY together while
+    # a/b also occur apart (inflating their symbol counts): the
+    # likelihood score must pick (c, ##d) first even though (a, ##b)
+    # has the higher raw pair count — the defining WordPiece behavior.
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab cd cd cd az bq")], "doc_id long, text string"
+    )
+    vocab = fit_wordpiece_vocab(docs, "text", num_merges=1, min_count=2)
+    assert "cd" in vocab and "ab" not in vocab
+    # alphabet always present
+    assert "a" in vocab and "##b" in vocab
+
+
+def test_wordpiece_tokenizer_greedy_and_unk(spark):
+    from etl_file_loader_spark.functions.tokenizers import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(["un", "##able", "##b", "a", "##a", "b"])
+    assert tok._encode_word("unable") == ["un", "##able"]
+    # greedy longest-match from the word start
+    assert tok._encode_word("ab") == ["a", "##b"]
+    # any unmatchable position turns the WHOLE word into [UNK]
+    assert tok._encode_word("unablez") == ["[UNK]"]
+    df = spark.createDataFrame([(1, "unable ab xyz")], "id long, text string")
+    out = df.select(tok.tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert out == ["un", "##able", "a", "##b", "[UNK]"]
+
+
+def test_fit_wordpiece_segmentation_matches_serving(spark):
+    from etl_file_loader_spark.functions.tokenizers import (
+        WordPieceTokenizer,
+        fit_wordpiece_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hello world hold held hell") for i in range(3)],
+        "doc_id long, text string",
+    )
+    vocab = fit_wordpiece_vocab(docs, "text", num_merges=8, min_count=2)
+    tok = WordPieceTokenizer(vocab)
+    # every training word round-trips through greedy serving with no UNK
+    for w in ["hello", "world", "hold", "held", "hell"]:
+        enc = tok._encode_word(w)
+        assert enc != ["[UNK]"]
+        assert "".join(p[2:] if p.startswith("##") else p for p in enc) == w
+
+
+def test_wordpiece_duckdb_expr_raises():
+    from etl_file_loader_spark.functions.tokenizers import WordPieceTokenizer
+
+    with pytest.raises(NotImplementedError):
+        WordPieceTokenizer(["a"]).duckdb_expr("text")

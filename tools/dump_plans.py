@@ -204,6 +204,14 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "packed_sequences_wordpiece": (
+        "Round 8: WordPiece packed layout — fit is ONE distributed "
+        "word-count aggregation (shuffle ∝ distinct words, bounded top-K "
+        "driver collect), serving is an ArrowEvalPython greedy "
+        "longest-match node with a per-batch word cache in the scan "
+        "projection; the packing tail is the shared single-exchange "
+        "cumulative-offset shape of the other three tokenizers."
+    ),
     "profile_orders": (
         "Round 8: generic table profiler — pass 1 is ONE scalar aggregate "
         "(map-side partials, 1-row exchange) for counts + typed min/max; "
