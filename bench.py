@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "profile_orders",
     # round 8: WordPiece packed layout (completes the tokenizer quartet)
     "packed_sequences_wordpiece",
+    # round 8: JL random projection (bit-exact cross-engine)
+    "random_projection_check",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -239,6 +239,53 @@ def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_flag(exact, approx, "pq_rerank_recall_at_10", 80)
 
 
+_RP_OUT_DIM = 16
+
+
+def q_random_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (operators/similarity.py:
+    random_projection): project the 64-dim embeddings onto 16 md5-derived
+    ±1 directions and emit every component — a FULL per-value check that
+    the JVM-side zip_with/aggregate fold is bit-identical to an explicit
+    left-associated SQL sum chain built from the same sign matrix."""
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = sim_ops.random_projection(emb, "embedding", out_dim=_RP_OUT_DIM)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim", "val")
+    ).orderBy("vec_id", "dim")
+
+
+def _random_projection_sql() -> str:
+    # the oracle replays the SAME md5-derived sign matrix (embedding dim
+    # is 64 across the generated testdata) as explicit left-assoc chains
+    signs = sim_ops._rp_sign_matrix(64, _RP_OUT_DIM)
+    exprs = []
+    for j in range(_RP_OUT_DIM):
+        terms = "".join(
+            f" + CAST(embedding[{i + 1}] AS DOUBLE) * {int(signs[i, j])}.0"
+            for i in range(64)
+        )
+        exprs.append(f"(0.0{terms}) / sqrt({_RP_OUT_DIM}.0)")
+    arr = ",\n    ".join(exprs)
+    return f"""
+WITH p AS (
+  SELECT vec_id, [
+    {arr}
+  ] AS pr
+  FROM embeddings
+)
+SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS dim, pr[u.i] AS val
+FROM p, unnest(range(1, {_RP_OUT_DIM} + 1)) u(i)
+ORDER BY vec_id, dim
+"""
+
+
+Q_RANDOM_PROJECTION_SQL = _random_projection_sql()
+
+QUERIES.update({"random_projection_check": q_random_projection_check})
+ORACLES.update({"random_projection_check": Q_RANDOM_PROJECTION_SQL})
+
+
 QUERIES.update(
     {
         "similarity_topk": q_similarity_topk,

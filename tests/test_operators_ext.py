@@ -1367,3 +1367,40 @@ def test_profile_table_column_subset(spark):
         columns=["s"],
     )
     assert set(rows) == {"s"}
+
+
+# ---------------------------------------------------------------------------
+# random_projection (round 8): JL dimensionality reduction
+# ---------------------------------------------------------------------------
+
+
+def test_rp_sign_matrix_deterministic_pm1():
+    import numpy as np
+
+    a = similarity._rp_sign_matrix(8, 4)
+    b = similarity._rp_sign_matrix(8, 4)
+    assert (a == b).all() and set(np.unique(a)) <= {-1, 1}
+    # different seed -> different matrix
+    c = similarity._rp_sign_matrix(8, 4, seed=1)
+    assert (a != c).any()
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    vecs = [[float(i + j) for j in range(6)] for i in range(4)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    out = similarity.random_projection(df, "embedding", out_dim=3)
+    got = {r["vec_id"]: r["proj"] for r in out.collect()}
+    signs = similarity._rp_sign_matrix(6, 3)
+    for i, v in enumerate(vecs):
+        want = (np.array(v, dtype="float32").astype("float64") @ signs) / np.sqrt(3.0)
+        assert np.allclose(got[i], want, rtol=0, atol=1e-12)
+
+
+def test_random_projection_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0] * 6)], "vec_id long, embedding array<float>")
+    out = similarity.random_projection(df, "embedding", out_dim=2).collect()[0]
+    assert out["proj"] == [0.0, 0.0]

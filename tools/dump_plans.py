@@ -204,6 +204,16 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "random_projection_check": (
+        "Round 8: JL random projection — a PURE narrow projection: the "
+        "±1 sign matrix rides the plan as literals, each component is a "
+        "JVM-side zip_with + left-fold inside whole-stage codegen; zero "
+        "shuffle, zero Python. At 100 TB this is the cheap pre-reduction "
+        "in front of LSH banding / IVF training; measured honestly: on "
+        "the near-uniform synthetic embeddings 64->16 keeps only ~13% of "
+        "exact top-10 rank order (0.59 with a 100-of-500 shortlist), so "
+        "it is a distance-threshold / candidate tool here, not a ranker."
+    ),
     "packed_sequences_wordpiece": (
         "Round 8: WordPiece packed layout — fit is ONE distributed "
         "word-count aggregation (shuffle ∝ distinct words, bounded top-K "
