@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "packed_sequences_wordpiece",
     # round 8: JL random projection (bit-exact cross-engine)
     "random_projection_check",
+    # round 8: z-order layout curve positions
+    "zorder_layout_check",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

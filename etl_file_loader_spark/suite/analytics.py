@@ -678,6 +678,57 @@ FROM lineitem ORDER BY l_returnflag
 """
 
 
+_Z_BITS = 8
+
+
+def q_zorder_layout_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout (operators/layout.py): exact equi-depth buckets over
+    (l_orderkey, l_partkey) Morton-interleaved into the curve position —
+    every zval checked against a SQL replay of the rank-bucket + bit-
+    interleave arithmetic. The layout step itself (repartitionByRange +
+    sortWithinPartitions on zval) is engine-internal and pinned by the
+    pruning behavioral test instead."""
+    from etl_file_loader_spark.operators import layout as layout_ops
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    z = layout_ops.zorder_layout(
+        li, ["l_orderkey", "l_partkey"], bits=_Z_BITS, exact=True
+    )
+    return z.select("l_orderkey", "l_linenumber", "zval").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+def _zorder_sql() -> str:
+    b = 1 << _Z_BITS
+    terms = []
+    for k in range(_Z_BITS):
+        terms.append(f"(((b1 >> {k}) & 1) << {2 * k})")
+        terms.append(f"(((b2 >> {k}) & 1) << {2 * k + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(least(floor((rank() OVER (ORDER BY l_orderkey) - 1) * {b}
+                          / (count(*) OVER ())), {b - 1}) AS BIGINT) AS b1,
+         CAST(least(floor((rank() OVER (ORDER BY l_partkey) - 1) * {b}
+                          / (count(*) OVER ())), {b - 1}) AS BIGINT) AS b2
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS zval
+FROM b
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+Q_ZORDER_LAYOUT_SQL = _zorder_sql()
+
+QUERIES.update({"zorder_layout_check": q_zorder_layout_check})
+ORACLES.update({"zorder_layout_check": Q_ZORDER_LAYOUT_SQL})
+
+
 QUERIES.update(
     {
         "customer_order_stats": q_customer_order_stats,

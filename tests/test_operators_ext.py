@@ -1404,3 +1404,68 @@ def test_random_projection_zero_vector(spark):
     df = spark.createDataFrame([(1, [0.0] * 6)], "vec_id long, embedding array<float>")
     out = similarity.random_projection(df, "embedding", out_dim=2).collect()[0]
     assert out["proj"] == [0.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# z-order layout (round 8): Morton interleave + bucketing + pruning value
+# ---------------------------------------------------------------------------
+
+
+def test_interleave_bits_known_values(spark):
+    from etl_file_loader_spark.operators import layout
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (2, 3)], "a long, b long")
+    out = df.select(
+        "a", "b", layout.interleave_bits([F.col("a"), F.col("b")], bits=2).alias("z")
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in out.collect()}
+    # a=0b11, b=0b01 -> bits: a0@0, b0@1, a1@2, b1@3 -> 1+2+4+0 = 7
+    assert got[(3, 1)] == 7
+    assert got[(0, 0)] == 0
+    # a=0b10, b=0b11 -> 0+2+4+8 = 14
+    assert got[(2, 3)] == 14
+
+
+def test_exact_buckets_equi_depth_and_ties(spark):
+    from etl_file_loader_spark.operators import layout
+
+    df = spark.createDataFrame([(v,) for v in [10, 10, 20, 30]], "x long")
+    out = layout.exact_buckets(df, "x", bits=1, out="b")
+    got = sorted((r["x"], r["b"]) for r in out.collect())
+    # rank-based: ties share a bucket; 4 rows, 2 buckets
+    assert got == [(10, 0), (10, 0), (20, 1), (30, 1)]
+
+
+def test_quantile_buckets_monotone_bounded(spark):
+    from etl_file_loader_spark.operators import layout
+
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "x double")
+    out = layout.quantile_buckets(df, "x", bits=3, out="b")
+    rows = sorted((r["x"], r["b"]) for r in out.collect())
+    bs = [b for _, b in rows]
+    assert all(0 <= b < 8 for b in bs)
+    assert bs == sorted(bs)  # monotone in the value
+    assert bs[0] == 0 and bs[-1] == 7  # covers the range
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from etl_file_loader_spark.operators import layout
+
+    # 64x64 grid; compare how many files a y-slice touches under a
+    # plain x-sort vs under z-order: the z-layout must localize it
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    plain_dir = str(tmp_path / "plain")
+    z_dir = str(tmp_path / "zorder")
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(plain_dir)
+    layout.zorder_layout(grid, ["x", "y"], bits=6, n_partitions=16, exact=True).write.parquet(z_dir)
+
+    def files_touched(path):
+        df = spark.read.parquet(path).filter((F.col("y") >= 8) & (F.col("y") < 16))
+        return df.select(F.input_file_name()).distinct().count()
+
+    # x-sorted layout scatters every y-slice across ~all files
+    assert files_touched(plain_dir) >= 12
+    # z-order keeps it in a fraction of them
+    assert files_touched(z_dir) <= 8

@@ -204,6 +204,17 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "zorder_layout_check": (
+        "Round 8: z-order layout — the oracle-checked exact path uses two "
+        "global rank windows (verification scale only; the plan should "
+        "show the single-partition sorts honestly). The 100 TB path "
+        "swaps in quantile_buckets (approxQuantile sketch -> literal "
+        "boundary array -> narrow comparison-count, NO window) and pays "
+        "ONE repartitionByRange(zval) shuffle — the same cost as any "
+        "global sort, after which parquet min/max stats prune on every "
+        "z-ordered column (pinned by the pruning behavioral test: a "
+        "y-slice touches >=12/16 files x-sorted vs <=8 z-ordered)."
+    ),
     "random_projection_check": (
         "Round 8: JL random projection — a PURE narrow projection: the "
         "±1 sign matrix rides the plan as literals, each component is a "
