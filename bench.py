@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "random_projection_check",
     # round 8: z-order layout curve positions
     "zorder_layout_check",
+    # round 8: Unicode NFC normalize + control strip
+    "unicode_normalize_check",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

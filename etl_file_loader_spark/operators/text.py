@@ -9,6 +9,7 @@ at 100 TB these run at scan speed with zero shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -758,6 +759,47 @@ PII_PATTERNS: dict[str, str] = {
 # Redaction order matters: SSN (3-2-4) before phone (3-3-4) so neither
 # partially consumes the other; email first because it may contain digits.
 PII_ORDER = ["email", "ssn", "phone"]
+
+
+# C0 controls except \t \n \r, plus DEL — the characters every web-corpus
+# cleaner strips before anything else (CCNet/C4 normalize first)
+_CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def strip_control_chars(text: Column) -> Column:
+    """Remove C0 control characters (keeping tab/newline/CR) and DEL —
+    a pure column regexp, scan-speed, no Python."""
+    return F.regexp_replace(text, _CONTROL_CLASS, "")
+
+
+def normalize_unicode(text: Column, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NFC by default — canonical
+    composition, the first stage of web-corpus cleaning; NFKC/NFD/NFKD
+    also accepted). Spark has no built-in normalizer, so this is an
+    Arrow-batched pandas UDF — vectorized transfer, one Python call per
+    batch, still a narrow projection (zero shuffle; at 100 TB it rides
+    the scan like the codec UDFs).
+
+    Cross-engine: DuckDB's ``nfc_normalize`` implements the same Unicode
+    canonical composition, so NFC outputs are value-verified by the
+    ``unicode_normalize_check`` oracle on composed/decomposed pairs the
+    query itself injects (the synthetic corpus is ASCII, where NFC is the
+    identity — the injected sequences are what make the check real).
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return _norm(text)
 
 
 def pii_counts(text: Column) -> Column:

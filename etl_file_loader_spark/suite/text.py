@@ -1321,3 +1321,57 @@ ORACLES.update(
         "html_extract": Q_HTML_EXTRACT_SQL,
     }
 )
+
+
+def q_unicode_normalize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control-char strip (operators/text.py:
+    normalize_unicode, strip_control_chars). The synthetic corpus is
+    ASCII -- where NFC is the identity -- so the query INJECTS a
+    DECOMPOSED combining sequence (cycling e+ACUTE / n+TILDE /
+    u+DIAERESIS / A+RING by doc_id) plus a C0 control char; the check
+    pins that composition happened (len drops by 2: one composed pair,
+    one stripped control) and that the cleaned bytes match DuckDB's
+    nfc_normalize exactly (md5)."""
+    docs = _t(spark, sf_dir, "documents")
+    mark = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("e\u0301"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("n\u0303"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("u\u0308"))
+        .otherwise(F.lit("A\u030a"))
+    )
+    dirty = F.concat(F.col("text"), F.lit(" "), mark, F.lit("\x01ctl"))
+    cleaned = text_ops.strip_control_chars(text_ops.normalize_unicode(dirty))
+    return docs.select(
+        "doc_id",
+        F.length(dirty).alias("len_dirty"),
+        F.length(cleaned).alias("len_clean"),
+        F.md5(cleaned).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+Q_UNICODE_NORMALIZE_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' ' || CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'e' || chr(769)
+           WHEN 1 THEN 'n' || chr(771)
+           WHEN 2 THEN 'u' || chr(776)
+           ELSE 'A' || chr(778) END || chr(1) || 'ctl' AS d
+  FROM documents
+),
+clean AS (
+  SELECT doc_id, d,
+         regexp_replace(nfc_normalize(d),
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g') AS c
+  FROM dirty
+)
+SELECT doc_id,
+       length(d) AS len_dirty,
+       length(c) AS len_clean,
+       md5(c) AS clean_md5
+FROM clean
+ORDER BY doc_id
+"""
+
+QUERIES.update({"unicode_normalize_check": q_unicode_normalize_check})
+ORACLES.update({"unicode_normalize_check": Q_UNICODE_NORMALIZE_SQL})

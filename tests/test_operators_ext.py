@@ -1469,3 +1469,40 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert files_touched(plain_dir) >= 12
     # z-order keeps it in a fraction of them
     assert files_touched(z_dir) <= 8
+
+
+# ---------------------------------------------------------------------------
+# normalize_unicode / strip_control_chars (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_unicode_nfc_composes(spark):
+    decomposed = "Cafe\u0301 man\u0303ana"
+    df = spark.createDataFrame([(1, decomposed), (2, None)], "id long, t string")
+    out = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", text.normalize_unicode(F.col("t")).alias("c")
+        ).collect()
+    }
+    assert out[1] == "Caf\u00e9 ma\u00f1ana"
+    assert out[2] is None
+
+
+def test_normalize_unicode_nfkc_and_bad_form(spark):
+    import pytest as _pytest
+
+    # NFKC folds compatibility characters (ligature fi -> fi)
+    df = spark.createDataFrame([(1, "\ufb01n")], "id long, t string")
+    got = df.select(text.normalize_unicode(F.col("t"), "NFKC").alias("c")).collect()
+    assert got[0]["c"] == "fin"
+    with _pytest.raises(ValueError):
+        text.normalize_unicode(F.col("t"), "NFX")
+
+
+def test_strip_control_chars_keeps_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "a\x01b\tc\nd\x7fe")], "id long, t string"
+    )
+    got = df.select(text.strip_control_chars(F.col("t")).alias("c")).collect()
+    assert got[0]["c"] == "ab\tc\nde"

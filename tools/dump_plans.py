@@ -204,6 +204,13 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "unicode_normalize_check": (
+        "Round 8: Unicode NFC normalize + control strip — ONE "
+        "ArrowEvalPython node (vectorized batches; Spark has no built-in "
+        "normalizer) inside a scan-shaped projection, control strip is a "
+        "JVM regexp; zero shuffle besides the presentation sort. At "
+        "100 TB this is the same rides-the-scan shape as the codec UDFs."
+    ),
     "zorder_layout_check": (
         "Round 8: z-order layout — the oracle-checked exact path uses two "
         "global rank windows (verification scale only; the plan should "
