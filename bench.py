@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "zorder_layout_check",
     # round 8: Unicode NFC normalize + control strip
     "unicode_normalize_check",
+    # round 8: incremental aggregate maintenance
+    "incremental_agg_check",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -678,6 +678,63 @@ FROM lineitem ORDER BY l_returnflag
 """
 
 
+def q_incremental_agg_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/aggregates.py): split
+    orders into a 'base' and a 'delta' batch, build mergeable state for
+    each, merge — and the oracle recomputes the rollup FROM SCRATCH, so
+    the merge algebra must be exact (decimal sums make it
+    order-independent; counts/min/max are monoid merges)."""
+    from etl_file_loader_spark.operators import aggregates as agg_ops
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "price_dec", _dec("o_totalprice")
+    )
+    keys = ["o_orderpriority", "o_orderstatus"]
+    metrics = {
+        "n_orders": ("count", "*"),
+        "n_cust": ("count", "o_custkey"),
+        "sum_price": ("sum", "price_dec"),
+        "min_price": ("min", "price_dec"),
+        "max_price": ("max", "price_dec"),
+    }
+    base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 5 == 0)
+    merged = agg_ops.merge_agg_states(
+        [
+            agg_ops.agg_state(base, keys, metrics),
+            agg_ops.agg_state(delta, keys, metrics),
+        ],
+        keys,
+        metrics,
+    )
+    return merged.select(
+        *keys,
+        "n_orders",
+        "n_cust",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+        (F.col("sum_price").cast("double") / F.col("n_orders")).alias("avg_price"),
+    ).orderBy(*keys)
+
+
+Q_INCREMENTAL_AGG_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       count(o_custkey) AS n_cust,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+QUERIES.update({"incremental_agg_check": q_incremental_agg_check})
+ORACLES.update({"incremental_agg_check": Q_INCREMENTAL_AGG_SQL})
+
+
 _Z_BITS = 8
 
 

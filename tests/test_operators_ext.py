@@ -1506,3 +1506,64 @@ def test_strip_control_chars_keeps_whitespace(spark):
     )
     got = df.select(text.strip_control_chars(F.col("t")).alias("c")).collect()
     assert got[0]["c"] == "ab\tc\nde"
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _agg_ops():
+    from etl_file_loader_spark.operators import aggregates
+
+    return aggregates
+
+
+def test_merge_agg_states_equals_full_recompute(spark):
+    agg = _agg_ops()
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("b", 3, 5.0), ("a", 4, 20.0), ("c", 5, 7.0)],
+        "k string, id long, v double",
+    ).withColumn("v", F.col("v").cast("decimal(18,2)"))
+    keys = ["k"]
+    metrics = {
+        "n": ("count", "*"),
+        "s": ("sum", "v"),
+        "mn": ("min", "v"),
+        "mx": ("max", "v"),
+    }
+    base = df.filter("id <= 2")
+    delta = df.filter("id > 2")
+    merged = agg.merge_agg_states(
+        [agg.agg_state(base, keys, metrics), agg.agg_state(delta, keys, metrics)],
+        keys,
+        metrics,
+    )
+    full = agg.agg_state(df, keys, metrics)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_merge_agg_states_group_only_in_delta(spark):
+    agg = _agg_ops()
+    metrics = {"n": ("count", "*"), "mx": ("max", "v")}
+    base = spark.createDataFrame([("a", 1)], "k string, v long")
+    delta = spark.createDataFrame([("z", 9)], "k string, v long")
+    out = {
+        r["k"]: (r["n"], r["mx"])
+        for r in agg.merge_agg_states(
+            [
+                agg.agg_state(base, ["k"], metrics),
+                agg.agg_state(delta, ["k"], metrics),
+            ],
+            ["k"],
+            metrics,
+        ).collect()
+    }
+    assert out == {"a": (1, 1), "z": (1, 9)}
+
+
+def test_agg_state_rejects_unknown_kind(spark):
+    agg = _agg_ops()
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError):
+        agg.agg_state(df, ["k"], {"bad": ("median", "v")})

@@ -204,6 +204,15 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "incremental_agg_check": (
+        "Round 8: incremental aggregate maintenance — two base/delta hash "
+        "aggs (map-side partials) + ONE group-sized merge agg over the "
+        "unioned states. At 100 TB the base state is a TABLE, not a "
+        "recompute: refresh cost = agg(delta) + a merge whose shuffle is "
+        "proportional to GROUP COUNT, never fact rows. Decimal sums make "
+        "the merge exact (the oracle recomputes from scratch and must "
+        "match bit-for-bit)."
+    ),
     "unicode_normalize_check": (
         "Round 8: Unicode NFC normalize + control strip — ONE "
         "ArrowEvalPython node (vectorized batches; Spark has no built-in "
