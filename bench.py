@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "unicode_normalize_check",
     # round 8: incremental aggregate maintenance
     "incremental_agg_check",
+    # round 8: KMV distinct sketch (deterministic, mergeable)
+    "kmv_distinct_check",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -678,6 +678,106 @@ FROM lineitem ORDER BY l_returnflag
 """
 
 
+_KMV_K = 64
+_KMV_M = 1 << 60
+
+
+def q_kmv_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (operators/sketches.py): unlike the HLL gate
+    (engine-internal, only error-checkable), the KMV state is a pure
+    function of the data — the oracle re-derives the k smallest distinct
+    60-bit hashes per group, the estimate, and the exact-branch flag.
+    The Spark side ALSO merges base/delta partial sketches and emits
+    merge==direct as a flag the oracle pins to 1 (falsifiable: any merge
+    regression flips it). Two metrics: o_custkey (estimator branch,
+    >k distinct) and o_orderpriority (exact branch, 5 < k distinct)."""
+    from etl_file_loader_spark.operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def rows(col: str, metric: str) -> DataFrame:
+        direct = sketches.kmv_sketch(orders, ["o_orderstatus"], col, _KMV_K)
+        base = sketches.kmv_sketch(
+            orders.filter(F.col("o_orderkey") % 3 != 0),
+            ["o_orderstatus"], col, _KMV_K,
+        )
+        delta = sketches.kmv_sketch(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            ["o_orderstatus"], col, _KMV_K,
+        )
+        merged = sketches.kmv_merge([base, delta], ["o_orderstatus"], _KMV_K)
+        est = sketches.kmv_estimate(direct, _KMV_K)
+        j = est.join(
+            merged.select(
+                "o_orderstatus",
+                F.col("kmv").alias("kmv_m"),
+                F.col("n_kept").alias("n_kept_m"),
+            ),
+            "o_orderstatus",
+        )
+        return j.select(
+            F.lit(metric).alias("metric"),
+            F.col("o_orderstatus").alias("grp"),
+            "n_kept",
+            "is_exact",
+            "distinct_est",
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("kmv"), lambda x: x.cast("string")), ","
+                )
+            ).alias("sketch_md5"),
+            (
+                (F.col("kmv") == F.col("kmv_m"))
+                & (F.col("n_kept") == F.col("n_kept_m"))
+            ).cast("int").alias("merge_matches"),
+        )
+
+    return (
+        rows("o_custkey", "custkey")
+        .unionByName(rows("o_orderpriority", "priority"))
+        .orderBy("metric", "grp")
+    )
+
+
+def _kmv_sql() -> str:
+    k, m = _KMV_K, _KMV_M
+
+    def branch(col: str, metric: str) -> str:
+        return f"""
+  SELECT '{metric}' AS metric, g AS grp, n_kept,
+         CAST(n_kept < {k} AS INT) AS is_exact,
+         CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+              ELSE {k - 1}.0 * {m}.0 / CAST(kmv[{k}] AS DOUBLE) END AS distinct_est,
+         md5(array_to_string(kmv, ',')) AS sketch_md5,
+         1 AS merge_matches
+  FROM (
+    SELECT g, list(_h ORDER BY _h) AS kmv, count(*) AS n_kept
+    FROM (
+      SELECT g, _h, row_number() OVER (PARTITION BY g ORDER BY _h) AS rn
+      FROM (
+        SELECT DISTINCT o_orderstatus AS g,
+               CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS _h
+        FROM orders
+      )
+    ) WHERE rn <= {k}
+    GROUP BY g
+  )"""
+
+    return (
+        "SELECT * FROM ("
+        + branch("o_custkey", "custkey")
+        + "\n  UNION ALL"
+        + branch("o_orderpriority", "priority")
+        + "\n) ORDER BY metric, grp"
+    )
+
+
+Q_KMV_DISTINCT_SQL = _kmv_sql()
+
+QUERIES.update({"kmv_distinct_check": q_kmv_distinct_check})
+ORACLES.update({"kmv_distinct_check": Q_KMV_DISTINCT_SQL})
+
+
 def q_incremental_agg_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/aggregates.py): split
     orders into a 'base' and a 'delta' batch, build mergeable state for

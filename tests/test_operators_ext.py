@@ -1567,3 +1567,59 @@ def test_agg_state_rejects_unknown_kind(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v long")
     with pytest.raises(ValueError):
         agg.agg_state(df, ["k"], {"bad": ("median", "v")})
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _kmv():
+    from etl_file_loader_spark.operators import sketches
+
+    return sketches
+
+
+def test_kmv_exact_below_k(spark):
+    sk = _kmv()
+    df = spark.createDataFrame(
+        [("a", v % 5) for v in range(50)], "g string, v long"
+    )
+    est = sk.kmv_estimate(sk.kmv_sketch(df, ["g"], "v", k=8), k=8).collect()[0]
+    assert est["n_kept"] == 5 and est["is_exact"] == 1
+    assert est["distinct_est"] == 5.0
+
+
+def test_kmv_estimator_accuracy(spark):
+    sk = _kmv()
+    n = 5000
+    df = spark.createDataFrame([("a", v) for v in range(n)], "g string, v long")
+    est = sk.kmv_estimate(sk.kmv_sketch(df, ["g"], "v", k=256), k=256).collect()[0]
+    assert est["is_exact"] == 0
+    # KMV relative error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(est["distinct_est"] - n) / n < 0.25
+
+
+def test_kmv_merge_equals_direct(spark):
+    sk = _kmv()
+    df = spark.createDataFrame(
+        [("a", v) for v in range(300)] + [("b", v) for v in range(40)],
+        "g string, v long",
+    )
+    direct = sk.kmv_sketch(df, ["g"], "v", k=32)
+    parts = [
+        sk.kmv_sketch(df.filter(F.col("v") % 2 == 0), ["g"], "v", k=32),
+        sk.kmv_sketch(df.filter(F.col("v") % 2 == 1), ["g"], "v", k=32),
+    ]
+    merged = sk.kmv_merge(parts, ["g"], k=32)
+    d = {r["g"]: (r["kmv"], r["n_kept"]) for r in direct.collect()}
+    m = {r["g"]: (r["kmv"], r["n_kept"]) for r in merged.collect()}
+    assert d == m
+
+
+def test_kmv_merge_idempotent(spark):
+    sk = _kmv()
+    df = spark.createDataFrame([("a", v) for v in range(100)], "g string, v long")
+    s1 = sk.kmv_sketch(df, ["g"], "v", k=16)
+    twice = sk.kmv_merge([s1, s1], ["g"], k=16)
+    assert [tuple(r) for r in s1.collect()] == [tuple(r) for r in twice.collect()]

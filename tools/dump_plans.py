@@ -204,6 +204,16 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "kmv_distinct_check": (
+        "Round 8: KMV distinct sketch — dedup hash agg (map-side "
+        "partials) then per-group k-smallest via row_number, which "
+        "WindowGroupLimit pushes BELOW the exchange (each task pre-keeps "
+        "its local k smallest), then one group agg packing k longs. "
+        "Per-group state is k longs at ANY cardinality; merge cost ∝ "
+        "groups * k. Deterministic md5 hashing makes sketch, merge, and "
+        "estimate exactly replayable cross-engine — the auditable "
+        "alternative to the engine-internal HLL gate."
+    ),
     "incremental_agg_check": (
         "Round 8: incremental aggregate maintenance — two base/delta hash "
         "aggs (map-side partials) + ONE group-sized merge agg over the "
