@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "incremental_agg_check",
     # round 8: KMV distinct sketch (deterministic, mergeable)
     "kmv_distinct_check",
+    # round 8: streaming watermarked dedup (real streaming run)
+    "streaming_dedup_events",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -82,6 +82,83 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dedup run (streaming/ingest.py:dedup_stream):
+    the events file is streamed TWICE and unioned (every event arrives
+    duplicated), watermarked on event time, and
+    ``dropDuplicatesWithinWatermark`` keeps exactly one row per
+    event_id with bounded state (keys expire past the watermark — the
+    semantics plain dropDuplicates can't give a stream). availableNow
+    drives it to completion into an append memory sink; the rollup of
+    the sink must equal the batch rollup of the ORIGINAL events — the
+    duplicates must have vanished."""
+    import tempfile
+    import uuid
+
+    import os
+
+    from etl_file_loader_spark.streaming.ingest import dedup_stream
+
+    _ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _read():
+        ev_path = f"{sf_dir}/events.parquet"
+        if os.path.isdir(ev_path):
+            s = spark.readStream.schema(schema).parquet(ev_path)
+        else:
+            s = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dict(s.dtypes).get("ts") == "timestamp_ntz":
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s
+
+    doubled = _read().unionByName(_read())
+    deduped = dedup_stream(doubled, ["event_id"], ts_col="ts", watermark="1 hour")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="efls_stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(name)
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sv"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_ids",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_STREAMING_DEDUP_EVENTS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT event_id) AS n_ids,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 Q_STREAMING_EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        count(*) AS n_events,
@@ -94,6 +171,7 @@ GROUP BY 1, 2
 QUERIES.update(
     {
         "streaming_events_hourly": q_streaming_events_hourly,
+        "streaming_dedup_events": q_streaming_dedup_events,
     }
 )
 
@@ -101,5 +179,6 @@ QUERIES.update(
 ORACLES.update(
     {
         "streaming_events_hourly": Q_STREAMING_EVENTS_HOURLY_SQL,
+        "streaming_dedup_events": Q_STREAMING_DEDUP_EVENTS_SQL,
     }
 )

@@ -204,6 +204,17 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "streaming_dedup_events": (
+        "Round 8: REAL streaming watermarked dedup — two file-stream "
+        "sources unioned (every event duplicated), event-time watermark, "
+        "dropDuplicatesWithinWatermark keeps one row per key with state "
+        "that EXPIRES past the watermark (plain dropDuplicates grows "
+        "state forever); availableNow drives to an append memory sink "
+        "whose rollup must equal the batch rollup of the original "
+        "events. At 100 TB/day the bounded-state property IS the "
+        "operator; the plan (shown for the batch rollup half) rides on "
+        "streaming state store internals for the dedup."
+    ),
     "kmv_distinct_check": (
         "Round 8: KMV distinct sketch — dedup hash agg (map-side "
         "partials) then per-group k-smallest via row_number, which "
