@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "kmv_distinct_check",
     # round 8: streaming watermarked dedup (real streaming run)
     "streaming_dedup_events",
+    # round 8: positional inverted index + phrase search
+    "phrase_search",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

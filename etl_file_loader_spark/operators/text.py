@@ -761,6 +761,73 @@ PII_PATTERNS: dict[str, str] = {
 PII_ORDER = ["email", "ssn", "phone"]
 
 
+def inverted_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional inverted index over whitespace tokens (the retrieval
+    artifact next to ``bm25_topk``'s scan-time scoring): one row per
+    (term, doc) with the sorted position list and term frequency.
+
+    Plan shape (100 TB): posexplode (scan-shaped) + ONE hash aggregation
+    keyed on (term, doc) — map-side partials, shuffle ∝ postings. The
+    output is the classic sharded index: partition it by term to serve
+    lookups, or keep it as a co-partitioned join input. Zipf-hot terms
+    skew the shuffle; at extreme scale pre-salt the (term, doc) key —
+    the agg is reassociable — or drop stopword terms first.
+    """
+    pos = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
+    )
+    return pos.groupBy("term", id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+
+
+def phrase_search(
+    postings: DataFrame, id_col: str, phrase_terms: list[str]
+) -> DataFrame:
+    """Exact phrase match over a positional index: docs where the terms
+    appear CONSECUTIVELY, with the occurrence count (overlapping matches
+    count — 'x x x' contains 'x x' twice).
+
+    Implementation: one postings row per phrase term (equality filter —
+    a partition-pruned point lookup on a term-partitioned index), inner
+    equi-joins on the doc id (k-1 joins of doc-level rows, each side
+    already one row per doc), then the match positions are computed
+    JVM-side as array_intersect of the i-th term's positions shifted
+    left by i. No explode of positions, no window.
+    """
+    if not phrase_terms:
+        raise ValueError("phrase_terms must be non-empty")
+    # NAME-based equi-joins (on=id_col): a phrase can repeat a term, which
+    # makes the per-term parts share lineage — a Column-equality condition
+    # between them resolves ambiguously (trivially-true join), while a
+    # name join is lineage-safe and dedups the key
+    parts = []
+    for i, t in enumerate(phrase_terms):
+        parts.append(
+            postings.filter(F.col("term") == t).select(
+                F.col(id_col), F.col("positions").alias(f"_p{i}")
+            )
+        )
+    j = parts[0]
+    for i in range(1, len(parts)):
+        j = j.join(parts[i], on=id_col, how="inner")
+    def _shift(col: Column, k: int) -> Column:
+        # NOTE: the lambda must take exactly ONE parameter — pyspark
+        # dispatches a two-parameter lambda (even with a default) to the
+        # (element, index) transform form, silently binding the second
+        # name to the array index
+        return F.transform(col, lambda x: x - F.lit(k))
+
+    starts = F.col("_p0")
+    for i in range(1, len(parts)):
+        starts = F.array_intersect(starts, _shift(F.col(f"_p{i}"), i))
+    return (
+        j.select(F.col(id_col), F.size(starts).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
 # C0 controls except \t \n \r, plus DEL — the characters every web-corpus
 # cleaner strips before anything else (CCNet/C4 normalize first)
 _CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"

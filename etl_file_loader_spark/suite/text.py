@@ -1375,3 +1375,57 @@ ORDER BY doc_id
 
 QUERIES.update({"unicode_normalize_check": q_unicode_normalize_check})
 ORACLES.update({"unicode_normalize_check": Q_UNICODE_NORMALIZE_SQL})
+
+
+_PHRASES = [["order", "order"], ["big", "order", "scan"]]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index + exact phrase search (operators/text.py:
+    inverted_index, phrase_search): build the (term, doc, positions)
+    index once, then match two fixed phrases — a self-overlapping
+    2-gram ('order order', where 'order order order' must count twice)
+    and a 3-term chain ('big order scan'). The oracle re-derives both
+    from raw token positions."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = text_ops.inverted_index(docs, "doc_id", "text")
+    parts = []
+    for terms in _PHRASES:
+        parts.append(
+            text_ops.phrase_search(idx, "doc_id", terms).select(
+                F.lit(" ".join(terms)).alias("phrase"), "doc_id", "n_occurrences"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("phrase", "doc_id")
+
+
+def _phrase_sql() -> str:
+    branches = []
+    for terms in _PHRASES:
+        cond = " AND ".join(
+            f"ws[i + {k}] = '{t}'" for k, t in enumerate(terms)
+        )
+        branches.append(f"""
+  SELECT '{" ".join(terms)}' AS phrase, doc_id,
+         count(*) AS n_occurrences
+  FROM w WHERE {cond} GROUP BY doc_id""")
+    u = "\n  UNION ALL".join(branches)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+w AS (
+  SELECT doc_id, ws, i FROM t, unnest(range(1, len(ws) + 1)) u(i)
+)
+SELECT * FROM ({u})
+ORDER BY phrase, doc_id
+"""
+
+
+Q_PHRASE_SEARCH_SQL = _phrase_sql()
+
+QUERIES.update({"phrase_search": q_phrase_search})
+ORACLES.update({"phrase_search": Q_PHRASE_SEARCH_SQL})

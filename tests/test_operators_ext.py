@@ -1623,3 +1623,41 @@ def test_kmv_merge_idempotent(spark):
     s1 = sk.kmv_sketch(df, ["g"], "v", k=16)
     twice = sk.kmv_merge([s1, s1], ["g"], k=16)
     assert [tuple(r) for r in s1.collect()] == [tuple(r) for r in twice.collect()]
+
+
+# ---------------------------------------------------------------------------
+# inverted index + phrase search (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_positions_and_tf(spark):
+    df = spark.createDataFrame([(1, "a b a c a"), (2, "b b")], "doc_id long, text string")
+    idx = {(r["term"], r["doc_id"]): r for r in text.inverted_index(df, "doc_id", "text").collect()}
+    assert idx[("a", 1)]["positions"] == [0, 2, 4] and idx[("a", 1)]["tf"] == 3
+    assert idx[("b", 2)]["positions"] == [0, 1] and idx[("b", 2)]["tf"] == 2
+
+
+def test_phrase_search_overlapping_matches(spark):
+    # 'x x x' contains 'x x' TWICE (overlap); regression pin for the
+    # pyspark transform lambda-arity dispatch (a 2-param lambda silently
+    # becomes the (element, index) form)
+    df = spark.createDataFrame(
+        [(1, "x x x"), (2, "x y x"), (3, "y x x y")], "doc_id long, text string"
+    )
+    idx = text.inverted_index(df, "doc_id", "text")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in text.phrase_search(idx, "doc_id", ["x", "x"]).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_phrase_search_three_terms_and_missing(spark):
+    df = spark.createDataFrame(
+        [(1, "big order scan now"), (2, "big order miss scan")],
+        "doc_id long, text string",
+    )
+    idx = text.inverted_index(df, "doc_id", "text")
+    got = [tuple(r) for r in text.phrase_search(idx, "doc_id", ["big", "order", "scan"]).collect()]
+    assert got == [(1, 1)]
+    assert text.phrase_search(idx, "doc_id", ["zz"]).count() == 0
+    with pytest.raises(ValueError):
+        text.phrase_search(idx, "doc_id", [])

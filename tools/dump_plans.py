@@ -204,6 +204,15 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "phrase_search": (
+        "Round 8: positional inverted index + exact phrase search — index "
+        "build is posexplode + ONE (term, doc) hash agg (map-side "
+        "partials, shuffle ∝ postings; Zipf-hot terms ride salting or a "
+        "stopword drop); each phrase term is an equality point-lookup on "
+        "the index (partition-pruned when term-partitioned), k-1 "
+        "doc-level equi-joins, match positions via JVM array_intersect "
+        "of shifted position lists — no position explode, no window."
+    ),
     "streaming_dedup_events": (
         "Round 8: REAL streaming watermarked dedup — two file-stream "
         "sources unioned (every event duplicated), event-time watermark, "
