@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "streaming_dedup_events",
     # round 8: positional inverted index + phrase search
     "phrase_search",
+    # round 8: sentence-aware RAG chunking with overlap
+    "sentence_chunks_check",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -22,6 +22,7 @@ is what makes them DuckDB-oracle-checkable row for row.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -196,6 +197,99 @@ def pack_shards(
     )
     return df.withColumn(
         "shard_id", F.floor(prefix / F.lit(budget)).cast("long")
+    )
+
+
+# sentences: maximal runs of non-terminators plus their trailing [.!?]+ —
+# RE2/Java-compatible (no lookbehind), shared verbatim with the oracle
+SENTENCE_PATTERN = r"[^.!?]+[.!?]*"
+
+
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 64,
+    overlap: int = 1,
+) -> DataFrame:
+    """Sentence-aware retrieval chunking (the RAG splitter): pack
+    CONSECUTIVE sentences greedily into chunks of at most ``max_tokens``
+    whitespace tokens, each next chunk re-starting at the previous
+    chunk's last ``overlap`` sentences (context carry-over). A sentence
+    longer than the budget gets its own chunk — progress is guaranteed.
+    Complements ``sequence_chunks`` (fixed token windows, mid-sentence
+    cuts): this one never splits a sentence.
+
+    Plan shape: sentence extraction + token counting are JVM HOF
+    expressions over the scan; ONLY the greedy walk (inherently
+    sequential per doc, integer-arithmetic) is Python — an Arrow-batched
+    pandas UDF mapping the per-doc token-count array to (start, end)
+    boundary structs. Explode + JVM slice/md5 finish the chunks. Zero
+    shuffles — scan-shaped at any corpus size.
+
+    Cross-engine: the oracle replays the walk exactly (per-start max-end
+    table over prefix sums + a recursive CTE), so chunk boundaries,
+    token counts, and chunk md5s are value-verified (suite
+    ``sentence_chunks_check``).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if max_tokens < 1 or overlap < 0:
+        raise ValueError("max_tokens must be >= 1 and overlap >= 0")
+
+    sents = F.filter(
+        F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_PATTERN), 0),
+        lambda s: F.trim(s) != "",
+    )
+    tok_counts = F.transform(sents, lambda s: F.size(tokens(s)))
+
+    budget, o = max_tokens, overlap
+
+    @pandas_udf("array<struct<start:int,end:int>>")
+    def _bounds(tcs: pd.Series) -> pd.Series:
+        out = []
+        for tc in tcs:
+            if tc is None:
+                out.append([])
+                continue
+            bounds = []
+            i, n = 0, len(tc)
+            while i < n:
+                j, s = i, int(tc[i])
+                while j + 1 < n and s + int(tc[j + 1]) <= budget:
+                    j += 1
+                    s += int(tc[j])
+                bounds.append((i, j))
+                if j == n - 1:
+                    break  # last sentence covered: no overlap-only tail chunk
+                nxt = j - o + 1
+                i = nxt if nxt > i else j + 1
+            out.append(bounds)
+        return pd.Series(out)
+
+    base = df.select(
+        F.col(id_col),
+        sents.alias("_sents"),
+        tok_counts.alias("_tc"),
+    ).withColumn("_b", _bounds(F.col("_tc")))
+    ex = base.select(
+        id_col,
+        "_sents",
+        "_tc",
+        F.posexplode("_b").alias("chunk_idx", "_bd"),
+    )
+    start1 = F.col("_bd.start") + 1  # slice is 1-based
+    length = F.col("_bd.end") - F.col("_bd.start") + 1
+    chunk_sents = F.slice("_sents", start1, length)
+    chunk_tc = F.slice("_tc", start1, length)
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        length.cast("long").alias("n_sentences"),
+        F.aggregate(
+            chunk_tc, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_tokens"),
+        F.md5(F.array_join(chunk_sents, "|")).alias("chunk_md5"),
     )
 
 

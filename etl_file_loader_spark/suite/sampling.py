@@ -1230,3 +1230,98 @@ Q_DSIR_SELECTION_SQL = _dsir_oracle_sql()
 
 QUERIES.update({"dsir_selection": q_dsir_selection})
 ORACLES.update({"dsir_selection": Q_DSIR_SELECTION_SQL})
+
+
+_SC_BUDGET = 24
+_SC_OVERLAP = 1
+
+
+def q_sentence_chunks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware RAG chunking (operators/sampling.py:sentence_chunks):
+    greedy budget packing of whole sentences with one-sentence overlap.
+    The oracle replays the greedy walk exactly — per-start max-end table
+    over prefix sums (token counts are >= 1, so cumulative sums are
+    strictly increasing and max-j-within-budget IS the greedy stop) +
+    a recursive CTE for the overlap-aware chunk sequence."""
+    from etl_file_loader_spark.operators import sampling as sampling_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    # the synthetic corpus is single-sentence (no terminators): inject
+    # deterministic sentence breaks after four common tokens so the
+    # greedy packer and overlap logic actually run (the oracle applies
+    # the identical rewrite)
+    sentenced = docs.withColumn(
+        "stext",
+        F.regexp_replace(F.col("text"), r"(order|scan|data|part)", r"$1."),
+    )
+    return sampling_ops.sentence_chunks(
+        sentenced, "doc_id", "stext", max_tokens=_SC_BUDGET, overlap=_SC_OVERLAP
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _sentence_chunks_sql() -> str:
+    from etl_file_loader_spark.operators.sampling import SENTENCE_PATTERN
+
+    b, o = _SC_BUDGET, _SC_OVERLAP
+    nxt = f"CASE WHEN m.j - {o} + 1 > w.i THEN m.j - {o} + 1 ELSE m.j + 1 END"
+    return rf"""
+WITH RECURSIVE
+sen0 AS MATERIALIZED (
+  SELECT doc_id, s, k FROM (
+    SELECT doc_id, ss[k] AS s, k
+    FROM (SELECT doc_id,
+                 regexp_extract_all(
+                   regexp_replace(text, '(order|scan|data|part)', '\1.', 'g'),
+                   '{SENTENCE_PATTERN}') AS ss
+          FROM documents),
+         unnest(range(1, len(ss) + 1)) u(k)
+  ) WHERE trim(s) <> ''
+),
+sen AS MATERIALIZED (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k) AS k,
+         len(string_split_regex(trim(s), '\s+')) AS tc
+  FROM sen0
+),
+cum AS MATERIALIZED (
+  SELECT doc_id, k, s, tc,
+         sum(tc) OVER (PARTITION BY doc_id ORDER BY k) AS c
+  FROM sen
+),
+nn AS MATERIALIZED (SELECT doc_id, max(k) AS n FROM sen GROUP BY doc_id),
+m AS MATERIALIZED (
+  SELECT i.doc_id, i.k AS i, coalesce(max(j.k), i.k) AS j
+  FROM cum i
+  LEFT JOIN cum j ON j.doc_id = i.doc_id AND j.k >= i.k
+                 AND j.c - (i.c - i.tc) <= {b}
+  GROUP BY i.doc_id, i.k
+),
+walk AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS chunk_idx, CAST(1 AS BIGINT) AS i FROM nn
+  UNION ALL
+  SELECT w.doc_id, w.chunk_idx + 1, {nxt}
+  FROM walk w
+  JOIN m ON m.doc_id = w.doc_id AND m.i = w.i
+  JOIN nn ON nn.doc_id = w.doc_id
+  WHERE m.j < nn.n AND ({nxt}) <= nn.n
+),
+lists AS MATERIALIZED (
+  SELECT doc_id, list(s ORDER BY k) AS ls FROM sen GROUP BY doc_id
+)
+SELECT w.doc_id AS doc_id, w.chunk_idx AS chunk_idx,
+       CAST(m.j - w.i + 1 AS BIGINT) AS n_sentences,
+       CAST(cj.c - (ci.c - ci.tc) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(l.ls, w.i, m.j), '|')) AS chunk_md5
+FROM walk w
+JOIN m ON m.doc_id = w.doc_id AND m.i = w.i
+JOIN cum ci ON ci.doc_id = w.doc_id AND ci.k = w.i
+JOIN cum cj ON cj.doc_id = w.doc_id AND cj.k = m.j
+JOIN lists l ON l.doc_id = w.doc_id
+ORDER BY w.doc_id, w.chunk_idx
+"""
+
+
+Q_SENTENCE_CHUNKS_SQL = _sentence_chunks_sql()
+
+QUERIES.update({"sentence_chunks_check": q_sentence_chunks_check})
+ORACLES.update({"sentence_chunks_check": Q_SENTENCE_CHUNKS_SQL})

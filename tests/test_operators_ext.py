@@ -1661,3 +1661,55 @@ def test_phrase_search_three_terms_and_missing(spark):
     assert text.phrase_search(idx, "doc_id", ["zz"]).count() == 0
     with pytest.raises(ValueError):
         text.phrase_search(idx, "doc_id", [])
+
+
+# ---------------------------------------------------------------------------
+# sentence_chunks (round 8): sentence-aware RAG chunking with overlap
+# ---------------------------------------------------------------------------
+
+
+def _schunk(spark, text, **kw):
+    from etl_file_loader_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return sorted(
+        (r["chunk_idx"], r["n_sentences"], r["n_tokens"])
+        for r in sampling.sentence_chunks(df, "doc_id", "text", **kw).collect()
+    )
+
+
+def test_sentence_chunks_greedy_and_overlap(spark):
+    # sentences: 3, 3, 3, 3 tokens; budget 6, overlap 1:
+    # chunk0 = s0,s1 (6); next start = s1 -> chunk1 = s1,s2 (6);
+    # next = s2 -> chunk2 = s2,s3 (6); next = s3 but s3 already covered
+    # as chunk end -> next start 4 > n, stop
+    text = "a b c. d e f. g h i. j k l."
+    got = _schunk(spark, text, max_tokens=6, overlap=1)
+    assert got == [(0, 2, 6), (1, 2, 6), (2, 2, 6)]
+
+
+def test_sentence_chunks_no_overlap(spark):
+    text = "a b c. d e f. g h i. j k l."
+    got = _schunk(spark, text, max_tokens=6, overlap=0)
+    assert got == [(0, 2, 6), (1, 2, 6)]
+
+
+def test_sentence_chunks_oversized_sentence_alone(spark):
+    # middle sentence exceeds the budget: it still forms its own chunk
+    text = "a b. c d e f g h. i j."
+    got = _schunk(spark, text, max_tokens=3, overlap=0)
+    assert got == [(0, 1, 2), (1, 1, 6), (2, 1, 2)]
+
+
+def test_sentence_chunks_never_splits_sentences(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "one two three. four five six seven.")], "doc_id long, text string"
+    )
+    out = sampling.sentence_chunks(df, "doc_id", "text", max_tokens=4, overlap=0)
+    rows = out.collect()
+    # each chunk = whole sentences only: 3 and 4 tokens
+    assert sorted(r["n_tokens"] for r in rows) == [3, 4]
+    with pytest.raises(ValueError):
+        sampling.sentence_chunks(df, "doc_id", "text", max_tokens=0)

@@ -204,6 +204,14 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "sentence_chunks_check": (
+        "Round 8: sentence-aware RAG chunking — sentence extraction and "
+        "token counting are JVM HOF expressions over the scan; ONLY the "
+        "inherently-sequential greedy walk is Python (ArrowEvalPython "
+        "over the per-doc token-count ARRAY, integers in/boundary structs "
+        "out — tiny batches); explode + JVM slice/md5 finish. Zero "
+        "shuffles: scan-shaped at any corpus size."
+    ),
     "phrase_search": (
         "Round 8: positional inverted index + exact phrase search — index "
         "build is posexplode + ONE (term, doc) hash agg (map-side "
