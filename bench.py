@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "phrase_search",
     # round 8: sentence-aware RAG chunking with overlap
     "sentence_chunks_check",
+    # round 8: count-min sketch heavy hitters
+    "cms_heavy_hitters",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

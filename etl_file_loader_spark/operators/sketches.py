@@ -83,6 +83,90 @@ def kmv_merge(states: list[DataFrame], keys: list[str], k: int = 64) -> DataFram
     )
 
 
+def cms_hash(col: Column, row: int, width: int) -> Column:
+    """CMS cell index for hash row ``row``: md5-prefix of 'r|value' mod
+    width — deterministic, engine-portable (DuckDB twin:
+    ``CAST('0x' || substr(md5(r || '|' || x), 1, 15) AS BIGINT) % w``)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(row)), col.cast("string"))),
+                1,
+                _HEX_DIGITS,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-min sketch of ``col``'s frequency distribution: a
+    depth x width counter matrix as rows (r, c, cnt) — the heavy-hitter
+    complement to KMV's distinct counting. Deterministic md5 row hashes,
+    so the sketch is cross-engine replayable; mergeable by cell-wise
+    addition (``cms_merge``); point estimates never undercount
+    (``cms_query`` = min over rows, classic CMS upper-bound guarantee).
+
+    Plan shape: explode each record into ``depth`` (r, c) cells — still
+    scan-shaped — then ONE hash agg whose map-side partials collapse to
+    at most depth*width cells per task: shuffle is O(depth*width)
+    regardless of data size. The sketch fits in a broadcast at any scale.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        cms_hash(F.col(col), r, width).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_cell")
+    ).select("_cell.r", "_cell.c")
+    return cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge CMS sketches built with the same (depth, width): cell-wise
+    addition — one group-sized agg."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame, items: DataFrame, item_col: str, depth: int, width: int
+) -> DataFrame:
+    """Point-estimate the frequency of each row of ``items``: min over
+    the depth cells the item hashes to (>= the true count always; equal
+    when the item's cells saw no collisions). The sketch side is
+    depth*width rows — Catalyst broadcasts it; the probe is a narrow
+    join per hash row, no shuffle of the item side beyond the final agg."""
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        cms_hash(F.col(item_col), r, width).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_cell"),
+    ).select(item_col, "_cell.r", "_cell.c")
+    j = probes.join(F.broadcast(sketch), ["r", "c"], "left").select(
+        item_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return j.groupBy(item_col).agg(F.min("cnt").alias("est_count"))
+
+
 def kmv_estimate(state: DataFrame, k: int = 64) -> DataFrame:
     """Distinct-count estimate per group: exact ``n_kept`` below k, else
     ``(k-1) * M / h_k`` (one IEEE division — replayable). Adds

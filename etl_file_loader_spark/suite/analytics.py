@@ -778,6 +778,102 @@ QUERIES.update({"kmv_distinct_check": q_kmv_distinct_check})
 ORACLES.update({"kmv_distinct_check": Q_KMV_DISTINCT_SQL})
 
 
+_CMS_D = 4
+_CMS_W = 256
+_CMS_CANDS = [1, 2, 3, 500, 100000001]
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches.py): sketch o_custkey's
+    frequency distribution (4 x 256 cells), point-estimate five candidate
+    keys (one absent), and pin merge(base, delta) == direct as a flag.
+    The oracle replays the cell hashing, the min-over-rows estimate, and
+    the true counts exactly; CMS's never-undercount guarantee shows as
+    est_count >= true_count on every row."""
+    from etl_file_loader_spark.operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    direct = sketches.cms_sketch(orders, "o_custkey", _CMS_D, _CMS_W)
+    base = sketches.cms_sketch(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey", _CMS_D, _CMS_W
+    )
+    delta = sketches.cms_sketch(
+        orders.filter(F.col("o_orderkey") % 2 == 1), "o_custkey", _CMS_D, _CMS_W
+    )
+    merged = sketches.cms_merge([base, delta])
+    mismatch = (
+        direct.withColumnRenamed("cnt", "a")
+        .join(merged.withColumnRenamed("cnt", "b"), ["r", "c"], "full_outer")
+        .filter(
+            F.coalesce(F.col("a"), F.lit(0)) != F.coalesce(F.col("b"), F.lit(0))
+        )
+        .limit(1)
+        .count()
+    )
+    cands = spark.createDataFrame(
+        [(v,) for v in _CMS_CANDS], "o_custkey long"
+    )
+    est = sketches.cms_query(direct, cands, "o_custkey", _CMS_D, _CMS_W)
+    true_fix = (
+        cands.join(
+            orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("tc")),
+            "o_custkey",
+            "left",
+        )
+        .select("o_custkey", F.coalesce(F.col("tc"), F.lit(0)).alias("true_count"))
+    )
+    return (
+        est.join(true_fix, "o_custkey")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "est_count",
+            "true_count",
+            F.lit(1 if mismatch == 0 else 0).alias("merge_ok"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def _cms_sql() -> str:
+    d, w = _CMS_D, _CMS_W
+    rs = ", ".join(str(r) for r in range(d))
+    cands = ", ".join(f"({v})" for v in _CMS_CANDS)
+    h = (
+        "CAST('0x' || substr(md5(CAST({r} AS VARCHAR) || '|' || "
+        "CAST({x} AS VARCHAR)), 1, 15) AS BIGINT) % {w}"
+    )
+    return f"""
+WITH cells AS (
+  SELECT t.r, {h.format(r='t.r', x='o_custkey', w=w)} AS c
+  FROM orders, unnest([{rs}]) t(r)
+),
+sk AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+cand(k) AS (VALUES {cands}),
+probes AS (
+  SELECT cand.k, t.r, {h.format(r='t.r', x='cand.k', w=w)} AS c
+  FROM cand, unnest([{rs}]) t(r)
+),
+est AS (
+  SELECT k, min(coalesce(cnt, 0)) AS est_count
+  FROM probes LEFT JOIN sk USING (r, c) GROUP BY k
+),
+tru AS (
+  SELECT cand.k, count(o.o_custkey) AS true_count
+  FROM cand LEFT JOIN orders o ON o.o_custkey = cand.k
+  GROUP BY cand.k
+)
+SELECT est.k AS custkey, est.est_count, tru.true_count, 1 AS merge_ok
+FROM est JOIN tru ON tru.k = est.k
+ORDER BY custkey
+"""
+
+
+Q_CMS_HEAVY_HITTERS_SQL = _cms_sql()
+
+QUERIES.update({"cms_heavy_hitters": q_cms_heavy_hitters})
+ORACLES.update({"cms_heavy_hitters": Q_CMS_HEAVY_HITTERS_SQL})
+
+
 def q_incremental_agg_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/aggregates.py): split
     orders into a 'base' and a 'delta' batch, build mergeable state for

@@ -1713,3 +1713,48 @@ def test_sentence_chunks_never_splits_sentences(spark):
     assert sorted(r["n_tokens"] for r in rows) == [3, 4]
     with pytest.raises(ValueError):
         sampling.sentence_chunks(df, "doc_id", "text", max_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_exact_when_sparse(spark):
+    sk = _kmv()
+    df = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    s = sk.cms_sketch(df, "k", depth=4, width=64)
+    items = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "k string")
+    est = {r["k"]: r["est_count"] for r in sk.cms_query(s, items, "k", 4, 64).collect()}
+    true = {"a": 10, "b": 3, "c": 1, "zz": 0}
+    for k, t in true.items():
+        assert est[k] >= t  # the CMS guarantee
+    # 3 keys in 64 cells: no collisions, estimates exact
+    assert est == true
+
+
+def test_cms_merge_equals_direct(spark):
+    sk = _kmv()
+    df = spark.createDataFrame([(f"k{v % 7}",) for v in range(100)], "k string")
+    direct = sk.cms_sketch(df, "k", depth=3, width=32)
+    h1 = sk.cms_sketch(df.limit(50), "k", depth=3, width=32)
+    # limit is nondeterministic in general; use a deterministic split
+    a = df.withColumn("_i", F.monotonically_increasing_id())
+    h1 = sk.cms_sketch(a.filter(F.col("_i") % 2 == 0), "k", depth=3, width=32)
+    h2 = sk.cms_sketch(a.filter(F.col("_i") % 2 == 1), "k", depth=3, width=32)
+    merged = sk.cms_merge([h1, h2])
+    d = {(r["r"], r["c"]): r["cnt"] for r in direct.collect()}
+    m = {(r["r"], r["c"]): r["cnt"] for r in merged.collect()}
+    assert d == m
+
+
+def test_cms_shuffle_is_bounded(spark):
+    sk = _kmv()
+    df = spark.range(10000).select(F.col("id").cast("string").alias("k"))
+    s = sk.cms_sketch(df, "k", depth=4, width=16)
+    rows = s.collect()
+    # at most depth*width cells regardless of 10k distinct keys
+    assert len(rows) <= 4 * 16
+    assert sum(r["cnt"] for r in rows) == 4 * 10000

@@ -204,6 +204,16 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "cms_heavy_hitters": (
+        "Round 8: count-min sketch — explode to depth cells per record "
+        "(scan-shaped) then ONE hash agg whose map-side partials collapse "
+        "to <= depth*width cells per task: the shuffle is O(d*w) "
+        "regardless of data size, and the sketch broadcasts for point "
+        "queries (min over depth cells — never undercounts). "
+        "Deterministic md5 row hashes make cells, merge, and estimates "
+        "exactly oracle-replayable — the mergeable frequency complement "
+        "to KMV's distinct counting."
+    ),
     "sentence_chunks_check": (
         "Round 8: sentence-aware RAG chunking — sentence extraction and "
         "token counting are JVM HOF expressions over the scan; ONLY the "
