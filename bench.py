@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "sentence_chunks_check",
     # round 8: count-min sketch heavy hitters
     "cms_heavy_hitters",
+    # round 8: stateful streaming sessionization vs batch oracle
+    "streaming_sessionize",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -148,6 +148,119 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# far-future sentinel (2100-01-01 UTC in microseconds): closes every real
+# session inside the stateful operator without waiting for a timeout
+_SESSION_SENTINEL_US = 4102444800 * 1_000_000
+_SESSION_GAP_S = 1800
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (streaming/stateful.py:
+    sessionize_stream, applyInPandasWithState) driver-checked against a
+    batch gap-sessionization oracle: the event stream is unioned with a
+    far-future sentinel copy of itself, so every user's real sessions are
+    gap-closed and EMITTED within the run (no reliance on processing-time
+    timeouts firing before availableNow terminates); sentinel sessions
+    are filtered by their start time. The emitted (start, end, n_events)
+    rows must equal the batch lag-window sessionization exactly."""
+    import tempfile
+    import uuid
+
+    import os
+
+    from etl_file_loader_spark.streaming.stateful import sessionize_stream
+
+    _ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _read():
+        ev_path = f"{sf_dir}/events.parquet"
+        if os.path.isdir(ev_path):
+            s = spark.readStream.schema(schema).parquet(ev_path)
+        else:
+            s = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dict(s.dtypes).get("ts") == "timestamp_ntz":
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s.select("user_id", "ts")
+
+    real = _read()
+    sentinel = _read().withColumn(
+        "ts", F.timestamp_micros(F.lit(_SESSION_SENTINEL_US))
+    )
+    # huge processing-time timeout: no timeout flush is needed — the
+    # sentinel closes every real session inside the data batches.
+    # ProcessingTimeTimeout streams NEVER terminate on their own (the
+    # engine keeps scheduling empty batches to service future timeouts,
+    # and processAllAvailable blocks on them), so drive by polling the
+    # sink: once the engine reports zero-input batches and the emitted
+    # row count is stable, the closed-session set is complete — stop.
+    import time
+
+    sessions = sessionize_stream(
+        real.unionByName(sentinel),
+        gap_seconds=_SESSION_GAP_S,
+        timeout_ms=3_600_000,
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="efls_stream_ck_"))
+        .start()
+    )
+    deadline = time.time() + 300
+    stable, last = 0, -1
+    while time.time() < deadline:
+        time.sleep(2)
+        lp = q.lastProgress
+        n = spark.table(name).count()
+        drained = lp is not None and lp["numInputRows"] == 0
+        if drained and n == last and n > 0:
+            stable += 1
+            if stable >= 3:
+                break
+        else:
+            stable = 0
+        last = n
+    q.stop()
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("session_start_us") < _SESSION_SENTINEL_US)
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+Q_STREAMING_SESSIONIZE_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+o AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                      > {_SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(t) AS session_start_us, max(t) AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
 Q_STREAMING_DEDUP_EVENTS_SQL = """
 SELECT event_type,
        count(*) AS n_events,
@@ -172,6 +285,7 @@ QUERIES.update(
     {
         "streaming_events_hourly": q_streaming_events_hourly,
         "streaming_dedup_events": q_streaming_dedup_events,
+        "streaming_sessionize": q_streaming_sessionize,
     }
 )
 
@@ -180,5 +294,6 @@ ORACLES.update(
     {
         "streaming_events_hourly": Q_STREAMING_EVENTS_HOURLY_SQL,
         "streaming_dedup_events": Q_STREAMING_DEDUP_EVENTS_SQL,
+        "streaming_sessionize": Q_STREAMING_SESSIONIZE_SQL,
     }
 )

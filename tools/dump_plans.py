@@ -204,6 +204,16 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "streaming_sessionize": (
+        "Round 8: the CUSTOM stateful operator — applyInPandasWithState "
+        "gap sessionization, shuffled on the session key so state is "
+        "partition-local (scales with distinct users, not events). "
+        "Driver-checked by sentinel-closing every session inside the "
+        "data batches (ProcessingTimeTimeout streams never self-"
+        "terminate: the engine schedules empty batches forever, so the "
+        "harness polls the sink to a stable drained count, then stops). "
+        "Emitted sessions equal the batch lag-window oracle exactly."
+    ),
     "cms_heavy_hitters": (
         "Round 8: count-min sketch — explode to depth cells per record "
         "(scan-shaped) then ONE hash agg whose map-side partials collapse "
