@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     # round 8: stateful streaming sessionization vs batch oracle
     "streaming_sessionize",
+    # round 8: char-distribution entropy quality signal
+    "char_entropy",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

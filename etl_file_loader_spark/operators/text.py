@@ -761,6 +761,49 @@ PII_PATTERNS: dict[str, str] = {
 PII_ORDER = ["email", "ssn", "phone"]
 
 
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-distribution entropy (nats) — the classic
+    gibberish/boilerplate quality signal (near-zero = repeated filler,
+    high = encrypted/random junk; natural text sits in a stable band).
+
+    H = ln(n) - (Σ c·ln c) / n over per-char counts c (algebraically
+    -Σ p ln p, but in a form with ONE division). Cross-engine: counts
+    are exact; the Σ c·ln c fold runs over the doc's (char ASC)-sorted
+    count profile — the LM ladder's canonical summation order, so 1-ulp
+    ``ln`` drift cannot be amplified by engine-dependent fold orders.
+
+    Plan: explode chars -> (doc, char) hash agg -> per-doc agg folding
+    the collected profile. Shuffle ∝ distinct (doc, char) pairs — the
+    same scan+agg shape as the token ops. Empty docs emit no row.
+    """
+    chars = df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    prof = counts.groupBy(id_col).agg(
+        F.sum("c").alias("_n"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ch"), F.col("c")))
+        ).alias("_pr"),
+    )
+    n = F.col("_n").cast("double")
+    s = F.aggregate(
+        F.col("_pr"),
+        F.lit(0.0),
+        lambda acc, st: acc
+        + st["c"].cast("double") * F.log(st["c"].cast("double")),
+    )
+    return prof.select(
+        id_col,
+        F.col("_n").alias("n_chars"),
+        "n_distinct_chars",
+        # ln differs by 1 ulp between libms on SOME inputs (unlike the LM
+        # ladder's count ratios, raw ln(count) hits them): round past it
+        F.round(F.log(n) - s / n, 12).alias("entropy"),
+    )
+
+
 def inverted_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Positional inverted index over whitespace tokens (the retrieval
     artifact next to ``bm25_topk``'s scan-time scoring): one row per

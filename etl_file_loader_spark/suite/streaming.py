@@ -218,7 +218,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     deadline = time.time() + 300
     stable, last = 0, -1
     while time.time() < deadline:
-        time.sleep(2)
+        time.sleep(1)
         lp = q.lastProgress
         n = spark.table(name).count()
         drained = lp is not None and lp["numInputRows"] == 0

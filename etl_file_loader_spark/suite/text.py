@@ -1429,3 +1429,36 @@ Q_PHRASE_SEARCH_SQL = _phrase_sql()
 
 QUERIES.update({"phrase_search": q_phrase_search})
 ORACLES.update({"phrase_search": Q_PHRASE_SEARCH_SQL})
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document (operators/text.py:
+    char_entropy) — counts exact, the c*ln(c) fold in canonical char-ASC
+    order, ONE division: the LM ladder's cross-engine float discipline."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.char_entropy(docs, "doc_id", "text").orderBy("doc_id")
+
+
+Q_CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, u.ch FROM (
+    SELECT doc_id, string_split(text, '') AS cs
+    FROM documents WHERE length(text) > 0
+  ), unnest(cs) u(ch)
+),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+prof AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS d,
+         list(c ORDER BY ch) AS pr
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(d AS BIGINT) AS n_distinct_chars,
+       round(ln(CAST(n AS DOUBLE))
+         - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(pr, c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))),
+               (a, b) -> a + b) / CAST(n AS DOUBLE), 12) AS entropy
+FROM prof ORDER BY doc_id
+"""
+
+QUERIES.update({"char_entropy": q_char_entropy})
+ORACLES.update({"char_entropy": Q_CHAR_ENTROPY_SQL})

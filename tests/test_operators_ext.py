@@ -1758,3 +1758,23 @@ def test_cms_shuffle_is_bounded(spark):
     # at most depth*width cells regardless of 10k distinct keys
     assert len(rows) <= 4 * 16
     assert sum(r["cnt"] for r in rows) == 4 * 10000
+
+
+# ---------------------------------------------------------------------------
+# char_entropy (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "aabb"), (4, "abcd"), (5, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.char_entropy(df, "doc_id", "text").collect()}
+    assert rows[1]["entropy"] == 0.0 and rows[1]["n_distinct_chars"] == 1
+    assert abs(rows[2]["entropy"] - math.log(2)) < 1e-12
+    assert abs(rows[3]["entropy"] - math.log(2)) < 1e-12
+    assert abs(rows[4]["entropy"] - math.log(4)) < 1e-12
+    assert 5 not in rows  # empty doc emits nothing
