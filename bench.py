@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "streaming_sessionize",
     # round 8: char-distribution entropy quality signal
     "char_entropy",
+    # round 8: batch-hard triplet mining
+    "triplet_mining",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -239,6 +239,50 @@ def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_flag(exact, approx, "pq_rerank_recall_at_10", 80)
 
 
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining over the labeled embeddings
+    (operators/similarity.py:mine_triplets): per anchor, hardest
+    positive (same label, min cosine) + hardest negative (different
+    label, max cosine), margins included. Fully deterministic (rounded
+    cosine + id tie-breaks), so the oracle replays every triplet."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.mine_triplets(emb, "vec_id", "embedding", "label").orderBy(
+        "vec_id"
+    )
+
+
+Q_TRIPLET_MINING_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS aid, a.label AS al, b.vec_id AS bid, b.label AS bl,
+         round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+pos AS (
+  SELECT aid, bid AS pos_id, cos AS pos_cos FROM (
+    SELECT aid, bid, cos,
+           row_number() OVER (PARTITION BY aid ORDER BY cos ASC, bid ASC) AS rn
+    FROM scored WHERE al = bl
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT aid, bid AS neg_id, cos AS neg_cos FROM (
+    SELECT aid, bid, cos,
+           row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid ASC) AS rn
+    FROM scored WHERE al <> bl
+  ) WHERE rn = 1
+)
+SELECT pos.aid AS vec_id, pos_id, pos_cos, neg_id, neg_cos,
+       pos_cos - neg_cos AS margin
+FROM pos JOIN neg ON neg.aid = pos.aid
+ORDER BY vec_id
+"""
+
+QUERIES.update({"triplet_mining": q_triplet_mining})
+ORACLES.update({"triplet_mining": Q_TRIPLET_MINING_SQL})
+
+
 _RP_OUT_DIM = 16
 
 

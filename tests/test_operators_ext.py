@@ -1778,3 +1778,41 @@ def test_char_entropy_known_values(spark):
     assert abs(rows[3]["entropy"] - math.log(2)) < 1e-12
     assert abs(rows[4]["entropy"] - math.log(4)) < 1e-12
     assert 5 not in rows  # empty doc emits nothing
+
+
+# ---------------------------------------------------------------------------
+# mine_triplets (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_mine_triplets_hardest_pos_neg(spark):
+    # label 0: v0=(1,0), v1=(0.9,0.1), v2=(0,1)  (v2 is the hard positive
+    # for v0 — lowest same-label cosine); label 1: v3=(1,0.05) is nearly
+    # parallel to v0 (the hard negative), v4=(-1,0) is easy
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.0, 1.0], 0),
+        (3, [1.0, 0.05], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in similarity.mine_triplets(df, "vec_id", "embedding", "label").collect()}
+    a = out[0]
+    assert a["pos_id"] == 2 and a["neg_id"] == 3
+    assert a["margin"] < 0  # violating triplet: the one worth training on
+    # anchor 4: positive is its only same-label peer (3)
+    assert out[4]["pos_id"] == 3
+
+
+def test_mine_triplets_deterministic_ties(spark):
+    # two identical negatives: tie must break to the lower id
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),
+        (5, [0.5, 0.5], 1),
+        (3, [0.5, 0.5], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in similarity.mine_triplets(df, "vec_id", "embedding", "label").collect()}
+    assert out[0]["neg_id"] == 3 and out[1]["neg_id"] == 3

@@ -204,6 +204,20 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "triplet_mining": (
+        "Round 8: batch-hard triplet mining — the exact O(N^2) baseline "
+        "for labeled seed/eval sets: one self-join scores every pair "
+        "(JVM-fold cosine, no Python), per-anchor hardest pos/neg via "
+        "row_number <= 1 so WindowGroupLimit keeps top-1 partials below "
+        "the exchange. At web scale, mine inside LSH/IVF candidate "
+        "buckets (knn_join_lsh) — the documented ANN-family trade."
+    ),
+    "char_entropy": (
+        "Round 8: character entropy — explode chars -> (doc, char) hash "
+        "agg -> per-doc fold over the char-ASC-sorted profile (canonical "
+        "summation order; result rounded past 1-ulp ln libm drift). "
+        "Scan+agg shape, shuffle ∝ distinct (doc, char) pairs."
+    ),
     "streaming_sessionize": (
         "Round 8: the CUSTOM stateful operator — applyInPandasWithState "
         "gap sessionization, shuffled on the session key so state is "
