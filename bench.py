@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "char_entropy",
     # round 8: batch-hard triplet mining
     "triplet_mining",
+    # round 8: length-bucketed batching + padding accounting
+    "length_bucketed_batches",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -293,6 +293,67 @@ def sentence_chunks(
     )
 
 
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    bucket_edges: list[int],
+    batch_size: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Length-bucketed batching (the padding-efficiency trick every
+    variable-length trainer uses): assign each row to a length bucket
+    (``bucket`` = number of edges <= length), then form fixed-size
+    batches WITHIN a bucket in deterministic id order — batch peers have
+    similar lengths, so padding to the batch max wastes far less than
+    batching across the whole length distribution.
+
+    Adds ``bucket`` and ``batch_idx``. One window shuffle keyed on
+    (partition_cols + bucket); at corpus scale pass shard/stream
+    partition columns so no single window partition holds the corpus —
+    the same contract as ``pack_shards``.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    b = F.lit(0)
+    for e in bucket_edges:
+        b = b + (F.col(len_col) >= F.lit(e)).cast("int")
+    parts = list(partition_cols or [])
+    w = Window.partitionBy(*parts, "bucket").orderBy(id_col)
+    return (
+        df.withColumn("bucket", b.cast("long"))
+        .withColumn(
+            "batch_idx",
+            ((F.row_number().over(w) - 1) / F.lit(batch_size)).cast("long"),
+        )
+    )
+
+
+def padding_stats(
+    batched: DataFrame, len_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-batch padding accounting for a ``length_bucketed_batches``
+    output: rows, max/sum length, and ``padding_frac`` = wasted fraction
+    of the padded token rectangle ((max*n - sum) / (max*n) — integers
+    then ONE division, cross-engine exact)."""
+    keys = [*(group_cols or []), "bucket", "batch_idx"]
+    agg = batched.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(len_col).alias("max_len"),
+        F.sum(len_col).alias("sum_len"),
+    )
+    rect = F.col("max_len") * F.col("n_rows")
+    return agg.select(
+        *keys,
+        "n_rows",
+        "max_len",
+        "sum_len",
+        ((rect - F.col("sum_len")).cast("double") / rect.cast("double")).alias(
+            "padding_frac"
+        ),
+    )
+
+
 def sequence_chunks(
     df: DataFrame,
     id_col: str,

@@ -1325,3 +1325,61 @@ Q_SENTENCE_CHUNKS_SQL = _sentence_chunks_sql()
 
 QUERIES.update({"sentence_chunks_check": q_sentence_chunks_check})
 ORACLES.update({"sentence_chunks_check": Q_SENTENCE_CHUNKS_SQL})
+
+
+_LB_EDGES = [32, 48, 64]
+_LB_BATCH = 8
+
+
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching + padding accounting (operators/
+    sampling.py:length_bucketed_batches, padding_stats): whitespace
+    token counts bucket at [32, 48, 64), batches of 8 within
+    (lang, bucket) in doc-id order; per-batch padding_frac is integers
+    then ONE division. Every batch row value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "lang",
+        text_ops.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    batched = sampling_ops.length_bucketed_batches(
+        with_tokens, "doc_id", "n_tokens", _LB_EDGES, _LB_BATCH,
+        partition_cols=["lang"],
+    )
+    return sampling_ops.padding_stats(batched, "n_tokens", ["lang"]).orderBy(
+        "lang", "bucket", "batch_idx"
+    )
+
+
+Q_LENGTH_BUCKETED_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(CAST(n_tokens >= 32 AS INT) + CAST(n_tokens >= 48 AS INT)
+              + CAST(n_tokens >= 64 AS INT) AS BIGINT) AS bucket
+  FROM t
+),
+r AS (
+  SELECT lang, bucket, n_tokens,
+         CAST((row_number() OVER (PARTITION BY lang, bucket ORDER BY doc_id) - 1)
+              // 8 AS BIGINT) AS batch_idx
+  FROM b
+)
+SELECT lang, bucket, batch_idx,
+       count(*) AS n_rows,
+       max(n_tokens) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS DOUBLE)
+         / CAST(max(n_tokens) * count(*) AS DOUBLE) AS padding_frac
+FROM r
+GROUP BY lang, bucket, batch_idx
+ORDER BY lang, bucket, batch_idx
+"""
+
+QUERIES.update({"length_bucketed_batches": q_length_bucketed_batches})
+ORACLES.update({"length_bucketed_batches": Q_LENGTH_BUCKETED_SQL})

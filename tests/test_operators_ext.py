@@ -1816,3 +1816,46 @@ def test_mine_triplets_deterministic_ties(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     out = {r["vec_id"]: r for r in similarity.mine_triplets(df, "vec_id", "embedding", "label").collect()}
     assert out[0]["neg_id"] == 3 and out[1]["neg_id"] == 3
+
+
+# ---------------------------------------------------------------------------
+# length_bucketed_batches / padding_stats (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_length_bucketing_reduces_padding(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    # bimodal lengths INTERLEAVED by id: even ids short, odd ids long —
+    # id-ordered batching without buckets is forced to mix them
+    rows = [(i, 4 if i % 2 == 0 else 64) for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    def total_padding(edges):
+        b = sampling.length_bucketed_batches(df, "doc_id", "n_tokens", edges, 4)
+        st = sampling.padding_stats(b, "n_tokens").collect()
+        rect = sum(r["max_len"] * r["n_rows"] for r in st)
+        toks = sum(r["sum_len"] for r in st)
+        return (rect - toks) / rect
+
+    # unbucketed: every batch pads shorts to 64 -> ~47% waste;
+    # bucketed: uniform lengths within bucket -> zero padding
+    assert total_padding([]) > 0.4
+    assert total_padding([32]) == 0.0
+
+
+def test_length_bucketed_batches_assignment(spark):
+    from etl_file_loader_spark.operators import sampling
+
+    rows = [(1, 10), (2, 40), (3, 70), (4, 50), (5, 12)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r["doc_id"]: (r["bucket"], r["batch_idx"])
+           for r in sampling.length_bucketed_batches(
+               df, "doc_id", "n_tokens", [32, 48, 64], 2).collect()}
+    assert out[1] == (0, 0) and out[5] == (0, 0)     # <32 bucket, one batch
+    assert out[2] == (1, 0)                           # [32,48)
+    assert out[4] == (2, 0)                           # [48,64)
+    assert out[3] == (3, 0)                           # >=64
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.length_bucketed_batches(df, "doc_id", "n_tokens", [32], 0)

@@ -204,6 +204,15 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "length_bucketed_batches": (
+        "Round 8: length-bucketed batching — bucket assignment is a "
+        "scan-side comparison sum; ONE window shuffle keyed on "
+        "(lang, bucket) assigns deterministic batch indexes; padding "
+        "accounting is a hash agg with integers-then-one-division. At "
+        "corpus scale the partition columns keep any single window "
+        "partition shard-sized (the pack_shards contract). Pinned win: "
+        "interleaved bimodal lengths pad ~47% unbucketed, 0% bucketed."
+    ),
     "triplet_mining": (
         "Round 8: batch-hard triplet mining — the exact O(N^2) baseline "
         "for labeled seed/eval sets: one self-join scores every pair "
