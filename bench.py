@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "triplet_mining",
     # round 8: length-bucketed batching + padding accounting
     "length_bucketed_batches",
+    # round 8: row-level snapshot diff
+    "table_diff",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

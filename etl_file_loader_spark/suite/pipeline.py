@@ -828,6 +828,86 @@ WITH src AS (
 )
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/audit.py:diff_tables): customer
+    vs a derived 'new' snapshot with deletions (%13), single-column
+    changes (%4 segment), double-column changes (%9 name + %36 overlap
+    with segment), and inserted keys — every key's status and exact
+    changed-column list value-checked."""
+    cust = _t(spark, sf_dir, "customer")
+    new = (
+        cust.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 4 == 0,
+                F.concat(F.col("c_mktsegment"), F.lit("_X")),
+            ).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+            F.when(
+                F.col("c_custkey") % 9 == 0, F.lit("RENAMED")
+            ).otherwise(F.col("c_name")).alias("c_name"),
+            "c_nationkey",
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 4000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit("NEWNAME").alias("c_name"),
+                "c_nationkey",
+            )
+        )
+    )
+    out = audit_ops.diff_tables(
+        cust.select("c_custkey", "c_mktsegment", "c_name", "c_nationkey"),
+        new,
+        ["c_custkey"],
+    )
+    return out.select(
+        "c_custkey",
+        "status",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    ).orderBy("c_custkey")
+
+
+Q_TABLE_DIFF_SQL = """
+WITH old AS (
+  SELECT c_custkey, c_mktsegment, c_name, c_nationkey FROM customer
+),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 4 = 0 THEN c_mktsegment || '_X'
+              ELSE c_mktsegment END AS c_mktsegment,
+         CASE WHEN c_custkey % 9 = 0 THEN 'RENAMED' ELSE c_name END AS c_name,
+         c_nationkey
+  FROM customer WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 4000000, 'NEWSEG', 'NEWNAME', c_nationkey
+  FROM customer WHERE c_custkey % 50 = 0
+),
+j AS (
+  SELECT coalesce(o.c_custkey, n.c_custkey) AS k,
+         (o.c_custkey IS NOT NULL) AS in_o, (n.c_custkey IS NOT NULL) AS in_n,
+         list_filter([
+           CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                THEN 'c_mktsegment' END,
+           CASE WHEN o.c_name IS DISTINCT FROM n.c_name THEN 'c_name' END,
+           CASE WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey
+                THEN 'c_nationkey' END
+         ], x -> x IS NOT NULL) AS ch
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT k AS c_custkey,
+       CASE WHEN in_o AND NOT in_n THEN 'removed'
+            WHEN in_n AND NOT in_o THEN 'added'
+            WHEN len(ch) > 0 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN in_o AND in_n THEN coalesce(array_to_string(ch, ','), '')
+            ELSE '' END AS changed_cols
+FROM j
+ORDER BY c_custkey
+"""
+
+
 QUERIES.update(
     {
         "row_hash_customer": q_row_hash_customer,
@@ -841,6 +921,7 @@ QUERIES.update(
         "scd2_merge": q_scd2_merge,
         "cdc_apply": q_cdc_apply,
         "profile_orders": q_profile_orders,
+        "table_diff": q_table_diff,
         "publish_counts": q_publish_counts,
         "file_loaded_check": q_file_loaded_check,
         "dlq_cleanup": q_dlq_cleanup,
@@ -865,6 +946,7 @@ ORACLES.update(
         "scd2_merge": Q_SCD2_MERGE_SQL,
         "cdc_apply": Q_CDC_APPLY_SQL,
         "profile_orders": Q_PROFILE_ORDERS_SQL,
+        "table_diff": Q_TABLE_DIFF_SQL,
         "publish_counts": Q_PUBLISH_COUNTS_SQL,
         "file_loaded_check": Q_FILE_LOADED_CHECK_SQL,
         "dlq_cleanup": Q_DLQ_CLEANUP_SQL,

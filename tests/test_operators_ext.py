@@ -1859,3 +1859,39 @@ def test_length_bucketed_batches_assignment(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sampling.length_bucketed_batches(df, "doc_id", "n_tokens", [32], 0)
+
+
+# ---------------------------------------------------------------------------
+# diff_tables (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_diff_tables_statuses_and_changed_cols(spark):
+    from etl_file_loader_spark.operators import audit
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 21), (4, None, 40), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    out = {r["k"]: (r["status"], r["changed_cols"])
+           for r in audit.diff_tables(old, new, ["k"]).collect()}
+    assert out[1] == ("unchanged", [])
+    assert out[2] == ("changed", ["s", "v"])
+    assert out[3] == ("removed", [])
+    # null == null is null-SAFE unchanged
+    assert out[4] == ("unchanged", [])
+    assert out[5] == ("added", [])
+
+
+def test_diff_tables_null_transitions_are_changes(spark):
+    from etl_file_loader_spark.operators import audit
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k long, s string")
+    new = spark.createDataFrame([(1, "now"), (2, None)], "k long, s string")
+    out = {r["k"]: r["changed_cols"]
+           for r in audit.diff_tables(old, new, ["k"]).collect()}
+    assert out[1] == ["s"] and out[2] == ["s"]

@@ -204,6 +204,14 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "table_diff": (
+        "Round 8: row-level snapshot diff — ONE full-outer equi-join on "
+        "the keys (the same cost as the MERGE it audits; zero shuffle on "
+        "bucketed snapshots), per-column null-safe compare + conditional "
+        "array assembly in the scan-side projection. The reconciliation "
+        "tool: added/removed/changed/unchanged per key with the exact "
+        "changed-column list."
+    ),
     "length_bucketed_batches": (
         "Round 8: length-bucketed batching — bucket assignment is a "
         "scan-side comparison sum; ONE window shuffle keyed on "
