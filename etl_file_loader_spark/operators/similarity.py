@@ -76,6 +76,7 @@ def mine_triplets(
     vec_col: str,
     label_col: str,
     round_to: int = 4,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-hard triplet mining for contrastive training (FaceNet-style):
     per anchor, the HARDEST positive (same label, lowest cosine) and the
@@ -87,29 +88,38 @@ def mine_triplets(
     and ties break by candidate id, so the mined set is a pure function
     of the data — DuckDB-oracle-checked (suite ``triplet_mining``).
 
-    Scale: this is the EXACT O(N²) baseline — right for labeled seed/eval
-    sets (it scores every pair once and the per-anchor top-1 rides the
-    WindowGroupLimit rank pushdown, so no per-anchor state exceeds 1 row
-    per task). For web-scale corpora mine inside LSH/IVF candidate
-    buckets instead (``knn_join_lsh``), the same trade the ANN family
-    documents.
+    Scale: exact O(|anchors| x N) — pass ``anchors`` (a subset of ``df``)
+    to mine a labeled seed/eval set against the full corpus; the
+    per-anchor top-1 rides the WindowGroupLimit rank pushdown, so no
+    per-anchor state exceeds 1 row per task. For web-scale corpora mine
+    inside LSH/IVF candidate buckets instead (``knn_join_lsh``), the
+    same trade the ANN family documents.
     """
-    a = df.select(
+    # norms are per-ROW, computed once before the join (the knn_join_exact
+    # discipline): HOF folds are interpreted, so re-folding each row's norm
+    # per partner would triple the O(n²·d) interpreter work — measured 83 s
+    # vs 15 s at sf0.1 before this was applied. Same floats, oracle-stable.
+    a = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("_aid"),
         F.col(vec_col).alias("_av"),
         F.col(label_col).alias("_al"),
+        norm(F.col(vec_col)).alias("_na"),
     )
     b = df.select(
         F.col(id_col).alias("_bid"),
         F.col(vec_col).alias("_bv"),
         F.col(label_col).alias("_bl"),
+        norm(F.col(vec_col)).alias("_nb"),
     )
     scored = a.join(b, F.col("_aid") != F.col("_bid")).select(
         "_aid",
         "_al",
         "_bid",
         "_bl",
-        F.round(cosine(F.col("_av"), F.col("_bv")), round_to).alias("_cos"),
+        F.round(
+            dot(F.col("_av"), F.col("_bv")) / (F.col("_na") * F.col("_nb")),
+            round_to,
+        ).alias("_cos"),
     )
     wpos = Window.partitionBy("_aid").orderBy(
         F.col("_cos").asc(), F.col("_bid").asc()

@@ -243,12 +243,16 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-hard triplet mining over the labeled embeddings
     (operators/similarity.py:mine_triplets): per anchor, hardest
     positive (same label, min cosine) + hardest negative (different
-    label, max cosine), margins included. Fully deterministic (rounded
-    cosine + id tie-breaks), so the oracle replays every triplet."""
+    label, max cosine), margins included, for a 500-anchor seed set
+    against the full corpus (|anchors| x N pairs, not N^2 — the
+    operator's intended seed/eval-set shape). Fully deterministic
+    (rounded cosine + id tie-breaks), so the oracle replays every
+    triplet."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim_ops.mine_triplets(emb, "vec_id", "embedding", "label").orderBy(
-        "vec_id"
-    )
+    return sim_ops.mine_triplets(
+        emb, "vec_id", "embedding", "label",
+        anchors=emb.filter(F.col("vec_id") < 500),
+    ).orderBy("vec_id")
 
 
 Q_TRIPLET_MINING_SQL = """
@@ -258,6 +262,7 @@ WITH scored AS (
                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 500
 ),
 pos AS (
   SELECT aid, bid AS pos_id, cos AS pos_cos FROM (

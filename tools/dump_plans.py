@@ -222,11 +222,13 @@ COMMENTARY = {
         "interleaved bimodal lengths pad ~47% unbucketed, 0% bucketed."
     ),
     "triplet_mining": (
-        "Round 8: batch-hard triplet mining — the exact O(N^2) baseline "
-        "for labeled seed/eval sets: one self-join scores every pair "
-        "(JVM-fold cosine, no Python), per-anchor hardest pos/neg via "
-        "row_number <= 1 so WindowGroupLimit keeps top-1 partials below "
-        "the exchange. At web scale, mine inside LSH/IVF candidate "
+        "Round 8: batch-hard triplet mining — exact O(|anchors| x N): a "
+        "500-anchor seed set scores against the full corpus (JVM-fold "
+        "cosine with per-ROW norms precomputed before the join — "
+        "re-folding norms per pair measured 83 s vs 33 s at sf0.1; the "
+        "seed-set shape then cut it to 12 s), per-anchor hardest pos/neg "
+        "via row_number <= 1 so WindowGroupLimit keeps top-1 partials "
+        "below the exchange. At web scale, mine inside LSH/IVF candidate "
         "buckets (knn_join_lsh) — the documented ANN-family trade."
     ),
     "char_entropy": (
