@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "length_bucketed_batches",
     # round 8: row-level snapshot diff
     "table_diff",
+    # round 8: perceptual dHash over real decoded PNGs
+    "image_dhash_real",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -397,3 +397,58 @@ def image_features(df: DataFrame, dim: int = 8, fake: bool = False) -> DataFrame
 
     fn = feature_fake if fake else feature_real
     return df.select("media_id", "content").mapInPandas(fn, _FEATURE_SCHEMA)
+
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded images — the
+    multimodal near-dup primitive (recompression/resize-invariant where
+    exact byte hashes are not): decode, integer grayscale
+    ``(r+g+b) // 3``, nearest-neighbor sample onto a grid x grid lattice
+    (``xi = x*w // grid``), then one bit per horizontal neighbor pair
+    ``gray[y][x+1] > gray[y][x]`` — grid*(grid-1) bits (56 at the default
+    8, fitting a non-negative int64: engines disagree on 64-bit overflow
+    semantics, DuckDB errors where Java wraps, so bit 63 stays unused).
+
+    Everything after decode is INTEGER arithmetic, so on the closed-form
+    PNG fixtures the oracle recomputes the hash from the pixel formula
+    without decoding a byte (suite ``image_dhash_real``) — the decode
+    pipeline, the resampling index math, and the bit packing are all
+    value-verified. mapInPandas, zero shuffle; dedup = group/join on the
+    hash (exact) or banded hamming (near-dup), same as simhash.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                px = codecs.decode_image_bytes(b) if b else None
+                if px is None:
+                    out.append((int(mid), None, False))
+                    continue
+                a = px.astype(np.int64)
+                if a.ndim == 2:
+                    gray = a
+                else:
+                    gray = (a[:, :, 0] + a[:, :, 1] + a[:, :, 2]) // 3
+                h, w = gray.shape
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+                weights = 1 << np.arange(grid * (grid - 1), dtype=np.int64)
+                out.append((int(mid), int((bits.ravel() * weights).sum()), True))
+            yield pd.DataFrame(out, columns=["media_id", "dhash", "decode_ok"])
+
+    return df.select("media_id", "content").mapInPandas(run, _DHASH_SCHEMA)

@@ -327,3 +327,57 @@ ORACLES.update(
         "multimodal_resize_real": Q_MULTIMODAL_RESIZE_REAL_SQL,
     }
 )
+
+
+def q_image_dhash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REAL decoded PNGs (operators/multimodal.py:
+    image_dhash): stdlib decode -> integer gray -> nearest 8x8 lattice ->
+    56 horizontal-difference bits. The fixtures' pixels are closed-form,
+    so the oracle recomputes every hash from the formula — decode,
+    resample index math, and bit packing all value-verified without
+    DuckDB touching a byte."""
+    from etl_file_loader_spark import fixtures
+    from etl_file_loader_spark.operators import multimodal
+
+    corpus = fixtures.media_png_corpus(spark, n=200)
+    out = multimodal.image_dhash(corpus)
+    return out.select(
+        "media_id", "dhash", F.col("decode_ok").cast("int").alias("decode_ok")
+    ).orderBy("media_id")
+
+
+# gray(B) for pixel base B = (i*31 + y*7 + x*3) % 256 with channels
+# (B, B+1, B+2) each mod 256: (3B+3)//3 = B+1 below the wrap; the two
+# wrap rows are closed-form constants
+_DHASH_GRAY = (
+    "(CASE WHEN ((i*31 + ({yy})*7 + ({xx})*3) % 256) <= 253 "
+    "THEN ((i*31 + ({yy})*7 + ({xx})*3) % 256) + 1 "
+    "WHEN ((i*31 + ({yy})*7 + ({xx})*3) % 256) = 254 THEN 169 "
+    "ELSE 85 END)"
+)
+
+Q_IMAGE_DHASH_SQL = f"""
+WITH ids AS (SELECT unnest(range(0, 200)) AS i),
+dims AS (SELECT i, 4 + i % 13 AS w, 3 + i % 7 AS h FROM ids),
+cells AS (
+  SELECT i, w, h, yy.y AS y, xx.x AS x
+  FROM dims, unnest(range(0, 8)) yy(y), unnest(range(0, 7)) xx(x)
+),
+g AS (
+  SELECT i, y, x,
+         {_DHASH_GRAY.format(yy="(y*h)//8", xx="((x+1)*w)//8")} AS g1,
+         {_DHASH_GRAY.format(yy="(y*h)//8", xx="(x*w)//8")} AS g0
+  FROM cells
+)
+SELECT i AS media_id,
+       CAST(sum(CASE WHEN g1 > g0
+                THEN (CAST(1 AS BIGINT) << (y*7 + x)) ELSE 0 END) AS BIGINT)
+         AS dhash,
+       1 AS decode_ok
+FROM g
+GROUP BY i
+ORDER BY media_id
+"""
+
+QUERIES.update({"image_dhash_real": q_image_dhash_real})
+ORACLES.update({"image_dhash_real": Q_IMAGE_DHASH_SQL})

@@ -1895,3 +1895,42 @@ def test_diff_tables_null_transitions_are_changes(spark):
     out = {r["k"]: r["changed_cols"]
            for r in audit.diff_tables(old, new, ["k"]).collect()}
     assert out[1] == ["s"] and out[2] == ["s"]
+
+
+# ---------------------------------------------------------------------------
+# image_dhash (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_invariant_to_png_filter_choice(spark):
+    import numpy as np
+
+    from etl_file_loader_spark.operators import codecs
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    y, x, c = np.meshgrid(np.arange(6), np.arange(9), np.arange(3), indexing="ij")
+    px = ((y * 11 + x * 5 + c) % 256).astype(np.uint8)
+    # same pixels, different scanline filters -> identical perceptual hash
+    rows = [(i, codecs.png_encode(px, filter_type=i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = mm.image_dhash(df).collect()
+    hashes = {r["dhash"] for r in out}
+    assert len(hashes) == 1 and all(r["decode_ok"] for r in out)
+
+
+def test_image_dhash_known_value_and_bad_bytes(spark):
+    import numpy as np
+
+    from etl_file_loader_spark.operators import codecs
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    # strictly increasing gray along x -> every difference bit set
+    y, x, c = np.meshgrid(np.arange(8), np.arange(8), np.arange(3), indexing="ij")
+    px = ((x * 3 + c) % 200).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, codecs.png_encode(px)), (2, b"not a png")],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in mm.image_dhash(df).collect()}
+    assert out[1]["dhash"] == (1 << 56) - 1
+    assert out[2]["decode_ok"] is False and out[2]["dhash"] is None

@@ -204,6 +204,15 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "image_dhash_real": (
+        "Round 8: perceptual dHash — REAL stdlib PNG decode + integer "
+        "gray + nearest 8x8 lattice + 56 difference bits, one "
+        "mapInPandas node over the binary column, zero shuffle (the "
+        "multimodal rides-the-scan shape). 56 bits, not 64: engines "
+        "disagree on int64 overflow (DuckDB errors where Java wraps), "
+        "so bit 63 stays unused. Dedup on the hash = exact group-by; "
+        "near-dup = banded hamming, the simhash machinery."
+    ),
     "table_diff": (
         "Round 8: row-level snapshot diff — ONE full-outer equi-join on "
         "the keys (the same cost as the MERGE it audits; zero shuffle on "
