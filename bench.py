@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "table_diff",
     # round 8: perceptual dHash over real decoded PNGs
     "image_dhash_real",
+    # round 8: audio energy fingerprint + ZCR over real decoded WAVs
+    "audio_fingerprint_real",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

@@ -381,3 +381,57 @@ ORDER BY media_id
 
 QUERIES.update({"image_dhash_real": q_image_dhash_real})
 ORACLES.update({"image_dhash_real": Q_IMAGE_DHASH_SQL})
+
+
+def q_audio_fingerprint_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy-difference fingerprint + zero-crossing count over REAL
+    decoded WAVs (operators/multimodal.py:audio_fingerprint) — integer
+    arithmetic end to end, so the oracle recomputes every value from the
+    fixtures' closed-form PCM samples without a codec."""
+    from etl_file_loader_spark import fixtures
+    from etl_file_loader_spark.operators import multimodal
+
+    corpus = fixtures.media_wav_corpus(spark, n=200)
+    out = multimodal.audio_fingerprint(corpus)
+    return out.select(
+        "media_id", "n_samples", "n_frames", "zcr", "energy_hash",
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+    ).orderBy("media_id")
+
+
+Q_AUDIO_FINGERPRINT_SQL = """
+WITH ids AS (SELECT unnest(range(0, 200)) AS i),
+s AS (
+  SELECT i, tt.t AS t, ((i*7 + tt.t*13) % 65536) - 32768 AS v
+  FROM ids, unnest(range(0, 64 + i % 50)) tt(t)
+),
+zcf AS (
+  SELECT i,
+         CASE WHEN (v < 0) <> (lag(v) OVER (PARTITION BY i ORDER BY t) < 0)
+              THEN 1 ELSE 0 END AS flip
+  FROM s
+),
+zc AS (SELECT i, CAST(sum(flip) AS BIGINT) AS zcr FROM zcf GROUP BY i),
+en AS (
+  SELECT i, t // 16 AS f, sum(v * v) AS e
+  FROM s WHERE t < ((64 + i % 50) // 16) * 16
+  GROUP BY i, t // 16
+),
+bits AS (
+  SELECT a.i, CASE WHEN b.e > a.e THEN (CAST(1 AS BIGINT) << CAST(a.f AS INT))
+              ELSE 0 END AS bit
+  FROM en a JOIN en b ON b.i = a.i AND b.f = a.f + 1
+),
+h AS (SELECT i, CAST(coalesce(sum(bit), 0) AS BIGINT) AS energy_hash FROM bits GROUP BY i)
+SELECT ids.i AS media_id,
+       CAST(64 + ids.i % 50 AS BIGINT) AS n_samples,
+       CAST((64 + ids.i % 50) // 16 AS BIGINT) AS n_frames,
+       zc.zcr,
+       coalesce(h.energy_hash, 0) AS energy_hash,
+       1 AS decode_ok
+FROM ids JOIN zc ON zc.i = ids.i LEFT JOIN h ON h.i = ids.i
+ORDER BY media_id
+"""
+
+QUERIES.update({"audio_fingerprint_real": q_audio_fingerprint_real})
+ORACLES.update({"audio_fingerprint_real": Q_AUDIO_FINGERPRINT_SQL})

@@ -1934,3 +1934,41 @@ def test_image_dhash_known_value_and_bad_bytes(spark):
     out = {r["media_id"]: r for r in mm.image_dhash(df).collect()}
     assert out[1]["dhash"] == (1 << 56) - 1
     assert out[2]["decode_ok"] is False and out[2]["dhash"] is None
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_known_values_and_bad_bytes(spark):
+    import numpy as np
+
+    from etl_file_loader_spark.operators import codecs
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    # 32 samples: quiet first frame, loud second -> one rising-energy bit;
+    # alternating signs -> zcr = n-1
+    quiet = np.array([1, -1] * 8, dtype="<i2")
+    loud = np.array([1000, -1000] * 8, dtype="<i2")
+    wav = codecs.wav_encode(8000, np.concatenate([quiet, loud]))
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"junk")], "media_id long, content binary"
+    )
+    out = {r["media_id"]: r for r in mm.audio_fingerprint(df, frame=16).collect()}
+    a = out[1]
+    assert (a["n_samples"], a["n_frames"], a["zcr"]) == (32, 2, 31)
+    assert a["energy_hash"] == 1  # bit 0: frame 1 louder than frame 0
+    assert out[2]["decode_ok"] is False and out[2]["energy_hash"] is None
+
+
+def test_audio_fingerprint_short_clip_no_frames(spark):
+    import numpy as np
+
+    from etl_file_loader_spark.operators import codecs
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    wav = codecs.wav_encode(8000, np.array([5, -5, 5], dtype="<i2"))
+    df = spark.createDataFrame([(1, wav)], "media_id long, content binary")
+    r = mm.audio_fingerprint(df, frame=16).collect()[0]
+    assert (r["n_samples"], r["n_frames"], r["energy_hash"], r["zcr"]) == (3, 0, 0, 2)

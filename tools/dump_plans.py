@@ -204,6 +204,15 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "audio_fingerprint_real": (
+        "Round 8: audio energy-difference fingerprint — REAL stdlib WAV "
+        "decode, exact integer PCM recovery (the [-1,1) normalization "
+        "divides by a power of two, multiplying back is lossless), "
+        "frame energies + rising-energy bits + zero-crossing count in "
+        "pure integer math; one mapInPandas node, zero shuffle. The "
+        "audio twin of image_dhash: near-dup = banded hamming on the "
+        "energy hash."
+    ),
     "image_dhash_real": (
         "Round 8: perceptual dHash — REAL stdlib PNG decode + integer "
         "gray + nearest 8x8 lattice + 56 difference bits, one "
