@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "image_dhash_real",
     # round 8: audio energy fingerprint + ZCR over real decoded WAVs
     "audio_fingerprint_real",
+    # round 8: per-doc n-gram novelty share
+    "ngram_novelty",
     # round 8: FULL published Gopher repetition table
     "gopher_repetition_rules",
     # round 8: Okapi BM25 fixed-query retrieval

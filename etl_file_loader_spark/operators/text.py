@@ -761,6 +761,55 @@ PII_PATTERNS: dict[str, str] = {
 PII_ORDER = ["email", "ssn", "phone"]
 
 
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document n-gram novelty — the dedup-adjacent quality signal
+    (RefinedWeb/FineWeb report it as 'fraction of text not duplicated
+    elsewhere'): for each doc, the share of its n-gram OCCURRENCES whose
+    n-gram appears nowhere else in the corpus (corpus count == its count
+    in this doc). Low novelty = boilerplate/template text even when no
+    single document is a near-duplicate.
+
+    Plan: token n-grams (scan-side HOF) -> (doc, gram) counts -> gram
+    corpus counts (both hash aggs with map-side partials) -> one join
+    back on the gram -> per-doc ratio of exact BIGINTs with ONE division.
+    Shuffle ∝ distinct grams — the contamination/span-dedup shape.
+    """
+    toks = tokens(F.col(text_col))
+    # guard short docs: Spark's sequence(0, -1) is DESCENDING, not empty
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(F.col(id_col), F.explode(gram_arr).alias("gram"))
+    per_doc_gram = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("dc")
+    )
+    corpus = per_doc_gram.groupBy("gram").agg(F.sum("dc").alias("cc"))
+    j = per_doc_gram.join(corpus, "gram")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.sum("dc").alias("n_grams"),
+            F.sum(F.when(F.col("cc") == F.col("dc"), F.col("dc")).otherwise(0)).alias(
+                "novel_grams"
+            ),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "novel_grams",
+            (F.col("novel_grams").cast("double") / F.col("n_grams")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
 def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document character-distribution entropy (nats) — the classic
     gibberish/boilerplate quality signal (near-zero = repeated filler,

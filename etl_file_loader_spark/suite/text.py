@@ -1462,3 +1462,37 @@ FROM prof ORDER BY doc_id
 
 QUERIES.update({"char_entropy": q_char_entropy})
 ORACLES.update({"char_entropy": Q_CHAR_ENTROPY_SQL})
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty (operators/text.py:ngram_novelty):
+    the share of a doc's n-gram occurrences found nowhere else in the
+    corpus — exact BIGINT counts, one division."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.ngram_novelty(docs, "doc_id", "text", n=5).orderBy("doc_id")
+
+
+Q_NGRAM_NOVELTY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(ws[i : i + 4], ' ') AS gram
+  FROM t, unnest(range(1, len(ws) - 5 + 2)) u(i)
+  WHERE len(ws) >= 5
+),
+dg AS (SELECT doc_id, gram, count(*) AS dc FROM g GROUP BY doc_id, gram),
+cg AS (SELECT gram, sum(dc) AS cc FROM dg GROUP BY gram)
+SELECT dg.doc_id,
+       CAST(sum(dg.dc) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN cg.cc = dg.dc THEN dg.dc ELSE 0 END) AS BIGINT)
+         AS novel_grams,
+       CAST(sum(CASE WHEN cg.cc = dg.dc THEN dg.dc ELSE 0 END) AS DOUBLE)
+         / sum(dg.dc) AS novelty
+FROM dg JOIN cg ON cg.gram = dg.gram
+GROUP BY dg.doc_id
+ORDER BY dg.doc_id
+"""
+
+QUERIES.update({"ngram_novelty": q_ngram_novelty})
+ORACLES.update({"ngram_novelty": Q_NGRAM_NOVELTY_SQL})

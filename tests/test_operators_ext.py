@@ -1972,3 +1972,31 @@ def test_audio_fingerprint_short_clip_no_frames(spark):
     df = spark.createDataFrame([(1, wav)], "media_id long, content binary")
     r = mm.audio_fingerprint(df, frame=16).collect()[0]
     assert (r["n_samples"], r["n_frames"], r["energy_hash"], r["zcr"]) == (3, 0, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_shared_vs_unique(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # grams: "a b c", "b c d", "c d e", "d e f"
+            (2, "a b c x y z"),       # shares "a b c" with doc 1
+            (3, "q r"),               # shorter than n: no grams, no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.ngram_novelty(df, "doc_id", "text", n=3).collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["novel_grams"] == 3
+    assert abs(out[1]["novelty"] - 0.75) < 1e-12
+    assert out[2]["n_grams"] == 4 and out[2]["novel_grams"] == 3
+    assert 3 not in out  # sub-n docs emit nothing (sequence guard)
+
+
+def test_ngram_novelty_within_doc_repeat_is_novel(spark):
+    # a gram repeated only WITHIN one doc is still novel to the corpus
+    df = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    r = text.ngram_novelty(df, "doc_id", "text", n=2).collect()[0]
+    assert r["n_grams"] == 5 and r["novel_grams"] == 5 and r["novelty"] == 1.0

@@ -204,6 +204,14 @@ COMMENTARY = {
         "replaying a batch is a no-op — idempotent recovery without a "
         "target-side window or second pass."
     ),
+    "ngram_novelty": (
+        "Round 8: n-gram novelty — scan-side gram HOF -> (doc, gram) and "
+        "gram-corpus hash aggs (map-side partials) -> one join back on "
+        "the gram -> exact-integer per-doc ratio. Shuffle ∝ distinct "
+        "grams, the contamination/span-dedup shape; Zipf-hot grams ride "
+        "AQE. The 'fraction of text duplicated elsewhere' quality signal "
+        "at RefinedWeb scale."
+    ),
     "audio_fingerprint_real": (
         "Round 8: audio energy-difference fingerprint — REAL stdlib WAV "
         "decode, exact integer PCM recovery (the [-1,1) normalization "
