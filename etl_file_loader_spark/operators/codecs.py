@@ -217,6 +217,33 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
     return rate, x.reshape(-1, nch)
 
 
+def wav_decode_int(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM WAV to (sample_rate, int64 array of shape
+    (n_frames, n_channels)) of the RAW integer samples — no float
+    normalization, so downstream integer fingerprints stay exact at
+    EVERY sample width (8-bit is recentered to signed, matching
+    ``wav_decode``'s -128 offset)."""
+    with wave.open(io.BytesIO(data), "rb") as f:
+        rate = f.getframerate()
+        nch = f.getnchannels()
+        width = f.getsampwidth()
+        frames = f.readframes(f.getnframes())
+    if width == 1:  # unsigned 8-bit
+        v = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+    elif width == 2:
+        v = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    elif width == 3:  # 24-bit: pad each triple to 4 bytes, sign via shift
+        raw = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        padded = np.zeros((len(raw), 4), dtype=np.uint8)
+        padded[:, 1:] = raw
+        v = (np.ascontiguousarray(padded).view("<i4")[:, 0] >> 8).astype(np.int64)
+    elif width == 4:
+        v = np.frombuffer(frames, dtype="<i4").astype(np.int64)
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return rate, v.reshape(-1, nch)
+
+
 def wav_encode(rate: int, samples: np.ndarray) -> bytes:
     """Encode (n_frames,) or (n_frames, n_channels) int16 samples as WAV."""
     a = np.asarray(samples, dtype="<i2")

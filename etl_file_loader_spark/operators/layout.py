@@ -41,8 +41,19 @@ from pyspark.sql.window import Window
 
 def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
     """Morton-interleave ``bits`` low bits of each column (already-bucketed
-    non-negative ints): bit k of col c -> output bit ``k * len(cols) + c``."""
+    non-negative ints): bit k of col c -> output bit ``k * len(cols) + c``.
+
+    ``len(cols) * bits`` must stay <= 63: higher bits would land in/past
+    the int64 sign bit, silently producing negative zval (and breaking
+    the repo's <=63-bit packed-integer rule — DuckDB errors on BIGINT
+    overflow where Java wraps)."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"interleave_bits: {n} cols x {bits} bits = {n * bits} curve "
+            "bits > 63 (int64 sign bit); lower bits to "
+            f"{63 // n} or fewer per column"
+        )
     terms: list[Column] = []
     for c_idx, c in enumerate(cols):
         lc = c.cast("long")
@@ -113,6 +124,11 @@ def zorder_layout(
     buckets for small/oracle corpora, sampled quantile buckets at scale),
     Morton-interleave into ``zval``, then range-partition + sort along
     the curve. Keeps the original columns plus ``zval``."""
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"zorder_layout: {len(cols)} cols x {bits} bits exceeds the "
+            f"63-bit int64 budget; use bits <= {63 // len(cols)}"
+        )
     bucketed = df
     for c in cols:
         name = f"_zb_{c}"

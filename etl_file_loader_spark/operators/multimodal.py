@@ -432,23 +432,32 @@ def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                b = bytes(content) if content is not None else b""
-                px = codecs.decode_image_bytes(b) if b else None
-                if px is None:
+                # defensive like audio_fingerprint: ANY per-image failure
+                # degrades to decode_ok=False instead of failing the task
+                try:
+                    b = bytes(content) if content is not None else b""
+                    px = codecs.decode_image_bytes(b) if b else None
+                    if px is None:
+                        out.append((int(mid), None, False))
+                        continue
+                    a = px.astype(np.int64)
+                    if a.ndim == 2:
+                        gray = a
+                    elif a.shape[2] >= 3:  # RGB / RGBA: ignore alpha
+                        gray = (a[:, :, 0] + a[:, :, 1] + a[:, :, 2]) // 3
+                    else:  # gray+alpha (PNG color type 4 / PIL 'LA')
+                        gray = a[:, :, 0]
+                    h, w = gray.shape
+                    ys = (np.arange(grid) * h) // grid
+                    xs = (np.arange(grid) * w) // grid
+                    g = gray[np.ix_(ys, xs)]
+                    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+                    weights = 1 << np.arange(grid * (grid - 1), dtype=np.int64)
+                    out.append(
+                        (int(mid), int((bits.ravel() * weights).sum()), True)
+                    )
+                except Exception:
                     out.append((int(mid), None, False))
-                    continue
-                a = px.astype(np.int64)
-                if a.ndim == 2:
-                    gray = a
-                else:
-                    gray = (a[:, :, 0] + a[:, :, 1] + a[:, :, 2]) // 3
-                h, w = gray.shape
-                ys = (np.arange(grid) * h) // grid
-                xs = (np.arange(grid) * w) // grid
-                g = gray[np.ix_(ys, xs)]
-                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
-                weights = 1 << np.arange(grid * (grid - 1), dtype=np.int64)
-                out.append((int(mid), int((bits.ravel() * weights).sum()), True))
             yield pd.DataFrame(out, columns=["media_id", "dhash", "decode_ok"])
 
     return df.select("media_id", "content").mapInPandas(run, _DHASH_SCHEMA)
@@ -469,8 +478,9 @@ _AFP_SCHEMA = T.StructType(
 def audio_fingerprint(df: DataFrame, frame: int = 16) -> DataFrame:
     """Audio near-dup fingerprint (the WAV twin of ``image_dhash``, a
     chromaprint-style energy-difference hash in PURE INTEGER math):
-    decode, recover exact integer PCM (the [-1,1) normalization divides
-    by a power of two, so multiplying back is lossless), then
+    decode the RAW integer PCM at its native width
+    (``codecs.wav_decode_int`` — no float round-trip, so the integer
+    guarantee holds for 8/16/24/32-bit alike), then
 
     - ``zcr``: zero-crossing count (sign = v < 0, compared to the
       previous sample) — the classic voiced/unvoiced/noise feature;
@@ -491,11 +501,11 @@ def audio_fingerprint(df: DataFrame, frame: int = 16) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
                 try:
-                    _, x = codecs.wav_decode(b)
+                    _, xi = codecs.wav_decode_int(b)
                 except Exception:
                     out.append((int(mid), None, None, None, None, False))
                     continue
-                v = np.round(x[:, 0] * 32768.0).astype(np.int64)
+                v = xi[:, 0]
                 n = len(v)
                 neg = v < 0
                 zcr = int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0

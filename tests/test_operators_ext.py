@@ -2000,3 +2000,85 @@ def test_ngram_novelty_within_doc_repeat_is_novel(spark):
     df = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
     r = text.ngram_novelty(df, "doc_id", "text", n=2).collect()[0]
     assert r["n_grams"] == 5 and r["novel_grams"] == 5 and r["novelty"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-9 ADVICE fixes: 2-channel dhash, zorder bit budget, raw-int WAV PCM
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_gray_alpha_two_channel(spark):
+    import numpy as np
+
+    from etl_file_loader_spark.operators import codecs
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    # PNG color type 4 (gray+alpha) decodes to an (h, w, 2) array; the
+    # hash must come from the gray plane, alpha ignored, no task failure
+    y, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    gray = ((x * 7 + y) % 256).astype(np.uint8)
+    ga = np.stack([gray, np.full_like(gray, 128)], axis=2)
+    rows = [(1, codecs.png_encode(ga)), (2, codecs.png_encode(gray))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in mm.image_dhash(df).collect()}
+    assert out[1]["decode_ok"] and out[2]["decode_ok"]
+    # same gray plane -> same hash as the pure-gray image
+    assert out[1]["dhash"] == out[2]["dhash"]
+
+
+def test_interleave_bits_budget_guard(spark):
+    import pytest as _pytest
+
+    from etl_file_loader_spark.operators import layout
+
+    cols = [F.col(c) for c in ("a", "b", "c", "d")]
+    with _pytest.raises(ValueError, match="63"):
+        layout.interleave_bits(cols, bits=16)  # 64 bits: sign-bit overflow
+    # 4 x 15 = 60 bits is fine
+    layout.interleave_bits(cols, bits=15)
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with _pytest.raises(ValueError, match="63"):
+        layout.zorder_layout(df, ["a", "b"], bits=32, exact=True)
+
+
+def test_wav_decode_int_matches_float_path_and_wide_pcm(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from etl_file_loader_spark.operators import codecs
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    # 16-bit: raw ints == round(float path * 32768) exactly
+    s16 = np.array([0, 1, -1, 32767, -32768, 1234], dtype=np.int64)
+    b16 = codecs.wav_encode(8000, s16.astype("<i2"))
+    _, vi = codecs.wav_decode_int(b16)
+    _, vf = codecs.wav_decode(b16)
+    assert (vi[:, 0] == s16).all()
+    assert (np.round(vf[:, 0] * 32768.0).astype(np.int64) == s16).all()
+
+    # 24-bit: values with low bits that a 16-bit quantization would lose
+    s24 = np.array([0, 1, -1, 8388607, -8388608, 65537], dtype=np.int64)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(8000)
+        f.writeframes(
+            b"".join(
+                int(v & 0xFFFFFF).to_bytes(3, "little") for v in s24
+            )
+        )
+    b24 = buf.getvalue()
+    _, vi24 = codecs.wav_decode_int(b24)
+    assert (vi24[:, 0] == s24).all()
+
+    # fingerprint over 24-bit PCM is exact-integer (65537 vs 65536*k
+    # ordering survives; a 16-bit quantization would collapse 1 -> 0)
+    df = spark.createDataFrame([(1, b24)], "media_id long, content binary")
+    r = mm.audio_fingerprint(df, frame=2).collect()[0]
+    assert r["decode_ok"] and r["n_samples"] == 6
+    # zcr from raw signs: 0,1,-1,max,min,65537 -> sign flips at 1->-1,
+    # -1->max, max->min, min->65537 = 4
+    assert r["zcr"] == 4
