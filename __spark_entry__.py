@@ -33,9 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distinct operator individually, plus four digest queries that fold the
     TPC-H sweep / analytics variants / scale-variant dedup demos / long-green
     ingestion-pipeline rows into one value-verified row per member (see
-    digest.py; window rotated rounds 5, 6, and 8 — the round-8 rotation
-    promoted all 14 queries the driver had never checked directly plus the
-    new trigram LM, demoting 15 long-green rows into corpus_digest). The
+    digest.py; window rotated rounds 5, 6, 8, and 9 — the round-9 rotation
+    promoted 15 of the round-8 digest-from-birth operators to direct rows,
+    demoting 15 long-green rows into the analytics/corpus digests). The
     full per-query registry stays in suite.QUERIES for bench and
     interactive use. Eight window entries are approximate result-set demos
     with no SQL oracle (suite._ROWS_ONLY — the driver records rows-only for

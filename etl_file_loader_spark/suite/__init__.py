@@ -104,6 +104,16 @@ ORACLES.update(
 # Order matters: the driver checks a prefix. 50 entries — the window is FULL
 # (zero slack): adding a query here requires demoting another into a digest.
 #
+# Round-9 rotation (VERDICT r8 ask 1): 15 of the round-8 digest-from-birth
+# operators promoted to direct driver rows — span_dedup, kn_bigram_logprob,
+# gopher_repetition_rules, ngram_novelty, packed_sequences_{wordpiece,
+# unigram}, cdc_apply, table_diff, zorder_layout_check, incremental_agg_check,
+# kmv_distinct_check, cms_heavy_hitters, image_dhash_real,
+# audio_fingerprint_real, streaming_sessionize — all full-oracle rows; 15
+# long-green window rows (checked individually since rounds 1-6) demoted
+# into analytics_digest / corpus_digest, where each stays value-verified
+# every round.
+#
 # Round-8 rotation (VERDICT r7 ask 1): the 14 queries the driver had NEVER
 # checked directly — knn_join_lsh{,_clustered,_auto_clustered},
 # knn_join_auto_recall, semantic_dedup_check, semantic_dedup_clustered,
@@ -135,18 +145,19 @@ CHECKED_QUERIES: list[str] = [
     # custom join operators
     "asof_join",
     "range_join_count",
-    # analytics promoted round 6: set ops + sketch accuracy + partsupp stats
-    "set_ops",
-    "sketch_distinct_check",
-    "sketch_percentile_check",
-    "supplier_part_stats",
+    # analytics promoted round 9: the round-8 digest-from-birth sketch /
+    # layout / maintenance ops get their direct driver rows (set_ops,
+    # sketch_*, supplier_part_stats demoted back into analytics_digest)
+    "zorder_layout_check",
+    "incremental_agg_check",
+    "kmv_distinct_check",
+    "cms_heavy_hitters",
     # dedup family
     "dedup_embedding_lsh_recall",
     "dedup_embedding_clustered_recall",
-    "near_dedup_corpus",
     "simhash_dedup",
-    "dedup_minhash_orders",
-    "dedup_fingerprint",
+    # promoted round 9: exact-substring span removal (Lee et al.)
+    "span_dedup",
     # promoted round 8: embedding-LSH pair demos + semantic dedup family
     "dedup_embedding_pairs_lsh",
     "dedup_embedding_pairs_lsh_clustered",
@@ -168,27 +179,36 @@ CHECKED_QUERIES: list[str] = [
     # text analysis
     "html_extract",
     "quality_classifier",
-    "bigram_logprob",
     # promoted round 8: new order-3 interpolated-backoff LM
     "trigram_logprob",
-    # sampling / skew / training layouts
-    "stratified_sample",
-    "shard_packing",
-    "skewed_event_counts",
-    "packed_sequences",
-    "packed_sequences_subword",
+    # promoted round 9: Kneser-Ney LM rung + Gopher repetition table +
+    # n-gram novelty (bigram_logprob and the long-green sampling rows
+    # demoted into corpus_digest)
+    "kn_bigram_logprob",
+    "gopher_repetition_rules",
+    "ngram_novelty",
+    # sampling / training layouts
     # promoted round 8: true-BPE layout + embedding-diversity sample gate
     "packed_sequences_bpe",
     "diversity_sample_check",
+    # promoted round 9: the other two learned-tokenizer layouts (oracles
+    # re-learn WordPiece / unigram-LM vocabs end-to-end in SQL)
+    "packed_sequences_wordpiece",
+    "packed_sequences_unigram",
     "corpus_curation",
     "training_order",
+    # pipeline merges / accounting promoted round 9
+    "cdc_apply",
+    "table_diff",
     # multimodal + streaming (all oracle-bearing: fake decodes carry
     # cross-engine arithmetic oracles, real decodes closed-form fixtures)
-    "multimodal_meta",
     "multimodal_resize_real",
+    "image_dhash_real",
     "audio_decode_real",
-    "audio_decode_fake",
+    "audio_fingerprint_real",
     "streaming_events_hourly",
+    # promoted round 9: the custom stateful streaming operator
+    "streaming_sessionize",
 ]
 
 assert len(CHECKED_QUERIES) <= 50, (
