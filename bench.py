@@ -178,6 +178,11 @@ BENCH_QUERIES = [
     "dsir_selection",
     # round 8: C4 cleaning heuristics
     "c4_filter",
+    # round 9: fused shared-gram-table signal stage (repetition + novelty
+    # + contamination + span accounting off ONE persisted gram table —
+    # compare against the sum of gopher_repetition_rules + ngram_novelty
+    # + contamination_check + span_dedup above)
+    "curation_text_signals",
 ]
 
 

@@ -62,6 +62,14 @@ class CurationConfig:
     simhash_max_hamming: int = 3
     simhash_blocks: int = 4
     simhash_max_family_size: int | None = None
+    # stage 4d ordering note: span removal runs AFTER doc-level dedup (4/4b)
+    # and BEFORE the perplexity filter (4c follows 4d in run()) — the Lee
+    # et al. 2021 recipe: cut duplicated spans once whole-doc duplicates are
+    # gone, then score fluency on the deduplicated remainder. Duplicated
+    # w-token spans are removed from every doc but the globally-first
+    # occurrence; docs whose text rebuilds to '' drop.
+    span_dedup: bool = False
+    span_window: int = 5
     # stage 4c: corpus-trained LM fluency filter (CCNet's discipline:
     # perplexity-filter AFTER dedup so boilerplate mass can't dominate the
     # model the corpus trains on itself). Docs whose interpolated
@@ -171,6 +179,27 @@ class CurationPipeline:
         counts["simhash_dedup"] = cur.count()
         return cur
 
+    def _apply_span_dedup(self, cur: DataFrame, counts: dict[str, int]) -> DataFrame:
+        """Stage 4d: exact-substring span removal (Lee et al.), always AFTER
+        doc-level dedup and BEFORE the perplexity filter — shared by ``run``
+        and the versioned incremental driver. Rewrites text_col in place with
+        the span-removed rebuild; fully-duplicated docs (rebuilt to '') drop.
+        """
+        c = self.config
+        if not c.span_dedup:
+            return cur
+        cleaned = text_ops.remove_duplicate_spans(
+            cur, c.id_col, c.text_col, window=c.span_window
+        )
+        cur = cur.drop(c.text_col).join(
+            cleaned.filter(F.length("cleaned_text") > 0).select(
+                F.col(c.id_col), F.col("cleaned_text").alias(c.text_col)
+            ),
+            c.id_col,
+        )
+        counts["span_dedup"] = cur.count()
+        return cur
+
     def _apply_perplexity(self, cur: DataFrame, counts: dict[str, int]) -> DataFrame:
         """Stage 4c: Kneser-Ney fluency floor, always AFTER dedup — shared
         by ``run`` and the versioned incremental driver."""
@@ -204,6 +233,7 @@ class CurationPipeline:
             counts["near_dedup"] = cur.count()
 
         cur = self._apply_simhash(cur, counts)
+        cur = self._apply_span_dedup(cur, counts)
         cur = self._apply_perplexity(cur, counts)
 
         if c.split_fractions is not None:
@@ -375,6 +405,7 @@ class VersionedCorpus:
             counts["within_delta_dedup"] = cur.count()
 
         cur = self.pipeline._apply_simhash(cur, counts)
+        cur = self.pipeline._apply_span_dedup(cur, counts)
         cur = self.pipeline._apply_perplexity(cur, counts)
 
         # split is a pure function of the id -> stable across versions; the

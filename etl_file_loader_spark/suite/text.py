@@ -1496,3 +1496,66 @@ ORDER BY dg.doc_id
 
 QUERIES.update({"ngram_novelty": q_ngram_novelty})
 ORACLES.update({"ngram_novelty": Q_NGRAM_NOVELTY_SQL})
+
+
+def q_curation_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed shared-gram-table stage (operators/text.py:text_signals):
+    Gopher repetition rules + 5-gram novelty + benchmark contamination
+    (doc_id < 20 plays the benchmark) + span-removal accounting, all
+    derived from ONE persisted (doc, n, gram) count table instead of four
+    independent explodes. The oracle is composed from the four
+    independent oracle queries LEFT-JOINed per doc, so the fused plan is
+    value-checked against the unfused semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    return text_ops.text_signals(
+        docs, "doc_id", "text", benchmark=bench
+    ).orderBy("doc_id")
+
+
+# composed from the independent green oracles by plain concatenation (NOT an
+# f-string: the member SQL bodies contain regex braces)
+Q_CURATION_TEXT_SIGNALS_SQL = (
+    """
+SELECT r.doc_id, r.n_lines, r.n_paras,
+       r.dup_line_frac, r.dup_para_frac, r.dup_line_char_frac,
+       r.dup_para_char_frac,
+       r.top_2gram_char_frac, r.top_3gram_char_frac, r.top_4gram_char_frac,
+       r.dup_5gram_char_frac, r.dup_6gram_char_frac, r.dup_7gram_char_frac,
+       r.dup_8gram_char_frac, r.dup_9gram_char_frac, r.dup_10gram_char_frac,
+       r.keep AS rep_keep,
+       CAST(COALESCE(nv.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(nv.novel_grams, 0) AS BIGINT) AS novel_grams,
+       nv.novelty AS novelty,
+       sp.n_tokens, sp.removed_tokens, sp.n_spans,
+       md5(sp.cleaned_text) AS cleaned_md5,
+       CAST(COALESCE(ct.matched_grams, 0) AS BIGINT) AS matched_grams
+FROM ("""
+    + Q_GOPHER_REPETITION_RULES_SQL
+    + """) r
+LEFT JOIN ("""
+    + Q_NGRAM_NOVELTY_SQL
+    + """) nv USING (doc_id)
+JOIN ("""
+    + Q_SPAN_DEDUP_SQL
+    + r""") sp USING (doc_id)
+LEFT JOIN (
+  WITH d AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  ),
+  grams AS (
+    SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+    FROM d, unnest(range(1, len(w) - 5 + 2)) t(i)
+    WHERE len(w) >= 5
+  ),
+  bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+  corp AS (SELECT DISTINCT doc_id, g FROM grams)
+  SELECT doc_id, count(*) AS matched_grams
+  FROM corp JOIN bench USING (g) GROUP BY doc_id
+) ct USING (doc_id)
+ORDER BY r.doc_id
+"""
+)
+
+QUERIES.update({"curation_text_signals": q_curation_text_signals})
+ORACLES.update({"curation_text_signals": Q_CURATION_TEXT_SIGNALS_SQL})

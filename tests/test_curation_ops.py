@@ -712,3 +712,120 @@ def test_perplexity_filter_disabled_is_noop(spark):
     res = CurationPipeline(cfg).run(docs)
     assert "perplexity_filter" not in res.stage_counts
     assert res.stage_counts["packed"] == 6
+
+
+# ---------------------------------------------------------------------------
+# round 9: shared gram-table signal stage + span-dedup curation stage 4d
+# ---------------------------------------------------------------------------
+
+
+def test_text_signals_matches_independents(spark):
+    """The fused shared-gram-table stage must reproduce all four standalone
+    operators row-for-row (repetition / novelty / span removal /
+    contamination) — the engine-side twin of the composed SQL oracle."""
+    import hashlib
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon unique tail words here"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+        (3, "totally different content with no shared five gram runs"),
+        (4, "short doc"),  # < 5 tokens: no grams at n=5
+        (5, "rep rep rep rep rep rep rep rep rep rep rep rep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") <= 1)
+    sig = {
+        r["doc_id"]: r
+        for r in text.text_signals(df, "doc_id", "text", benchmark=bench).collect()
+    }
+    assert set(sig) == {0, 1, 2, 3, 4, 5}
+
+    rep = {r["doc_id"]: r for r in text.gopher_repetition(df, "doc_id", "text").collect()}
+    for i, r in rep.items():
+        for cname, v in r.asDict().items():
+            want = sig[i]["rep_keep"] if cname == "keep" else sig[i][cname]
+            assert want == v, (i, cname)
+
+    nov = {r["doc_id"]: r for r in text.ngram_novelty(df, "doc_id", "text", n=5).collect()}
+    for i in sig:
+        if i in nov:
+            assert sig[i]["n_grams"] == nov[i]["n_grams"]
+            assert sig[i]["novel_grams"] == nov[i]["novel_grams"]
+            assert abs(sig[i]["novelty"] - nov[i]["novelty"]) < 1e-15
+        else:
+            assert sig[i]["n_grams"] == 0 and sig[i]["novel_grams"] == 0
+            assert sig[i]["novelty"] is None
+
+    sp = {
+        r["doc_id"]: r
+        for r in text.remove_duplicate_spans(df, "doc_id", "text", window=5).collect()
+    }
+    for i in sig:
+        assert sig[i]["n_tokens"] == sp[i]["n_tokens"]
+        assert sig[i]["removed_tokens"] == sp[i]["removed_tokens"]
+        assert sig[i]["n_spans"] == sp[i]["n_spans"]
+        want_md5 = hashlib.md5(sp[i]["cleaned_text"].encode()).hexdigest()
+        assert sig[i]["cleaned_md5"] == want_md5
+
+    cont = {
+        r["doc_id"]: r["matched_grams"]
+        for r in text.contamination(df, bench, "doc_id", "text", n=5).collect()
+    }
+    for i in sig:
+        assert sig[i]["matched_grams"] == cont.get(i, 0)
+
+
+def test_text_signals_no_benchmark_omits_column(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    out = text.text_signals(df, "doc_id", "text")
+    assert "matched_grams" not in out.columns
+    assert out.count() == 1
+
+
+def test_curation_span_dedup_stage_order_and_counts(spark):
+    """CurationConfig.span_dedup runs AFTER near-dedup, BEFORE perplexity;
+    counts stay monotone and keyed in stage order."""
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = CurationConfig(
+        min_quality=None,
+        scrub_pii=False,
+        near_dedup=True,
+        span_dedup=True,
+        perplexity_filter=True,
+        min_mean_logprob=-50.0,  # floor low enough to keep everything scored
+        split_fractions=None,
+        shard_budget_tokens=5000,
+        partition_cols=["lang"],
+    )
+    result = CurationPipeline(cfg).run(docs)
+    c = result.stage_counts
+    keys = list(c)
+    assert keys.index("near_dedup") < keys.index("span_dedup") < keys.index(
+        "perplexity_filter"
+    )
+    assert c["input"] >= c["near_dedup"] >= c["span_dedup"] >= c["perplexity_filter"] > 0
+    assert c["packed"] == c["perplexity_filter"]
+
+
+def test_curation_span_dedup_rewrites_text_and_drops_empty(spark):
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    rows = [
+        (1, "one two three four five six seven eight", "en"),
+        (2, "one two three four five six seven eight", "en"),  # full dup -> ''
+        (3, "totally unique content nine ten eleven twelve thirteen", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CurationConfig(
+        min_quality=None, scrub_pii=False, near_dedup=False, span_dedup=True,
+        split_fractions=None,
+    )
+    counts = {}
+    out = CurationPipeline(cfg)._apply_span_dedup(df, counts)
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(kept) == {1, 3}  # doc 2 rebuilt to '' and dropped
+    assert kept[1] == "one two three four five six seven eight"
+    assert counts["span_dedup"] == 2
