@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     # compare against the sum of gopher_repetition_rules + ngram_novelty
     # + contamination_check + span_dedup above)
     "curation_text_signals",
+    # round 9: ANN-bucketed triplet mining agreement gate (exact + LSH)
+    "triplet_mining_lsh",
 ]
 
 

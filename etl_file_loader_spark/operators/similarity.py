@@ -121,6 +121,15 @@ def mine_triplets(
             round_to,
         ).alias("_cos"),
     )
+    return _hardest_from_scored(scored, id_col)
+
+
+def _hardest_from_scored(scored: DataFrame, id_col: str) -> DataFrame:
+    """Shared tail of :func:`mine_triplets` and :func:`mine_triplets_lsh`:
+    from scored candidate rows (_aid, _al, _bid, _bl, _cos) pick per
+    anchor the hardest positive (same label, min cosine) and hardest
+    negative (different label, max cosine), ties by candidate id. Both
+    top-1 windows ride the WindowGroupLimit rank pushdown."""
     wpos = Window.partitionBy("_aid").orderBy(
         F.col("_cos").asc(), F.col("_bid").asc()
     )
@@ -158,6 +167,81 @@ def mine_triplets(
             (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
         )
     )
+
+
+def mine_triplets_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    round_to: int = 4,
+    anchors: DataFrame | None = None,
+    num_bands: int = 8,
+    planes_per_band: int = 2,
+) -> DataFrame:
+    """ANN-bucketed batch-hard triplet mining — the 100 TB code path that
+    :func:`mine_triplets` documents: candidates for each anchor are the
+    vectors sharing at least one hyperplane-LSH (band, bucket) with it,
+    so pair volume tracks neighborhood density instead of |anchors| x N.
+    Within the candidate set the comparator is IDENTICAL to the exact
+    miner (hardest positive = same label, min cosine; hardest negative =
+    different label, max cosine; rounded cosine, id tie-breaks), so the
+    two paths differ only in candidate coverage.
+
+    Honest approximation notes: the hardest NEGATIVE is the LSH-natural
+    half — the closest different-label vector is exactly what LSH buckets
+    surface (agreement with exact is gated by the ``triplet_mining_lsh``
+    suite row). The in-bucket hardest POSITIVE is necessarily semi-hard:
+    the true batch-hard positive (FARTHEST same-label vector) is the pair
+    LSH is designed NOT to collide, so in-bucket positives skew nearer
+    and mined margins are optimistic — the standard within-chunk
+    batch-hard trade (FaceNet mines within minibatches for the same
+    reason). Anchors whose every bucket is a singleton yield no row.
+
+    Scoring uses the Arrow-batched matmul (``dot_vectorized``) per the
+    house rule: this path is gate-checked on mined IDs, never
+    hash-compared against a SQL oracle.
+    """
+    banded = hyperplane_lsh_bands(df, id_col, vec_col, num_bands, planes_per_band)
+    aside = banded
+    if anchors is not None:
+        aside = banded.join(
+            anchors.select(F.col(id_col)), id_col, "left_semi"
+        )
+    cand = (
+        aside.select(F.col(id_col).alias("_aid"), "band", "bucket")
+        .join(
+            banded.select(F.col(id_col).alias("_bid"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("_aid") != F.col("_bid"))
+        .select("_aid", "_bid")
+        .dropDuplicates(["_aid", "_bid"])
+    )
+    va = df.select(
+        F.col(id_col).alias("_aid"),
+        F.col(vec_col).alias("_av"),
+        F.col(label_col).alias("_al"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_bv"),
+        F.col(label_col).alias("_bl"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
+    scored = cand.join(va, "_aid").join(vb, "_bid").select(
+        "_aid",
+        "_al",
+        "_bid",
+        "_bl",
+        F.round(
+            dot_vectorized(F.col("_av"), F.col("_bv"))
+            / (F.col("_na") * F.col("_nb")),
+            round_to,
+        ).alias("_cos"),
+    )
+    return _hardest_from_scored(scored, id_col)
 
 
 def dot_vectorized(a: Column, b: Column) -> Column:

@@ -364,3 +364,56 @@ ORACLES.update(
         "knn_join_auto_recall": "SELECT 'knn_join_auto_recall_at_3' AS metric, 90 AS threshold_pct, 1 AS passed",
     }
 )
+
+
+def q_triplet_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable agreement gate for the ANN-bucketed triplet miner
+    (operators/similarity.py:mine_triplets_lsh — the executable form of
+    the 100 TB trade mine_triplets documents): against the exact
+    |anchors| x N miner on the same 500-anchor seed set,
+
+    - coverage >= 95% (every anchor should find in-bucket candidates;
+      measured 100%),
+    - hardest-NEGATIVE agreement >= 90% (the LSH-natural half — closest
+      different-label vectors collide; measured 97.8-98%),
+    - hardest-POSITIVE agreement >= 60% (in-bucket positives are
+      semi-hard by design — the farthest same-label vector is the pair
+      LSH avoids; measured 74-77%)
+
+    at num_bands=8, planes_per_band=2 — a real pruning configuration,
+    not an everything-collides one."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 500)
+    exact = sim_ops.mine_triplets(
+        emb, "vec_id", "embedding", "label", anchors=anchors
+    )
+    approx = sim_ops.mine_triplets_lsh(
+        emb, "vec_id", "embedding", "label",
+        anchors=anchors, num_bands=8, planes_per_band=2,
+    )
+    cov = _recall_flag(
+        exact.select("vec_id"), approx.select("vec_id"),
+        "triplet_lsh_coverage", 95,
+    )
+    neg = _recall_flag(
+        exact.select("vec_id", "neg_id"), approx.select("vec_id", "neg_id"),
+        "triplet_lsh_neg_agreement", 90,
+    )
+    pos = _recall_flag(
+        exact.select("vec_id", "pos_id"), approx.select("vec_id", "pos_id"),
+        "triplet_lsh_pos_agreement", 60,
+    )
+    return cov.unionAll(neg).unionAll(pos).orderBy("metric")
+
+
+QUERIES.update({"triplet_mining_lsh": q_triplet_mining_lsh})
+ORACLES.update(
+    {
+        "triplet_mining_lsh": (
+            "SELECT 'triplet_lsh_coverage' AS metric, 95 AS threshold_pct, 1 AS passed\n"
+            "UNION ALL SELECT 'triplet_lsh_neg_agreement', 90, 1\n"
+            "UNION ALL SELECT 'triplet_lsh_pos_agreement', 60, 1\n"
+            "ORDER BY metric"
+        )
+    }
+)

@@ -2082,3 +2082,61 @@ def test_wav_decode_int_matches_float_path_and_wide_pcm(spark):
     # zcr from raw signs: 0,1,-1,max,min,65537 -> sign flips at 1->-1,
     # -1->max, max->min, min->65537 = 4
     assert r["zcr"] == 4
+
+
+# ---------------------------------------------------------------------------
+# mine_triplets_lsh (round 9): ANN-bucketed batch-hard mining
+# ---------------------------------------------------------------------------
+
+
+def test_mine_triplets_lsh_matches_exact_when_buckets_cover(spark):
+    """With 1-plane bands (near-total collision) the LSH miner must equal
+    the exact miner: same comparator, full candidate coverage."""
+    import numpy as np
+
+    from etl_file_loader_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], f"c{i % 3}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    exact = {
+        r["vec_id"]: (r["pos_id"], r["neg_id"], r["margin"])
+        for r in sim.mine_triplets(df, "vec_id", "embedding", "label").collect()
+    }
+    approx = {
+        r["vec_id"]: (r["pos_id"], r["neg_id"], r["margin"])
+        for r in sim.mine_triplets_lsh(
+            df, "vec_id", "embedding", "label", num_bands=12, planes_per_band=1
+        ).collect()
+    }
+    # 12 OR-ed half-space bands: a pair misses only if split by all 12
+    # planes; with 40 random vectors the candidate graph is complete
+    assert approx == exact
+
+
+def test_mine_triplets_lsh_anchor_subset_and_pruning(spark):
+    import numpy as np
+
+    from etl_file_loader_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], f"c{i % 2}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    anchors = df.filter(F.col("vec_id") < 5)
+    out = sim.mine_triplets_lsh(
+        df, "vec_id", "embedding", "label",
+        anchors=anchors, num_bands=4, planes_per_band=2,
+    ).collect()
+    ids = {r["vec_id"] for r in out}
+    assert ids <= {0, 1, 2, 3, 4}
+    for r in out:
+        # hardest in-bucket positive can never score above the negative
+        # by construction of the comparator ordering on the same set
+        assert r["pos_id"] != r["vec_id"] and r["neg_id"] != r["vec_id"]
+        assert abs(r["margin"] - (r["pos_cos"] - r["neg_cos"])) < 1e-12
