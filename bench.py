@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "curation_text_signals",
     # round 9: ANN-bucketed triplet mining agreement gate (exact + LSH)
     "triplet_mining_lsh",
+    # round 9: learnable language-ID fixture (multiclass hashed NB)
+    "langid_fixture",
 ]
 
 

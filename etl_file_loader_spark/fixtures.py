@@ -209,3 +209,65 @@ def media_jpeg_corpus(spark: SparkSession, n: int = 60) -> DataFrame:
         _CACHE.pop(next(iter(_CACHE)))
     _CACHE[key] = df
     return df
+
+
+def langid_corpus(
+    spark: SparkSession,
+    n: int = 2000,
+    langs: tuple[str, ...] = ("aa", "bb", "cc", "dd"),
+    vocab: int = 40,
+    shared: int = 20,
+) -> DataFrame:
+    """LEARNABLE language-ID fixture (VERDICT r8 ask 6): the driver-made
+    documents table shares one vocabulary across languages (TESTDATA.md —
+    ``lang`` is unlearnable from its text), so this fixture provides
+    per-language DISJOINT vocab strata a hashed n-gram classifier can
+    actually learn, with enough noise to keep it non-trivial.
+
+    Doc i: ``lang = langs[i % len(langs)]``, ``20 + i % 5`` tokens.
+    Token j draws ``h = int(md5('lid:i:j')[:8], 16)`` and is
+
+    - ``zz_(h % shared)``      when ``j % 3 == 0``  (language-neutral filler),
+    - ``L_(h % vocab)`` for ``L = langs[h % len(langs)]``
+                               when ``j % 7 == 1``  (cross-language noise),
+    - ``lang_(h % vocab)``     otherwise            (own-language stratum).
+
+    Every choice is md5 arithmetic on (i, j), so a DuckDB oracle
+    regenerates the corpus exactly from ``range()`` — the
+    ``langid_fixture`` suite query value-checks per-doc predictions
+    end-to-end. Driver-side generation for bit-reproducibility, same as
+    the media corpora (bounded n)."""
+    import hashlib
+
+    import pandas as pd
+
+    key = (spark.sparkContext.applicationId, "langid", n, langs, vocab, shared)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
+    rows = []
+    for i in range(n):
+        lang = langs[i % len(langs)]
+        toks = []
+        for j in range(20 + i % 5):
+            h = int(hashlib.md5(f"lid:{i}:{j}".encode()).hexdigest()[:8], 16)
+            if j % 3 == 0:
+                toks.append(f"zz_{h % shared}")
+            elif j % 7 == 1:
+                toks.append(f"{langs[h % len(langs)]}_{h % vocab}")
+            else:
+                toks.append(f"{lang}_{h % vocab}")
+        rows.append((i, lang, " ".join(toks)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(pdf, schema)
+    while len(_CACHE) >= _CACHE_MAX:
+        _CACHE.pop(next(iter(_CACHE)))
+    _CACHE[key] = df
+    return df

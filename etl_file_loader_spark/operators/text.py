@@ -332,6 +332,124 @@ def fit_classifier_lr(
     return weights, bias
 
 
+def fit_langid_nb(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str,
+    dim: int = 128,
+    alpha: float = 1.0,
+) -> dict[str, tuple[list[int], int]]:
+    """Multiclass twin of :func:`fit_classifier_nb` for language ID:
+    per-language multinomial Naive Bayes over hashed token counts,
+    fitted in ONE feature-keyed aggregation (groupBy(feature, lang) —
+    shuffle bounded by dim x n_languages; only that many count rows
+    reach the driver, so the fit works at any corpus size).
+
+    ``weights[L][f] = round(1000 * ln((cnt[f,L] + a) / (tok_L + a*dim)))``
+    and ``bias[L] = round(1000 * ln((docs_L + a) / (docs + a*n_langs)))``
+    — integer MILLI-unit scores that plug into :func:`langid_score`,
+    keeping the fitted model oracle-checkable (argmax over mean-pooled
+    class log-probabilities)."""
+    import math
+
+    ex = df.select(
+        F.col(lang_col).alias("_lang"),
+        F.explode(hashed_feature_indices(F.col(text_col), dim)).alias("feature"),
+    )
+    agg = ex.groupBy("feature", "_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    counts: dict[str, dict[int, int]] = {}
+    for r in agg.collect():
+        counts.setdefault(r["_lang"], {})[int(r["feature"])] = int(r["cnt"])
+    doc_counts = {
+        r["_lang"]: int(r["cnt"])
+        for r in df.groupBy(F.col(lang_col).alias("_lang"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total_docs = sum(doc_counts.values())
+    n_langs = len(doc_counts)
+    models: dict[str, tuple[list[int], int]] = {}
+    for lang in sorted(doc_counts):
+        per_f = counts.get(lang, {})
+        tok_total = sum(per_f.values())
+        weights = [
+            round(
+                1000.0
+                * math.log((per_f.get(f, 0) + alpha) / (tok_total + alpha * dim))
+            )
+            for f in range(dim)
+        ]
+        bias = round(
+            1000.0
+            * math.log((doc_counts[lang] + alpha) / (total_docs + alpha * n_langs))
+        )
+        models[lang] = (weights, bias)
+    return models
+
+
+def langid_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    models: dict[str, tuple[list[int], int]],
+) -> DataFrame:
+    """Multiclass hashed-NB language ID scorer — pure column expressions
+    (the :func:`classifier_score` discipline): ONE shared hashed-feature
+    array per doc (aliased in its own projection so the expensive
+    tokenize+md5 subtree is computed once, not once per language), one
+    exact int64 milli-unit sum per language, then an argmax CASE chain in
+    ascending language order so ties break to the lexicographically
+    smallest language — the same chain a SQL oracle replays verbatim.
+
+    Output: (id, n_tokens, logit_<lang>... in sorted order, lang_pred).
+    """
+    langs = sorted(models)
+    dims = {len(w) for w, _ in models.values()}
+    if len(dims) != 1:
+        raise ValueError(f"inconsistent model dims: {sorted(dims)}")
+    dim = dims.pop()
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        hashed_feature_indices(F.col(text_col), dim).alias("_f"),
+    )
+    ix = F.col("_f")
+    n = F.coalesce(F.size(ix), F.lit(0))
+    n = F.when(n < 0, F.lit(0)).otherwise(n)
+    cols = [F.col("_id").alias(id_col), n.cast("long").alias("n_tokens")]
+
+    def weight_sum(warr: Column):
+        # closure factory, NOT a default param: PySpark infers HOF arity
+        # from the lambda's parameter count, so `lambda acc, i, w=warr`
+        # would be dispatched as a 3-arg merge and break
+        return lambda acc, i: acc + F.element_at(warr, (i + 1).cast("int"))
+
+    logits: dict[str, Column] = {}
+    for lang in langs:
+        weights, bias_milli = models[lang]
+        warr = F.array(*[F.lit(int(w)) for w in weights])
+        s = F.aggregate(ix, F.lit(0).cast("long"), weight_sum(warr))
+        b = float(bias_milli) / 1000.0
+        logits[lang] = F.when(n == 0, F.lit(b)).otherwise(
+            F.lit(b) + s.cast("double") / (F.lit(1000.0) * n)
+        )
+        cols.append(logits[lang].alias(f"logit_{lang}"))
+    # argmax CASE chain over the ALIASED logit columns (compute each sum
+    # once); evaluated on the projected frame so references are cheap
+    scored = base.select(*cols)
+    pred = None
+    chain = F.lit(langs[-1])
+    for k in range(len(langs) - 2, -1, -1):
+        cond = None
+        for m in range(k + 1, len(langs)):
+            c = F.col(f"logit_{langs[k]}") >= F.col(f"logit_{langs[m]}")
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, F.lit(langs[k])).otherwise(chain)
+    pred = chain
+    return scored.select("*", pred.alias("lang_pred"))
+
+
 def classifier_score_joined(
     df: DataFrame,
     id_col: str,

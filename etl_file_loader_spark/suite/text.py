@@ -1559,3 +1559,130 @@ ORDER BY r.doc_id
 
 QUERIES.update({"curation_text_signals": q_curation_text_signals})
 ORACLES.update({"curation_text_signals": Q_CURATION_TEXT_SIGNALS_SQL})
+
+
+# ---------------------------------------------------------------------------
+# learnable language-ID fixture (round 9, VERDICT r8 ask 6)
+# ---------------------------------------------------------------------------
+
+# Multiclass hashed-NB language model fitted ONCE on the lang-balanced 75%
+# train split of fixtures.langid_corpus (tools/fit_langid_weights.py — the
+# fit_quality_weights.py precedent): integer milli-unit per-language
+# weights + log-prior biases. Measured balanced accuracy at dim=64:
+# train 0.9987, holdout 0.9940 (hash collisions present and survivable;
+# dim=128 reaches 1.0000 — kept at 64 to exercise the collision regime).
+_LANGID_DIM = 64
+_LANGID_MODELS = {
+    'aa': ([-5730, -9026, -5693, -3969, -3995, -3549, -3884, -9026, -9026, -5807, -4205, -9026, -9026, -3896, -3384, -4197, -9026, -3245, -9026, -9026, -9026, -3394, -6081, -5890, -9026, -5219, -3500, -3508, -4158, -9026, -6461, -9026, -3047, -3442, -9026, -4022, -4063, -2939, -3438, -4120, -3065, -3902, -9026, -5658, -4056, -9026, -3477, -4056, -5312, -4316, -3641, -3553, -3957, -4106, -3914, -3083, -3450, -4077, -9026, -9026, -6318, -3024, -4372, -3957], -1386),
+    'bb': ([-5807, -4214, -5935, -3896, -4222, -3438, -3995, -4316, -4214, -6192, -9026, -9026, -4362, -3349, -3951, -4344, -3623, -2974, -9026, -4272, -9026, -3405, -5807, -4049, -9026, -5176, -4197, -9026, -3446, -9026, -4070, -4493, -3027, -5074, -9026, -4166, -3488, -3342, -4098, -3529, -3431, -3101, -4255, -3529, -3524, -9026, -3890, -3442, -3878, -9026, -4247, -9026, -3890, -4022, -5312, -6030, -6135, -5807, -9026, -4307, -4143, -3299, -9026, -3969], -1386),
+    'cc': ([-3461, -9026, -5890, -3951, -3545, -3562, -5499, -4362, -9026, -4022, -9026, -4401, -9026, -3356, -2574, -3558, -4289, -3305, -9026, -9026, -9026, -3129, -5807, -5693, -4482, -3140, -3366, -9026, -6135, -3579, -4222, -9026, -3861, -5219, -3646, -4247, -5362, -3844, -4135, -4182, -3896, -3822, -4214, -4113, -4022, -9026, -5018, -6081, -3481, -9026, -9026, -9026, -2969, -3989, -3346, -5890, -6461, -6253, -3596, -9026, -4063, -3932, -4264, -3833], -1386),
+    'dd': ([-5981, -9026, -3614, -3017, -4049, -3976, -4035, -9026, -9026, -5768, -9026, -9026, -4205, -3795, -3339, -9026, -9026, -3405, -4264, -4281, -9026, -3000, -3541, -4070, -9026, -3391, -4084, -9026, -5848, -9026, -4182, -4205, -3435, -3435, -9026, -3619, -2799, -3427, -4008, -3391, -3091, -3914, -4272, -3541, -4106, -9026, -5000, -5592, -5312, -9026, -9026, -9026, -3352, -4150, -5154, -6192, -5807, -3541, -9026, -9026, -5890, -3322, -4344, -3512], -1386),
+}
+
+
+def q_langid_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID over the LEARNABLE fixture (operators/text.py:
+    langid_score over fixtures.langid_corpus): the driver documents table
+    shares one vocab across languages (TESTDATA.md - lang unlearnable),
+    so this fixture provides disjoint per-language strata + shared filler
+    + cross-language noise, every token an md5 function of (doc, pos).
+    The oracle REGENERATES the corpus from range() and replays the
+    multiclass scoring (per-language exact int64 milli sums, argmax CASE
+    chain, lex-min tie-break) - full per-doc value verification of
+    fixture, feature hashing, pooled scores, and predictions.
+    sf-independent (fixed n=2000)."""
+    from etl_file_loader_spark import fixtures
+
+    docs = fixtures.langid_corpus(spark)
+    scored = text_ops.langid_score(docs, "doc_id", "text", _LANGID_MODELS)
+    langs = sorted(_LANGID_MODELS)
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            *[F.col(f"logit_{lg}") for lg in langs],
+            "lang_pred",
+            (F.col("lang_pred") == F.col("lang")).cast("int").cast("long").alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _langid_sql() -> str:
+    langs = sorted(_LANGID_MODELS)
+    w_cols = ",\n       ".join(
+        f"[{', '.join(str(int(x)) for x in _LANGID_MODELS[lg][0])}] AS w_{lg}"
+        for lg in langs
+    )
+    sums = ",\n         ".join(
+        f"sum(w_{lg}[CAST(feature + 1 AS INT)]) AS s_{lg}" for lg in langs
+    )
+    logits = ",\n         ".join(
+        f"CASE WHEN n = 0 THEN {_LANGID_MODELS[lg][1] / 1000.0!r} "
+        f"ELSE {_LANGID_MODELS[lg][1] / 1000.0!r} + CAST(s_{lg} AS DOUBLE) / (1000.0 * n) END AS logit_{lg}"
+        for lg in langs
+    )
+    # argmax CASE chain in ascending language order: ties go lex-min,
+    # exactly the chain langid_score builds
+    branches = []
+    for k in range(len(langs) - 1):
+        cond = " AND ".join(
+            f"logit_{langs[k]} >= logit_{m}" for m in langs[k + 1 :]
+        )
+        branches.append(f"WHEN {cond} THEN '{langs[k]}'")
+    chain = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    lang_arr = "[" + ", ".join(f"'{lg}'" for lg in langs) + "]"
+    return f"""
+WITH params AS (
+  SELECT {w_cols}
+),
+docs AS (
+  SELECT i AS doc_id,
+         {lang_arr}[CAST(i % 4 AS INT) + 1] AS lang,
+         20 + CAST(i % 5 AS INT) AS len
+  FROM range(0, 2000) t(i)
+),
+toks AS (
+  SELECT d.doc_id, d.lang,
+         CASE
+           WHEN j % 3 = 0 THEN 'zz_' || CAST(
+             CAST(('0x' || substr(md5('lid:' || d.doc_id || ':' || j), 1, 8)) AS BIGINT) % 20 AS VARCHAR)
+           WHEN j % 7 = 1 THEN {lang_arr}[CAST(
+             CAST(('0x' || substr(md5('lid:' || d.doc_id || ':' || j), 1, 8)) AS BIGINT) % 4 AS INT) + 1]
+             || '_' || CAST(
+             CAST(('0x' || substr(md5('lid:' || d.doc_id || ':' || j), 1, 8)) AS BIGINT) % 40 AS VARCHAR)
+           ELSE d.lang || '_' || CAST(
+             CAST(('0x' || substr(md5('lid:' || d.doc_id || ':' || j), 1, 8)) AS BIGINT) % 40 AS VARCHAR)
+         END AS tok
+  FROM docs d, unnest(range(0, d.len)) u(j)
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(lower(tok)), 1, 8)) AS BIGINT) % {_LANGID_DIM} AS feature
+  FROM toks
+),
+pooled AS (
+  SELECT doc_id, lang, count(*) AS n,
+         {sums}
+  FROM feats, params GROUP BY doc_id, lang
+),
+scored AS (
+  SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+         {logits}
+  FROM pooled
+)
+SELECT doc_id, lang, n_tokens,
+       {", ".join(f"logit_{lg}" for lg in langs)},
+       {chain} AS lang_pred,
+       CAST(({chain}) = lang AS BIGINT) AS correct
+FROM scored
+ORDER BY doc_id
+"""
+
+
+Q_LANGID_FIXTURE_SQL = _langid_sql()
+
+QUERIES.update({"langid_fixture": q_langid_fixture})
+ORACLES.update({"langid_fixture": Q_LANGID_FIXTURE_SQL})
