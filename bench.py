@@ -187,6 +187,10 @@ BENCH_QUERIES = [
     "triplet_mining_lsh",
     # round 9: learnable language-ID fixture (multiclass hashed NB)
     "langid_fixture",
+    # round 9: Bloom filter family (packed build + probe + pruned join)
+    "bloom_filter_check",
+    "bloom_probe_stats",
+    "bloom_semi_join",
 ]
 
 

@@ -180,3 +180,121 @@ def kmv_estimate(state: DataFrame, k: int = 64) -> DataFrame:
             F.col("n_kept") < k, F.col("n_kept").cast("double")
         ).otherwise(F.lit(float(k - 1)) * F.lit(float(KMV_M)) / h_k.cast("double")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (round 9): portable build / merge / probe + semi-join pruning
+# ---------------------------------------------------------------------------
+
+# 48 bits per packed word: every word value is < 2^48 < 2^53, so the bit
+# test can run as EXACT double arithmetic (floor(word / 2^bit) % 2) inside
+# HOF lambdas in BOTH engines — Spark's shiftright() only takes a literal
+# shift, and int64 '/' detours through doubles, so 48-bit words are what
+# keeps the probe a pure scan-side expression with zero precision risk.
+_BLOOM_WORD_BITS = 48
+
+
+def bloom_positions(key: Column, num_hashes: int = 4, num_bits: int = 4096) -> Column:
+    """The k set-bit positions for a key (distinct — double hashes within a
+    key collapse): position_i = md5-int64('<key>:<i>') % num_bits, the house
+    portable idiom, so DuckDB derives the identical positions."""
+    from etl_file_loader_spark.functions import token_hash32
+
+    return F.array_distinct(
+        F.array(
+            *[
+                F.pmod(
+                    token_hash32(
+                        F.concat(key.cast("string"), F.lit(f":{i}"))
+                    ),
+                    F.lit(num_bits),
+                )
+                for i in range(num_hashes)
+            ]
+        )
+    )
+
+
+def build_bloom(
+    df: DataFrame, key_col: str, num_hashes: int = 4, num_bits: int = 4096
+) -> list[int]:
+    """Distributed Bloom build: explode each key's positions -> DISTINCT
+    (one map-side-combinable aggregation; at most ``num_bits`` rows ever
+    reach the driver, whatever the corpus size) -> pack into 48-bit words
+    driver-side. The collect is bounded by the FILTER size, not the data —
+    the same contract as the runtime bloom filters engines push to scans.
+
+    Merge = build over a union, or bitwise-OR of two word lists
+    (:func:`merge_blooms`) — set semantics make it order-free/idempotent.
+    """
+    rows = (
+        df.select(
+            F.explode(
+                bloom_positions(F.col(key_col), num_hashes, num_bits)
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((num_bits + _BLOOM_WORD_BITS - 1) // _BLOOM_WORD_BITS)
+    for r in rows:
+        p = int(r["p"])
+        words[p // _BLOOM_WORD_BITS] |= 1 << (p % _BLOOM_WORD_BITS)
+    return words
+
+
+def merge_blooms(a: list[int], b: list[int]) -> list[int]:
+    """Bitwise-OR merge of two same-shape Bloom filters (shard-and-merge:
+    each shard builds over its slice, the union filter ORs together)."""
+    if len(a) != len(b):
+        raise ValueError(f"bloom shape mismatch: {len(a)} vs {len(b)} words")
+    return [x | y for x, y in zip(a, b)]
+
+
+def bloom_contains(
+    key: Column, words: list[int], num_hashes: int = 4, num_bits: int = 4096
+) -> Column:
+    """Scan-side membership test: ALL k positions set. Pure column
+    expression against the literal word array (no shuffle, no UDF) — the
+    shape of an engine-pushed runtime filter. False positives possible
+    (resolved by the exact join in :func:`bloom_semi_join`), false
+    negatives impossible."""
+    warr = F.array(*[F.lit(int(w)) for w in words])
+    p2 = F.array(
+        *[F.lit(1 << b) for b in range(_BLOOM_WORD_BITS)]
+    )
+
+    def bit_set(p: Column) -> Column:
+        # p < num_bits <= 2^20 and word < 2^48: every double here is exact
+        w = F.element_at(warr, (p / _BLOOM_WORD_BITS).cast("int") + 1)
+        div = F.element_at(
+            p2, F.pmod(p, _BLOOM_WORD_BITS).cast("int") + 1
+        )
+        return F.pmod(F.floor(w / div).cast("long"), 2) == 1
+
+    return F.forall(bloom_positions(key, num_hashes, num_bits), bit_set)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    num_hashes: int = 4,
+    num_bits: int = 16384,
+) -> DataFrame:
+    """Bloom-pruned semi-join — the 100 TB join-pruning idiom: build the
+    filter from the SMALL side (driver-bounded by num_bits), prefilter the
+    big side with the scan-side :func:`bloom_contains` expression, then an
+    exact left-semi join removes the false positives. The result EQUALS
+    ``big ⋉ small`` exactly (no false negatives by construction — suite
+    ``bloom_semi_join`` pins it against the plain semi-join oracle); the
+    win is that the shuffle semi-join runs over only the bloom survivors,
+    so shuffled bytes track |matches| + FP rate instead of |big|."""
+    sk = small_key or big_key
+    words = build_bloom(small, sk, num_hashes, num_bits)
+    pruned = big.filter(
+        bloom_contains(F.col(big_key), words, num_hashes, num_bits)
+    )
+    rhs = small.select(F.col(sk).alias(big_key)).distinct()
+    return pruned.join(rhs, big_key, "left_semi")

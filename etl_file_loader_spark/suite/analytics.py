@@ -1028,3 +1028,169 @@ ORACLES.update(
         "sketch_percentile_check": Q_SKETCH_PERCENTILE_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter family (round 9): build/merge words, probe flags, pruned join
+# ---------------------------------------------------------------------------
+
+_BLOOM_K, _BLOOM_M = 3, 8192  # sized so sf0.01 shows REAL false positives
+_BLOOM_WORDS = (_BLOOM_M + 47) // 48
+
+
+def q_bloom_filter_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed Bloom-filter state over orders' customer keys
+    (operators/sketches.py:build_bloom): one row per 48-bit word, every
+    bit re-derived by the oracle from the same md5 position arithmetic —
+    the filter itself is value-verified, not just its behavior. merge_ok
+    pins shard-and-merge: OR of the even/odd-orderkey shard filters must
+    equal the whole-table build (set semantics)."""
+    from etl_file_loader_spark.operators import sketches as sk_ops
+
+    orders = _t(spark, sf_dir, "orders")
+    whole = sk_ops.build_bloom(orders, "o_custkey", _BLOOM_K, _BLOOM_M)
+    even = sk_ops.build_bloom(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey", _BLOOM_K, _BLOOM_M
+    )
+    odd = sk_ops.build_bloom(
+        orders.filter(F.col("o_orderkey") % 2 == 1), "o_custkey", _BLOOM_K, _BLOOM_M
+    )
+    merge_ok = 1 if sk_ops.merge_blooms(even, odd) == whole else 0
+    rows = [(i, w, merge_ok) for i, w in enumerate(whole)]
+    return spark.createDataFrame(
+        rows, "word long, value long, merge_ok long"
+    ).orderBy("word")
+
+
+_BLOOM_POS_SQL = f"""
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_BLOOM_M} AS p
+  FROM keys, unnest(range(0, {_BLOOM_K})) t(i)
+"""
+
+Q_BLOOM_FILTER_SQL = f"""
+WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+pos AS ({_BLOOM_POS_SQL}),
+wv AS (
+  SELECT p // 48 AS word,
+         sum(CAST(1 AS BIGINT) << CAST(p % 48 AS INT)) AS value
+  FROM pos GROUP BY 1
+)
+SELECT i AS word, COALESCE(wv.value, 0) AS value, CAST(1 AS BIGINT) AS merge_ok
+FROM range(0, {_BLOOM_WORDS}) t(i) LEFT JOIN wv ON wv.word = i
+ORDER BY word
+"""
+
+
+def q_bloom_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key Bloom probe over every customer against the orders-key
+    filter (operators/sketches.py:bloom_contains): is_member from the
+    exact semi-join, passed from the scan-side bit test. The contract the
+    oracle re-derives bit-for-bit: no false negatives (is_member=1 =>
+    passed=1), and the deterministic false-positive set (passed=1,
+    is_member=0) matches exactly — the filter is deliberately small
+    (k=3, m=8192) so FPs actually occur at sf0.01. The probe
+    population is every customer key PLUS each key offset by 10^6
+    (guaranteed nonmembers: every customer has orders in this testdata,
+    so without the offset keys there would be nothing to false-positive
+    on)."""
+    from etl_file_loader_spark.operators import sketches as sk_ops
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    words = sk_ops.build_bloom(orders, "o_custkey", _BLOOM_K, _BLOOM_M)
+    members = orders.select(F.col("o_custkey").alias("k")).distinct()
+    base = customer.select(F.col("c_custkey").alias("k"))
+    probe = base.unionAll(base.select((F.col("k") + F.lit(1_000_000)).alias("k")))
+    return (
+        probe
+        .join(members.withColumn("_m", F.lit(1)), "k", "left")
+        .select(
+            "k",
+            F.coalesce(F.col("_m"), F.lit(0)).cast("long").alias("is_member"),
+            sk_ops.bloom_contains(F.col("k"), words, _BLOOM_K, _BLOOM_M)
+            .cast("int")
+            .cast("long")
+            .alias("passed"),
+        )
+        .orderBy("k")
+    )
+
+
+Q_BLOOM_PROBE_SQL = f"""
+WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+pos AS ({_BLOOM_POS_SQL}),
+wv AS (
+  SELECT p // 48 AS word,
+         sum(CAST(1 AS BIGINT) << CAST(p % 48 AS INT)) AS value
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT c_custkey AS k FROM customer
+  UNION ALL SELECT c_custkey + 1000000 FROM customer
+),
+ppos AS (
+  SELECT DISTINCT pr.k,
+         CAST(('0x' || substr(md5(CAST(pr.k AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_BLOOM_M} AS p
+  FROM probe pr, unnest(range(0, {_BLOOM_K})) t(i)
+)
+SELECT pp.k,
+       CAST(CASE WHEN ky.k IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_member,
+       CAST(min(COALESCE((wv.value >> CAST(pp.p % 48 AS INT)) & 1, 0)) AS BIGINT) AS passed
+FROM ppos pp
+LEFT JOIN wv ON wv.word = pp.p // 48
+LEFT JOIN keys ky ON ky.k = pp.k
+GROUP BY pp.k, ky.k
+ORDER BY pp.k
+"""
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/sketches.py:bloom_semi_join):
+    orders restricted to high-balance customers. The scan-side bit test
+    prunes the big side BEFORE the shuffle join; the exact semi-join then
+    removes false positives, so the result equals the plain semi-join —
+    which is exactly what the oracle runs. The pruning accounting is
+    pinned by test_operators_ext (survivors ~ match rate, never fewer
+    than the true matches)."""
+    from etl_file_loader_spark.operators import sketches as sk_ops
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        sk_ops.bloom_semi_join(
+            orders.select("o_orderkey", "o_custkey"),
+            customer.filter(F.col("c_acctbal") > 6000.0),
+            "o_custkey",
+            "c_custkey",
+            num_hashes=4,
+            num_bits=16384,
+        )
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+Q_BLOOM_SEMI_JOIN_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 6000.0)
+ORDER BY o_orderkey
+"""
+
+QUERIES.update(
+    {
+        "bloom_filter_check": q_bloom_filter_check,
+        "bloom_probe_stats": q_bloom_probe_stats,
+        "bloom_semi_join": q_bloom_semi_join,
+    }
+)
+ORACLES.update(
+    {
+        "bloom_filter_check": Q_BLOOM_FILTER_SQL,
+        "bloom_probe_stats": Q_BLOOM_PROBE_SQL,
+        "bloom_semi_join": Q_BLOOM_SEMI_JOIN_SQL,
+    }
+)

@@ -2140,3 +2140,67 @@ def test_mine_triplets_lsh_anchor_subset_and_pruning(spark):
         # by construction of the comparator ordering on the same set
         assert r["pos_id"] != r["vec_id"] and r["neg_id"] != r["vec_id"]
         assert abs(r["margin"] - (r["pos_cos"] - r["neg_cos"])) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter family (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    import hashlib
+
+    from etl_file_loader_spark.operators import sketches as sk
+
+    keys = list(range(0, 300, 3))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = sk.build_bloom(df, "k", num_hashes=4, num_bits=512)
+    # words match a direct python re-derivation of the md5 positions
+    want = [0] * ((512 + 47) // 48)
+    for k in keys:
+        for i in range(4):
+            p = int(hashlib.md5(f"{k}:{i}".encode()).hexdigest()[:8], 16) % 512
+            want[p // 48] |= 1 << (p % 48)
+    assert words == want
+    # merge of two shards == whole build
+    a = sk.build_bloom(df.filter(F.col("k") < 150), "k", 4, 512)
+    b = sk.build_bloom(df.filter(F.col("k") >= 150), "k", 4, 512)
+    assert sk.merge_blooms(a, b) == words
+    # every member passes the scan-side test (no false negatives)
+    passed = df.filter(sk.bloom_contains(F.col("k"), words, 4, 512)).count()
+    assert passed == len(keys)
+
+
+def test_bloom_semi_join_equals_exact(spark):
+    from etl_file_loader_spark.operators import sketches as sk
+
+    big = spark.createDataFrame([(i, i % 50) for i in range(1000)], "rid long, k long")
+    small = spark.createDataFrame([(k,) for k in range(0, 50, 7)], "sk long")
+    got = sorted(
+        (r["rid"], r["k"])
+        for r in sk.bloom_semi_join(big, small, "k", "sk", 4, 256).collect()
+    )
+    want = sorted((i, i % 50) for i in range(1000) if (i % 50) % 7 == 0)
+    assert got == want
+
+
+def test_bloom_prunes_before_exact_join(spark):
+    from etl_file_loader_spark.operators import sketches as sk
+
+    # tiny filter + disjoint probe range: the scan-side test must prune
+    # most nonmembers before the exact join, never a member
+    small = spark.createDataFrame([(k,) for k in range(10)], "k long")
+    probe = spark.createDataFrame([(k,) for k in range(10_000)], "k long")
+    words = sk.build_bloom(small, "k", num_hashes=4, num_bits=1024)
+    survivors = probe.filter(sk.bloom_contains(F.col("k"), words, 4, 1024)).count()
+    # 10 members + FPs; with 40 set bits of 1024 the FP rate is ~(40/1024)^4
+    assert 10 <= survivors < 100
+
+
+def test_bloom_merge_shape_mismatch(spark):
+    import pytest as _pytest
+
+    from etl_file_loader_spark.operators import sketches as sk
+
+    with _pytest.raises(ValueError, match="shape"):
+        sk.merge_blooms([0] * 4, [0] * 5)

@@ -462,6 +462,44 @@ COMMENTARY = {
         "AQE skew-split like the bigram; no driver-side state at all (the "
         "\"model\" stays distributed as count tables)."
     ),
+    "curation_text_signals": (
+        "Round 9: the fused shared-gram-table stage. ONE explode + "
+        "groupBy(doc, n, gram) builds the count table (the ~9x-token "
+        "shuffle every n-gram signal needs), persisted via InMemoryRelation "
+        "so the repetition chain, the novelty corpus-count join, the "
+        "span-dedup first-occurrence join, and the broadcast contamination "
+        "probe all read it WITHOUT re-exploding — at sf0.1 the whole stage "
+        "costs ~1s more than gopher_repetition_rules alone vs 26.6s for "
+        "the four independents. At 100 TB the persist becomes a written "
+        "parquet stage; plan shape is unchanged."
+    ),
+    "triplet_mining_lsh": (
+        "Round 9: ANN-bucketed batch-hard mining gate. The exact side is "
+        "the bounded |anchors| x N BroadcastNestedLoopJoin; the LSH side "
+        "replaces it with a (band, bucket) hash equi-join (candidates ∝ "
+        "neighborhood density), one Arrow matmul for the banding, and the "
+        "same WindowGroupLimit top-1 pushdown below the exchange. The gate "
+        "joins both paths' outputs — at 100 TB only the LSH side runs."
+    ),
+    "bloom_semi_join": (
+        "Round 9: bloom-pruned semi-join. The packed-word membership test "
+        "is a pure Filter ON THE SCAN of the big side (no UDF, no shuffle "
+        "— the shape of an engine-pushed runtime filter), so the "
+        "BroadcastHashJoin/shuffle semi-join downstream sees only bloom "
+        "survivors: shuffled bytes track |matches| + FP rate (7.1% at "
+        "sf0.01's deliberately small m), never |big|. At 100 TB this is "
+        "THE join-pruning idiom; the exact join guarantees the result "
+        "equals the plain semi-join."
+    ),
+    "langid_fixture": (
+        "Round 9: multiclass hashed-NB language ID over the learnable "
+        "fixture. Scan-side pure expressions end to end: ONE aliased "
+        "tokenize+md5 feature array per doc (computed once, not once per "
+        "language — the bind-expensive-aliases rule), four exact int64 "
+        "milli-unit HOF sums, argmax CASE chain; no shuffle except the "
+        "presentation sort. Scoring at 100 TB is scan speed; the FIT is "
+        "one groupBy(feature, lang) whose result is dim x n_langs rows."
+    ),
 }
 
 
