@@ -89,6 +89,16 @@ class CurationConfig:
     # keeps the historical whitespace counts. A subword tokenizer makes
     # shard_budget_tokens a real training-token budget.
     tokenizer: object | None = None
+    # Lineage barriers after the plan-exploding dedup stages (4/4b/4d):
+    # the connected-components lineage inside the dedup operators makes
+    # EVERY downstream frame re-pay Catalyst optimization over the whole
+    # tree — measured at sf10 (500k docs), the perplexity stage costs
+    # 391 s with the full lineage vs 2.5 s behind a localCheckpoint
+    # barrier (driver-side planning, not cluster work). eager=True also
+    # makes each stage count cheap. On a real cluster the equivalent is
+    # writing the stage frame to storage (what VersionedCorpus.ingest
+    # does); localCheckpoint keeps the one-shot run() self-contained.
+    stage_barriers: bool = True
 
 
 @dataclass
@@ -161,20 +171,31 @@ class CurationPipeline:
             # redaction never drops rows; no count job needed
         return cur
 
+    def _barrier(self, df: DataFrame) -> DataFrame:
+        """Truncate lineage at a dedup-stage boundary (see
+        CurationConfig.stage_barriers): the stage output materializes to
+        executor blocks and downstream plans start from a LogicalRDD
+        instead of the full connected-components tree."""
+        if not self.config.stage_barriers:
+            return df
+        return df.localCheckpoint(eager=True)
+
     def _apply_simhash(self, cur: DataFrame, counts: dict[str, int]) -> DataFrame:
         """Stage 4b: SimHash dedup, always AFTER any MinHash near-dedup —
         shared by ``run`` and the versioned incremental driver."""
         c = self.config
         if not c.simhash_dedup:
             return cur
-        cur = dedup_ops.simhash_dedup(
-            cur,
-            c.id_col,
-            c.text_col,
-            bits=c.simhash_bits,
-            max_hamming=c.simhash_max_hamming,
-            blocks=c.simhash_blocks,
-            max_family_size=c.simhash_max_family_size,
+        cur = self._barrier(
+            dedup_ops.simhash_dedup(
+                cur,
+                c.id_col,
+                c.text_col,
+                bits=c.simhash_bits,
+                max_hamming=c.simhash_max_hamming,
+                blocks=c.simhash_blocks,
+                max_family_size=c.simhash_max_family_size,
+            )
         )
         counts["simhash_dedup"] = cur.count()
         return cur
@@ -191,11 +212,13 @@ class CurationPipeline:
         cleaned = text_ops.remove_duplicate_spans(
             cur, c.id_col, c.text_col, window=c.span_window
         )
-        cur = cur.drop(c.text_col).join(
-            cleaned.filter(F.length("cleaned_text") > 0).select(
-                F.col(c.id_col), F.col("cleaned_text").alias(c.text_col)
-            ),
-            c.id_col,
+        cur = self._barrier(
+            cur.drop(c.text_col).join(
+                cleaned.filter(F.length("cleaned_text") > 0).select(
+                    F.col(c.id_col), F.col("cleaned_text").alias(c.text_col)
+                ),
+                c.id_col,
+            )
         )
         counts["span_dedup"] = cur.count()
         return cur
@@ -222,13 +245,15 @@ class CurationPipeline:
         cur = self._apply_filters(docs, counts)
 
         if c.near_dedup:
-            cur = dedup_ops.remove_near_duplicates(
-                cur,
-                did,
-                txt,
-                num_hashes=c.minhash_hashes,
-                bands=c.lsh_bands,
-                rows_per_band=c.lsh_rows_per_band,
+            cur = self._barrier(
+                dedup_ops.remove_near_duplicates(
+                    cur,
+                    did,
+                    txt,
+                    num_hashes=c.minhash_hashes,
+                    bands=c.lsh_bands,
+                    rows_per_band=c.lsh_rows_per_band,
+                )
             )
             counts["near_dedup"] = cur.count()
 
@@ -394,13 +419,15 @@ class VersionedCorpus:
             )
             counts["delta_vs_corpus_near"] = cur.count()
         if c.near_dedup:
-            cur = dedup_ops2.remove_near_duplicates(
-                cur,
-                did,
-                txt,
-                num_hashes=c.minhash_hashes,
-                bands=c.lsh_bands,
-                rows_per_band=c.lsh_rows_per_band,
+            cur = self.pipeline._barrier(
+                dedup_ops2.remove_near_duplicates(
+                    cur,
+                    did,
+                    txt,
+                    num_hashes=c.minhash_hashes,
+                    bands=c.lsh_bands,
+                    rows_per_band=c.lsh_rows_per_band,
+                )
             )
             counts["within_delta_dedup"] = cur.count()
 

@@ -829,3 +829,22 @@ def test_curation_span_dedup_rewrites_text_and_drops_empty(spark):
     assert set(kept) == {1, 3}  # doc 2 rebuilt to '' and dropped
     assert kept[1] == "one two three four five six seven eight"
     assert counts["span_dedup"] == 2
+
+
+def test_curation_stage_barriers_preserve_results(spark):
+    """Barriers are a plan-shape optimization only: identical stage counts
+    and identical surviving doc ids with stage_barriers on vs off."""
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kwargs = dict(
+        min_quality=None, scrub_pii=False, near_dedup=True,
+        simhash_dedup=True, span_dedup=True,
+        split_fractions=None, shard_budget_tokens=5000, partition_cols=["lang"],
+    )
+    on = CurationPipeline(CurationConfig(stage_barriers=True, **kwargs)).run(docs)
+    off = CurationPipeline(CurationConfig(stage_barriers=False, **kwargs)).run(docs)
+    assert on.stage_counts == off.stage_counts
+    ids_on = {r["doc_id"] for r in on.packed.select("doc_id").collect()}
+    ids_off = {r["doc_id"] for r in off.packed.select("doc_id").collect()}
+    assert ids_on == ids_off
