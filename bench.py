@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "bloom_filter_check",
     "bloom_probe_stats",
     "bloom_semi_join",
+    # round 9: perceptual image near-dedup (blocked dHash hamming)
+    "image_dedup_pairs",
 ]
 
 

@@ -271,3 +271,55 @@ def langid_corpus(
         _CACHE.pop(next(iter(_CACHE)))
     _CACHE[key] = df
     return df
+
+
+def media_png_neardup_corpus(spark: SparkSession, n_pairs: int = 40) -> DataFrame:
+    """REAL PNG pairs for perceptual near-dup detection: media 2i and 2i+1
+    share per-pixel md5-derived content (``B = md5int('img:i:y:x') % 256``,
+    channels B/B+1/B+2 mod 256 — "random" images, so distinct pairs land
+    ~28 bits apart on the 56-bit dHash), and the odd member bumps the base
+    by +5 on the sparse lattice ``(y*13 + x*17) % 23 == 0`` — a small
+    perceptual perturbation that flips only a few difference bits, like a
+    recompression would. Everything is closed-form md5 arithmetic on
+    (pair, y, x), so the oracle recomputes both members' hashes AND the
+    pair hamming without decoding a byte (suite ``image_dedup_pairs``).
+    Dims vary per pair (4 + i%13) x (3 + i%7), shared within a pair."""
+    import hashlib
+
+    import pandas as pd
+
+    from etl_file_loader_spark.operators import codecs
+
+    key = (spark.sparkContext.applicationId, "media_png_neardup", n_pairs)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
+    payloads = []
+    for m in range(2 * n_pairs):
+        i, bump = m // 2, m % 2
+        w, h = 4 + i % 13, 3 + i % 7
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                b = int(
+                    hashlib.md5(f"img:{i}:{y}:{x}".encode()).hexdigest()[:8], 16
+                ) % 256
+                if bump and (y * 13 + x * 17) % 23 == 0:
+                    b = (b + 5) % 256
+                for c in range(3):
+                    px[y, x, c] = (b + c) % 256
+        payloads.append(codecs.png_encode(px, filter_type=m % 5))
+    pdf = pd.DataFrame(
+        {"media_id": np.arange(2 * n_pairs, dtype=np.int64), "content": payloads}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(pdf, schema)
+    while len(_CACHE) >= _CACHE_MAX:
+        _CACHE.pop(next(iter(_CACHE)))
+    _CACHE[key] = df
+    return df

@@ -526,3 +526,37 @@ def audio_fingerprint(df: DataFrame, frame: int = 16) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(run, _AFP_SCHEMA)
+
+
+def image_dedup_pairs(
+    df: DataFrame,
+    grid: int = 8,
+    max_hamming: int = 6,
+    blocks: int = 7,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: :func:`image_dhash` composed
+    with the SimHash pigeonhole blocking machinery
+    (dedup._blocked_pairs_from_fingerprints) — the multimodal analog of
+    text simhash dedup. Two images within ``max_hamming`` on the
+    ``grid*(grid-1)``-bit dHash share at least one of ``blocks`` hash
+    blocks (pigeonhole needs ``blocks > max_hamming`` and
+    ``blocks | bits``; the 56-bit default splits into 7 x 8-bit blocks,
+    exact up to hamming 6), so candidates meet on a block equi-join and
+    only candidates pay the true-hamming rescore — never all pairs.
+    Undecodable images drop (no fingerprint, no pairs). Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    from etl_file_loader_spark.operators.dedup import (
+        _blocked_pairs_from_fingerprints,
+    )
+
+    bits = grid * (grid - 1)
+    sh = (
+        image_dhash(df, grid=grid)
+        .filter(F.col("decode_ok"))
+        .select(F.col("media_id"), F.col("dhash").alias("simhash"))
+        .persist()
+    )
+    return _blocked_pairs_from_fingerprints(
+        sh, "media_id", bits, max_hamming, blocks, max_bucket_size=max_bucket_size
+    )

@@ -39,6 +39,17 @@ class CurationConfig:
     html_max_link_density_milli: int = 500
     # stage 1: heuristic quality floor (None disables)
     min_quality: float | None = 0.5
+    # stage 1b: the published Gopher rules (Rae et al. 2021 Appendix A) —
+    # document-shape rules (gopher_quality: word counts, word lengths,
+    # symbol/bullet/ellipsis shares, alpha share, stop-word hits) AND the
+    # full repetition table (gopher_repetition: dup line/para fractions,
+    # top/dup n-gram char fractions). Shape rules are scan-speed; the
+    # repetition rules pay the (doc, n, gram) shuffle PRE-dedup — exactly
+    # where the published recipe runs them. Thresholds overridable via
+    # the operator-level dicts.
+    gopher_rules: bool = False
+    gopher_quality_overrides: dict | None = None
+    gopher_repetition_thresholds: dict | None = None
     # stage 2: hashed linear classifier (milli-unit weights; None disables)
     classifier_weights_milli: list[int] | None = None
     classifier_bias_milli: int = 0
@@ -152,6 +163,20 @@ class CurationPipeline:
         if c.min_quality is not None:
             cur = cur.filter(text_ops.quality_score(F.col(txt)) >= c.min_quality)
             counts["quality_filter"] = cur.count()
+
+        if c.gopher_rules:
+            shape_keep = text_ops.gopher_quality(
+                cur, did, txt, **(c.gopher_quality_overrides or {})
+            ).filter(F.col("keep") == 1).select(did)
+            rep_keep = text_ops.gopher_repetition(
+                cur, did, txt, thresholds=c.gopher_repetition_thresholds
+            ).filter(F.col("keep") == 1).select(did)
+            cur = self._barrier(
+                cur.join(shape_keep, did, "left_semi").join(
+                    rep_keep, did, "left_semi"
+                )
+            )
+            counts["gopher_rules"] = cur.count()
 
         if c.classifier_weights_milli is not None:
             scores = text_ops.classifier_score(

@@ -435,3 +435,70 @@ ORDER BY media_id
 
 QUERIES.update({"audio_fingerprint_real": q_audio_fingerprint_real})
 ORACLES.update({"audio_fingerprint_real": Q_AUDIO_FINGERPRINT_SQL})
+
+
+def q_image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dedup (operators/multimodal.py:
+    image_dedup_pairs): dHash + pigeonhole block join over the REAL
+    near-dup PNG fixture (40 base images + a sparsely-bumped variant
+    each). The fixture is closed-form md5 arithmetic on (pair, y, x), so
+    the oracle recomputes both members' 56-bit hashes AND every pair's
+    hamming — pigeonhole at 7 blocks / hamming <= 6 is exact, so the
+    blocked operator must produce exactly the all-pairs answer."""
+    from etl_file_loader_spark import fixtures
+    from etl_file_loader_spark.operators import multimodal
+
+    corpus = fixtures.media_png_neardup_corpus(spark, n_pairs=40)
+    return multimodal.image_dedup_pairs(
+        corpus, grid=8, max_hamming=6, blocks=7
+    ).orderBy("id_a", "id_b")
+
+
+_ND_BASE = (
+    "(CAST(('0x' || substr(md5('img:' || CAST(i AS VARCHAR) || ':' || "
+    "CAST(py AS VARCHAR) || ':' || CAST({px} AS VARCHAR)), 1, 8)) AS BIGINT) % 256"
+    " + CASE WHEN bump = 1 AND (py * 13 + {px} * 17) % 23 = 0 THEN 5 ELSE 0 END) % 256"
+)
+
+Q_IMAGE_DEDUP_PAIRS_SQL = f"""
+WITH ids AS (SELECT unnest(range(0, 80)) AS m),
+dims AS (
+  SELECT m, m // 2 AS i, m % 2 AS bump,
+         4 + (m // 2) % 13 AS w, 3 + (m // 2) % 7 AS h
+  FROM ids
+),
+cells AS (
+  SELECT m, i, bump, yy.y AS y, xx.x AS x,
+         (yy.y * h) // 8 AS py,
+         ((xx.x + 1) * w) // 8 AS px1,
+         (xx.x * w) // 8 AS px0
+  FROM dims, unnest(range(0, 8)) yy(y), unnest(range(0, 7)) xx(x)
+),
+bases AS (
+  SELECT m, y, x,
+         {_ND_BASE.format(px="px1")} AS b1,
+         {_ND_BASE.format(px="px0")} AS b0
+  FROM cells
+),
+g AS (
+  SELECT m, y, x,
+         CASE WHEN b1 <= 253 THEN b1 + 1 WHEN b1 = 254 THEN 169 ELSE 85 END AS g1,
+         CASE WHEN b0 <= 253 THEN b0 + 1 WHEN b0 = 254 THEN 169 ELSE 85 END AS g0
+  FROM bases
+),
+hashes AS (
+  SELECT m,
+         CAST(sum(CASE WHEN g1 > g0
+                  THEN (CAST(1 AS BIGINT) << (y*7 + x)) ELSE 0 END) AS BIGINT)
+           AS dh
+  FROM g GROUP BY m
+)
+SELECT a.m AS id_a, b.m AS id_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.m < b.m
+WHERE bit_count(xor(a.dh, b.dh)) <= 6
+ORDER BY id_a, id_b
+"""
+
+QUERIES.update({"image_dedup_pairs": q_image_dedup_pairs})
+ORACLES.update({"image_dedup_pairs": Q_IMAGE_DEDUP_PAIRS_SQL})

@@ -848,3 +848,37 @@ def test_curation_stage_barriers_preserve_results(spark):
     ids_on = {r["doc_id"] for r in on.packed.select("doc_id").collect()}
     ids_off = {r["doc_id"] for r in off.packed.select("doc_id").collect()}
     assert ids_on == ids_off
+
+
+def test_curation_gopher_rules_stage(spark):
+    """Stage 1b applies BOTH published Gopher rule sets pre-dedup and
+    agrees with the standalone operators' conjunction."""
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = CurationConfig(
+        min_quality=None, scrub_pii=False, near_dedup=False,
+        gopher_rules=True,
+        # the synthetic docs are short and use a made-up vocabulary:
+        # relax the word floor and the English stop-word rule so the
+        # stage discriminates instead of dropping everything
+        gopher_quality_overrides={"min_words": 5, "min_stop_hits": 0},
+        split_fractions=None,
+    )
+    counts = {}
+    out = CurationPipeline(cfg)._apply_filters(docs, counts)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    shape = {
+        r["doc_id"]
+        for r in text.gopher_quality(
+            docs, "doc_id", "text", min_words=5, min_stop_hits=0
+        ).filter(F.col("keep") == 1).collect()
+    }
+    rep = {
+        r["doc_id"]
+        for r in text.gopher_repetition(docs, "doc_id", "text")
+        .filter(F.col("keep") == 1).collect()
+    }
+    assert got == (shape & rep)
+    assert counts["gopher_rules"] == len(got)
+    assert 0 < len(got) < docs.count()  # the stage discriminates

@@ -2204,3 +2204,50 @@ def test_bloom_merge_shape_mismatch(spark):
 
     with _pytest.raises(ValueError, match="shape"):
         sk.merge_blooms([0] * 4, [0] * 5)
+
+
+# ---------------------------------------------------------------------------
+# image_dedup_pairs (round 9): perceptual near-dup via blocked dHash hamming
+# ---------------------------------------------------------------------------
+
+
+def test_image_dedup_pairs_finds_exactly_the_planted_pairs(spark):
+    from etl_file_loader_spark import fixtures
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    corpus = fixtures.media_png_neardup_corpus(spark, n_pairs=12)
+    out = mm.image_dedup_pairs(corpus, grid=8, max_hamming=6, blocks=7).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    # every planted (base, variant) pair detected, nothing else
+    assert set(got) == {(2 * i, 2 * i + 1) for i in range(12)}
+    assert all(h <= 6 for h in got.values())
+
+
+def test_image_dedup_pairs_exact_duplicate_and_undecodable(spark):
+    from etl_file_loader_spark import fixtures
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    corpus = fixtures.media_png_corpus(spark, n=6)
+    # duplicate image 0's payload under a new id + one garbage payload
+    dup = corpus.filter(F.col("media_id") == 0).select(
+        (F.col("media_id") + 100).alias("media_id"), "content"
+    )
+    bad = corpus.sparkSession.createDataFrame(
+        [(999, b"not an image")], "media_id long, content binary"
+    )
+    out = mm.image_dedup_pairs(
+        corpus.unionByName(dup).unionByName(bad), max_hamming=0
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in out} >= {(0, 100, 0)}
+    assert all(999 not in (r["id_a"], r["id_b"]) for r in out)
+
+
+def test_image_dedup_pairs_rejects_bad_blocking(spark):
+    import pytest as _pytest
+
+    from etl_file_loader_spark import fixtures
+    from etl_file_loader_spark.operators import multimodal as mm
+
+    corpus = fixtures.media_png_corpus(spark, n=2)
+    with _pytest.raises(ValueError, match="blocks"):
+        mm.image_dedup_pairs(corpus, max_hamming=8, blocks=7).collect()
