@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "bloom_semi_join",
     # round 9: perceptual image near-dedup (blocked dHash hamming)
     "image_dedup_pairs",
+    # round 9: streaming CDC apply (tombstoned incremental merge)
+    "streaming_cdc_apply",
 ]
 
 

@@ -216,22 +216,7 @@ def cdc_apply(
             *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in sorted(tracked)],
         )
     )
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(),
-        F.when(F.col(op_col) == "D", 1).otherwise(0).desc(),
-        tie_hash.desc(),
-    )
-    latest = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            *[F.col(k).alias(f"_uk_{k}") for k in keys],
-            *[F.col(c).alias(f"_u_{c}") for c in tracked],
-            F.col(seq_col).alias("_u_seq"),
-            (F.col(op_col) == "D").alias("_u_del"),
-            F.lit(True).alias("_in_u"),
-        )
-    )
+    latest = _cdc_latest(changes, keys, tracked, seq_col, op_col, tie_hash)
     tgt = target.select(
         *[F.col(k).alias(f"_tk_{k}") for k in keys],
         *[F.col(c).alias(f"_t_{c}") for c in tracked],
@@ -267,6 +252,103 @@ def cdc_apply(
             .alias(seq_col),
         )
         .select(*out_cols)
+    )
+
+
+def _cdc_latest(changes, keys, tracked, seq_col, op_col, tie_hash):
+    """Per-key latest change in a batch (shared by :func:`cdc_apply` and
+    :func:`cdc_apply_tombstoned`): max seq, delete-beats-upsert at equal
+    seq, then the house row-hash — a pure function of the data."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        F.when(F.col(op_col) == "D", 1).otherwise(0).desc(),
+        tie_hash.desc(),
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *[F.col(k).alias(f"_uk_{k}") for k in keys],
+            *[F.col(c).alias(f"_u_{c}") for c in tracked],
+            F.col(seq_col).alias("_u_seq"),
+            (F.col(op_col) == "D").alias("_u_del"),
+            F.lit(True).alias("_in_u"),
+        )
+    )
+
+
+def cdc_apply_tombstoned(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental (micro-batch / streaming) form of :func:`cdc_apply`:
+    deletes leave TOMBSTONES instead of removing rows, which is the
+    confluence requirement for applying a CDC feed batch-by-batch when
+    batches can arrive out of sequence order. Without a tombstone, a
+    delete at seq 210 applied in batch N would erase the key entirely,
+    and a LATE upsert at seq 50 arriving in batch N+1 would look like a
+    brand-new key and resurrect the row; the tombstone keeps the delete's
+    seq in the state so the stale change loses the same comparison it
+    would have lost in one big batch.
+
+    ``state`` schema = keys + tracked + seq_col + ``_deleted`` (int 0/1);
+    initialize from a snapshot with ``withColumn("_deleted", lit(0))``.
+    Returns the NEXT state (every key retained). The visible table is
+    ``state.filter("_deleted = 0").drop("_deleted")``, and after applying
+    every batch it equals one-shot :func:`cdc_apply` over the full feed —
+    pinned by the ``streaming_cdc_apply`` suite query, which replays the
+    SAME DuckDB oracle as the batch ``cdc_apply`` row. Equal-seq ties are
+    resolved within a batch (delete beats upsert); across batches the
+    first-arrived winner stands — no CDC consumer can order equal-seq
+    events across arrival boundaries without a total order.
+
+    Plan shape per batch: one window shuffle over the batch + one
+    full-outer join against the state — identical to :func:`cdc_apply`;
+    at 100 TB the state lives in a keyed table (Delta/parquet buckets)
+    and this is the MERGE each micro-batch runs.
+    """
+    tie_hash = F.md5(
+        F.concat_ws(
+            "|",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in sorted(tracked)],
+        )
+    )
+    latest = _cdc_latest(changes, keys, tracked, seq_col, op_col, tie_hash)
+    tgt = state.select(
+        *[F.col(k).alias(f"_tk_{k}") for k in keys],
+        *[F.col(c).alias(f"_t_{c}") for c in tracked],
+        F.col(seq_col).alias("_t_seq"),
+        F.coalesce(F.col("_deleted"), F.lit(0)).alias("_t_del"),
+        F.lit(True).alias("_in_t"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_tk_{k}") == F.col(f"_uk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = tgt.join(latest, cond, "full_outer")
+    in_t = F.coalesce(F.col("_in_t"), F.lit(False))
+    in_u = F.coalesce(F.col("_in_u"), F.lit(False))
+    applies = in_u & (~in_t | (F.col("_u_seq") > F.col("_t_seq")))
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_tk_{k}"), F.col(f"_uk_{k}")).alias(k)
+            for k in keys
+        ],
+        *[
+            F.when(applies, F.col(f"_u_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
+            for c in tracked
+        ],
+        F.when(applies, F.col("_u_seq")).otherwise(F.col("_t_seq")).alias(seq_col),
+        F.when(applies, F.col("_u_del").cast("int"))
+        .otherwise(F.col("_t_del"))
+        .cast("int")
+        .alias("_deleted"),
     )
 
 

@@ -424,3 +424,76 @@ def interval_join_streams(
         )
     )
     return lw.join(rw, cond, "inner")
+
+
+def cdc_stream(
+    changes: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    tracked: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> StreamingQuery:
+    """Continuous CDC apply: a streaming change feed MERGEs into a keyed
+    state snapshot micro-batch by micro-batch via
+    ``publish.cdc_apply_tombstoned`` — the streaming face of the third
+    merge flavor (Delta Live Tables' APPLY CHANGES INTO, minus Delta).
+
+    State = versioned parquet snapshots under ``state_dir``
+    (``state_v{n}``: read latest, write next — never overwrite the input
+    of a running plan). Seed ``state_v0`` with the initial snapshot plus
+    ``_deleted = 0`` before starting. The visible table after any batch
+    is ``state.filter("_deleted = 0").drop("_deleted")``; tombstones make
+    batch-by-batch application CONFLUENT under out-of-order batches (a
+    late stale change loses to an earlier-arrived higher-seq delete
+    exactly as it would in one big batch) — pinned by the
+    ``streaming_cdc_apply`` suite row, which replays the SAME DuckDB
+    oracle as batch ``cdc_apply``.
+
+    The in-closure version counter restarts at the seeded latest version,
+    so a restarted query resumes from the last published snapshot (the
+    checkpoint guarantees each file feeds exactly one batch). At cluster
+    scale the snapshot-chain becomes a Delta/Iceberg MERGE per batch —
+    plan shape per batch is identical (one batch-sized window + one
+    full-outer join against the state).
+    """
+    import re
+
+    from etl_file_loader_spark.fs import FS
+    from etl_file_loader_spark.operators import publish as publish_ops
+
+    def _latest_version(fs: FS) -> int:
+        vs = [
+            int(m.group(1))
+            for name in fs.list_names(state_dir)
+            if (m := re.fullmatch(r"state_v(\d+)", name))
+        ]
+        if not vs:
+            raise FileNotFoundError(
+                f"cdc_stream: seed {state_dir}/state_v0 with the initial "
+                "snapshot (+ _deleted = 0) before starting"
+            )
+        return max(vs)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fs = FS(spark)
+        v = _latest_version(fs)
+        state = spark.read.parquet(f"{state_dir}/state_v{v}")
+        new_state = publish_ops.cdc_apply_tombstoned(
+            state, batch_df, keys, tracked, seq_col, op_col
+        )
+        new_state.write.mode("errorifexists").parquet(
+            f"{state_dir}/state_v{v + 1}"
+        )
+
+    return (
+        changes.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -617,15 +617,15 @@ FROM (
 ORDER BY c_custkey, valid_from, is_current
 """
 
-def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC apply-changes merge (operators/publish.py:cdc_apply): a keyed
-    customer snapshot (seq=100) receives a change feed exercising every
-    branch — latest-of-multiple upserts (seq 150 vs 200), deletes that
-    out-sequence overlapping upserts (seq 210), stale changes below the
-    target's seq (50, ignored), brand-new keys, deletes of absent keys
-    (no-op), and an equal-seq upsert/delete tie (delete wins)."""
+_CDC_TRACKED = ["c_mktsegment", "c_name", "c_nationkey"]
+
+
+def _cdc_fixture(spark: SparkSession, sf_dir: str):
+    """(target, changes) shared by the batch ``cdc_apply`` row and the
+    streaming ``streaming_cdc_apply`` row (which feeds the same changes
+    in out-of-order micro-batches and must land on the same table)."""
     cust = _t(spark, sf_dir, "customer")
-    tracked = ["c_mktsegment", "c_name", "c_nationkey"]
+    tracked = _CDC_TRACKED
     target = cust.select(
         "c_custkey", *tracked, F.lit(100).cast("long").alias("seq")
     )
@@ -674,8 +674,19 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chg(cust.filter(F.col("c_custkey") % 11 == 0),
                          F.col("c_mktsegment"), 300, "D"))
     )
+    return target, changes
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes merge (operators/publish.py:cdc_apply): a keyed
+    customer snapshot (seq=100) receives a change feed exercising every
+    branch — latest-of-multiple upserts (seq 150 vs 200), deletes that
+    out-sequence overlapping upserts (seq 210), stale changes below the
+    target's seq (50, ignored), brand-new keys, deletes of absent keys
+    (no-op), and an equal-seq upsert/delete tie (delete wins)."""
+    target, changes = _cdc_fixture(spark, sf_dir)
     out = publish_ops.cdc_apply(
-        target, changes, ["c_custkey"], tracked, "seq"
+        target, changes, ["c_custkey"], _CDC_TRACKED, "seq"
     )
     return out.orderBy("c_custkey")
 
@@ -956,3 +967,72 @@ ORACLES.update(
         "file_row_number": Q_FILE_ROW_NUMBER_SQL,
     }
 )
+
+
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming CDC run (streaming/ingest.py:cdc_stream): the SAME
+    change feed as ``cdc_apply``, split into three micro-batch files fed
+    one per trigger — mid seqs (150/200) first, then the deletes and the
+    equal-seq tie (210/220/300), then the STALE batch (seq 50) arriving
+    LAST. Tombstoned incremental application must land on exactly the
+    one-shot batch answer (the stale batch must lose to already-applied
+    higher-seq deletes — the resurrection case plain delete-and-forget
+    state gets wrong), so this row replays the IDENTICAL DuckDB oracle
+    as ``cdc_apply``. The equal-seq U/D tie pair ships inside one batch:
+    within-batch ties are ordered (delete wins); across arrival
+    boundaries no CDC consumer can order equal seqs."""
+    import tempfile
+
+    from etl_file_loader_spark.streaming.ingest import cdc_stream
+    from etl_file_loader_spark.suite._shared import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    target, changes = _cdc_fixture(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="efls_cdc_stream_")
+    chg_dir = f"{root}/changes"
+    buckets = [
+        changes.filter(F.col("seq").isin(150, 200)),
+        changes.filter(F.col("seq").isin(210, 220, 300)),
+        changes.filter(F.col("seq") == 50),
+    ]
+    for i, b in enumerate(buckets):
+        b.coalesce(1).write.parquet(f"{chg_dir}/b{i}")
+    target.withColumn("_deleted", F.lit(0)).write.parquet(
+        f"{root}/state/state_v0"
+    )
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chg_dir)
+    )
+    q = cdc_stream(
+        stream,
+        f"{root}/state",
+        f"{root}/ck",
+        ["c_custkey"],
+        _CDC_TRACKED,
+        "seq",
+    )
+    q.awaitTermination()
+    from etl_file_loader_spark.fs import FS
+
+    import re
+
+    fs = FS(spark)
+    v = max(
+        int(m.group(1))
+        for name in fs.list_names(f"{root}/state")
+        if (m := re.fullmatch(r"state_v(\d+)", name))
+    )
+    final = spark.read.parquet(f"{root}/state/state_v{v}")
+    return (
+        final.filter(F.col("_deleted") == 0)
+        .drop("_deleted")
+        .orderBy("c_custkey")
+    )
+
+
+QUERIES.update({"streaming_cdc_apply": q_streaming_cdc_apply})
+# the streaming run must land on the batch answer: identical oracle
+ORACLES.update({"streaming_cdc_apply": Q_CDC_APPLY_SQL})

@@ -419,3 +419,106 @@ def test_streaming_multimodal_decode(spark, tmp_path):
     assert rows[1]["decode_ok"] and (rows[1]["width"], rows[1]["height"]) == (4, 2)
     assert rows[1]["mean_pixel"] == float(img.astype(np.int64).sum()) / img.size
     assert not rows[2]["decode_ok"]
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply_tombstoned + cdc_stream (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_tombstone_blocks_late_stale_resurrection(spark):
+    """The confluence case: a delete applied in batch N must not be undone
+    by a LOWER-seq upsert arriving in batch N+1."""
+    from pyspark.sql import functions as F
+
+    from etl_file_loader_spark.operators import publish
+
+    state = spark.createDataFrame(
+        [(1, "a", 100, 0), (2, "b", 100, 0)],
+        "k long, v string, seq long, _deleted int",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "x", 210, "D")], "k long, v string, seq long, op string"
+    )
+    s1 = publish.cdc_apply_tombstoned(state, b1, ["k"], ["v"], "seq")
+    rows = {r["k"]: r for r in s1.collect()}
+    assert rows[1]["_deleted"] == 1 and rows[1]["seq"] == 210  # tombstone
+    assert rows[2]["_deleted"] == 0
+    # late stale upsert for the deleted key: must stay deleted
+    b2 = spark.createDataFrame(
+        [(1, "resurrect", 50, "U")], "k long, v string, seq long, op string"
+    )
+    s2 = publish.cdc_apply_tombstoned(s1, b2, ["k"], ["v"], "seq")
+    rows = {r["k"]: r for r in s2.collect()}
+    assert rows[1]["_deleted"] == 1 and rows[1]["seq"] == 210
+    # a genuinely newer upsert DOES revive it
+    b3 = spark.createDataFrame(
+        [(1, "back", 300, "U")], "k long, v string, seq long, op string"
+    )
+    rows = {
+        r["k"]: r
+        for r in publish.cdc_apply_tombstoned(s2, b3, ["k"], ["v"], "seq").collect()
+    }
+    assert rows[1]["_deleted"] == 0 and rows[1]["v"] == "back"
+
+
+def test_cdc_tombstoned_incremental_equals_batch(spark):
+    """Splitting a feed (distinct seqs) into micro-batches in ANY order
+    lands on the batch cdc_apply answer after the tombstone filter."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from etl_file_loader_spark.operators import publish
+
+    target = spark.createDataFrame(
+        [(k, f"v{k}", 100) for k in range(1, 6)], "k long, v string, seq long"
+    )
+    feed = [
+        (1, "u150", 150, "U"), (1, "u200", 200, "U"),
+        (2, "d", 210, "D"), (2, "stale", 50, "U"),
+        (3, "stale", 50, "U"),
+        (9, "new", 200, "I"), (4, "d", 220, "D"),
+    ]
+    schema = "k long, v string, seq long, op string"
+    want = sorted(
+        tuple(r)
+        for r in publish.cdc_apply(
+            target, spark.createDataFrame(feed, schema), ["k"], ["v"], "seq"
+        ).collect()
+    )
+    chunks = [feed[:2], feed[2:5], feed[5:]]
+    for order in itertools.permutations(range(3)):
+        state = target.withColumn("_deleted", F.lit(0))
+        for ci in order:
+            state = publish.cdc_apply_tombstoned(
+                state, spark.createDataFrame(chunks[ci], schema), ["k"], ["v"], "seq"
+            ).localCheckpoint(eager=True)
+        got = sorted(
+            tuple(r)
+            for r in state.filter("_deleted = 0").drop("_deleted").collect()
+        )
+        assert got == want, order
+
+
+def test_cdc_stream_requires_seeded_state(spark):
+    import tempfile
+
+    import pytest as _pytest
+
+    from etl_file_loader_spark.operators import publish
+    from etl_file_loader_spark.streaming.ingest import cdc_stream
+
+    root = tempfile.mkdtemp(prefix="efls_cdc_seed_")
+    schema = "k long, v string, seq long, op string"
+    spark.createDataFrame([(1, "a", 1, "U")], schema).write.parquet(f"{root}/chg/b0")
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{root}/chg/b0").schema
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{root}/chg")
+    )
+    q = cdc_stream(stream, f"{root}/state", f"{root}/ck", ["k"], ["v"], "seq")
+    with _pytest.raises(Exception, match="state_v0"):
+        q.awaitTermination()
