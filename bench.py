@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "image_dedup_pairs",
     # round 9: streaming CDC apply (tombstoned incremental merge)
     "streaming_cdc_apply",
+    # round 9: exact edit-distance self-join (PassJoin, lossless blocking)
+    "fuzzy_match_parts",
 ]
 
 

@@ -1186,3 +1186,149 @@ def semantic_contamination(
         )
         .select(F.col("_cid").alias(id_col), "max_cosine", "n_bench_hits")
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy record matching (round 9): exact edit-distance self-join, PassJoin
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame, id_col: str, str_col: str, max_distance: int = 2
+) -> DataFrame:
+    """Exact edit-distance self-join (entity resolution / fuzzy record
+    dedup) without the n² cross join — the PassJoin segment-pigeonhole
+    (Li et al. 2011): partition each string into ``d+1`` contiguous
+    segments; if ``ed(a, b) <= d`` then at most d segments are touched by
+    an edit, so b contains at least one of a's segments VERBATIM, at a
+    position shifted by at most d. Candidates therefore meet on a plain
+    segment-string equi-join (shuffle ∝ segments + substrings of the
+    corpus, never pairs), a position/length window prunes them, and exact
+    ``levenshtein`` verifies — the result is EXACTLY the all-pairs answer
+    (the suite oracle computes the all-pairs answer in SQL and they must
+    match), never a recall trade.
+
+    Strings are lowercased for matching. Records with ``len <= 2d`` take
+    a single tiny cross bucket (their segments could be empty; any
+    partner within d is itself ``<= 3d`` long), records longer than d go
+    through the segment path — the two overlap on purpose and pairs
+    dedupe. Returns (id_a, id_b, distance) with id_a < id_b.
+
+    100 TB shape: segment/substring explosion is linear in corpus chars
+    (~(d+2) keys per char); the equi-join shuffles on short segment
+    strings (Zipf-hot segments ride AQE skew handling); levenshtein runs
+    only on candidates. This is the classic scalable exact fuzzy join —
+    blocking-with-recall variants (soundex, first-k) are strictly weaker.
+    """
+    d = max_distance
+    if d < 1:
+        raise ValueError("max_distance must be >= 1")
+    k = d + 1
+    s = F.lower(F.col(str_col))
+    base = df.select(
+        F.col(id_col).alias("_id"), s.alias("_s"), F.length(s).alias("_l")
+    ).persist()
+
+    # a-side: the k segments (0-based start = i*(L div k) + min(i, L mod k))
+    segs = base.filter(F.col("_l") >= k).select(
+        "_id",
+        "_l",
+        "_s",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.struct(
+                    (
+                        i * (F.col("_l") - F.pmod(F.col("_l"), k)) / k
+                        + F.least(i, F.pmod(F.col("_l"), k))
+                    ).cast("int").alias("start"),
+                    (
+                        (F.col("_l") - F.pmod(F.col("_l"), k)) / k
+                        + F.when(i < F.pmod(F.col("_l"), k), 1).otherwise(0)
+                    ).cast("int").alias("len"),
+                ),
+            )
+        ).alias("_g"),
+    ).select(
+        F.col("_id").alias("_aid"),
+        F.col("_l").alias("_al"),
+        F.col("_g")["start"].alias("_astart"),
+        F.expr("substring(_s, _g.start + 1, _g.len)").alias("_seg"),
+    )
+
+    # b-side: every substring whose length could be a segment length of
+    # some partner within the +-d length window
+    subs = base.select(
+        F.col("_id").alias("_bid"),
+        F.col("_l").alias("_bl"),
+        F.col("_s").alias("_bs"),
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        # candidate segment lengths: (L-d) div k .. (L+d) div k + 1
+                        F.sequence(
+                            F.greatest(
+                                ((F.col("_l") - d) / k).cast("int"), F.lit(1)
+                            ),
+                            ((F.col("_l") + d) / k).cast("int") + 1,
+                        ),
+                        lambda ln: F.transform(
+                            F.sequence(F.lit(0), F.col("_l") - ln),
+                            lambda p: F.struct(
+                                p.alias("pos"), ln.alias("len")
+                            ),
+                        ),
+                    )
+                ),
+                lambda x: (x["len"] >= 1) & (x["pos"] >= 0),
+            )
+        ).alias("_g"),
+    ).select(
+        "_bid",
+        "_bl",
+        F.col("_g")["pos"].alias("_bpos"),
+        F.expr("substring(_bs, _g.pos + 1, _g.len)").alias("_seg"),
+    )
+
+    # ONE equi-join; both probe directions fall out of it (every record
+    # is on both the segment side and the substring side — the pigeonhole
+    # needs only ONE of the two partitionings to survive untouched), and
+    # pairs normalize to id_a < id_b before the dedup
+    cand = (
+        segs.join(subs, "_seg")
+        .filter(
+            (F.col("_aid") != F.col("_bid"))
+            & (F.abs(F.col("_al") - F.col("_bl")) <= d)
+            & (F.abs(F.col("_astart") - F.col("_bpos")) <= d)
+        )
+        .select(
+            F.least(F.col("_aid"), F.col("_bid")).alias("_aid"),
+            F.greatest(F.col("_aid"), F.col("_bid")).alias("_bid"),
+        )
+        .distinct()
+    )
+    # tiny-string bucket: segments can be empty below L = k; partners sit
+    # within d chars, so the whole bucket is <= 3d-long strings
+    tiny = base.filter(F.col("_l") <= 2 * d).select(
+        F.col("_id").alias("_aid")
+    )
+    tiny_partners = base.filter(F.col("_l") <= 3 * d).select(
+        F.col("_id").alias("_bid")
+    )
+    cand = cand.unionAll(
+        tiny.crossJoin(tiny_partners).filter(F.col("_aid") < F.col("_bid"))
+    ).distinct()
+
+    a = base.select(F.col("_id").alias("_aid"), F.col("_s").alias("_sa"))
+    b = base.select(F.col("_id").alias("_bid"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(a, "_aid")
+        .join(b, "_bid")
+        .select(
+            F.col("_aid").alias("id_a"),
+            F.col("_bid").alias("id_b"),
+            F.levenshtein(F.col("_sa"), F.col("_sb")).alias("distance"),
+        )
+        .filter(F.col("distance") <= d)
+    )

@@ -832,3 +832,91 @@ ORACLES.update(
         "semantic_contamination_check": "SELECT 'semantic_contamination_precision' AS metric, 100 AS threshold_pct, 1 AS passed UNION ALL SELECT 'semantic_contamination_recall', 90, 1 ORDER BY metric",
     }
 )
+
+
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance self-join (operators/dedup.py:
+    edit_distance_pairs — PassJoin segment pigeonhole, never n²) over
+    part names + planted 1-edit typo variants (every third part gets a
+    deterministic delete / duplicate-char / replace-with-q at a
+    key-derived position). The oracle computes the ALL-PAIRS answer in
+    SQL, so this row proves the segment blocking is lossless on real
+    data, not a recall trade — every pair within distance 2, planted or
+    incidental, must appear with its exact distance."""
+    part = _t(spark, sf_dir, "part")
+    base = part.select(F.col("p_partkey").alias("rid"), F.col("p_name").alias("s"))
+    src = part.filter(F.col("p_partkey") % 3 == 0).select(
+        "p_partkey", "p_name", F.length("p_name").alias("_l")
+    )
+    pos = (F.col("p_partkey") % (F.col("_l") - 2)) + 2  # 1-based, inside
+    op = F.col("p_partkey") % 3  # always 0 here (key % 3 == 0): use key//3
+    op = (F.col("p_partkey") / 3).cast("long") % 3
+    name = F.col("p_name")
+    typo = (
+        F.when(
+            op == 0,  # delete char at pos
+            F.concat(
+                name.substr(F.lit(1), pos - 1),
+                name.substr(pos + 1, F.col("_l") - pos),
+            ),
+        )
+        .when(
+            op == 1,  # duplicate char at pos
+            F.concat(
+                name.substr(F.lit(1), pos),
+                name.substr(pos, F.lit(1)),
+                name.substr(pos + 1, F.col("_l") - pos),
+            ),
+        )
+        .otherwise(  # replace char at pos with 'q'
+            F.concat(
+                name.substr(F.lit(1), pos - 1),
+                F.lit("q"),
+                name.substr(pos + 1, F.col("_l") - pos),
+            )
+        )
+    )
+    variants = src.select(
+        (F.col("p_partkey") + F.lit(1_000_000)).alias("rid"), typo.alias("s")
+    )
+    recs = base.unionByName(variants)
+    from etl_file_loader_spark.operators import dedup as dedup_ops
+
+    return (
+        dedup_ops.edit_distance_pairs(recs, "rid", "s", max_distance=2)
+        .select(
+            "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q_FUZZY_MATCH_SQL = """
+WITH src AS (
+  SELECT p_partkey, p_name, length(p_name) AS l,
+         CAST(p_partkey % (length(p_name) - 2) + 2 AS INT) AS pos,
+         CAST((p_partkey // 3) % 3 AS INT) AS op
+  FROM part WHERE p_partkey % 3 = 0
+),
+recs AS (
+  SELECT p_partkey AS rid, p_name AS s FROM part
+  UNION ALL
+  SELECT p_partkey + 1000000,
+         CASE op
+           WHEN 0 THEN substr(p_name, 1, pos - 1) || substr(p_name, pos + 1, l - pos)
+           WHEN 1 THEN substr(p_name, 1, pos) || substr(p_name, pos, 1)
+                       || substr(p_name, pos + 1, l - pos)
+           ELSE substr(p_name, 1, pos - 1) || 'q' || substr(p_name, pos + 1, l - pos)
+         END
+  FROM src
+)
+SELECT a.rid AS id_a, b.rid AS id_b,
+       CAST(levenshtein(lower(a.s), lower(b.s)) AS INTEGER) AS distance
+FROM recs a JOIN recs b ON a.rid < b.rid
+WHERE abs(length(a.s) - length(b.s)) <= 2
+  AND levenshtein(lower(a.s), lower(b.s)) <= 2
+ORDER BY id_a, id_b
+"""
+
+QUERIES.update({"fuzzy_match_parts": q_fuzzy_match_parts})
+ORACLES.update({"fuzzy_match_parts": Q_FUZZY_MATCH_SQL})

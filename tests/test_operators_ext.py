@@ -2251,3 +2251,68 @@ def test_image_dedup_pairs_rejects_bad_blocking(spark):
     corpus = fixtures.media_png_corpus(spark, n=2)
     with _pytest.raises(ValueError, match="blocks"):
         mm.image_dedup_pairs(corpus, max_hamming=8, blocks=7).collect()
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs (round 9): PassJoin exact fuzzy self-join
+# ---------------------------------------------------------------------------
+
+
+def _lev(a, b):
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[lb]
+
+
+def test_edit_distance_pairs_equals_bruteforce(spark):
+    """Lossless on an adversarial mix: first-char edits (which first-letter
+    blocking misses), double inserts, case folds, tiny/empty strings."""
+    import itertools
+
+    from etl_file_loader_spark.operators import dedup
+
+    rows = [
+        (0, "alpha beta"), (1, "alpha betaxy"), (2, "qlpha beta"),
+        (3, "alpha bet"), (4, "ALPHA BETA"), (5, "gamma delta"),
+        (6, "gamma deltq"), (7, "totally different words"),
+        (8, ""), (9, "a"), (10, "ab"), (11, "abcd"), (12, "b"),
+    ]
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in dedup.edit_distance_pairs(
+            spark.createDataFrame(rows, "id long, s string"), "id", "s", 2
+        ).collect()
+    }
+    data = {i: s.lower() for i, s in rows}
+    want = {
+        (a, b, _lev(data[a], data[b]))
+        for a, b in itertools.combinations(sorted(data), 2)
+        if _lev(data[a], data[b]) <= 2
+    }
+    assert got == want
+    assert (0, 4, 0) in got  # case fold -> exact match
+    assert (0, 2, 1) in got  # first-char replacement found
+
+
+def test_edit_distance_pairs_radius_one_and_validation(spark):
+    import pytest as _pytest
+
+    from etl_file_loader_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "sittin"), (4, "kitten")],
+        "id long, s string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in dedup.edit_distance_pairs(df, "id", "s", 1).collect()
+    }
+    assert got == {(1, 2): 1, (2, 3): 1, (1, 4): 0, (2, 4): 1}
+    with _pytest.raises(ValueError, match="max_distance"):
+        dedup.edit_distance_pairs(df, "id", "s", 0)

@@ -481,6 +481,16 @@ COMMENTARY = {
         "same WindowGroupLimit top-1 pushdown below the exchange. The gate "
         "joins both paths' outputs — at 100 TB only the LSH side runs."
     ),
+    "fuzzy_match_parts": (
+        "Round 9: exact edit-distance self-join (PassJoin). Segment and "
+        "substring explosions are linear in corpus chars; candidates meet "
+        "on a short-string hash equi-join (never a cross join — the plan "
+        "must show SortMergeJoin/ShuffledHashJoin on _seg, with the only "
+        "crossJoin the provably-tiny <=2d-length bucket); levenshtein runs "
+        "on candidates only. The all-pairs oracle proves the pigeonhole "
+        "blocking lossless, so this is exact fuzzy matching at linear "
+        "candidate volume — the ER primitive engines usually approximate."
+    ),
     "bloom_semi_join": (
         "Round 9: bloom-pruned semi-join. The packed-word membership test "
         "is a pure Filter ON THE SCAN of the big side (no UDF, no shuffle "
