@@ -1216,9 +1216,19 @@ def edit_distance_pairs(
 
     100 TB shape: segment/substring explosion is linear in corpus chars
     (~(d+2) keys per char); the equi-join shuffles on short segment
-    strings (Zipf-hot segments ride AQE skew handling); levenshtein runs
-    only on candidates. This is the classic scalable exact fuzzy join —
-    blocking-with-recall variants (soundex, first-k) are strictly weaker.
+    strings and levenshtein runs only on candidates. CANDIDATE volume,
+    however, is data-shape-dependent: it sums bucket-size PRODUCTS over
+    segment values, so low-entropy corpora whose strings compose a small
+    vocabulary (TPC-H part names: "red bolt " opens 300+ names) go
+    superlinear even though the blocking is lossless — the same
+    Σ-bucket² behavior as SimHash blocks at extreme duplication density.
+    Remedies at scale are the published PassJoin refinements
+    (multi-match-aware substring selection, length-tiered segment
+    allocation) plus the house bucket-cap-with-accounting pattern; on
+    high-entropy keys (names, addresses, titles with real vocabulary)
+    buckets stay small and the join is effectively linear. This is still
+    the classic scalable EXACT fuzzy join — blocking-with-recall
+    variants (soundex, first-k) are strictly weaker.
     """
     d = max_distance
     if d < 1:

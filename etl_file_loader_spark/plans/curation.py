@@ -263,6 +263,24 @@ class CurationPipeline:
         counts["perplexity_filter"] = cur.count()
         return cur
 
+    def text_signals(self, docs: DataFrame, benchmark: DataFrame | None = None) -> DataFrame:
+        """The fused shared-gram-table signal stage (operators/text.py:
+        text_signals) under this pipeline's column config and Gopher
+        repetition thresholds: Gopher repetition rules + n-gram novelty
+        + span-removal accounting (+ contamination when a benchmark frame
+        is given) off ONE persisted (doc, n, gram) table — run it to
+        SCORE a corpus before deciding filter thresholds, where the four
+        independent operators would each re-pay the gram shuffle."""
+        c = self.config
+        return text_ops.text_signals(
+            docs,
+            c.id_col,
+            c.text_col,
+            benchmark=benchmark,
+            window=c.span_window,
+            thresholds=c.gopher_repetition_thresholds,
+        )
+
     def run(self, docs: DataFrame) -> CurationResult:
         c = self.config
         did, txt = c.id_col, c.text_col

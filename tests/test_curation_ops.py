@@ -882,3 +882,13 @@ def test_curation_gopher_rules_stage(spark):
     assert got == (shape & rep)
     assert counts["gopher_rules"] == len(got)
     assert 0 < len(got) < docs.count()  # the stage discriminates
+
+
+def test_pipeline_text_signals_matches_operator(spark):
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    pipe = CurationPipeline(CurationConfig(span_window=5))
+    got = pipe.text_signals(docs).orderBy("doc_id").collect()
+    want = text.text_signals(docs, "doc_id", "text", window=5).orderBy("doc_id").collect()
+    assert got == want
