@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "streaming_cdc_apply",
     # round 9: exact edit-distance self-join (PassJoin, lossless blocking)
     "fuzzy_match_parts",
+    # round 9: exact Jaccard self-join (PPJoin prefix filter, lossless)
+    "jaccard_join_prefix",
 ]
 
 

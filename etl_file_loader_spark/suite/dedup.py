@@ -930,3 +930,49 @@ ORDER BY id_a, id_b
 
 QUERIES.update({"fuzzy_match_parts": q_fuzzy_match_parts})
 ORACLES.update({"fuzzy_match_parts": Q_FUZZY_MATCH_SQL})
+
+
+def q_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard self-join via prefix filtering
+    (operators/dedup.py:jaccard_join_prefix — candidates meet only on
+    each doc's RAREST shingles under a global canonical order, so
+    Zipf-hot boilerplate shingles never generate candidates). UNBLOCKED
+    (no language gate, unlike dedup_ngram_jaccard) — and the oracle
+    computes the ALL-PAIRS answer in SQL, so the row proves the prefix
+    filter lossless on the duplication-saturated corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup_ops.jaccard_join_prefix(docs, "doc_id", "text", n=5, threshold=0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q_JACCARD_JOIN_PREFIX_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 5 + 2), i -> array_to_string(w[i:i+4], ' ')) END
+  )) AS shingle
+  FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(intersection AS BIGINT) AS intersection,
+       CAST(sa.set_size AS BIGINT) AS size_a, CAST(sb.set_size AS BIGINT) AS size_b,
+       round(intersection / (sa.set_size + sb.set_size - intersection), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(intersection / (sa.set_size + sb.set_size - intersection), 6) >= 0.5
+ORDER BY 1, 2
+"""
+
+QUERIES.update({"jaccard_join_prefix": q_jaccard_join_prefix})
+ORACLES.update({"jaccard_join_prefix": Q_JACCARD_JOIN_PREFIX_SQL})

@@ -2316,3 +2316,66 @@ def test_edit_distance_pairs_radius_one_and_validation(spark):
     assert got == {(1, 2): 1, (2, 3): 1, (1, 4): 0, (2, 4): 1}
     with _pytest.raises(ValueError, match="max_distance"):
         dedup.edit_distance_pairs(df, "id", "s", 0)
+
+
+# ---------------------------------------------------------------------------
+# jaccard_join_prefix (round 9): PPJoin prefix-filtered exact set join
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_join_prefix_equals_bruteforce(spark):
+    import itertools
+
+    from etl_file_loader_spark.operators import dedup
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g h x"),     # superset: high jaccard
+        (2, "a b c d e f g h"),       # exact dup
+        (3, "p q r s t u v w"),       # disjoint
+        (4, "a b c d e p q r s t"),   # partial overlap
+        (5, "short"),                 # sub-n: whole-text shingle
+        (6, "short"),                 # matches 5 exactly
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shset(s):
+        w = s.split()
+        return {s} if len(w) < 5 else {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+
+    for t in (0.3, 0.8):
+        got = {
+            (r["id_a"], r["id_b"], r["intersection"], r["jaccard"])
+            for r in dedup.jaccard_join_prefix(df, "doc_id", "text", n=5, threshold=t).collect()
+        }
+        data = {i: shset(s) for i, s in rows}
+        want = set()
+        for a, b in itertools.combinations(sorted(data), 2):
+            inter = len(data[a] & data[b])
+            if not inter:
+                continue
+            j = round(inter / (len(data[a]) + len(data[b]) - inter), 6)
+            if j >= t:
+                want.add((a, b, inter, j))
+        assert got == want, t
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        dedup.jaccard_join_prefix(df, "doc_id", "text", threshold=0.0)
+
+
+def test_jaccard_prefix_skips_hot_shingles(spark):
+    """The point of the prefix filter: a shingle shared by EVERY doc must
+    not put all docs in one candidate bucket. With t=0.9 and 11 distinct
+    shingles per doc, prefixes hold 2 shingles — the rare tail ones —
+    so the shared-boilerplate shingle generates no candidates."""
+    from etl_file_loader_spark.operators import dedup
+
+    # every doc shares one boilerplate sentence; tails are unique
+    rows = [
+        (i, "common boiler plate text here " + " ".join(f"u{i}_{j}" for j in range(10)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.jaccard_join_prefix(df, "doc_id", "text", n=5, threshold=0.9).collect()
+    assert out == []  # no pair is actually >= 0.9
