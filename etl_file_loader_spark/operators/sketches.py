@@ -218,28 +218,47 @@ def bloom_positions(key: Column, num_hashes: int = 4, num_bits: int = 4096) -> C
 def build_bloom(
     df: DataFrame, key_col: str, num_hashes: int = 4, num_bits: int = 4096
 ) -> list[int]:
-    """Distributed Bloom build: explode each key's positions -> DISTINCT
-    (one map-side-combinable aggregation; at most ``num_bits`` rows ever
-    reach the driver, whatever the corpus size) -> pack into 48-bit words
-    driver-side. The collect is bounded by the FILTER size, not the data —
-    the same contract as the runtime bloom filters engines push to scans.
+    """Distributed Bloom build: explode each key's positions, fold them
+    into 48-bit words executor-side (groupBy word + bit_or — one
+    map-side-combinable aggregation), collect only the touched words. At
+    most ``ceil(num_bits / 48)`` rows ever reach the driver, whatever the
+    corpus size — the collect is bounded by the packed FILTER size, not
+    the data, the same contract as the runtime bloom filters engines push
+    to scans.
 
     Merge = build over a union, or bitwise-OR of two word lists
     (:func:`merge_blooms`) — set semantics make it order-free/idempotent.
     """
+    # distributed pack: positions fold into 48-bit words EXECUTOR-side
+    # (groupBy word ordinal + bit_or, one shuffle with map-side partial
+    # aggregation — bit_or is idempotent so no distinct pass is needed),
+    # and the driver receives only the TOUCHED words: the collect is
+    # bounded by min(ceil(num_bits/48), |keys| * num_hashes) rows, so a
+    # 10^9-bit filter costs the driver ~2*10^7 packed words, never
+    # 10^9 per-position rows. NULL keys hash to a [null] positions array
+    # and are dropped (a null key matches nothing in the exact join the
+    # bloom prefilters, so excluding it preserves semi-join semantics).
+    p2 = F.array(*[F.lit(1 << b) for b in range(_BLOOM_WORD_BITS)])
     rows = (
         df.select(
             F.explode(
                 bloom_positions(F.col(key_col), num_hashes, num_bits)
             ).alias("p")
         )
-        .distinct()
+        .filter(F.col("p").isNotNull())
+        .groupBy((F.col("p") / _BLOOM_WORD_BITS).cast("int").alias("w"))
+        .agg(
+            F.bit_or(
+                F.element_at(
+                    p2, F.pmod(F.col("p"), _BLOOM_WORD_BITS).cast("int") + 1
+                )
+            ).alias("bits")
+        )
         .collect()
     )
     words = [0] * ((num_bits + _BLOOM_WORD_BITS - 1) // _BLOOM_WORD_BITS)
     for r in rows:
-        p = int(r["p"])
-        words[p // _BLOOM_WORD_BITS] |= 1 << (p % _BLOOM_WORD_BITS)
+        words[int(r["w"])] = int(r["bits"])
     return words
 
 

@@ -1848,7 +1848,7 @@ def _gopher_from_counts(
 ) -> DataFrame:
     """Gopher repetition signals from a prebuilt (doc, n, gram) count
     table (``_gram_count_table`` shape, n = 2..10 rows only)."""
-        # ONE downstream chain off the count table (computing the top-gram and
+    # ONE downstream chain off the count table (computing the top-gram and
     # coverage reductions as separate frames would re-run the explode +
     # count shuffle per branch — Spark has no common-plan sharing):
     # per (doc, n) reduce BOTH signals, then one per-doc pivot.

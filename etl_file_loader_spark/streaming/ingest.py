@@ -451,12 +451,19 @@ def cdc_stream(
     ``streaming_cdc_apply`` suite row, which replays the SAME DuckDB
     oracle as batch ``cdc_apply``.
 
-    The in-closure version counter restarts at the seeded latest version,
-    so a restarted query resumes from the last published snapshot (the
-    checkpoint guarantees each file feeds exactly one batch). At cluster
-    scale the snapshot-chain becomes a Delta/Iceberg MERGE per batch —
-    plan shape per batch is identical (one batch-sized window + one
-    full-outer join against the state).
+    Crash safety: a snapshot counts as published only once its directory
+    carries the committer's ``_SUCCESS`` marker, and each snapshot is
+    written to a hidden temp dir then atomically renamed into place — so
+    a micro-batch that dies mid-write leaves at worst a ``_tmp_state_v*``
+    husk (overwritten by the retry), never a partial ``state_v{n}`` that
+    a restart could silently adopt as its base. A restarted query resumes
+    from the last PUBLISHED snapshot; if the crash fell between the
+    rename and the checkpoint commit, the replayed batch re-applies the
+    same changes on top of the already-published version — confluent
+    ``cdc_apply_tombstoned`` makes that a content no-op (one redundant
+    but identical version). At cluster scale the snapshot-chain becomes
+    a Delta/Iceberg MERGE per batch — plan shape per batch is identical
+    (one batch-sized window + one full-outer join against the state).
     """
     import re
 
@@ -468,6 +475,9 @@ def cdc_stream(
             int(m.group(1))
             for name in fs.list_names(state_dir)
             if (m := re.fullmatch(r"state_v(\d+)", name))
+            # only COMPLETE snapshots: a dir without the committer's
+            # _SUCCESS marker is a mid-write casualty, not a base state
+            and fs.exists(f"{state_dir}/state_v{m.group(1)}/_SUCCESS")
         ]
         if not vs:
             raise FileNotFoundError(
@@ -486,9 +496,15 @@ def cdc_stream(
         new_state = publish_ops.cdc_apply_tombstoned(
             state, batch_df, keys, tracked, seq_col, op_col
         )
-        new_state.write.mode("errorifexists").parquet(
-            f"{state_dir}/state_v{v + 1}"
-        )
+        # temp-write + atomic rename: overwrite mode absorbs a husk from
+        # a previously crashed attempt; the rename target can only exist
+        # as an incomplete (non-_SUCCESS) dir, which the retry replaces
+        tmp = f"{state_dir}/_tmp_state_v{v + 1}"
+        final = f"{state_dir}/state_v{v + 1}"
+        new_state.write.mode("overwrite").parquet(tmp)
+        if fs.exists(final):
+            fs.rmtree(final)
+        fs.move(tmp, final)
 
     return (
         changes.writeStream.foreachBatch(process)

@@ -858,7 +858,7 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_name", F.length("p_name").alias("_l")
     )
     pos = (F.col("p_partkey") % (F.col("_l") - 2)) + 2  # 1-based, inside
-    op = F.col("p_partkey") % 3  # always 0 here (key % 3 == 0): use key//3
+    # key % 3 is always 0 for the selected rows, so derive the op from key//3
     op = (F.col("p_partkey") / 3).cast("long") % 3
     name = F.col("p_name")
     typo = (

@@ -2197,6 +2197,48 @@ def test_bloom_prunes_before_exact_join(spark):
     assert 10 <= survivors < 100
 
 
+def test_bloom_build_ignores_null_keys(spark):
+    from etl_file_loader_spark.operators import sketches as sk
+
+    clean = spark.createDataFrame([(k,) for k in range(40)], "k long")
+    dirty = spark.createDataFrame(
+        [(k,) for k in range(40)] + [(None,), (None,)], "k long"
+    )
+    # null keys contribute no positions: same filter bit-for-bit, and the
+    # bloom-pruned semi-join over a null-bearing small side just doesn't
+    # match them (exactly like the plain semi-join it accelerates)
+    assert sk.build_bloom(dirty, "k", 4, 512) == sk.build_bloom(clean, "k", 4, 512)
+    big = spark.createDataFrame([(i, i % 80) for i in range(400)], "rid long, k long")
+    got = sorted(
+        (r["rid"], r["k"])
+        for r in sk.bloom_semi_join(big, dirty, "k", "k", 4, 512).collect()
+    )
+    want = sorted((i, i % 80) for i in range(400) if i % 80 < 40)
+    assert got == want
+
+
+def test_bloom_build_large_filter_is_word_bounded(spark):
+    import hashlib
+
+    from etl_file_loader_spark.operators import sketches as sk
+
+    # 2^20-bit filter, 100 keys: the distributed pack sends the driver
+    # packed words (<= keys * hashes touched, never per-position rows) —
+    # the words list is filter-shaped and only touched words are set
+    num_bits = 1 << 20
+    keys = list(range(0, 1000, 10))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = sk.build_bloom(df, "k", num_hashes=4, num_bits=num_bits)
+    assert len(words) == (num_bits + 47) // 48
+    assert 0 < sum(1 for w in words if w) <= len(keys) * 4
+    want = [0] * ((num_bits + 47) // 48)
+    for k in keys:
+        for i in range(4):
+            p = int(hashlib.md5(f"{k}:{i}".encode()).hexdigest()[:8], 16) % num_bits
+            want[p // 48] |= 1 << (p % 48)
+    assert words == want
+
+
 def test_bloom_merge_shape_mismatch(spark):
     import pytest as _pytest
 

@@ -501,6 +501,53 @@ def test_cdc_tombstoned_incremental_equals_batch(spark):
         assert got == want, order
 
 
+def test_cdc_stream_recovers_from_partial_snapshot(spark):
+    """Crash recovery: a state_v{n} dir WITHOUT the committer's _SUCCESS
+    marker (a micro-batch died mid-write) must be ignored as a base —
+    the restarted query resumes from the last COMPLETE snapshot and the
+    retry replaces the partial dir atomically."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_file_loader_spark.streaming.ingest import cdc_stream
+
+    root = tempfile.mkdtemp(prefix="efls_cdc_recover_")
+    spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100)], "k long, v string, seq long"
+    ).withColumn("_deleted", F.lit(0)).write.parquet(f"{root}/state/state_v0")
+    # plant a mid-write casualty: state_v1 with a garbage part file and no
+    # _SUCCESS, plus a husk from a crashed temp write attempt
+    os.makedirs(f"{root}/state/state_v1")
+    with open(f"{root}/state/state_v1/part-00000.parquet", "wb") as fh:
+        fh.write(b"\x00not-parquet")
+    os.makedirs(f"{root}/state/_tmp_state_v1")
+    with open(f"{root}/state/_tmp_state_v1/part-00000.parquet", "wb") as fh:
+        fh.write(b"\x00husk")
+
+    schema = "k long, v string, seq long, op string"
+    spark.createDataFrame(
+        [(1, "x", 300, "D"), (2, "b2", 200, "U")], schema
+    ).write.parquet(f"{root}/chg/b0")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{root}/chg/b0").schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{root}/chg")
+    )
+    q = cdc_stream(stream, f"{root}/state", f"{root}/ck", ["k"], ["v"], "seq")
+    q.awaitTermination()
+    # the batch applied on top of v0 (NOT the garbage v1), and the retry
+    # replaced the partial v1 with a complete, _SUCCESS-marked snapshot
+    assert os.path.exists(f"{root}/state/state_v1/_SUCCESS")
+    assert not os.path.exists(f"{root}/state/_tmp_state_v1")
+    rows = {
+        r["k"]: r for r in spark.read.parquet(f"{root}/state/state_v1").collect()
+    }
+    assert rows[1]["_deleted"] == 1 and rows[1]["seq"] == 300
+    assert rows[2]["_deleted"] == 0 and rows[2]["v"] == "b2"
+
+
 def test_cdc_stream_requires_seeded_state(spark):
     import tempfile
 
