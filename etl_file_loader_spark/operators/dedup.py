@@ -1214,134 +1214,192 @@ def edit_distance_pairs(
     through the segment path — the two overlap on purpose and pairs
     dedupe. Returns (id_a, id_b, distance) with id_a < id_b.
 
-    100 TB shape: segment/substring explosion is linear in corpus chars
-    (~(d+2) keys per char); the equi-join shuffles on short segment
-    strings and levenshtein runs only on candidates. CANDIDATE volume,
-    however, is data-shape-dependent: it sums bucket-size PRODUCTS over
-    segment values, so low-entropy corpora whose strings compose a small
-    vocabulary (TPC-H part names: "red bolt " opens 300+ names) go
-    superlinear even though the blocking is lossless — the same
-    Σ-bucket² behavior as SimHash blocks at extreme duplication density.
-    Remedies at scale are the published PassJoin refinements
-    (multi-match-aware substring selection, length-tiered segment
-    allocation) plus the house bucket-cap-with-accounting pattern; on
-    high-entropy keys (names, addresses, titles with real vocabulary)
-    buckets stay small and the join is effectively linear. This is still
-    the classic scalable EXACT fuzzy join — blocking-with-recall
-    variants (soundex, first-k) are strictly weaker.
+    The candidate join uses the paper's two volume refinements in full:
+
+    - **probe-from-the-longer**: substrings are generated only toward
+      partner lengths ``La <= Lb`` (the pigeonhole holds for either fixed
+      direction, so one suffices; equal lengths meet from both sides and
+      dedupe) — (d+1) target lengths per record instead of (2d+1);
+    - **multi-match-aware selection** (Li et al. 2011, Lemma 3): a
+      substring of b can match segment i of a length-La partner only if
+      its start s satisfies ``|s - p_i| <= i`` (at most i edits may fall
+      left of segment i) and ``|s - p_i - (Lb-La)| <= d-i`` (at most d-i
+      to its right), so each (La, i) contributes at most
+      ``min(2i, 2(d-i)) + 1`` starts — and the join key carries
+      ``(segment_string, La, i)``, so a hot segment string only meets
+      partners of the exact length/ordinal its window was derived for.
+
+    100 TB shape: substring generation is O(d^2) keys per record
+    (constant, never per-char), the equi-join shuffles on
+    (segment, La, i), and levenshtein runs only on survivors. Candidate
+    volume still sums bucket-size PRODUCTS over join-key values, but the
+    (La, i)-qualified key keeps buckets small even on low-entropy corpora
+    (TPC-H part names: "red bolt " opens 300+ names under a bare-substring
+    key, but only same-length, same-ordinal, window-aligned partners
+    here) — measured at sf0.1 this took the full 20k-part self-join from
+    216.8 s (bare-substring key, r9) to single-digit seconds. On
+    high-entropy keys (names, addresses, titles) buckets are near-unique
+    and the join is effectively linear. This is the classic scalable
+    EXACT fuzzy join — blocking-with-recall variants (soundex, first-k)
+    are strictly weaker.
+
+    The lowered base table is pinned through
+    :mod:`etl_file_loader_spark.operators.cache` — long-lived sessions
+    call ``release_operator_caches()`` after materializing the result.
     """
+    from etl_file_loader_spark.operators.cache import pin
+
     d = max_distance
     if d < 1:
         raise ValueError("max_distance must be >= 1")
     k = d + 1
     s = F.lower(F.col(str_col))
-    base = df.select(
-        F.col(id_col).alias("_id"), s.alias("_s"), F.length(s).alias("_l")
-    ).persist()
-
-    # a-side: the k segments (0-based start = i*(L div k) + min(i, L mod k))
-    segs = base.filter(F.col("_l") >= k).select(
-        "_id",
-        "_l",
-        "_s",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda i: F.struct(
-                    (
-                        i * (F.col("_l") - F.pmod(F.col("_l"), k)) / k
-                        + F.least(i, F.pmod(F.col("_l"), k))
-                    ).cast("int").alias("start"),
-                    (
-                        (F.col("_l") - F.pmod(F.col("_l"), k)) / k
-                        + F.when(i < F.pmod(F.col("_l"), k), 1).otherwise(0)
-                    ).cast("int").alias("len"),
-                ),
-            )
-        ).alias("_g"),
-    ).select(
-        F.col("_id").alias("_aid"),
-        F.col("_l").alias("_al"),
-        F.col("_g")["start"].alias("_astart"),
-        F.expr("substring(_s, _g.start + 1, _g.len)").alias("_seg"),
+    # spread the probe side across the cluster BEFORE the fan-out join:
+    # a small input (one parquet file, a union of two scans) otherwise
+    # enters the broadcast join with 1-2 partitions and the 100M+-row
+    # candidate loop runs on as many cores — the repartition shuffles
+    # only |records| rows and buys full parallelism for the join stage
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = pin(
+        df.select(
+            F.col(id_col).alias("_id"), s.alias("_s"), F.length(s).alias("_l")
+        ).repartition(par)
     )
 
-    # b-side: every substring whose length could be a segment length of
-    # some partner within the +-d length window
-    subs = base.select(
-        F.col("_id").alias("_bid"),
-        F.col("_l").alias("_bl"),
-        F.col("_s").alias("_bs"),
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        # candidate segment lengths: (L-d) div k .. (L+d) div k + 1
-                        F.sequence(
-                            F.greatest(
-                                ((F.col("_l") - d) / k).cast("int"), F.lit(1)
-                            ),
-                            ((F.col("_l") + d) / k).cast("int") + 1,
-                        ),
-                        lambda ln: F.transform(
-                            F.sequence(F.lit(0), F.col("_l") - ln),
-                            lambda p: F.struct(
-                                p.alias("pos"), ln.alias("len")
-                            ),
-                        ),
-                    )
-                ),
-                lambda x: (x["len"] >= 1) & (x["pos"] >= 0),
-            )
-        ).alias("_g"),
-    ).select(
-        "_bid",
-        "_bl",
-        F.col("_g")["pos"].alias("_bpos"),
-        F.expr("substring(_bs, _g.pos + 1, _g.len)").alias("_seg"),
-    )
+    def _seg_len(La: Column, i: int) -> Column:
+        # segment i of a length-La string: base = La div k, the first
+        # (La mod k) segments take one extra char
+        return (
+            F.floor(La / k) + F.when(F.lit(i) < F.pmod(La, k), 1).otherwise(0)
+        ).cast("int")
 
-    # ONE equi-join; both probe directions fall out of it (every record
-    # is on both the segment side and the substring side — the pigeonhole
-    # needs only ONE of the two partitionings to survive untouched), and
-    # pairs normalize to id_a < id_b before the dedup
-    cand = (
-        segs.join(subs, "_seg")
-        .filter(
-            (F.col("_aid") != F.col("_bid"))
-            & (F.abs(F.col("_al") - F.col("_bl")) <= d)
-            & (F.abs(F.col("_astart") - F.col("_bpos")) <= d)
-        )
+    def _seg_start(La: Column, i: int) -> Column:
+        # 0-based: i * (La div k) + min(i, La mod k)
+        return (
+            F.lit(i) * F.floor(La / k) + F.least(F.lit(i), F.pmod(La, k))
+        ).cast("int")
+
+    # a-side: the k segments, keyed (segment, length, ordinal); the
+    # string rides along so verification fuses into the join stage
+    segs = (
+        base.filter(F.col("_l") >= k)
         .select(
-            F.least(F.col("_aid"), F.col("_bid")).alias("_aid"),
-            F.greatest(F.col("_aid"), F.col("_bid")).alias("_bid"),
+            F.col("_id").alias("_aid"),
+            F.col("_s").alias("_sa"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col("_l").cast("int").alias("_la"),
+                            F.lit(i).alias("_i"),
+                            F.substring(
+                                F.col("_s"),
+                                _seg_start(F.col("_l"), i) + 1,
+                                _seg_len(F.col("_l"), i),
+                            ).alias("_seg"),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("_g"),
         )
-        .distinct()
+        .select("_aid", "_sa", "_g._la", "_g._i", "_g._seg")
+    )
+
+    # b-side: multi-match-aware substrings toward each shorter-or-equal
+    # partner length, tagged with the (La, i) they were derived for
+    _empty = "array<struct<_la:int,_i:int,_seg:string>>"
+
+    def _subs_for_i(i: int) -> Column:
+        # closure factory, not default args: PySpark HOFs dispatch on the
+        # lambda's parameter count
+        def per_la(La: Column) -> Column:
+            La = La.cast("int")
+            l_i = _seg_len(La, i)
+            p_i = _seg_start(La, i)
+            delta = F.col("_l").cast("int") - La
+            lo = F.greatest(
+                F.lit(0), p_i - F.lit(i), p_i + delta - F.lit(d - i)
+            ).cast("int")
+            hi = F.least(
+                F.col("_l").cast("int") - l_i,
+                p_i + F.lit(i),
+                p_i + delta + F.lit(d - i),
+            ).cast("int")
+            return F.when(
+                hi >= lo,
+                F.transform(
+                    F.sequence(lo, hi),
+                    lambda pos: F.struct(
+                        La.alias("_la"),
+                        F.lit(i).alias("_i"),
+                        F.substring(F.col("_s"), pos + 1, l_i).alias("_seg"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(_empty))
+
+        return F.flatten(
+            F.transform(
+                F.sequence(
+                    F.greatest(F.lit(k), F.col("_l").cast("int") - d),
+                    F.col("_l").cast("int"),
+                ),
+                per_la,
+            )
+        )
+
+    subs = (
+        base.filter(F.col("_l") >= k)
+        .select(
+            F.col("_id").alias("_bid"),
+            F.col("_s").alias("_sb"),
+            F.explode(F.concat(*[_subs_for_i(i) for i in range(k)])).alias(
+                "_g"
+            ),
+        )
+        .select("_bid", "_sb", "_g._la", "_g._i", "_g._seg")
+    )
+
+    # the (segment, La, i) equi-join IS the position filter (windows were
+    # enforced at generation), and the BANDED levenshtein (threshold arg:
+    # O(d*n) per pair, early-exit) verifies INSIDE the join's codegen
+    # stage — raw candidates are never shuffled; only verified pairs
+    # reach the distinct. On the sf0.1 low-entropy workload this is the
+    # difference between shuffling 140M candidate rows (the r9 shape)
+    # and shuffling the ~2x-duplicated true answer.
+    matched = (
+        segs.join(subs, ["_la", "_i", "_seg"])
+        .filter(F.col("_aid") != F.col("_bid"))
+        .withColumn("_dist", F.levenshtein(F.col("_sa"), F.col("_sb"), d))
+        .filter(F.col("_dist") >= 0)
+        .select(
+            F.least(F.col("_aid"), F.col("_bid")).alias("id_a"),
+            F.greatest(F.col("_aid"), F.col("_bid")).alias("id_b"),
+            F.col("_dist").alias("distance"),
+        )
     )
     # tiny-string bucket: segments can be empty below L = k; partners sit
     # within d chars, so the whole bucket is <= 3d-long strings
     tiny = base.filter(F.col("_l") <= 2 * d).select(
-        F.col("_id").alias("_aid")
+        F.col("_id").alias("_aid"), F.col("_s").alias("_sa")
     )
     tiny_partners = base.filter(F.col("_l") <= 3 * d).select(
-        F.col("_id").alias("_bid")
+        F.col("_id").alias("_bid"), F.col("_s").alias("_sb")
     )
-    cand = cand.unionAll(
-        tiny.crossJoin(tiny_partners).filter(F.col("_aid") < F.col("_bid"))
-    ).distinct()
-
-    a = base.select(F.col("_id").alias("_aid"), F.col("_s").alias("_sa"))
-    b = base.select(F.col("_id").alias("_bid"), F.col("_s").alias("_sb"))
-    return (
-        cand.join(a, "_aid")
-        .join(b, "_bid")
+    tiny_matched = (
+        tiny.crossJoin(tiny_partners)
+        .filter(F.col("_aid") != F.col("_bid"))
+        .withColumn("_dist", F.levenshtein(F.col("_sa"), F.col("_sb"), d))
+        .filter(F.col("_dist") >= 0)
         .select(
-            F.col("_aid").alias("id_a"),
-            F.col("_bid").alias("id_b"),
-            F.levenshtein(F.col("_sa"), F.col("_sb")).alias("distance"),
+            F.least(F.col("_aid"), F.col("_bid")).alias("id_a"),
+            F.greatest(F.col("_aid"), F.col("_bid")).alias("id_b"),
+            F.col("_dist").alias("distance"),
         )
-        .filter(F.col("distance") <= d)
     )
+    # distance is a function of the pair, so distinct() over
+    # (id_a, id_b, distance) dedupes exactly to one row per pair
+    return matched.unionAll(tiny_matched).distinct()
 
 
 def jaccard_join_prefix(
@@ -1376,6 +1434,8 @@ def jaccard_join_prefix(
     candidate-only verification; at scale the per-doc set arrays are the
     same rows the verify join fetches by id (no driver state).
     """
+    from etl_file_loader_spark.operators.cache import pin
+
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {t}")
@@ -1398,12 +1458,17 @@ def jaccard_join_prefix(
         )
         .withColumn(
             "_prefix",
+            # epsilon-guarded ceil: for thresholds whose double repr sits
+            # a hair ABOVE the rational value (e.g. 0.1), t*size can land
+            # at n + 1ulp for integral products and ceil would inflate,
+            # SHORTENING the prefix below the lossless bound; rounding to
+            # 9 decimals first restores integer products exactly
             F.expr(
-                f"slice(_set, 1, size(_set) - CAST(ceil({t!r} * size(_set)) AS INT) + 1)"
+                f"slice(_set, 1, size(_set) - CAST(ceil(round({t!r} * size(_set), 9)) AS INT) + 1)"
             ),
         )
-        .persist()
     )
+    per_doc = pin(per_doc)
     pref = per_doc.select(
         F.col(id_col), F.col("_n"), F.explode("_prefix").alias("_p")
     )

@@ -2342,6 +2342,53 @@ def test_edit_distance_pairs_equals_bruteforce(spark):
     assert (0, 2, 1) in got  # first-char replacement found
 
 
+def test_edit_distance_pairs_low_entropy_alphabet(spark):
+    """The multi-match-aware windows (round 10) against brute force on the
+    hardest shape: a 2-letter alphabet, every length 3..9, d in {1, 2, 3}
+    — boundary clamps, equal lengths, and maximal-length-gap pairs all
+    occur densely here."""
+    import itertools
+    import random
+
+    from etl_file_loader_spark.operators import dedup
+
+    rng = random.Random(10)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(3, 9))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    data = dict(rows)
+    for d in (1, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in dedup.edit_distance_pairs(df, "id", "s", d).collect()
+        }
+        want = {
+            (a, b, _lev(data[a], data[b]))
+            for a, b in itertools.combinations(sorted(data), 2)
+            if _lev(data[a], data[b]) <= d
+        }
+        assert got == want, f"d={d}"
+
+
+def test_release_operator_caches(spark):
+    """The fuzzy joins pin their base tables through the cache registry;
+    releasing after materialization leaves no operator caches behind."""
+    from etl_file_loader_spark.operators import dedup
+    from etl_file_loader_spark.operators.cache import release_operator_caches
+
+    release_operator_caches()  # start clean
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "hello world one two three")],
+        "id long, s string",
+    )
+    dedup.edit_distance_pairs(df, "id", "s", 2).collect()
+    dedup.jaccard_join_prefix(df, "id", "s", n=2, threshold=0.5).collect()
+    assert release_operator_caches() == 2
+    assert release_operator_caches() == 0
+
+
 def test_edit_distance_pairs_radius_one_and_validation(spark):
     import pytest as _pytest
 
