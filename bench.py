@@ -195,10 +195,16 @@ BENCH_QUERIES = [
     "image_dedup_pairs",
     # round 9: streaming CDC apply (tombstoned incremental merge)
     "streaming_cdc_apply",
-    # round 9: exact edit-distance self-join (PassJoin, lossless blocking)
+    # round 9: exact edit-distance self-join (PassJoin, lossless blocking;
+    # UNCAPPED round 10 — multi-match-aware selection runs the full part
+    # table, 8.79M-pair answer at sf0.1)
     "fuzzy_match_parts",
-    # round 9: exact Jaccard self-join (PPJoin prefix filter, lossless)
+    # round 9: exact Jaccard self-join (PPJoin prefix filter, lossless;
+    # round 10 adds the positional filter)
     "jaccard_join_prefix",
+    # round 10: PPJoin candidate-volume accounting (prefix vs positional
+    # vs verified, all oracle-recomputed)
+    "jaccard_prefix_candidates",
 ]
 
 

@@ -1421,9 +1421,13 @@ def jaccard_join_prefix(
     prefix-vs-prefix). Candidates therefore meet ONLY on each doc's
     rarest few shingles — Zipf-hot boilerplate shingles sit at the BACK
     of the order and never generate candidates, where the plain inverted
-    join pays bucket² for exactly those. Verification computes exact
-    intersections from the per-doc sorted sets (one JVM array_intersect
-    per candidate).
+    join pays bucket² for exactly those. Round 10 adds PPJoin's
+    POSITIONAL filter (see :func:`_ppjoin_candidates`): each prefix
+    token carries its ordinal, and a match prunes when the remaining
+    suffixes can't reach the equivalent overlap bound —
+    :func:`jaccard_prefix_candidate_stats` accounts the reduction as a
+    checked number. Verification computes exact intersections from the
+    per-doc sorted sets (one JVM array_intersect per candidate).
 
     Returns the same shape as :func:`ngram_jaccard_pairs`
     ((id_a, id_b, intersection, size_a, size_b, jaccard), rounded-6
@@ -1434,11 +1438,21 @@ def jaccard_join_prefix(
     candidate-only verification; at scale the per-doc set arrays are the
     same rows the verify join fetches by id (no driver state).
     """
-    from etl_file_loader_spark.operators.cache import pin
-
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {t}")
+    per_doc = _ppjoin_per_doc(df, id_col, text_col, n, t)
+    cand = _ppjoin_candidates(per_doc, id_col, t, positional=True)
+    return _ppjoin_verify(per_doc, cand, id_col, t)
+
+
+def _ppjoin_per_doc(
+    df: DataFrame, id_col: str, text_col: str, n: int, t: float
+) -> DataFrame:
+    """The pinned per-doc table: shingle set sorted by the global
+    rare-first canonical order, set size, and the lossless prefix."""
+    from etl_file_loader_spark.operators.cache import pin
+
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_sh")
     ).distinct()
@@ -1468,31 +1482,71 @@ def jaccard_join_prefix(
             ),
         )
     )
-    per_doc = pin(per_doc)
+    return pin(per_doc)
+
+
+def _ppjoin_candidates(
+    per_doc: DataFrame, id_col: str, t: float, positional: bool = True
+) -> DataFrame:
+    """Distinct candidate pairs from the prefix join; ``positional=True``
+    adds PPJoin's positional filter (Xiao et al. 2008 §3): a common
+    prefix token at 1-based ordinals (pa, pb) bounds the achievable
+    overlap by ``1 + min(|a|-pa, |b|-pb)`` (every other common token
+    ranks later in BOTH sorted sets), so a candidate survives only if
+    that bound reaches the equivalent overlap threshold
+    ``alpha = ceil(t/(1+t) * (|a|+|b|))``. Lossless: for any qualifying
+    pair the FIRST common token in the canonical order sits inside both
+    prefixes and satisfies the bound, so its join row always survives."""
     pref = per_doc.select(
-        F.col(id_col), F.col("_n"), F.explode("_prefix").alias("_p")
+        F.col(id_col),
+        F.col("_n"),
+        F.posexplode("_prefix").alias("_pos", "_p"),
     )
     a = pref.select(
-        F.col(id_col).alias("id_a"), F.col("_n").alias("_na"), "_p"
+        F.col(id_col).alias("id_a"),
+        F.col("_n").alias("_na"),
+        (F.col("_pos") + 1).alias("_pa"),
+        "_p",
     )
     b = pref.select(
-        F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"), "_p"
+        F.col(id_col).alias("id_b"),
+        F.col("_n").alias("_nb"),
+        (F.col("_pos") + 1).alias("_pb"),
+        "_p",
     )
-    cand = (
-        a.join(b, "_p")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            # J >= t is infeasible unless the smaller set covers t of the
-            # larger — prunes before the exact verify AND completes the
-            # prefix-vs-prefix losslessness argument
-            & (
-                F.least(F.col("_na"), F.col("_nb")).cast("double")
-                >= F.lit(t) * F.greatest(F.col("_na"), F.col("_nb"))
+    j = a.join(b, "_p").filter(
+        (F.col("id_a") < F.col("id_b"))
+        # J >= t is infeasible unless the smaller set covers t of the
+        # larger — prunes before the exact verify AND completes the
+        # prefix-vs-prefix losslessness argument
+        & (
+            F.least(F.col("_na"), F.col("_nb")).cast("double")
+            >= F.lit(t) * F.greatest(F.col("_na"), F.col("_nb"))
+        )
+    )
+    if positional:
+        # same epsilon-guarded ceil as the prefix length (alpha must
+        # never ROUND UP past the rational bound, or pairs drop)
+        alpha = F.ceil(
+            F.round(
+                F.lit(t / (1.0 + t)) * (F.col("_na") + F.col("_nb")), 9
             )
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        j = j.filter(
+            F.lit(1)
+            + F.least(
+                F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
+            )
+            >= alpha
+        )
+    return j.select("id_a", "id_b").distinct()
+
+
+def _ppjoin_verify(
+    per_doc: DataFrame, cand: DataFrame, id_col: str, t: float
+) -> DataFrame:
+    """Exact intersection/jaccard for candidate pairs from the per-doc
+    sorted set arrays (one JVM array_intersect per candidate)."""
     sa = per_doc.select(
         F.col(id_col).alias("id_a"),
         F.col("_set").alias("_seta"),
@@ -1524,4 +1578,41 @@ def jaccard_join_prefix(
             ),
         )
         .filter(F.col("jaccard") >= t)
+    )
+
+
+def jaccard_prefix_candidate_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate-volume accounting for the PPJoin filters (the house
+    density pattern): ONE row (candidates_prefix, candidates_positional,
+    verified_pairs). The positional filter is a pure candidate-volume
+    optimization — verified_pairs is identical with or without it
+    (:func:`jaccard_join_prefix`'s all-pairs oracle pins that); this row
+    makes the reduction itself a checked number instead of a claim."""
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+    per_doc = _ppjoin_per_doc(df, id_col, text_col, n, t)
+    prefix_only = _ppjoin_candidates(per_doc, id_col, t, positional=False)
+    positional = _ppjoin_candidates(per_doc, id_col, t, positional=True)
+    verified = _ppjoin_verify(per_doc, positional, id_col, t)
+    return (
+        prefix_only.agg(
+            F.count(F.lit(1)).cast("long").alias("candidates_prefix")
+        )
+        .crossJoin(
+            positional.agg(
+                F.count(F.lit(1)).cast("long").alias("candidates_positional")
+            )
+        )
+        .crossJoin(
+            verified.agg(
+                F.count(F.lit(1)).cast("long").alias("verified_pairs")
+            )
+        )
     )

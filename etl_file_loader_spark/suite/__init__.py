@@ -104,6 +104,17 @@ ORACLES.update(
 # Order matters: the driver checks a prefix. 50 entries — the window is FULL
 # (zero slack): adding a query here requires demoting another into a digest.
 #
+# Round-10 rotation (VERDICT r9 ask 2): the 10 round-9 digest-from-birth
+# operators get their direct driver rows — curation_text_signals,
+# triplet_mining_lsh, langid_fixture, bloom_filter_check, bloom_probe_stats,
+# bloom_semi_join, image_dedup_pairs, streaming_cdc_apply, fuzzy_match_parts,
+# jaccard_join_prefix; 10 long-green rows (asof_join / range_join_count
+# checked since round 1, simhash_dedup / quality_classifier / training_order
+# since rounds 3-4, multimodal_resize_real / audio_decode_real since round 5,
+# html_extract since round 6, streaming_events_hourly since round 2,
+# trigram_logprob since round 8) demoted into their family digests, where
+# each stays value-verified every round.
+#
 # Round-9 rotation (VERDICT r8 ask 1): 15 of the round-8 digest-from-birth
 # operators promoted to direct driver rows — span_dedup, kn_bigram_logprob,
 # gopher_repetition_rules, ngram_novelty, packed_sequences_{wordpiece,
@@ -142,9 +153,12 @@ CHECKED_QUERIES: list[str] = [
     "analytics_digest",
     "corpus_digest",
     "pipeline_digest",
-    # custom join operators
-    "asof_join",
-    "range_join_count",
+    # promoted round 10: the Bloom filter family (packed words verified
+    # bit-for-bit, probe flags incl. the deterministic FP set, pruned
+    # semi-join vs the plain semi-join oracle)
+    "bloom_filter_check",
+    "bloom_probe_stats",
+    "bloom_semi_join",
     # analytics promoted round 9: the round-8 digest-from-birth sketch /
     # layout / maintenance ops get their direct driver rows (set_ops,
     # sketch_*, supplier_part_stats demoted back into analytics_digest)
@@ -155,9 +169,14 @@ CHECKED_QUERIES: list[str] = [
     # dedup family
     "dedup_embedding_lsh_recall",
     "dedup_embedding_clustered_recall",
-    "simhash_dedup",
     # promoted round 9: exact-substring span removal (Lee et al.)
     "span_dedup",
+    # promoted round 10: the exact similarity self-joins (all-pairs
+    # oracles prove the PassJoin / PPJoin blocking lossless) + the
+    # perceptual image near-dedup fixture row
+    "fuzzy_match_parts",
+    "jaccard_join_prefix",
+    "image_dedup_pairs",
     # promoted round 8: embedding-LSH pair demos + semantic dedup family
     "dedup_embedding_pairs_lsh",
     "dedup_embedding_pairs_lsh_clustered",
@@ -177,10 +196,12 @@ CHECKED_QUERIES: list[str] = [
     "knn_join_lsh_auto_clustered",
     "knn_join_auto_recall",
     # text analysis
-    "html_extract",
-    "quality_classifier",
-    # promoted round 8: new order-3 interpolated-backoff LM
-    "trigram_logprob",
+    # promoted round 10: the fused shared-gram-table signal stage + the
+    # learnable language-ID fixture (oracle regenerates the corpus) + the
+    # ANN-bucketed triplet-mining agreement gate
+    "curation_text_signals",
+    "langid_fixture",
+    "triplet_mining_lsh",
     # promoted round 9: Kneser-Ney LM rung + Gopher repetition table +
     # n-gram novelty (bigram_logprob and the long-green sampling rows
     # demoted into corpus_digest)
@@ -196,19 +217,18 @@ CHECKED_QUERIES: list[str] = [
     "packed_sequences_wordpiece",
     "packed_sequences_unigram",
     "corpus_curation",
-    "training_order",
     # pipeline merges / accounting promoted round 9
     "cdc_apply",
     "table_diff",
-    # multimodal + streaming (all oracle-bearing: fake decodes carry
-    # cross-engine arithmetic oracles, real decodes closed-form fixtures)
-    "multimodal_resize_real",
+    # multimodal + streaming (all oracle-bearing: real decodes carry
+    # closed-form fixtures)
     "image_dhash_real",
-    "audio_decode_real",
     "audio_fingerprint_real",
-    "streaming_events_hourly",
     # promoted round 9: the custom stateful streaming operator
     "streaming_sessionize",
+    # promoted round 10: streaming CDC apply — out-of-order micro-batches
+    # through the tombstoned incremental merge replay the batch oracle
+    "streaming_cdc_apply",
 ]
 
 assert len(CHECKED_QUERIES) <= 50, (

@@ -975,3 +975,75 @@ ORDER BY 1, 2
 
 QUERIES.update({"jaccard_join_prefix": q_jaccard_join_prefix})
 ORACLES.update({"jaccard_join_prefix": Q_JACCARD_JOIN_PREFIX_SQL})
+
+
+def q_jaccard_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin candidate-volume accounting (operators/dedup.py:
+    jaccard_prefix_candidate_stats): one row counting candidates under
+    the prefix filter alone, prefix + positional filter, and verified
+    pairs. The oracle recomputes ALL THREE from scratch in SQL — the
+    canonical rare-first order via row_number, the prefix via the same
+    epsilon-guarded ceil, the positional bound via the equivalent-overlap
+    alpha — and computes verified_pairs from the ALL-PAIRS join, so a
+    positional filter that dropped a qualifying pair would show up as a
+    verified_pairs mismatch, not just a candidate-count drift."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.jaccard_prefix_candidate_stats(
+        docs, "doc_id", "text", n=5, threshold=0.5
+    )
+
+
+# t = 0.5; t/(1+t) embedded as the Python double repr so both engines
+# multiply with the identical IEEE value
+Q_JACCARD_PREFIX_CANDIDATES_SQL = rf"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 5 + 2), i -> array_to_string(w[i:i+4], ' ')) END
+  )) AS shingle
+  FROM words
+),
+freq AS (SELECT shingle, count(*) AS cnt FROM sh GROUP BY shingle),
+ord AS (
+  SELECT s.doc_id, s.shingle,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY f.cnt, s.shingle) AS pos,
+         count(*) OVER (PARTITION BY s.doc_id) AS n
+  FROM sh s JOIN freq f USING (shingle)
+),
+pref AS (
+  SELECT doc_id, shingle, pos, n FROM ord
+  WHERE pos <= n - CAST(ceil(round(0.5 * n, 9)) AS INT) + 1
+),
+cp AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+),
+cpos AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+    AND 1 + least(a.n - a.pos, b.n - b.pos)
+        >= ceil(round({0.5 / 1.5!r} * (a.n + b.n), 9))
+),
+allp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ver AS (
+  SELECT id_a, id_b FROM allp
+  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5
+)
+SELECT (SELECT count(*) FROM cp) AS candidates_prefix,
+       (SELECT count(*) FROM cpos) AS candidates_positional,
+       (SELECT count(*) FROM ver) AS verified_pairs
+"""
+
+QUERIES.update({"jaccard_prefix_candidates": q_jaccard_prefix_candidates})
+ORACLES.update({"jaccard_prefix_candidates": Q_JACCARD_PREFIX_CANDIDATES_SQL})

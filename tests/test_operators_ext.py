@@ -2389,6 +2389,37 @@ def test_release_operator_caches(spark):
     assert release_operator_caches() == 0
 
 
+def test_ppjoin_positional_filter_prunes_and_stays_lossless(spark):
+    """A corpus engineered so the prefix filter admits a pair the
+    positional filter must prune: docs 0/1 share only 'c', sitting at
+    ordinal 3 of both prefixes, so the overlap bound 1+min(7,7)=8 falls
+    short of alpha=ceil(0.8/1.8*20)=9 — and the pair's true jaccard is
+    1/19, so pruning it is lossless."""
+    from etl_file_loader_spark.operators import dedup
+    from etl_file_loader_spark.operators.cache import release_operator_caches
+
+    rows = [
+        (0, "u1 u2 c x1 x2 x3 x4 x5 x6 x7"),
+        (1, "v1 v2 c y1 y2 y3 y4 y5 y6 y7"),
+        (2, "x1 x2 x3 x4 x5 x6 x7 z1 z2 z3"),
+        (3, "y1 y2 y3 y4 y5 y6 y7 w1 w2 w3"),
+        (4, "x1 x2 x3 x4 x5 x6 x7 z4 z5 z6"),
+        (5, "y1 y2 y3 y4 y5 y6 y7 w4 w5 w6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = dedup.jaccard_prefix_candidate_stats(
+        df, "doc_id", "text", n=1, threshold=0.8
+    ).collect()[0]
+    assert stats["candidates_prefix"] == 1  # (0,1) via the shared 'c'
+    assert stats["candidates_positional"] == 0  # positional prunes it
+    assert stats["verified_pairs"] == 0  # and it never qualified
+    assert (
+        dedup.jaccard_join_prefix(df, "doc_id", "text", n=1, threshold=0.8).count()
+        == 0
+    )
+    release_operator_caches()
+
+
 def test_edit_distance_pairs_radius_one_and_validation(spark):
     import pytest as _pytest
 
