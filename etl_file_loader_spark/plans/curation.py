@@ -50,6 +50,16 @@ class CurationConfig:
     gopher_rules: bool = False
     gopher_quality_overrides: dict | None = None
     gopher_repetition_thresholds: dict | None = None
+    # stage 1c: language-ID gate (the CCNet/RefinedWeb pipeline position —
+    # after the shape/quality rules, before the model-based quality
+    # classifier): score every doc with the fitted multiclass NB models
+    # (operators/text.fit_langid_nb's {lang: (weights_milli, bias_milli)}
+    # dict) and keep docs whose argmax lands in ``langid_keep``. Scoring
+    # is pure column expressions (one hashed-feature array per doc);
+    # None disables. An empty langid_keep with models set is a config
+    # error (it would silently drop the whole corpus).
+    langid_models: dict | None = None
+    langid_keep: tuple[str, ...] = ()
     # stage 2: hashed linear classifier (milli-unit weights; None disables)
     classifier_weights_milli: list[int] | None = None
     classifier_bias_milli: int = 0
@@ -177,6 +187,19 @@ class CurationPipeline:
                 )
             )
             counts["gopher_rules"] = cur.count()
+
+        if c.langid_models is not None:
+            if not c.langid_keep:
+                raise ValueError(
+                    "langid_models set but langid_keep is empty — the "
+                    "language gate would drop every document"
+                )
+            scored = text_ops.langid_score(cur, did, txt, c.langid_models)
+            keep_ids = scored.filter(
+                F.col("lang_pred").isin(*[str(lang) for lang in c.langid_keep])
+            ).select(did)
+            cur = cur.join(keep_ids, did, "left_semi")
+            counts["langid_filter"] = cur.count()
 
         if c.classifier_weights_milli is not None:
             scores = text_ops.classifier_score(

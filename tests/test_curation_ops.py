@@ -884,6 +884,43 @@ def test_curation_gopher_rules_stage(spark):
     assert 0 < len(got) < docs.count()  # the stage discriminates
 
 
+def test_curation_langid_stage(spark):
+    """Stage 1c (CCNet/RefinedWeb position: after quality rules, before
+    the classifier) keeps exactly the docs the fitted NB model assigns to
+    the configured language set."""
+    import pytest as _pytest
+
+    from etl_file_loader_spark import fixtures
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+    from etl_file_loader_spark.suite.text import _LANGID_MODELS
+
+    docs = fixtures.langid_corpus(spark, n=400)
+    cfg = CurationConfig(
+        min_quality=None, scrub_pii=False, near_dedup=False,
+        langid_models=_LANGID_MODELS, langid_keep=("aa", "bb"),
+        split_fractions=None,
+    )
+    counts = {}
+    out = CurationPipeline(cfg)._apply_filters(docs, counts)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in text.langid_score(docs, "doc_id", "text", _LANGID_MODELS)
+        .filter(F.col("lang_pred").isin("aa", "bb"))
+        .collect()
+    }
+    assert got == want
+    assert counts["langid_filter"] == len(got)
+    # the gate discriminates: roughly half the strata survive (the model's
+    # holdout balanced accuracy is pytest-gated at >= 0.95 elsewhere)
+    assert 0 < len(got) < docs.count()
+    assert abs(len(got) - 200) <= 30
+    with _pytest.raises(ValueError, match="langid_keep"):
+        CurationPipeline(
+            CurationConfig(langid_models=_LANGID_MODELS, langid_keep=())
+        )._apply_filters(docs, {})
+
+
 def test_pipeline_text_signals_matches_operator(spark):
     from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
 
