@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     # round 10: PPJoin candidate-volume accounting (prefix vs positional
     # vs verified, all oracle-recomputed)
     "jaccard_prefix_candidates",
+    # round 10: exact edit-distance R-S join (feed-vs-master linkage)
+    "fuzzy_join_feed",
 ]
 
 

@@ -1189,8 +1189,210 @@ def semantic_contamination(
 
 
 # ---------------------------------------------------------------------------
-# fuzzy record matching (round 9): exact edit-distance self-join, PassJoin
+# fuzzy record matching (round 9/10): exact edit-distance joins, PassJoin
 # ---------------------------------------------------------------------------
+
+
+def _pj_base(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """Lowered (id, string, length) frame for the PassJoin operators,
+    spread across the cluster BEFORE the fan-out join: a small input (one
+    parquet file, a union of two scans) otherwise enters the broadcast
+    join with 1-2 partitions and the 100M+-row candidate loop runs on as
+    many cores (measured at sf0.1: 136 s at 2 partitions -> 19 s at 32).
+    Guarded so an already-well-partitioned corpus (the cluster case) is
+    never reshuffled just to hit a number."""
+    s = F.lower(F.col(str_col))
+    slim = df.select(
+        F.col(id_col).alias("_id"), s.alias("_s"), F.length(s).alias("_l")
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
+    return slim
+
+
+def _pj_seg_len(La: Column, i: int, k: int) -> Column:
+    """Length of segment i of a length-La string: base = La div k, the
+    first (La mod k) segments take one extra char."""
+    return (
+        F.floor(La / k) + F.when(F.lit(i) < F.pmod(La, k), 1).otherwise(0)
+    ).cast("int")
+
+
+def _pj_seg_start(La: Column, i: int, k: int) -> Column:
+    """0-based start of segment i: i * (La div k) + min(i, La mod k)."""
+    return (
+        F.lit(i) * F.floor(La / k) + F.least(F.lit(i), F.pmod(La, k))
+    ).cast("int")
+
+
+def _pj_segments(
+    base: DataFrame, k: int, id_alias: str, str_alias: str
+) -> DataFrame:
+    """Indexed side: the k segments of every record with len >= k, keyed
+    (segment, length, ordinal); the string rides along so verification
+    fuses into the join stage."""
+    return (
+        base.filter(F.col("_l") >= k)
+        .select(
+            F.col("_id").alias(id_alias),
+            F.col("_s").alias(str_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col("_l").cast("int").alias("_la"),
+                            F.lit(i).alias("_i"),
+                            F.substring(
+                                F.col("_s"),
+                                _pj_seg_start(F.col("_l"), i, k) + 1,
+                                _pj_seg_len(F.col("_l"), i, k),
+                            ).alias("_seg"),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("_g"),
+        )
+        .select(id_alias, str_alias, "_g._la", "_g._i", "_g._seg")
+    )
+
+
+def _pj_substrings(
+    base: DataFrame,
+    d: int,
+    include_longer: bool,
+    id_alias: str,
+    str_alias: str,
+) -> DataFrame:
+    """Probe side: multi-match-aware substrings (Li et al. 2011, Lemma 3)
+    toward every partner length La in [max(k, Lb-d), Lb] (self-join: the
+    probe-from-the-longer halving) or [max(k, Lb-d), Lb+d] when
+    ``include_longer`` (the R-S join, where partners on both sides of the
+    length window must be reachable from the one probe direction). Each
+    substring is tagged with the exact (La, i) its window was derived
+    for, so the downstream equi-join IS the position filter."""
+    k = d + 1
+    up = d if include_longer else 0
+    _empty = "array<struct<_la:int,_i:int,_seg:string>>"
+
+    def _subs_for_i(i: int) -> Column:
+        # closure factory, not default args: PySpark HOFs dispatch on the
+        # lambda's parameter count
+        def per_la(La: Column) -> Column:
+            La = La.cast("int")
+            l_i = _pj_seg_len(La, i, k)
+            p_i = _pj_seg_start(La, i, k)
+            delta = F.col("_l").cast("int") - La
+            lo = F.greatest(
+                F.lit(0), p_i - F.lit(i), p_i + delta - F.lit(d - i)
+            ).cast("int")
+            hi = F.least(
+                F.col("_l").cast("int") - l_i,
+                p_i + F.lit(i),
+                p_i + delta + F.lit(d - i),
+            ).cast("int")
+            return F.when(
+                hi >= lo,
+                F.transform(
+                    F.sequence(lo, hi),
+                    lambda pos: F.struct(
+                        La.alias("_la"),
+                        F.lit(i).alias("_i"),
+                        F.substring(F.col("_s"), pos + 1, l_i).alias("_seg"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(_empty))
+
+        return F.flatten(
+            F.transform(
+                F.sequence(
+                    F.greatest(F.lit(k), F.col("_l").cast("int") - d),
+                    F.col("_l").cast("int") + up,
+                ),
+                per_la,
+            )
+        )
+
+    # the La sequence must ascend: Lb + up >= k  <=>  Lb >= k - up
+    return (
+        base.filter(F.col("_l") >= k - up)
+        .select(
+            F.col("_id").alias(id_alias),
+            F.col("_s").alias(str_alias),
+            F.explode(F.concat(*[_subs_for_i(i) for i in range(k)])).alias(
+                "_g"
+            ),
+        )
+        .select(id_alias, str_alias, "_g._la", "_g._i", "_g._seg")
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Exact edit-distance R-S join (record linkage across TWO tables —
+    match a dirty feed against a master table) with the same PassJoin
+    machinery as :func:`edit_distance_pairs`: segments indexed over the
+    LEFT table, multi-match-aware substrings probed from the RIGHT toward
+    every left length in [Lb-d, Lb+d] (both window directions, since the
+    R-S join has no probe-from-the-longer symmetry to exploit), banded
+    levenshtein fused into the (segment, La, i) equi-join, and a tiny
+    cross bucket for left records too short to segment (len <= 2d; their
+    partners are <= 3d long). Lossless — the suite oracle computes the
+    all-pairs R x S answer. Strings are lowercased for matching. Returns
+    (left_id, right_id, distance), one row per matched pair.
+
+    100 TB shape: identical to the self-join (O(d^2) probe keys per
+    record, candidates never shuffled, shuffle ∝ verified matches), with
+    the master table's segments built once — the incremental-linkage loop
+    reuses them against each arriving feed.
+    """
+    from etl_file_loader_spark.operators.cache import pin
+
+    d = max_distance
+    if d < 1:
+        raise ValueError("max_distance must be >= 1")
+    k = d + 1
+    lbase = pin(_pj_base(left, left_id, left_col))
+    rbase = pin(_pj_base(right, right_id, right_col))
+    segs = _pj_segments(lbase, k, "_lid", "_sl")
+    subs = _pj_substrings(
+        rbase, d, include_longer=True, id_alias="_rid", str_alias="_sr"
+    )
+    matched = (
+        segs.join(subs, ["_la", "_i", "_seg"])
+        .withColumn("_dist", F.levenshtein(F.col("_sl"), F.col("_sr"), d))
+        .filter(F.col("_dist") >= 0)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.col("_dist").alias("distance"),
+        )
+    )
+    tiny_l = lbase.filter(F.col("_l") <= 2 * d).select(
+        F.col("_id").alias("_lid"), F.col("_s").alias("_sl")
+    )
+    tiny_r = rbase.filter(F.col("_l") <= 3 * d).select(
+        F.col("_id").alias("_rid"), F.col("_s").alias("_sr")
+    )
+    tiny_matched = (
+        tiny_l.crossJoin(tiny_r)
+        .withColumn("_dist", F.levenshtein(F.col("_sl"), F.col("_sr"), d))
+        .filter(F.col("_dist") >= 0)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.col("_dist").alias("distance"),
+        )
+    )
+    return matched.unionAll(tiny_matched).distinct()
 
 
 def edit_distance_pairs(
@@ -1236,12 +1438,13 @@ def edit_distance_pairs(
     (La, i)-qualified key keeps buckets small even on low-entropy corpora
     (TPC-H part names: "red bolt " opens 300+ names under a bare-substring
     key, but only same-length, same-ordinal, window-aligned partners
-    here) — measured at sf0.1 this took the full 20k-part self-join from
-    216.8 s (bare-substring key, r9) to single-digit seconds. On
-    high-entropy keys (names, addresses, titles) buckets are near-unique
-    and the join is effectively linear. This is the classic scalable
-    EXACT fuzzy join — blocking-with-recall variants (soundex, first-k)
-    are strictly weaker.
+    here) — measured at sf0.1 the full 20k-part self-join went from
+    216.8 s (bare-substring key, r9) to 19.1 s, bounded below by its own
+    8.79M-pair ANSWER (this corpus averages ~330 true partners per
+    record; NOTES_r10 §2 has the stage accounting). On high-entropy keys
+    (names, addresses, titles) buckets are near-unique and the join is
+    effectively linear. This is the classic scalable EXACT fuzzy join —
+    blocking-with-recall variants (soundex, first-k) are strictly weaker.
 
     The lowered base table is pinned through
     :mod:`etl_file_loader_spark.operators.cache` — long-lived sessions
@@ -1253,112 +1456,11 @@ def edit_distance_pairs(
     if d < 1:
         raise ValueError("max_distance must be >= 1")
     k = d + 1
-    s = F.lower(F.col(str_col))
-    # spread the probe side across the cluster BEFORE the fan-out join:
-    # a small input (one parquet file, a union of two scans) otherwise
-    # enters the broadcast join with 1-2 partitions and the 100M+-row
-    # candidate loop runs on as many cores — the repartition shuffles
-    # only |records| rows and buys full parallelism for the join stage
-    par = df.sparkSession.sparkContext.defaultParallelism
-    base = pin(
-        df.select(
-            F.col(id_col).alias("_id"), s.alias("_s"), F.length(s).alias("_l")
-        ).repartition(par)
-    )
-
-    def _seg_len(La: Column, i: int) -> Column:
-        # segment i of a length-La string: base = La div k, the first
-        # (La mod k) segments take one extra char
-        return (
-            F.floor(La / k) + F.when(F.lit(i) < F.pmod(La, k), 1).otherwise(0)
-        ).cast("int")
-
-    def _seg_start(La: Column, i: int) -> Column:
-        # 0-based: i * (La div k) + min(i, La mod k)
-        return (
-            F.lit(i) * F.floor(La / k) + F.least(F.lit(i), F.pmod(La, k))
-        ).cast("int")
-
-    # a-side: the k segments, keyed (segment, length, ordinal); the
-    # string rides along so verification fuses into the join stage
-    segs = (
-        base.filter(F.col("_l") >= k)
-        .select(
-            F.col("_id").alias("_aid"),
-            F.col("_s").alias("_sa"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.col("_l").cast("int").alias("_la"),
-                            F.lit(i).alias("_i"),
-                            F.substring(
-                                F.col("_s"),
-                                _seg_start(F.col("_l"), i) + 1,
-                                _seg_len(F.col("_l"), i),
-                            ).alias("_seg"),
-                        )
-                        for i in range(k)
-                    ]
-                )
-            ).alias("_g"),
-        )
-        .select("_aid", "_sa", "_g._la", "_g._i", "_g._seg")
-    )
-
-    # b-side: multi-match-aware substrings toward each shorter-or-equal
-    # partner length, tagged with the (La, i) they were derived for
-    _empty = "array<struct<_la:int,_i:int,_seg:string>>"
-
-    def _subs_for_i(i: int) -> Column:
-        # closure factory, not default args: PySpark HOFs dispatch on the
-        # lambda's parameter count
-        def per_la(La: Column) -> Column:
-            La = La.cast("int")
-            l_i = _seg_len(La, i)
-            p_i = _seg_start(La, i)
-            delta = F.col("_l").cast("int") - La
-            lo = F.greatest(
-                F.lit(0), p_i - F.lit(i), p_i + delta - F.lit(d - i)
-            ).cast("int")
-            hi = F.least(
-                F.col("_l").cast("int") - l_i,
-                p_i + F.lit(i),
-                p_i + delta + F.lit(d - i),
-            ).cast("int")
-            return F.when(
-                hi >= lo,
-                F.transform(
-                    F.sequence(lo, hi),
-                    lambda pos: F.struct(
-                        La.alias("_la"),
-                        F.lit(i).alias("_i"),
-                        F.substring(F.col("_s"), pos + 1, l_i).alias("_seg"),
-                    ),
-                ),
-            ).otherwise(F.array().cast(_empty))
-
-        return F.flatten(
-            F.transform(
-                F.sequence(
-                    F.greatest(F.lit(k), F.col("_l").cast("int") - d),
-                    F.col("_l").cast("int"),
-                ),
-                per_la,
-            )
-        )
-
-    subs = (
-        base.filter(F.col("_l") >= k)
-        .select(
-            F.col("_id").alias("_bid"),
-            F.col("_s").alias("_sb"),
-            F.explode(F.concat(*[_subs_for_i(i) for i in range(k)])).alias(
-                "_g"
-            ),
-        )
-        .select("_bid", "_sb", "_g._la", "_g._i", "_g._seg")
-    )
+    base = pin(_pj_base(df, id_col, str_col))
+    segs = _pj_segments(base, k, "_aid", "_sa")
+    # probe-from-the-longer: substrings only toward La <= Lb
+    subs = _pj_substrings(base, d, include_longer=False, id_alias="_bid",
+                          str_alias="_sb")
 
     # the (segment, La, i) equi-join IS the position filter (windows were
     # enforced at generation), and the BANDED levenshtein (threshold arg:
@@ -1437,6 +1539,18 @@ def jaccard_join_prefix(
     table + per-doc sort (shuffle ∝ shingles), prefix join on rare keys,
     candidate-only verification; at scale the per-doc set arrays are the
     same rows the verify join fetches by id (no driver state).
+
+    MEASURED vs the inverted-index join (NOTES_r10 §4, 32 cores): on a
+    boilerplate-heavy corpus (one 13-word footer shared by every doc —
+    the web-crawl shape) this is 7.2 s vs 48.5 s at 5k docs (6.7x) and
+    15.3 s vs DNF >560 s at 50k docs: the inverted join's hot-shingle
+    buckets grow its candidate volume quadratically with corpus size
+    while the prefix join's rare keys keep it near the true pair count.
+    The honest flip side: on a corpus with NO hot shingles the simple
+    inverted join is ~1.5x FASTER (8.4 s vs 12.4 s at 50k docs) — the
+    global frequency table + per-doc sort are pure overhead there, so
+    prefer :func:`ngram_jaccard_pairs` when a natural block key already
+    bounds its buckets.
     """
     t = float(threshold)
     if not 0.0 < t <= 1.0:

@@ -1047,3 +1047,85 @@ SELECT (SELECT count(*) FROM cp) AS candidates_prefix,
 
 QUERIES.update({"jaccard_prefix_candidates": q_jaccard_prefix_candidates})
 ORACLES.update({"jaccard_prefix_candidates": Q_JACCARD_PREFIX_CANDIDATES_SQL})
+
+
+def q_fuzzy_join_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance R-S join (operators/dedup.py:
+    edit_distance_join — record linkage: match a dirty feed against the
+    part master). The feed plants, per selected part, a 1-edit variant
+    (interior delete) and a 2-edit variant (interior replace + appended
+    char) at key-derived positions, plus pure-noise rows that match
+    nothing; the oracle computes the ALL-PAIRS left x right answer, so
+    the row proves the one-directional R-S blocking lossless — every
+    within-distance (master, feed) pair, planted or incidental, with its
+    exact distance."""
+    part = _t(spark, sf_dir, "part")
+    left = part.select(
+        F.col("p_partkey").alias("pid"), F.col("p_name").alias("name")
+    )
+    src = part.filter(F.col("p_partkey") % 4 == 1).select(
+        "p_partkey", "p_name", F.length("p_name").alias("_l")
+    )
+    pos = (F.col("p_partkey") % (F.col("_l") - 4)) + 3  # 1-based, interior
+    name = F.col("p_name")
+    v1 = src.select(
+        (F.col("p_partkey") + F.lit(2_000_000)).alias("rid"),
+        F.concat(
+            name.substr(F.lit(1), pos - 1),
+            name.substr(pos + 1, F.col("_l") - pos),
+        ).alias("s"),
+    )
+    v2 = src.select(
+        (F.col("p_partkey") + F.lit(3_000_000)).alias("rid"),
+        F.concat(
+            name.substr(F.lit(1), pos - 1),
+            F.lit("z"),
+            name.substr(pos + 1, F.col("_l") - pos),
+            F.lit("x"),
+        ).alias("s"),
+    )
+    noise = part.filter(F.col("p_partkey") % 4 == 2).select(
+        (F.col("p_partkey") + F.lit(4_000_000)).alias("rid"),
+        F.concat(
+            F.lit("zz qq zz qq zz "), F.col("p_partkey").cast("string")
+        ).alias("s"),
+    )
+    feed = v1.unionByName(v2).unionByName(noise)
+    from etl_file_loader_spark.operators import dedup as dedup_ops
+
+    return (
+        dedup_ops.edit_distance_join(
+            left, feed, "pid", "rid", "name", "s", max_distance=2
+        )
+        .select("pid", "rid", F.col("distance").cast("int").alias("distance"))
+        .orderBy("pid", "rid")
+    )
+
+
+Q_FUZZY_JOIN_FEED_SQL = """
+WITH src AS (
+  SELECT p_partkey, p_name, length(p_name) AS l,
+         CAST(p_partkey % (length(p_name) - 4) + 3 AS INT) AS pos
+  FROM part WHERE p_partkey % 4 = 1
+),
+feed AS (
+  SELECT p_partkey + 2000000 AS rid,
+         substr(p_name, 1, pos - 1) || substr(p_name, pos + 1, l - pos) AS s
+  FROM src
+  UNION ALL
+  SELECT p_partkey + 3000000,
+         substr(p_name, 1, pos - 1) || 'z' || substr(p_name, pos + 1, l - pos) || 'x'
+  FROM src
+  UNION ALL
+  SELECT p_partkey + 4000000, 'zz qq zz qq zz ' || CAST(p_partkey AS VARCHAR)
+  FROM part WHERE p_partkey % 4 = 2
+)
+SELECT l.p_partkey AS pid, f.rid AS rid,
+       CAST(levenshtein(lower(l.p_name), lower(f.s)) AS INTEGER) AS distance
+FROM part l JOIN feed f ON abs(length(l.p_name) - length(f.s)) <= 2
+WHERE levenshtein(lower(l.p_name), lower(f.s)) <= 2
+ORDER BY pid, rid
+"""
+
+QUERIES.update({"fuzzy_join_feed": q_fuzzy_join_feed})
+ORACLES.update({"fuzzy_join_feed": Q_FUZZY_JOIN_FEED_SQL})

@@ -2389,6 +2389,43 @@ def test_release_operator_caches(spark):
     assert release_operator_caches() == 0
 
 
+def test_edit_distance_join_equals_bruteforce(spark):
+    """The R-S (two-table) PassJoin against brute force, including both
+    window directions (feed records shorter AND longer than their master
+    match), tiny/empty strings, and case folds."""
+    import itertools
+    import random
+
+    from etl_file_loader_spark.operators import dedup
+    from etl_file_loader_spark.operators.cache import release_operator_caches
+
+    rng = random.Random(42)
+    left_rows = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(3, 9))))
+        for i in range(40)
+    ] + [(100, ""), (101, "a"), (102, "AB")]
+    right_rows = [
+        (1000 + j, "".join(rng.choice("ab") for _ in range(rng.randint(1, 11))))
+        for j in range(40)
+    ] + [(2000, ""), (2001, "b"), (2002, "ab")]
+    l_df = spark.createDataFrame(left_rows, "pid long, name string")
+    r_df = spark.createDataFrame(right_rows, "rid long, s string")
+    for d in (1, 2, 3):
+        got = {
+            (r["pid"], r["rid"], r["distance"])
+            for r in dedup.edit_distance_join(
+                l_df, r_df, "pid", "rid", "name", "s", d
+            ).collect()
+        }
+        want = {
+            (pid, rid, _lev(a.lower(), b.lower()))
+            for (pid, a), (rid, b) in itertools.product(left_rows, right_rows)
+            if _lev(a.lower(), b.lower()) <= d
+        }
+        assert got == want, f"d={d}"
+    release_operator_caches()
+
+
 def test_ppjoin_positional_filter_prunes_and_stays_lossless(spark):
     """A corpus engineered so the prefix filter admits a pair the
     positional filter must prune: docs 0/1 share only 'c', sitting at

@@ -482,14 +482,30 @@ COMMENTARY = {
         "joins both paths' outputs — at 100 TB only the LSH side runs."
     ),
     "fuzzy_match_parts": (
-        "Round 9: exact edit-distance self-join (PassJoin). Segment and "
-        "substring explosions are linear in corpus chars; candidates meet "
-        "on a short-string hash equi-join (never a cross join — the plan "
-        "must show SortMergeJoin/ShuffledHashJoin on _seg, with the only "
-        "crossJoin the provably-tiny <=2d-length bucket); levenshtein runs "
-        "on candidates only. The all-pairs oracle proves the pigeonhole "
-        "blocking lossless, so this is exact fuzzy matching at linear "
-        "candidate volume — the ER primitive engines usually approximate."
+        "Round 10: exact edit-distance self-join (PassJoin with the "
+        "multi-match-aware refinement). O(d^2) substrings per record "
+        "(never per-char), candidates meet on the (segment, La, i) "
+        "equi-join — the plan must show a hash join on (_la, _i, _seg) "
+        "with the banded levenshtein(…, 2) FUSED into the join condition "
+        "(raw candidates verified in-stage, never shuffled; only verified "
+        "pairs reach the distinct's exchange), and the only crossJoin the "
+        "provably-tiny <=2d-length bucket. The probe side repartitions to "
+        "session parallelism (guarded), the r10 fix that took the FULL "
+        "20k-part sf0.1 workload from 216.8 s to 19 s against its own "
+        "8.79M-pair answer. The all-pairs oracle proves the blocking "
+        "lossless — exact fuzzy matching, the ER primitive engines "
+        "usually approximate."
+    ),
+    "jaccard_join_prefix": (
+        "Round 10: exact shingle-Jaccard self-join, PPJoin prefix + "
+        "positional filters. The plan must show the prefix join keyed on "
+        "the exploded rare-prefix token (posexplode carries the ordinal "
+        "for the positional bound — a plain Filter above the join, no "
+        "extra shuffle), then the verify joins fetching the per-doc "
+        "sorted set arrays by id. Measured: 6.7x over the inverted-index "
+        "join at 5k boilerplate-heavy docs, DNF>560s vs 15.3s at 50k "
+        "(NOTES_r10 §4); on hot-shingle-free corpora the inverted join "
+        "wins 1.5x — both trades stated in the docstring."
     ),
     "bloom_semi_join": (
         "Round 9: bloom-pruned semi-join. The packed-word membership test "
