@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "jaccard_prefix_candidates",
     # round 10: exact edit-distance R-S join (feed-vs-master linkage)
     "fuzzy_join_feed",
+    # round 10: exact shingle-Jaccard R-S join (feed-vs-master)
+    "jaccard_join_docs",
 ]
 
 

@@ -1560,17 +1560,33 @@ def jaccard_join_prefix(
     return _ppjoin_verify(per_doc, cand, id_col, t)
 
 
+def _ppjoin_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Exploded distinct (id, shingle) rows for the PPJoin operators."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_sh")
+    ).distinct()
+
+
 def _ppjoin_per_doc(
     df: DataFrame, id_col: str, text_col: str, n: int, t: float
 ) -> DataFrame:
     """The pinned per-doc table: shingle set sorted by the global
     rare-first canonical order, set size, and the lossless prefix."""
+    sh = _ppjoin_sets(df, id_col, text_col, n)
+    freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_cnt"))
+    return _ppjoin_per_doc_from(sh, id_col, t, freq)
+
+
+def _ppjoin_per_doc_from(
+    sh: DataFrame, id_col: str, t: float, freq: DataFrame
+) -> DataFrame:
+    """Per-doc sorted-set table under a CALLER-SUPPLIED frequency table —
+    the R-S join passes frequencies over the union of both tables so the
+    canonical order is one total order shared by every prefix."""
     from etl_file_loader_spark.operators.cache import pin
 
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_sh")
-    ).distinct()
-    freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_cnt"))
     per_doc = (
         sh.join(freq, "_sh")
         .groupBy(id_col)
@@ -1729,4 +1745,124 @@ def jaccard_prefix_candidate_stats(
                 F.count(F.lit(1)).cast("long").alias("verified_pairs")
             )
         )
+    )
+
+
+def jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_col: str,
+    right_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard R-S join (match a feed against a master
+    corpus across TWO tables) with the same PPJoin prefix + positional
+    filtering as :func:`jaccard_join_prefix`. The one cross-table
+    requirement: the canonical rare-first order must be ONE total order
+    shared by both sides, so shingle frequencies are counted over the
+    UNION of both tables before either prefix is sliced — a prefix
+    computed under a per-table order would break the
+    first-common-token losslessness argument. Lossless: the suite oracle
+    computes the all-pairs left x right answer. Returns
+    (id_left, id_right, intersection, size_left, size_right, jaccard).
+
+    100 TB shape: the master side's sorted-set table is buildable once
+    and reused across arriving feeds as long as the frequency order is
+    refreshed with them (rare shingles stay rare under unions; a stale
+    order only costs candidates, never pairs, when prefixes are sliced
+    under the SAME order for both sides)."""
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+    lsh = _ppjoin_sets(
+        left.select(
+            F.col(left_id).alias("id_left"), F.col(left_col).alias("_txt")
+        ),
+        "id_left",
+        "_txt",
+        n,
+    )
+    rsh = _ppjoin_sets(
+        right.select(
+            F.col(right_id).alias("id_right"), F.col(right_col).alias("_txt")
+        ),
+        "id_right",
+        "_txt",
+        n,
+    )
+    freq = (
+        lsh.select("_sh")
+        .unionAll(rsh.select("_sh"))
+        .groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    lper = _ppjoin_per_doc_from(lsh, "id_left", t, freq)
+    rper = _ppjoin_per_doc_from(rsh, "id_right", t, freq)
+    a = lper.select(
+        F.col("id_left"),
+        F.col("_n").alias("_na"),
+        F.posexplode("_prefix").alias("_pos", "_p"),
+    ).select("id_left", "_na", (F.col("_pos") + 1).alias("_pa"), "_p")
+    b = rper.select(
+        F.col("id_right"),
+        F.col("_n").alias("_nb"),
+        F.posexplode("_prefix").alias("_pos", "_p"),
+    ).select("id_right", "_nb", (F.col("_pos") + 1).alias("_pb"), "_p")
+    alpha = F.ceil(
+        F.round(F.lit(t / (1.0 + t)) * (F.col("_na") + F.col("_nb")), 9)
+    )
+    cand = (
+        a.join(b, "_p")
+        .filter(
+            (
+                F.least(F.col("_na"), F.col("_nb")).cast("double")
+                >= F.lit(t) * F.greatest(F.col("_na"), F.col("_nb"))
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
+                )
+                >= alpha
+            )
+        )
+        .select("id_left", "id_right")
+        .distinct()
+    )
+    sa = lper.select(
+        "id_left", F.col("_set").alias("_seta"), F.col("_n").alias("size_left")
+    )
+    sb = rper.select(
+        "id_right",
+        F.col("_set").alias("_setb"),
+        F.col("_n").alias("size_right"),
+    )
+    return (
+        cand.join(sa, "id_left")
+        .join(sb, "id_right")
+        .select(
+            "id_left",
+            "id_right",
+            F.size(F.array_intersect(F.col("_seta"), F.col("_setb")))
+            .cast("long")
+            .alias("intersection"),
+            F.col("size_left").cast("long"),
+            F.col("size_right").cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection")
+                / (
+                    F.col("size_left")
+                    + F.col("size_right")
+                    - F.col("intersection")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= t)
     )

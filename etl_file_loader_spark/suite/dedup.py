@@ -1129,3 +1129,59 @@ ORDER BY pid, rid
 
 QUERIES.update({"fuzzy_join_feed": q_fuzzy_join_feed})
 ORACLES.update({"fuzzy_join_feed": Q_FUZZY_JOIN_FEED_SQL})
+
+
+def q_jaccard_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard R-S join (operators/dedup.py:jaccard_join):
+    even doc_ids play the master corpus, odd doc_ids the incoming feed
+    (the dedup_incremental_near split), shingle frequencies counted over
+    the union so both prefixes share one canonical order. The oracle
+    computes the ALL-PAIRS even x odd answer, proving the cross-table
+    prefix + positional blocking lossless on the duplication-saturated
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup_ops.jaccard_join(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            "doc_id",
+            "doc_id",
+            "text",
+            "text",
+            n=5,
+            threshold=0.5,
+        )
+        .orderBy("id_left", "id_right")
+    )
+
+
+Q_JACCARD_JOIN_DOCS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 5 + 2), i -> array_to_string(w[i:i+4], ' ')) END
+  )) AS shingle
+  FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_left, b.doc_id AS id_right, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+)
+SELECT id_left, id_right, CAST(inter AS BIGINT) AS intersection,
+       CAST(sa.n AS BIGINT) AS size_left, CAST(sb.n AS BIGINT) AS size_right,
+       round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_left = sa.doc_id
+JOIN sizes sb ON id_right = sb.doc_id
+WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5
+ORDER BY 1, 2
+"""
+
+QUERIES.update({"jaccard_join_docs": q_jaccard_join_docs})
+ORACLES.update({"jaccard_join_docs": Q_JACCARD_JOIN_DOCS_SQL})

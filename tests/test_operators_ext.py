@@ -2426,6 +2426,53 @@ def test_edit_distance_join_equals_bruteforce(spark):
     release_operator_caches()
 
 
+def test_jaccard_join_rs_equals_bruteforce(spark):
+    """Cross-table PPJoin against brute-force shingle Jaccard at several
+    thresholds, on a corpus with planted cross-table near-dups, exact
+    dups, short docs, and a hot shared token."""
+    import random
+
+    from etl_file_loader_spark.operators import dedup
+    from etl_file_loader_spark.operators.cache import release_operator_caches
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    mk = lambda k: " ".join(rng.choice(vocab) for _ in range(k))
+    left_rows = [(i, mk(rng.randint(2, 12)) + " common") for i in range(25)]
+    right_rows = [(100 + i, txt) for i, (j, txt) in enumerate(left_rows[:8])]
+    right_rows += [
+        (200 + i, txt + " w0 w1") for i, (j, txt) in enumerate(left_rows[8:16])
+    ]
+    right_rows += [(300 + i, mk(rng.randint(2, 12))) for i in range(10)]
+    l_df = spark.createDataFrame(left_rows, "lid long, ltext string")
+    r_df = spark.createDataFrame(right_rows, "rid long, rtext string")
+
+    def shingle_set(txt, n=2):
+        w = txt.strip().split()
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r["id_left"], r["id_right"], r["intersection"], r["jaccard"])
+            for r in dedup.jaccard_join(
+                l_df, r_df, "lid", "rid", "ltext", "rtext", n=2, threshold=t
+            ).collect()
+        }
+        want = set()
+        for lid, lt in left_rows:
+            sa = shingle_set(lt)
+            for rid, rt in right_rows:
+                sb = shingle_set(rt)
+                inter = len(sa & sb)
+                j = round(inter / (len(sa) + len(sb) - inter), 6)
+                if j >= t:
+                    want.add((lid, rid, inter, j))
+        assert got == want, f"t={t}"
+    release_operator_caches()
+
+
 def test_ppjoin_positional_filter_prunes_and_stays_lossless(spark):
     """A corpus engineered so the prefix filter admits a pair the
     positional filter must prune: docs 0/1 share only 'c', sitting at
