@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "fuzzy_join_feed",
     # round 10: exact shingle-Jaccard R-S join (feed-vs-master)
     "jaccard_join_docs",
+    # round 10: feed-to-master best-match resolution
+    "fuzzy_link_best",
 ]
 
 

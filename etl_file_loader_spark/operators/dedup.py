@@ -1395,6 +1395,38 @@ def edit_distance_join(
     return matched.unionAll(tiny_matched).distinct()
 
 
+def link_best_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Feed-to-master RESOLUTION on top of :func:`edit_distance_join` —
+    the last step of the record-linkage workflow: for every feed (right)
+    record with at least one master within ``max_distance``, keep the
+    single best match (min distance, ties to the smallest master id,
+    both deterministic so the row is oracle-checkable). Feed records
+    with no match within distance simply don't appear — the caller's
+    anti-join finds the unmatched remainder. Returns
+    (right_id, left_id, distance), one row per matched feed record.
+
+    100 TB shape: the pair join's shuffle ∝ verified matches; the top-1
+    is a WindowGroupLimit over the feed key (rank pushdown keeps only
+    one row per group before the final sort)."""
+    pairs = edit_distance_join(
+        left, right, left_id, right_id, left_col, right_col, max_distance
+    )
+    w = Window.partitionBy(right_id).orderBy(F.col("distance"), F.col(left_id))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(right_id, left_id, "distance")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame, id_col: str, str_col: str, max_distance: int = 2
 ) -> DataFrame:

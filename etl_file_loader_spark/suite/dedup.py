@@ -1185,3 +1185,81 @@ ORDER BY 1, 2
 
 QUERIES.update({"jaccard_join_docs": q_jaccard_join_docs})
 ORACLES.update({"jaccard_join_docs": Q_JACCARD_JOIN_DOCS_SQL})
+
+
+def q_fuzzy_link_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-to-master resolution (operators/dedup.py:link_best_match):
+    the fuzzy_join_feed workload resolved to ONE best master per feed
+    record (min distance, ties to the smallest master id). The oracle
+    replays the all-pairs join + the identical row_number tiebreak, so
+    every resolution — including feed variants that resolve to a
+    DIFFERENT master than their source via an incidental closer name —
+    is value-checked."""
+    part = _t(spark, sf_dir, "part")
+    left = part.select(
+        F.col("p_partkey").alias("pid"), F.col("p_name").alias("name")
+    )
+    src = part.filter(F.col("p_partkey") % 4 == 1).select(
+        "p_partkey", "p_name", F.length("p_name").alias("_l")
+    )
+    pos = (F.col("p_partkey") % (F.col("_l") - 4)) + 3
+    name = F.col("p_name")
+    v1 = src.select(
+        (F.col("p_partkey") + F.lit(2_000_000)).alias("rid"),
+        F.concat(
+            name.substr(F.lit(1), pos - 1),
+            name.substr(pos + 1, F.col("_l") - pos),
+        ).alias("s"),
+    )
+    v2 = src.select(
+        (F.col("p_partkey") + F.lit(3_000_000)).alias("rid"),
+        F.concat(
+            name.substr(F.lit(1), pos - 1),
+            F.lit("z"),
+            name.substr(pos + 1, F.col("_l") - pos),
+            F.lit("x"),
+        ).alias("s"),
+    )
+    feed = v1.unionByName(v2)
+    from etl_file_loader_spark.operators import dedup as dedup_ops
+
+    return (
+        dedup_ops.link_best_match(
+            left, feed, "pid", "rid", "name", "s", max_distance=2
+        )
+        .select("rid", "pid", F.col("distance").cast("int").alias("distance"))
+        .orderBy("rid")
+    )
+
+
+Q_FUZZY_LINK_BEST_SQL = """
+WITH src AS (
+  SELECT p_partkey, p_name, length(p_name) AS l,
+         CAST(p_partkey % (length(p_name) - 4) + 3 AS INT) AS pos
+  FROM part WHERE p_partkey % 4 = 1
+),
+feed AS (
+  SELECT p_partkey + 2000000 AS rid,
+         substr(p_name, 1, pos - 1) || substr(p_name, pos + 1, l - pos) AS s
+  FROM src
+  UNION ALL
+  SELECT p_partkey + 3000000,
+         substr(p_name, 1, pos - 1) || 'z' || substr(p_name, pos + 1, l - pos) || 'x'
+  FROM src
+),
+pairs AS (
+  SELECT f.rid, l.p_partkey AS pid,
+         levenshtein(lower(l.p_name), lower(f.s)) AS distance,
+         row_number() OVER (
+           PARTITION BY f.rid
+           ORDER BY levenshtein(lower(l.p_name), lower(f.s)), l.p_partkey
+         ) AS rn
+  FROM part l JOIN feed f ON abs(length(l.p_name) - length(f.s)) <= 2
+  WHERE levenshtein(lower(l.p_name), lower(f.s)) <= 2
+)
+SELECT rid, pid, CAST(distance AS INTEGER) AS distance
+FROM pairs WHERE rn = 1 ORDER BY rid
+"""
+
+QUERIES.update({"fuzzy_link_best": q_fuzzy_link_best})
+ORACLES.update({"fuzzy_link_best": Q_FUZZY_LINK_BEST_SQL})

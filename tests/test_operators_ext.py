@@ -2426,6 +2426,34 @@ def test_edit_distance_join_equals_bruteforce(spark):
     release_operator_caches()
 
 
+def test_link_best_match_resolution_and_tiebreak(spark):
+    """Top-1 per feed record: min distance wins, equal distances break to
+    the smallest master id, unmatched feed rows are absent."""
+    from etl_file_loader_spark.operators import dedup
+    from etl_file_loader_spark.operators.cache import release_operator_caches
+
+    master = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "mitten"), (9, "unrelated words")],
+        "pid long, name string",
+    )
+    feed = spark.createDataFrame(
+        # 'bitten': distance 1 to all three *itten masters -> tie -> pid 1
+        # 'kittex': distance 1 to kitten only
+        # 'zzzzzzzz': no match within 2
+        [(100, "bitten"), (101, "kittex"), (102, "zzzzzzzz")],
+        "rid long, s string",
+    )
+    got = {
+        r["rid"]: (r["pid"], r["distance"])
+        for r in dedup.link_best_match(
+            master, feed, "pid", "rid", "name", "s", 2
+        ).collect()
+    }
+    release_operator_caches()
+    assert got == {100: (1, 1), 101: (1, 1)}
+    assert 102 not in got
+
+
 def test_jaccard_join_rs_equals_bruteforce(spark):
     """Cross-table PPJoin against brute-force shingle Jaccard at several
     thresholds, on a corpus with planted cross-table near-dups, exact
