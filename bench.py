@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "jaccard_join_docs",
     # round 10: feed-to-master best-match resolution
     "fuzzy_link_best",
+    # round 10: self-tuning exact Jaccard join (probe + dispatch)
+    "jaccard_pairs_auto",
 ]
 
 

@@ -1395,6 +1395,64 @@ def edit_distance_join(
     return matched.unionAll(tiny_matched).distinct()
 
 
+def jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    candidate_budget_per_doc: int = 4_000,
+) -> DataFrame:
+    """Self-tuning exact Jaccard self-join: MEASURE the corpus, then
+    dispatch to whichever lossless path wins on its shape. The decision
+    statistic is the inverted-index join's candidate-row count,
+    ``sum over shingles of freq^2`` (one bounded aggregation — exactly
+    the rows that join would push through its pair groupBy); per doc it
+    separates the two regimes by ~two orders of magnitude on measured
+    corpora (NOTES_r10 §4/§12: 55-556 candidates/doc on hot-shingle-free
+    corpora, where the plain inverted join wins ~1.5x, vs 45k-454k/doc
+    on boilerplate-heavy ones, where it loses 6.7x and then never
+    finishes). Over budget -> :func:`jaccard_join_prefix` (rare-prefix
+    candidates); under -> :func:`ngram_jaccard_pairs` (no frequency
+    table, no per-doc sort). Both are exact, so the result — and the
+    suite oracle — is path-independent; the probe costs one shingle
+    aggregation and a 1-row collect before either path runs.
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+    sh = _ppjoin_sets(df, id_col, text_col, n)
+    probe = (
+        sh.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.sum(F.col("_c") * F.col("_c")).alias("_c2"),
+        )
+        .crossJoin(df.agg(F.count(F.lit(1)).alias("_docs")))
+        .collect()[0]
+    )
+    c2, docs = int(probe["_c2"] or 0), int(probe["_docs"] or 0)
+    use_prefix = docs > 0 and c2 > candidate_budget_per_doc * docs
+    logger.info(
+        "jaccard_pairs_auto: sum_freq2=%d docs=%d (%.0f/doc, budget %d) -> %s",
+        c2, docs, c2 / max(docs, 1), candidate_budget_per_doc,
+        "prefix" if use_prefix else "inverted",
+    )
+    out = (
+        jaccard_join_prefix(df, id_col, text_col, n, t)
+        if use_prefix
+        else ngram_jaccard_pairs(df, id_col, text_col, n, t)
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("intersection").cast("long").alias("intersection"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        "jaccard",
+    )
+
+
 def link_best_match(
     left: DataFrame,
     right: DataFrame,

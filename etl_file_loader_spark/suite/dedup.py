@@ -1263,3 +1263,20 @@ FROM pairs WHERE rn = 1 ORDER BY rid
 
 QUERIES.update({"fuzzy_link_best": q_fuzzy_link_best})
 ORACLES.update({"fuzzy_link_best": Q_FUZZY_LINK_BEST_SQL})
+
+
+def q_jaccard_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-tuning exact Jaccard join (operators/dedup.py:
+    jaccard_pairs_auto): one bounded probe of sum(freq^2) picks the
+    inverted-index or prefix path; both are lossless so the oracle —
+    the same all-pairs answer as jaccard_join_prefix — is
+    path-independent. On this corpus the probe measures ~55
+    candidates/doc and picks the inverted path."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.jaccard_pairs_auto(
+        docs, "doc_id", "text", n=5, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+QUERIES.update({"jaccard_pairs_auto": q_jaccard_pairs_auto})
+ORACLES.update({"jaccard_pairs_auto": Q_JACCARD_JOIN_PREFIX_SQL})

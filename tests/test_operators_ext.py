@@ -2426,6 +2426,43 @@ def test_edit_distance_join_equals_bruteforce(spark):
     release_operator_caches()
 
 
+def test_jaccard_pairs_auto_both_branches_agree(spark):
+    """Forcing each branch via the budget knob returns identical rows
+    (both paths are exact), and the default budget picks the inverted
+    path on a hot-shingle-free corpus."""
+    import random
+
+    from etl_file_loader_spark.operators import dedup
+    from etl_file_loader_spark.operators.cache import release_operator_caches
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10))))
+        for i in range(30)
+    ]
+    rows += [(100 + i, rows[i][1]) for i in range(6)]  # planted dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda r: (r["id_a"], r["id_b"], r["intersection"], r["jaccard"])
+    inverted = {
+        key(r)
+        for r in dedup.jaccard_pairs_auto(
+            df, "doc_id", "text", n=2, threshold=0.5,
+            candidate_budget_per_doc=10**9,
+        ).collect()
+    }
+    prefix = {
+        key(r)
+        for r in dedup.jaccard_pairs_auto(
+            df, "doc_id", "text", n=2, threshold=0.5,
+            candidate_budget_per_doc=0,
+        ).collect()
+    }
+    release_operator_caches()
+    assert inverted == prefix
+    assert len(inverted) >= 6  # the planted dups all surface
+
+
 def test_link_best_match_resolution_and_tiebreak(spark):
     """Top-1 per feed record: min distance wins, equal distances break to
     the smallest master id, unmatched feed rows are absent."""
