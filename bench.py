@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "fuzzy_link_best",
     # round 10: self-tuning exact Jaccard join (probe + dispatch)
     "jaccard_pairs_auto",
+    # round 10: production-hash bloom semi-join (binary-carrier probe)
+    "bloom_semi_join_fast",
 ]
 
 

@@ -1180,11 +1180,39 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 6000.0)
 ORDER BY o_orderkey
 """
 
+def q_bloom_semi_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-hash twin of ``bloom_semi_join``: xxhash64
+    positions (JVM-native — measured at sf10 the portable md5 probe
+    costs 4 string md5s per scanned row, NOTES_r10 §13) behind the same
+    unrolled scan-side bit test. The bloom-equals-plain-semi-join
+    contract is HASH-AGNOSTIC (no false negatives by construction for
+    any hash family), so the same SQL oracle fully value-checks the
+    fast path even though DuckDB cannot replay xxhash64."""
+    from etl_file_loader_spark.operators import sketches as sk_ops
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        sk_ops.bloom_semi_join(
+            orders.select("o_orderkey", "o_custkey"),
+            customer.filter(F.col("c_acctbal") > 6000.0),
+            "o_custkey",
+            "c_custkey",
+            num_hashes=4,
+            num_bits=16384,
+            fast=True,
+        )
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
 QUERIES.update(
     {
         "bloom_filter_check": q_bloom_filter_check,
         "bloom_probe_stats": q_bloom_probe_stats,
         "bloom_semi_join": q_bloom_semi_join,
+        "bloom_semi_join_fast": q_bloom_semi_join_fast,
     }
 )
 ORACLES.update(
@@ -1192,5 +1220,6 @@ ORACLES.update(
         "bloom_filter_check": Q_BLOOM_FILTER_SQL,
         "bloom_probe_stats": Q_BLOOM_PROBE_SQL,
         "bloom_semi_join": Q_BLOOM_SEMI_JOIN_SQL,
+        "bloom_semi_join_fast": Q_BLOOM_SEMI_JOIN_SQL,
     }
 )

@@ -2239,6 +2239,32 @@ def test_bloom_build_large_filter_is_word_bounded(spark):
     assert words == want
 
 
+def test_bloom_fast_hash_no_false_negatives_and_join_equality(spark):
+    """The xxhash64 fast path: different bit patterns from the md5 path,
+    same contracts — every member passes the probe, and the pruned
+    semi-join equals the exact semi-join."""
+    from etl_file_loader_spark.operators import sketches as sk
+
+    keys = list(range(0, 300, 3))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = sk.build_bloom(df, "k", 4, 512, fast=True)
+    assert words != sk.build_bloom(df, "k", 4, 512)  # different hash family
+    passed = df.filter(sk.bloom_contains(F.col("k"), words, 4, 512, fast=True)).count()
+    assert passed == len(keys)
+    # shard merge still holds (set semantics are hash-agnostic)
+    a = sk.build_bloom(df.filter(F.col("k") < 150), "k", 4, 512, fast=True)
+    b = sk.build_bloom(df.filter(F.col("k") >= 150), "k", 4, 512, fast=True)
+    assert sk.merge_blooms(a, b) == words
+    big = spark.createDataFrame([(i, i % 50) for i in range(1000)], "rid long, k long")
+    small = spark.createDataFrame([(k,) for k in range(0, 50, 7)], "sk long")
+    got = sorted(
+        (r["rid"], r["k"])
+        for r in sk.bloom_semi_join(big, small, "k", "sk", 4, 256, fast=True).collect()
+    )
+    want = sorted((i, i % 50) for i in range(1000) if (i % 50) % 7 == 0)
+    assert got == want
+
+
 def test_bloom_merge_shape_mismatch(spark):
     import pytest as _pytest
 
