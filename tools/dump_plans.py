@@ -508,14 +508,19 @@ COMMENTARY = {
         "wins 1.5x — both trades stated in the docstring."
     ),
     "bloom_semi_join": (
-        "Round 9: bloom-pruned semi-join. The packed-word membership test "
+        "Round 10: bloom-pruned semi-join, probe rebuilt after the sf10 "
+        "measurement (39.1s -> 4.1s, NOTES_r10 §13). The membership test "
         "is a pure Filter ON THE SCAN of the big side (no UDF, no shuffle "
-        "— the shape of an engine-pushed runtime filter), so the "
-        "BroadcastHashJoin/shuffle semi-join downstream sees only bloom "
-        "survivors: shuffled bytes track |matches| + FP rate (7.1% at "
-        "sf0.01's deliberately small m), never |big|. At 100 TB this is "
-        "THE join-pruning idiom; the exact join guarantees the result "
-        "equals the plain semi-join."
+        "— the shape of an engine-pushed runtime filter): an unrolled "
+        "conjunction of k bit-tests (forall runs interpreted), each a "
+        "byte-slice substring of ONE binary words literal + hex/conv + "
+        "bit_get (a literal-ARRAY carrier cost grew linearly with filter "
+        "size). Downstream the semi-join sees only bloom survivors: "
+        "shuffled bytes track |matches| + FP rate, never |big|. At 100 TB "
+        "this is THE join-pruning idiom; the exact join guarantees the "
+        "result equals the plain semi-join — a contract that holds for "
+        "ANY hash family, which is how bloom_semi_join_fast (xxhash64 "
+        "positions, 4.3x cheaper probe) keeps a full SQL oracle."
     ),
     "langid_fixture": (
         "Round 9: multiclass hashed-NB language ID over the learnable "
