@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "jaccard_pairs_auto",
     # round 10: production-hash bloom semi-join (binary-carrier probe)
     "bloom_semi_join_fast",
+    # round 10: lossless end-to-end near-dedup (exact edges + CC)
+    "near_dedup_exact",
 ]
 
 

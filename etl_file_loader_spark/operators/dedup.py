@@ -953,6 +953,52 @@ def remove_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def remove_near_duplicates_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """The LOSSLESS near-dedup product op: identical composition to
+    :func:`remove_near_duplicates` (exact-text quotient -> pair edges ->
+    connected components -> anti-join the non-representatives), but the
+    edges are TRUE shingle-Jaccard >= threshold pairs from
+    :func:`jaccard_pairs_auto` (both of whose paths are exact), not LSH
+    band candidates — survivors are a pure function of the data with no
+    recall trade, so the suite oracle can recompute them from the
+    all-pairs join + recursive-CTE components. The standard trade: exact
+    edges cost the candidate-verify join (self-tuned inverted vs prefix),
+    where LSH pays only the band shuffle but misses below-band-curve
+    pairs; pipelines pick per corpus (CurationConfig.near_dedup_exact).
+
+    Exact-dup members collapse to their min-id representative before the
+    pair join (same quotient as the LSH op — identical texts have
+    jaccard 1 with their rep, so components over the quotient plus the
+    member->rep edges equal components over the full corpus).
+    """
+    th = df.select(
+        F.col(id_col), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_th")
+    )
+    groups = th.groupBy("_th").agg(F.min(F.col(id_col)).alias("_rep")).persist()
+    rep_docs = df.join(
+        groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    pairs = jaccard_pairs_auto(
+        rep_docs, id_col, text_col, n=n, threshold=threshold
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, max_iterations=max_iterations)
+    rep_losers = comp.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    member_losers = (
+        th.join(groups, "_th").filter(F.col(id_col) != F.col("_rep")).select(F.col(id_col))
+    )
+    losers = member_losers.unionByName(rep_losers)
+    return df.join(losers, id_col, "left_anti")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

@@ -71,6 +71,12 @@ class CurationConfig:
     minhash_hashes: int = 16
     lsh_bands: int = 4
     lsh_rows_per_band: int = 4
+    # stage 4 exact variant (round 10): true-Jaccard edges via the
+    # self-tuning exact join instead of LSH candidates — survivors become
+    # a pure function of the data (no recall trade) at the cost of the
+    # candidate-verify join; threshold is the jaccard floor for an edge
+    near_dedup_exact: bool = False
+    near_dedup_threshold: float = 0.5
     # stage 4b: SimHash hamming-ball dedup AFTER the MinHash pass — the
     # scale composition from NOTES_r6 §8: MinHash collapse removes the
     # near-identical families FIRST, so SimHash's exact per-pair hamming
@@ -311,8 +317,12 @@ class CurationPipeline:
         cur = self._apply_filters(docs, counts)
 
         if c.near_dedup:
-            cur = self._barrier(
-                dedup_ops.remove_near_duplicates(
+            if c.near_dedup_exact:
+                deduped = dedup_ops.remove_near_duplicates_exact(
+                    cur, did, txt, threshold=c.near_dedup_threshold
+                )
+            else:
+                deduped = dedup_ops.remove_near_duplicates(
                     cur,
                     did,
                     txt,
@@ -320,7 +330,7 @@ class CurationPipeline:
                     bands=c.lsh_bands,
                     rows_per_band=c.lsh_rows_per_band,
                 )
-            )
+            cur = self._barrier(deduped)
             counts["near_dedup"] = cur.count()
 
         cur = self._apply_simhash(cur, counts)

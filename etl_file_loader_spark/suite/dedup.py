@@ -1280,3 +1280,66 @@ def q_jaccard_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"jaccard_pairs_auto": q_jaccard_pairs_auto})
 ORACLES.update({"jaccard_pairs_auto": Q_JACCARD_JOIN_PREFIX_SQL})
+
+
+def q_near_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS end-to-end near-dedup (operators/dedup.py:
+    remove_near_duplicates_exact): survivors after collapsing every
+    connected component of TRUE jaccard >= 0.5 pairs to its min-id
+    representative. Because the edges are exact (not LSH candidates),
+    the oracle recomputes the survivor set from scratch: all-pairs
+    jaccard edges + recursive-CTE components over the full corpus —
+    exact-dup members land in their representative's component (J = 1),
+    so quotient-side and full-corpus components agree."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup_ops.remove_near_duplicates_exact(
+            docs, "doc_id", "text", n=5, threshold=0.5
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+Q_NEAR_DEDUP_EXACT_SQL = r"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 5 + 2), i -> array_to_string(w[i:i+4], ' ')) END
+  )) AS shingle
+  FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+jpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges0 AS (
+  SELECT id_a, id_b FROM jpairs
+  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM edges0
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+losers AS (
+  SELECT src AS doc_id FROM reach GROUP BY src HAVING src <> min(dst)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id
+"""
+
+QUERIES.update({"near_dedup_exact": q_near_dedup_exact})
+ORACLES.update({"near_dedup_exact": Q_NEAR_DEDUP_EXACT_SQL})

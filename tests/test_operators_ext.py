@@ -2452,6 +2452,78 @@ def test_edit_distance_join_equals_bruteforce(spark):
     release_operator_caches()
 
 
+def test_remove_near_duplicates_exact_equals_bruteforce(spark):
+    """Exact near-dedup survivors == brute-force components of true
+    jaccard >= t edges, including exact-dup collapse and a singleton."""
+    import itertools
+    import random
+
+    from etl_file_loader_spark.operators import dedup
+    from etl_file_loader_spark.operators.cache import release_operator_caches
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(8))))
+    rows += [(100 + i, rows[i][1]) for i in range(4)]  # exact dups
+    rows += [(200 + i, rows[i][1] + " extra") for i in range(4)]  # near dups
+    rows.append((300, "completely disjoint standalone text"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.remove_near_duplicates_exact(
+            df, "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+    )
+    release_operator_caches()
+
+    def sset(t, n=2):
+        w = t.strip().split()
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    data = dict(rows)
+    parent = {i: i for i in data}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(data), 2):
+        sa, sb = sset(data[a]), sset(data[b])
+        inter = len(sa & sb)
+        if round(inter / (len(sa) + len(sb) - inter), 6) >= 0.5:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = sorted(i for i in data if find(i) == i)
+    assert got == want
+
+
+def test_curation_near_dedup_exact_stage(spark):
+    """CurationConfig.near_dedup_exact swaps the LSH collapse for the
+    lossless variant and agrees with the standalone operator."""
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+    from etl_file_loader_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = CurationConfig(
+        min_quality=None, scrub_pii=False,
+        near_dedup=True, near_dedup_exact=True, near_dedup_threshold=0.5,
+        split_fractions=None,
+    )
+    res = CurationPipeline(cfg).run(docs)
+    want = dedup.remove_near_duplicates_exact(
+        docs, "doc_id", "text", threshold=0.5
+    ).count()
+    assert res.stage_counts["near_dedup"] == want
+    assert want < docs.count()  # the stage discriminates
+
+
 def test_jaccard_pairs_auto_both_branches_agree(spark):
     """Forcing each branch via the budget knob returns identical rows
     (both paths are exact), and the default budget picks the inverted
