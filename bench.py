@@ -16,6 +16,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from etl_file_loader_spark import suite  # noqa: E402
+from etl_file_loader_spark.operators.cache import release_operator_caches  # noqa: E402
 from etl_file_loader_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
@@ -231,7 +232,15 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = suite.QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # Operator-pinned caches (PassJoin bases, PPJoin per-doc tables,
+    # signature/shingle frames) are scoped to ONE workload: release them
+    # here so a 138-query run doesn't accumulate every pinned table for
+    # the rest of the process (LRU eviction/spill at large SF). Release
+    # happens after the noop write (result fully materialized) and inside
+    # the timed region's aftermath, not the timing itself.
+    release_operator_caches()
+    return dt
 
 
 def bench_pipeline_e2e(spark, sf_dir: str) -> tuple[float, int]:

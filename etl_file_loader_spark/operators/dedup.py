@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_file_loader_spark.functions import token_hash32, token_hash_bits, tokens
+from etl_file_loader_spark.operators.cache import pin
 
 logger = logging.getLogger(__name__)
 
@@ -190,7 +191,7 @@ def _bucket_join_pairs(
     handles 500-member buckets at native speed where an interpreted HOF
     explosion over collected arrays pays per-element interpreter cost.
     """
-    slim = members.select(F.col(id_col), *bucket_cols).persist()
+    slim = pin(members.select(F.col(id_col), *bucket_cols))
     a = slim.select(F.col(id_col).alias("id_a"), *bucket_cols)
     b = slim.select(F.col(id_col).alias("id_b"), *bucket_cols)
     return (
@@ -397,12 +398,12 @@ def minhash_jaccard_pairs(
     # Lifetime is honest, not isolated (ADVICE r6): SubqueryAlias
     # canonicalizes to its child, so CacheManager would match the caller's
     # identical frame anyway — an alias wrapper cannot fence the cache
-    # entry. The cached blocks live until Spark's LRU evicts them or the
-    # session clearCache()s — a lazy return value cannot unpersist behind
-    # itself; callers looping over many corpora should
-    # spark.catalog.clearCache() between iterations, and a caller
-    # unpersist() of the same plan drops this cache too.
-    signatures = signatures.persist()
+    # entry. A lazy return value cannot unpersist behind itself, so the
+    # persist routes through the pin() registry: batch drivers (bench
+    # run_one, the suite runner) call release_operator_caches() between
+    # workloads, and a caller unpersist() of the same plan still drops
+    # this cache too.
+    signatures = pin(signatures)
     pairs = lsh_candidate_pairs(signatures, id_col, bands, rows_per_band)
     sa = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
     sb = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
@@ -547,7 +548,7 @@ def simhash_pairs_blocked(
     heavy corpora put many docs on one block value; the join variant of
     pair expansion streams those buckets instead of materializing them.
     """
-    sh = simhash(df, id_col, text_col, bits=bits).persist()
+    sh = pin(simhash(df, id_col, text_col, bits=bits))
     return _blocked_pairs_from_fingerprints(
         sh, id_col, bits, max_hamming, blocks, max_bucket_size=max_bucket_size
     )
@@ -662,9 +663,9 @@ def simhash_dedup(
     predicts the pair-verification volume from the bucket histogram, so
     the Σ family² blowup is visible before a 100 TB run, not during it.
     """
-    sh = simhash(df, id_col, text_col, bits=bits).persist()
+    sh = pin(simhash(df, id_col, text_col, bits=bits))
     groups = sh.groupBy("simhash").agg(F.min(F.col(id_col)).alias("_rep"))
-    reps = groups.select(F.col("_rep").alias(id_col), "simhash").persist()
+    reps = pin(groups.select(F.col("_rep").alias(id_col), "simhash"))
     pairs = _blocked_pairs_from_fingerprints(
         reps, id_col, bits, max_hamming, blocks, max_bucket_size=max_family_size
     )
@@ -702,7 +703,8 @@ def ngram_jaccard_pairs(
     ex = df.select(
         F.col(id_col), *[F.col(c) for c in keys],
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    ).persist()
+    )
+    ex = pin(ex)
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = ex.select(F.col(id_col).alias("id_a"), *[F.col(c) for c in keys], "shingle")
     b = ex.select(F.col(id_col).alias("id_b"), *[F.col(c) for c in keys], "shingle")
@@ -930,7 +932,7 @@ def remove_near_duplicates(
     th = df.select(
         F.col(id_col), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_th")
     )
-    groups = th.groupBy("_th").agg(F.min(F.col(id_col)).alias("_rep")).persist()
+    groups = pin(th.groupBy("_th").agg(F.min(F.col(id_col)).alias("_rep")))
     rep_docs = df.join(
         groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
@@ -981,7 +983,7 @@ def remove_near_duplicates_exact(
     th = df.select(
         F.col(id_col), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_th")
     )
-    groups = th.groupBy("_th").agg(F.min(F.col(id_col)).alias("_rep")).persist()
+    groups = pin(th.groupBy("_th").agg(F.min(F.col(id_col)).alias("_rep")))
     rep_docs = df.join(
         groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
@@ -1400,8 +1402,6 @@ def edit_distance_join(
     the master table's segments built once — the incremental-linkage loop
     reuses them against each arriving feed.
     """
-    from etl_file_loader_spark.operators.cache import pin
-
     d = max_distance
     if d < 1:
         raise ValueError("max_distance must be >= 1")
@@ -1467,6 +1467,13 @@ def jaccard_pairs_auto(
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {t}")
+    # pin the input: the eager probe collect below materializes df once,
+    # and the chosen join path then reads the SAME cached frame instead of
+    # recomputing df's lineage (inside CurationPipeline that lineage is
+    # the un-barriered upstream filter stages — ADVICE r10 measured the
+    # double execution). The pin routes through the operator cache
+    # registry so bench/suite drivers release it between workloads.
+    df = pin(df)
     sh = _ppjoin_sets(df, id_col, text_col, n)
     probe = (
         sh.groupBy("_sh")
@@ -1586,8 +1593,6 @@ def edit_distance_pairs(
     :mod:`etl_file_loader_spark.operators.cache` — long-lived sessions
     call ``release_operator_caches()`` after materializing the result.
     """
-    from etl_file_loader_spark.operators.cache import pin
-
     d = max_distance
     if d < 1:
         raise ValueError("max_distance must be >= 1")
@@ -1721,8 +1726,6 @@ def _ppjoin_per_doc_from(
     """Per-doc sorted-set table under a CALLER-SUPPLIED frequency table —
     the R-S join passes frequencies over the union of both tables so the
     canonical order is one total order shared by every prefix."""
-    from etl_file_loader_spark.operators.cache import pin
-
     per_doc = (
         sh.join(freq, "_sh")
         .groupBy(id_col)

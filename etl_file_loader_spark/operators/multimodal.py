@@ -551,11 +551,12 @@ def image_dedup_pairs(
     )
 
     bits = grid * (grid - 1)
-    sh = (
+    from etl_file_loader_spark.operators.cache import pin
+
+    sh = pin(
         image_dhash(df, grid=grid)
         .filter(F.col("decode_ok"))
         .select(F.col("media_id"), F.col("dhash").alias("simhash"))
-        .persist()
     )
     return _blocked_pairs_from_fingerprints(
         sh, "media_id", bits, max_hamming, blocks, max_bucket_size=max_bucket_size

@@ -337,16 +337,23 @@ def bloom_contains(
             F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
             for i in range(num_hashes)
         ]
-    else:
-        from etl_file_loader_spark.functions import token_hash32
+        # xxhash64 SKIPS null inputs (yields a seed-derived hash) where the
+        # md5 path yields NULL — without this guard fast=True could return
+        # TRUE for a NULL key, violating build_bloom's "null keys dropped"
+        # contract (the md5 path's NULL propagates to NULL and the row is
+        # filtered). Make both hash families agree: NULL key -> not member.
+        return key.isNotNull() & reduce(
+            operator.and_, (bit_set(p) for p in positions)
+        )
+    from etl_file_loader_spark.functions import token_hash32
 
-        positions = [
-            F.pmod(
-                token_hash32(F.concat(key.cast("string"), F.lit(f":{i}"))),
-                F.lit(num_bits),
-            )
-            for i in range(num_hashes)
-        ]
+    positions = [
+        F.pmod(
+            token_hash32(F.concat(key.cast("string"), F.lit(f":{i}"))),
+            F.lit(num_bits),
+        )
+        for i in range(num_hashes)
+    ]
     return reduce(operator.and_, (bit_set(p) for p in positions))
 
 

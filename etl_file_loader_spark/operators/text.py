@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_file_loader_spark.functions import token_hash32, tokens
+from etl_file_loader_spark.operators.cache import pin
 
 # tiny per-language stopword marker sets (heuristic language ID)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -1400,7 +1401,7 @@ def remove_duplicate_spans(
     from pyspark.sql.window import Window
 
     toks = tokens(F.col(text_col))
-    base = corpus.select(F.col(id_col), toks.alias("_toks")).persist()
+    base = pin(corpus.select(F.col(id_col), toks.alias("_toks")))
     occ = base.select(
         F.col(id_col),
         F.posexplode(_gram_array(F.col("_toks"), window)).alias("_pos", "_gram"),
@@ -1995,7 +1996,7 @@ def text_signals(
         th.update(thresholds)
 
     ns = sorted(set(range(2, 11)) | {n_novel, window})
-    counts = _gram_count_table(df, id_col, text_col, ns).persist()
+    counts = pin(_gram_count_table(df, id_col, text_col, ns))
 
     gopher = _gopher_from_counts(
         counts.filter(F.col("_n").between(2, 10)),

@@ -443,7 +443,12 @@ def cdc_stream(
     State = versioned parquet snapshots under ``state_dir``
     (``state_v{n}``: read latest, write next — never overwrite the input
     of a running plan). Seed ``state_v0`` with the initial snapshot plus
-    ``_deleted = 0`` before starting. The visible table after any batch
+    ``_deleted = 0`` before starting; the seed needs NO ``_SUCCESS``
+    marker (external tools often emit none — v0 is exempt from the
+    completeness gate because :func:`process` never writes it), while
+    snapshots v>=1 are adopted only with the marker, which the writer
+    guarantees even under
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``. The visible table after any batch
     is ``state.filter("_deleted = 0").drop("_deleted")``; tombstones make
     batch-by-batch application CONFLUENT under out-of-order batches (a
     late stale change loses to an earlier-arrived higher-seq delete
@@ -475,9 +480,16 @@ def cdc_stream(
             int(m.group(1))
             for name in fs.list_names(state_dir)
             if (m := re.fullmatch(r"state_v(\d+)", name))
-            # only COMPLETE snapshots: a dir without the committer's
-            # _SUCCESS marker is a mid-write casualty, not a base state
-            and fs.exists(f"{state_dir}/state_v{m.group(1)}/_SUCCESS")
+            # only COMPLETE snapshots: a dir v>=1 without the committer's
+            # _SUCCESS marker is a mid-write casualty of OUR process(),
+            # not a base state. state_v0 is exempt — it is the USER'S
+            # seed, possibly written by an external tool that emits no
+            # marker; process() itself never writes v0, so a marker-less
+            # v0 cannot be one of our partial writes.
+            and (
+                m.group(1) == "0"
+                or fs.exists(f"{state_dir}/state_v{m.group(1)}/_SUCCESS")
+            )
         ]
         if not vs:
             raise FileNotFoundError(
@@ -502,6 +514,13 @@ def cdc_stream(
         tmp = f"{state_dir}/_tmp_state_v{v + 1}"
         final = f"{state_dir}/state_v{v + 1}"
         new_state.write.mode("overwrite").parquet(tmp)
+        # version adoption is gated on _SUCCESS: if the session runs with
+        # mapreduce.fileoutputcommitter.marksuccessfuljobs=false the
+        # committer emits none, _latest_version would stall at the seed,
+        # and every batch would silently re-apply against v0 — so write
+        # the marker ourselves when the committer did not
+        if not fs.exists(f"{tmp}/_SUCCESS"):
+            fs.write_text(f"{tmp}/_SUCCESS", "")
         if fs.exists(final):
             fs.rmtree(final)
         fs.move(tmp, final)

@@ -104,6 +104,19 @@ ORACLES.update(
 # Order matters: the driver checks a prefix. 50 entries — the window is FULL
 # (zero slack): adding a query here requires demoting another into a digest.
 #
+# Round-11 rotation (#6, VERDICT r10 ask 2): the 7 round-10 digest-born
+# rows get their direct driver rows — jaccard_prefix_candidates,
+# fuzzy_join_feed, jaccard_join_docs, fuzzy_link_best, jaccard_pairs_auto,
+# bloom_semi_join_fast, near_dedup_exact; 7 long-green rows demoted into
+# their family digests (zorder_layout_check / kmv_distinct_check /
+# cms_heavy_hitters green since round 9 -> analytics_digest;
+# semantic_contamination_check / similarity_pq_recall /
+# packed_sequences_bpe / diversity_sample_check green since round 8 ->
+# corpus_digest), where each stays value-verified every round. The
+# recall/agreement gates paired with the eight rows-only ANN demos are
+# deliberately NOT demoted — their graded contract requires them in the
+# same window as the demos they gate.
+#
 # Round-10 rotation (VERDICT r9 ask 2): the 10 round-9 digest-from-birth
 # operators get their direct driver rows — curation_text_signals,
 # triplet_mining_lsh, langid_fixture, bloom_filter_check, bloom_probe_stats,
@@ -159,13 +172,13 @@ CHECKED_QUERIES: list[str] = [
     "bloom_filter_check",
     "bloom_probe_stats",
     "bloom_semi_join",
-    # analytics promoted round 9: the round-8 digest-from-birth sketch /
-    # layout / maintenance ops get their direct driver rows (set_ops,
-    # sketch_*, supplier_part_stats demoted back into analytics_digest)
-    "zorder_layout_check",
+    # promoted round 11 (rotation #6): the production-hash bloom semi-join
+    # twin — xxhash64 positions behind the binary-carrier probe; the
+    # equals-plain-semi-join oracle is hash-agnostic
+    "bloom_semi_join_fast",
+    # analytics promoted round 9 (kmv/cms/zorder demoted round 11 into
+    # analytics_digest after two green rounds)
     "incremental_agg_check",
-    "kmv_distinct_check",
-    "cms_heavy_hitters",
     # dedup family
     "dedup_embedding_lsh_recall",
     "dedup_embedding_clustered_recall",
@@ -177,20 +190,30 @@ CHECKED_QUERIES: list[str] = [
     "fuzzy_match_parts",
     "jaccard_join_prefix",
     "image_dedup_pairs",
+    # promoted round 11 (rotation #6): the round-10 digest-born exact
+    # similarity-join family — PPJoin candidate accounting, the R-S
+    # record-linkage trio (edit-distance join, shingle-Jaccard join,
+    # best-match resolution), the self-tuning Jaccard dispatcher, and the
+    # lossless end-to-end near-dedup; all all-pairs-oracled
+    "jaccard_prefix_candidates",
+    "fuzzy_join_feed",
+    "jaccard_join_docs",
+    "fuzzy_link_best",
+    "jaccard_pairs_auto",
+    "near_dedup_exact",
     # promoted round 8: embedding-LSH pair demos + semantic dedup family
     "dedup_embedding_pairs_lsh",
     "dedup_embedding_pairs_lsh_clustered",
     "semantic_dedup_check",
     "semantic_dedup_clustered",
-    "semantic_contamination_check",
     # similarity / ANN
     "similarity_lsh_recall",
     "similarity_ivf_recall",
     "knn_join_recall",
-    # promoted round 8: raw ANN top-k demos + LSH k-NN joins + PQ rerank
+    # promoted round 8: raw ANN top-k demos + LSH k-NN joins
+    # (similarity_pq_recall demoted round 11 into corpus_digest)
     "similarity_lsh_topk",
     "similarity_ivf_topk",
-    "similarity_pq_recall",
     "knn_join_lsh",
     "knn_join_lsh_clustered",
     "knn_join_lsh_auto_clustered",
@@ -208,10 +231,9 @@ CHECKED_QUERIES: list[str] = [
     "kn_bigram_logprob",
     "gopher_repetition_rules",
     "ngram_novelty",
-    # sampling / training layouts
-    # promoted round 8: true-BPE layout + embedding-diversity sample gate
-    "packed_sequences_bpe",
-    "diversity_sample_check",
+    # sampling / training layouts (packed_sequences_bpe and
+    # diversity_sample_check demoted round 11 into corpus_digest after
+    # three green rounds)
     # promoted round 9: the other two learned-tokenizer layouts (oracles
     # re-learn WordPiece / unigram-LM vocabs end-to-end in SQL)
     "packed_sequences_wordpiece",

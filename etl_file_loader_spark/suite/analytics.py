@@ -1073,11 +1073,16 @@ Q_BLOOM_FILTER_SQL = f"""
 WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
 pos AS ({_BLOOM_POS_SQL}),
 wv AS (
+  -- DuckDB sum() over BIGINT yields HUGEINT; the driver materializes
+  -- oracle rows via pandas/arrow where HUGEINT coerces to float64 and
+  -- the value hash then sees "1.0995e+12" against Spark's int64. CAST
+  -- both the aggregate and the projection back to BIGINT (values are
+  -- < 2^48 by construction, so the cast is lossless).
   SELECT p // 48 AS word,
-         sum(CAST(1 AS BIGINT) << CAST(p % 48 AS INT)) AS value
+         CAST(sum(CAST(1 AS BIGINT) << CAST(p % 48 AS INT)) AS BIGINT) AS value
   FROM pos GROUP BY 1
 )
-SELECT i AS word, COALESCE(wv.value, 0) AS value, CAST(1 AS BIGINT) AS merge_ok
+SELECT i AS word, CAST(COALESCE(wv.value, 0) AS BIGINT) AS value, CAST(1 AS BIGINT) AS merge_ok
 FROM range(0, {_BLOOM_WORDS}) t(i) LEFT JOIN wv ON wv.word = i
 ORDER BY word
 """

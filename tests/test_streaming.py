@@ -548,6 +548,71 @@ def test_cdc_stream_recovers_from_partial_snapshot(spark):
     assert rows[2]["_deleted"] == 0 and rows[2]["v"] == "b2"
 
 
+def test_cdc_stream_accepts_markerless_seed(spark):
+    """A user-seeded state_v0 written by an external tool (no _SUCCESS
+    marker) must be adopted as the base: v0 is exempt from the
+    completeness gate because process() never writes it (ADVICE r10).
+    Snapshots v>=1 still carry the marker — written explicitly when the
+    committer doesn't."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_file_loader_spark.streaming.ingest import cdc_stream
+
+    root = tempfile.mkdtemp(prefix="efls_cdc_seed0_")
+    spark.createDataFrame(
+        [(1, "a", 100)], "k long, v string, seq long"
+    ).withColumn("_deleted", F.lit(0)).write.parquet(f"{root}/state/state_v0")
+    os.remove(f"{root}/state/state_v0/_SUCCESS")  # external-tool seed
+
+    schema = "k long, v string, seq long, op string"
+    spark.createDataFrame([(2, "b", 200, "U")], schema).write.parquet(
+        f"{root}/chg/b0"
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{root}/chg/b0").schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{root}/chg")
+    )
+    q = cdc_stream(stream, f"{root}/state", f"{root}/ck", ["k"], ["v"], "seq")
+    q.awaitTermination()
+    assert os.path.exists(f"{root}/state/state_v1/_SUCCESS")
+    rows = {
+        r["k"]: r for r in spark.read.parquet(f"{root}/state/state_v1").collect()
+    }
+    assert rows[1]["v"] == "a" and rows[2]["v"] == "b"
+
+
+def test_bloom_contains_fast_null_key_is_false(spark):
+    """fast=True (xxhash64) must agree with the md5 path on NULL keys:
+    xxhash64 skips null inputs (seed-derived hash), so without the
+    isNotNull guard a NULL key could probe TRUE — violating build_bloom's
+    'null keys dropped' contract (ADVICE r10)."""
+    from pyspark.sql import functions as F
+
+    from etl_file_loader_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    for fast in (False, True):
+        words = sk.build_bloom(
+            df.filter("k IS NOT NULL"), "k", 3, 4096, fast=fast
+        )
+        got = {
+            r["k"]: r["hit"]
+            for r in df.select(
+                "k",
+                F.coalesce(
+                    sk.bloom_contains(F.col("k"), words, 3, 4096, fast=fast),
+                    F.lit(False),
+                ).alias("hit"),
+            ).collect()
+        }
+        assert got[1] is True, f"fast={fast}"
+        assert got[None] is False, f"fast={fast}: null key probed member"
+
+
 def test_cdc_stream_requires_seeded_state(spark):
     import tempfile
 

@@ -24,6 +24,7 @@ import duckdb
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from etl_file_loader_spark import suite  # noqa: E402
+from etl_file_loader_spark.operators.cache import release_operator_caches  # noqa: E402
 from etl_file_loader_spark.session import get_spark  # noqa: E402
 
 TABLES = [
@@ -56,6 +57,45 @@ def normalize(rows, cols, tol: float | None = None):
     return out
 
 
+def coercion_hazards(ocols, orows, odtypes, scols, srows):
+    """Flag integral columns whose pandas float-ness DIFFERS between the
+    oracle materialized via .df() and the Spark result.
+
+    Kind disagreement, not float64 per se, is the driver-mismatch class:
+    DuckDB HUGEINT (sum over BIGINT) coerces to float64 under pandas so a
+    Spark non-null int64 hashes "1099511627776" against the oracle's
+    "1099511627776.0" (the CORRECTNESS_r10 bloom_filter_check red row),
+    while a NULLABLE int column coerces to float64 on BOTH engines (NaN
+    carrier) and stays green — asof_join's left-join column did for nine
+    rounds. Only integral-valued columns are audited; true floats and
+    decimals render float on both sides.
+    """
+    out = []
+    for ci, cname in enumerate(ocols):
+        ovals = [r[ci] for r in orows if r[ci] is not None]
+        if not ovals or not all(
+            isinstance(v, int) and not isinstance(v, bool) for v in ovals
+        ):
+            continue
+        oracle_float = odtypes[ci].kind == "f"
+        if cname not in scols:
+            continue  # column-set mismatch is reported by the main compare
+        si = scols.index(cname)
+        svals = [r[si] for r in srows]
+        spark_float = any(v is None for v in svals) or not all(
+            isinstance(v, int) and not isinstance(v, bool) for v in svals
+        )
+        if oracle_float != spark_float:
+            out.append(
+                f"driver-coercion hazard: column '{cname}' renders "
+                f"{'float' if oracle_float else 'int'} via the oracle's "
+                f"pandas path but {'float' if spark_float else 'int'} on "
+                f"the Spark side — CAST the oracle output to BIGINT "
+                f"(or align nullability) so the driver's hash agrees"
+            )
+    return out
+
+
 def main():
     args = sys.argv[1:]
     tol = None
@@ -80,6 +120,10 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # workload-scoped caches (PassJoin/PPJoin/signature pins) are
+            # released between queries, as in bench.run_one — a 176-query
+            # sweep must not accumulate every pinned table
+            release_operator_caches()
         except Exception as e:
             failed.append((name, f"SPARK ERROR: {type(e).__name__}: {str(e)[:300]}"))
             continue
@@ -96,6 +140,24 @@ def main():
             failed.append((name, f"ORACLE ERROR: {str(e)[:300]}"))
             continue
         problems = []
+        # Driver-parity coercion audit: the driver's hasher materializes
+        # BOTH result sets via pandas/arrow. Under that path DuckDB HUGEINT
+        # (sum over BIGINT) coerces to float64, and a nullable int64 column
+        # coerces to float64 on BOTH engines (NaN carrier) — so the
+        # mismatch class is a KIND DISAGREEMENT between the two sides, not
+        # float64 per se: Spark non-null int64 renders "1099511627776"
+        # while oracle HUGEINT->float64 renders "1099511627776.0"
+        # (bloom_filter_check, CORRECTNESS_r10), but asof_join's nullable
+        # join column was green for 9 rounds because both sides coerce.
+        # Flag any integral column whose pandas float-ness differs between
+        # the oracle (.df() dtype) and Spark (nullable-with-null => float).
+        try:
+            odf = con.execute(oracle).df()
+            problems.extend(
+                coercion_hazards(ocols, orows, list(odf.dtypes), scols, srows)
+            )
+        except Exception as e:  # audit must never mask the real comparison
+            problems.append(f"coercion-audit error: {str(e)[:200]}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
