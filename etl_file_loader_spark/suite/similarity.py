@@ -353,10 +353,129 @@ QUERIES.update(
 )
 
 
+def lsh_proj_cte(num_planes: int) -> str:
+    """The hyperplane-LSH replay every LSH oracle builds on: DuckDB
+    re-derives the SAME md5 plane weights as ``sim_ops._plane_matrix``
+    (component (p, j) = md5("{p}_{j}") first-8-hex / 2^32 - 0.5) and
+    re-projects every stored vector. Sign agreement with the Spark-side
+    numpy matmul is a NUMERIC fact, not luck: the measured minimum
+    |projection| over the testdata embeddings x 16 planes is 2.3e-4
+    (tests/test_lsh_oracle_margins.py pins it > 1e-6), nine orders of
+    magnitude above double-summation-order noise, so no sign — hence no
+    bucket — can differ between the engines."""
+    return f"""
+comp AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS c,
+         unnest(range(1, len(embedding) + 1)) AS j
+  FROM embeddings
+),
+planes AS (
+  SELECT p, j + 1 AS j,
+         CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 - 0.5 AS w
+  FROM (SELECT unnest(range(0, {num_planes})) AS p),
+       (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS j)
+),
+proj AS (
+  SELECT c.vec_id, pl.p, sum(c.c * pl.w) AS proj
+  FROM comp c JOIN planes pl USING (j)
+  GROUP BY 1, 2
+)"""
+
+
+_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+# Full value replay of q_similarity_lsh_topk: buckets from the md5 planes,
+# the multi-probe sequence from the query's own projections (probe cost of
+# a bucket = sum of |projection| over the planes flipped vs the base
+# bucket, exactly query_probe_buckets' cost; with 4 planes all 16 buckets
+# enumerate, so Python's early-break never fires and cost-order IS the
+# probe order — the 8th/9th boundary gap is pinned strict by
+# tests/test_lsh_oracle_margins.py), then the exact rounded-cosine top-10
+# over the probed buckets.
+Q_SIMILARITY_LSH_TOPK_SQL = f"""
+WITH {lsh_proj_cte(4)},
+buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1
+),
+qproj AS (SELECT p, proj FROM proj WHERE vec_id = 0),
+base AS (
+  SELECT CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS b FROM qproj
+),
+cost AS (
+  SELECT cb.b AS bucket,
+         COALESCE(sum(CASE WHEN ((xor(cb.b, base.b) >> qp.p) & 1) = 1
+                           THEN abs(qp.proj) END), 0) AS cost
+  FROM (SELECT unnest(range(0, 16)) AS b) cb
+  CROSS JOIN base CROSS JOIN qproj qp
+  GROUP BY 1
+),
+probes AS (SELECT bucket FROM cost ORDER BY cost LIMIT 8),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       {_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS score
+FROM embeddings e
+JOIN buckets bk ON bk.vec_id = e.vec_id
+JOIN probes pr ON bk.bucket = pr.bucket
+CROSS JOIN q
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+# Full value replay of q_knn_join_lsh (8 bands x 2 planes over the same
+# md5-derived 16 planes): band b = planes [2b, 2b+2), candidates meet on
+# any (band, bucket), exact rounded-cosine rescore, mirror, rank <= 3 with
+# the identical (cosine DESC, neighbor_id) tiebreak.
+Q_KNN_JOIN_LSH_SQL = f"""
+WITH {lsh_proj_cte(16)},
+bands AS (
+  SELECT vec_id, CAST(p // 2 AS BIGINT) AS band,
+         CAST(sum(CASE WHEN proj >= 0 THEN 1 << (p % 2) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+scored AS (
+  SELECT id_a, id_b,
+         {_COS.format(a="va.vec", b="vb.vec")} AS cosine
+  FROM cand
+  JOIN v va ON va.vec_id = id_a
+  JOIN v vb ON vb.vec_id = id_b
+),
+mirrored AS (
+  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS neighbor_id, cosine FROM scored
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM mirrored
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
 ORACLES.update(
     {
         "similarity_topk": Q_SIMILARITY_TOPK_SQL,
         "similarity_pq_recall": "SELECT 'pq_rerank_recall_at_10' AS metric, 80 AS threshold_pct, 1 AS passed",
+        # round 11: the hyperplane-LSH demos gain FULL value oracles — the
+        # planes are deterministic md5 derivations, so DuckDB replays the
+        # whole bucketing + multi-probe + rescore (VERDICT r10 ask 3)
+        "similarity_lsh_topk": Q_SIMILARITY_LSH_TOPK_SQL,
+        "knn_join_lsh": Q_KNN_JOIN_LSH_SQL,
         "similarity_lsh_recall": "SELECT 'lsh_recall_at_10' AS metric, 60 AS threshold_pct, 1 AS passed",
         "similarity_ivf_recall": "SELECT 'ivf_recall_at_10' AS metric, 80 AS threshold_pct, 1 AS passed",
         "knn_join": Q_KNN_JOIN_SQL,
