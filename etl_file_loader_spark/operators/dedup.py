@@ -1514,6 +1514,7 @@ def link_best_match(
     left_col: str,
     right_col: str,
     max_distance: int = 2,
+    tiered: bool = True,
 ) -> DataFrame:
     """Feed-to-master RESOLUTION on top of :func:`edit_distance_join` —
     the last step of the record-linkage workflow: for every feed (right)
@@ -1524,18 +1525,67 @@ def link_best_match(
     anti-join finds the unmatched remainder. Returns
     (right_id, left_id, distance), one row per matched feed record.
 
+    ``tiered=True`` (the standard ER escalation) resolves feed records at
+    the CHEAPEST sufficient threshold: d=0 is a plain lowercase equi-join
+    (no segments, no levenshtein), and only the still-unresolved
+    remainder escalates to the d=1 then d=2 PassJoin. The result is
+    IDENTICAL to the single-shot join by construction — a record resolved
+    at tier d has its global minimum distance d (it had no match at any
+    smaller tier), and the within-tier row_number applies the same
+    (distance, master-id) tiebreak — so the ``fuzzy_link_best`` oracle is
+    path-independent. On mostly-clean feeds (real-world linkage: most
+    records match exactly or at one edit) this skips the expensive
+    top-tier substring fan-out for the bulk of the feed; the per-tier
+    resolution counts are themselves oracle-checked by
+    ``fuzzy_link_tiers``. Each tier's top-1 frame is localCheckpoint-ed:
+    it feeds both the result union and the next tier's anti-join, and an
+    un-barriered lineage would re-run every earlier tier's join once per
+    downstream consumer (the round-9 CC lesson).
+
     100 TB shape: the pair join's shuffle ∝ verified matches; the top-1
     is a WindowGroupLimit over the feed key (rank pushdown keeps only
-    one row per group before the final sort)."""
-    pairs = edit_distance_join(
-        left, right, left_id, right_id, left_col, right_col, max_distance
-    )
+    one row per group before the final sort); tiering additionally makes
+    verify work ∝ the DIRTY fraction of the feed, not its size."""
     w = Window.partitionBy(right_id).orderBy(F.col("distance"), F.col(left_id))
-    return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(right_id, left_id, "distance")
-    )
+
+    def _best(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(right_id, left_id, "distance")
+        )
+
+    if not tiered:
+        return _best(
+            edit_distance_join(
+                left, right, left_id, right_id, left_col, right_col, max_distance
+            )
+        )
+
+    l0 = left.select(F.col(left_id), F.lower(F.col(left_col)).alias("_k"))
+    resolved: list[DataFrame] = []
+    unresolved = right
+    for d in range(0, max_distance + 1):
+        if d == 0:
+            r0 = unresolved.select(
+                F.col(right_id), F.lower(F.col(right_col)).alias("_k")
+            )
+            tier_pairs = r0.join(l0, "_k").select(
+                right_id, left_id, F.lit(0).cast("int").alias("distance")
+            )
+        else:
+            tier_pairs = edit_distance_join(
+                left, unresolved, left_id, right_id, left_col, right_col, d
+            )
+        tier_best = _best(tier_pairs).localCheckpoint(eager=True)
+        resolved.append(tier_best)
+        unresolved = unresolved.join(
+            tier_best.select(right_id), right_id, "left_anti"
+        )
+    out = resolved[0]
+    for part in resolved[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def edit_distance_pairs(

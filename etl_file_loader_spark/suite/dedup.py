@@ -1299,6 +1299,100 @@ QUERIES.update({"fuzzy_link_best": q_fuzzy_link_best})
 ORACLES.update({"fuzzy_link_best": Q_FUZZY_LINK_BEST_SQL})
 
 
+def q_fuzzy_link_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tier resolution histogram of the TIERED
+    (operators/dedup.py:link_best_match, tiered=True) record linkage on a
+    mostly-clean planted feed — 60% exact copies, 20% one-deletion
+    variants, 10% two-edit variants, 10% scrambled junk of part names
+    (the real-world linkage shape VERDICT r10 ask 5 names: most records
+    match at d<=1, so the escalation resolves them without ever running
+    the top-tier substring fan-out). A record's output distance IS the
+    tier it resolved at, so the histogram value-checks the escalation's
+    routing; the oracle recomputes every tier count from the all-pairs
+    minimum distance."""
+    part = _t(spark, sf_dir, "part")
+    left = part.select(
+        F.col("p_partkey").alias("pid"), F.col("p_name").alias("name")
+    )
+    src = part.filter(F.col("p_partkey") % 4 == 1).select(
+        "p_partkey",
+        "p_name",
+        F.length("p_name").alias("_l"),
+        (F.floor(F.col("p_partkey") / 4) % 10).alias("_cls"),
+    )
+    pos = (F.col("p_partkey") % (F.col("_l") - 4)) + 3
+    name = F.col("p_name")
+    rid = (F.col("p_partkey") + F.lit(4_000_000)).alias("rid")
+    exact = src.filter(F.col("_cls") < 6).select(rid, name.alias("s"))
+    one_edit = src.filter(F.col("_cls").isin(6, 7)).select(
+        rid,
+        F.concat(
+            name.substr(F.lit(1), pos - 1), name.substr(pos + 1, F.col("_l") - pos)
+        ).alias("s"),
+    )
+    two_edit = src.filter(F.col("_cls") == 8).select(
+        rid,
+        F.concat(
+            name.substr(F.lit(1), pos - 1),
+            F.lit("z"),
+            name.substr(pos + 1, F.col("_l") - pos),
+            F.lit("x"),
+        ).alias("s"),
+    )
+    junk = src.filter(F.col("_cls") == 9).select(
+        rid, F.concat(F.lit("qq"), F.reverse(name), F.lit("qq")).alias("s")
+    )
+    feed = exact.unionByName(one_edit).unionByName(two_edit).unionByName(junk)
+    from etl_file_loader_spark.operators import dedup as dedup_ops
+
+    resolved = dedup_ops.link_best_match(
+        left, feed, "pid", "rid", "name", "s", max_distance=2, tiered=True
+    )
+    return (
+        resolved.groupBy(F.col("distance").cast("int").alias("tier"))
+        .agg(F.count(F.lit(1)).alias("resolved"))
+        .orderBy("tier")
+    )
+
+
+# all-pairs replay (quadratic — exclude from sf1-targeted sweeps like the
+# other linkage oracles): each feed record's true minimum distance to ANY
+# master decides its tier, and the histogram must match the escalation's
+Q_FUZZY_LINK_TIERS_SQL = """
+WITH src AS (
+  SELECT p_partkey, p_name, length(p_name) AS l,
+         CAST(p_partkey % (length(p_name) - 4) + 3 AS INT) AS pos,
+         CAST((p_partkey // 4) % 10 AS INT) AS cls
+  FROM part WHERE p_partkey % 4 = 1
+),
+feed AS (
+  SELECT p_partkey + 4000000 AS rid, p_name AS s FROM src WHERE cls < 6
+  UNION ALL
+  SELECT p_partkey + 4000000,
+         substr(p_name, 1, pos - 1) || substr(p_name, pos + 1, l - pos)
+  FROM src WHERE cls IN (6, 7)
+  UNION ALL
+  SELECT p_partkey + 4000000,
+         substr(p_name, 1, pos - 1) || 'z' || substr(p_name, pos + 1, l - pos) || 'x'
+  FROM src WHERE cls = 8
+  UNION ALL
+  SELECT p_partkey + 4000000, 'qq' || reverse(p_name) || 'qq'
+  FROM src WHERE cls = 9
+),
+best AS (
+  SELECT f.rid, min(levenshtein(lower(p.p_name), lower(f.s))) AS d
+  FROM feed f JOIN part p ON abs(length(p.p_name) - length(f.s)) <= 2
+  GROUP BY 1
+)
+SELECT CAST(d AS INT) AS tier, count(*) AS resolved
+FROM best WHERE d <= 2
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update({"fuzzy_link_tiers": q_fuzzy_link_tiers})
+ORACLES.update({"fuzzy_link_tiers": Q_FUZZY_LINK_TIERS_SQL})
+
+
 def q_jaccard_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-tuning exact Jaccard join (operators/dedup.py:
     jaccard_pairs_auto): one bounded probe of sum(freq^2) picks the

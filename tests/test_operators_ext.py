@@ -2589,6 +2589,54 @@ def test_link_best_match_resolution_and_tiebreak(spark):
     assert 102 not in got
 
 
+def test_link_best_match_tiered_equals_single_shot(spark):
+    """The d=0->1->2 escalation returns EXACTLY the single-shot result on
+    a feed spanning every tier: exact copies (resolve at 0, skipping the
+    PassJoin entirely), 1-edit variants, 2-edit variants, ties at each
+    tier, and unmatched records."""
+    from etl_file_loader_spark.operators import dedup
+    from etl_file_loader_spark.operators.cache import release_operator_caches
+
+    master = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "Mitten"), (7, "saturday")],
+        "pid long, name string",
+    )
+    feed = spark.createDataFrame(
+        [
+            (100, "kitten"),     # exact -> tier 0
+            (101, "KITTEN"),     # exact after lowering -> tier 0
+            (102, "mitten"),     # exact vs mixed-case master -> tier 0
+            (103, "bitten"),     # 1-edit tie to pids 1,2,3 -> pid 1
+            (104, "sunday"),     # 2 edits to saturday? ed=3 -> unmatched
+            (105, "saturdy"),    # 1 deletion -> tier 1
+            (106, "xkittenx"),   # 2 insertions -> tier 2
+            (107, "zzzzzz"),     # unmatched
+        ],
+        "rid long, s string",
+    )
+    kwargs = dict(max_distance=2)
+    tiered = {
+        r["rid"]: (r["pid"], r["distance"])
+        for r in dedup.link_best_match(
+            master, feed, "pid", "rid", "name", "s", tiered=True, **kwargs
+        ).collect()
+    }
+    single = {
+        r["rid"]: (r["pid"], r["distance"])
+        for r in dedup.link_best_match(
+            master, feed, "pid", "rid", "name", "s", tiered=False, **kwargs
+        ).collect()
+    }
+    release_operator_caches()
+    assert tiered == single
+    assert tiered[100] == (1, 0) and tiered[101] == (1, 0)
+    assert tiered[102] == (3, 0)
+    assert tiered[103] == (1, 1)
+    assert tiered[105] == (7, 1)
+    assert tiered[106] == (1, 2)
+    assert 104 not in tiered and 107 not in tiered
+
+
 def test_jaccard_join_rs_equals_bruteforce(spark):
     """Cross-table PPJoin against brute-force shingle Jaccard at several
     thresholds, on a corpus with planted cross-table near-dups, exact
