@@ -74,7 +74,16 @@ class CurationConfig:
     # stage 4 exact variant (round 10): true-Jaccard edges via the
     # self-tuning exact join instead of LSH candidates — survivors become
     # a pure function of the data (no recall trade) at the cost of the
-    # candidate-verify join; threshold is the jaccard floor for an edge
+    # candidate-verify join; threshold is the jaccard floor for an edge.
+    # Measured crossover (NOTES_r11 §6, CurationPipeline end-to-end on the
+    # duplication-heavy documents corpus): below ~100k docs exact is FREE
+    # OR CHEAPER than LSH (16.0 s vs 19.6 s at 50k); above it exact grows
+    # superlinearly in the distinct-text quotient (49 s @ 150k, 489 s @
+    # 500k vs LSH's 38/92 s). The premium buys a scale-invariant answer:
+    # exact returns the same 4,756 survivors at every corpus size while
+    # LSH's misses compound with scale (4,812 -> 5,435 survivors from
+    # 50k -> 500k docs). Prefer exact below the crossover, and above it
+    # run exact on a sample to measure the LSH miss rate before choosing.
     near_dedup_exact: bool = False
     near_dedup_threshold: float = 0.5
     # stage 4b: SimHash hamming-ball dedup AFTER the MinHash pass — the
