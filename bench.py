@@ -222,6 +222,9 @@ BENCH_QUERIES = [
     # mostly-clean feed (measured 5.4x over single-shot at sf1: 21.2 s
     # vs 113.8 s warm — verify work tracks the dirty fraction)
     "fuzzy_link_tiers",
+    # round 11: standing-master incremental linkage (two feeds against
+    # one LinkageIndex; base-only pinning measured fastest at sf10)
+    "fuzzy_link_incremental",
 ]
 
 

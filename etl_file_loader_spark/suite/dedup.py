@@ -1393,6 +1393,87 @@ QUERIES.update({"fuzzy_link_tiers": q_fuzzy_link_tiers})
 ORACLES.update({"fuzzy_link_tiers": Q_FUZZY_LINK_TIERS_SQL})
 
 
+def q_fuzzy_link_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-master incremental linkage (operators/dedup.py:
+    LinkageIndex): the master's PassJoin artifacts are built ONCE, then
+    TWO successive feeds (a one-deletion batch, then a two-edit batch —
+    arriving feed files in production ER) resolve against the same
+    standing segments via the tiered escalation. The oracle replays the
+    all-pairs answer per feed with the identical tiebreak, so reuse of
+    the standing index — not just each single link — is value-checked."""
+    part = _t(spark, sf_dir, "part")
+    left = part.select(
+        F.col("p_partkey").alias("pid"), F.col("p_name").alias("name")
+    )
+    from etl_file_loader_spark.operators import dedup as dedup_ops
+
+    idx = dedup_ops.LinkageIndex(left, "pid", "name", max_distance=2)
+
+    def _src(mod_val: int):
+        return part.filter(F.col("p_partkey") % 8 == mod_val).select(
+            "p_partkey", "p_name", F.length("p_name").alias("_l")
+        )
+
+    pos = (F.col("p_partkey") % (F.col("_l") - 4)) + 3
+    name = F.col("p_name")
+    feed1 = _src(1).select(
+        (F.col("p_partkey") + F.lit(5_000_000)).alias("rid"),
+        F.concat(
+            name.substr(F.lit(1), pos - 1), name.substr(pos + 1, F.col("_l") - pos)
+        ).alias("s"),
+    )
+    feed2 = _src(5).select(
+        (F.col("p_partkey") + F.lit(6_000_000)).alias("rid"),
+        F.concat(
+            name.substr(F.lit(1), pos - 1),
+            F.lit("z"),
+            name.substr(pos + 1, F.col("_l") - pos),
+            F.lit("x"),
+        ).alias("s"),
+    )
+    r1 = idx.link_best(feed1, "rid", "s").withColumn("feed", F.lit(1))
+    r2 = idx.link_best(feed2, "rid", "s").withColumn("feed", F.lit(2))
+    return (
+        r1.unionByName(r2)
+        .select(
+            "feed", "rid", "pid", F.col("distance").cast("int").alias("distance")
+        )
+        .orderBy("feed", "rid")
+    )
+
+
+Q_FUZZY_LINK_INCREMENTAL_SQL = """
+WITH feed AS (
+  SELECT 1 AS feed, p_partkey + 5000000 AS rid,
+         substr(p_name, 1, pos - 1) || substr(p_name, pos + 1, l - pos) AS s
+  FROM (SELECT p_partkey, p_name, length(p_name) AS l,
+               CAST(p_partkey % (length(p_name) - 4) + 3 AS INT) AS pos
+        FROM part WHERE p_partkey % 8 = 1)
+  UNION ALL
+  SELECT 2, p_partkey + 6000000,
+         substr(p_name, 1, pos - 1) || 'z' || substr(p_name, pos + 1, l - pos) || 'x'
+  FROM (SELECT p_partkey, p_name, length(p_name) AS l,
+               CAST(p_partkey % (length(p_name) - 4) + 3 AS INT) AS pos
+        FROM part WHERE p_partkey % 8 = 5)
+),
+pairs AS (
+  SELECT f.feed, f.rid, l.p_partkey AS pid,
+         levenshtein(lower(l.p_name), lower(f.s)) AS distance,
+         row_number() OVER (
+           PARTITION BY f.rid
+           ORDER BY levenshtein(lower(l.p_name), lower(f.s)), l.p_partkey
+         ) AS rn
+  FROM part l JOIN feed f ON abs(length(l.p_name) - length(f.s)) <= 2
+  WHERE levenshtein(lower(l.p_name), lower(f.s)) <= 2
+)
+SELECT feed, rid, pid, CAST(distance AS INT) AS distance
+FROM pairs WHERE rn = 1 ORDER BY feed, rid
+"""
+
+QUERIES.update({"fuzzy_link_incremental": q_fuzzy_link_incremental})
+ORACLES.update({"fuzzy_link_incremental": Q_FUZZY_LINK_INCREMENTAL_SQL})
+
+
 def q_jaccard_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-tuning exact Jaccard join (operators/dedup.py:
     jaccard_pairs_auto): one bounded probe of sum(freq^2) picks the

@@ -2637,6 +2637,57 @@ def test_link_best_match_tiered_equals_single_shot(spark):
     assert 104 not in tiered and 107 not in tiered
 
 
+def test_linkage_index_matches_one_shot_operators(spark):
+    """The standing-master index returns EXACTLY edit_distance_join's
+    pairs and link_best_match's resolutions, across two successive feeds
+    linked against the same built-once artifacts."""
+    from etl_file_loader_spark.operators import dedup
+    from etl_file_loader_spark.operators.cache import release_operator_caches
+
+    master = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "mitten"), (7, "saturday"), (9, "ox")],
+        "pid long, name string",
+    )
+    feeds = [
+        spark.createDataFrame(
+            [(100, "kitten"), (101, "bitten"), (102, "saturdy"), (103, "zzz")],
+            "rid long, s string",
+        ),
+        spark.createDataFrame(
+            [(200, "OX"), (201, "axe"), (202, "xkittenx")],
+            "rid long, s string",
+        ),
+    ]
+    idx = dedup.LinkageIndex(master, "pid", "name", max_distance=2)
+    for feed in feeds:
+        got_pairs = sorted(
+            tuple(r) for r in idx.link(feed, "rid", "s").collect()
+        )
+        want_pairs = sorted(
+            tuple(r)
+            for r in dedup.edit_distance_join(
+                master, feed, "pid", "rid", "name", "s", 2
+            ).collect()
+        )
+        assert got_pairs == want_pairs
+        got_best = sorted(
+            tuple(r) for r in idx.link_best(feed, "rid", "s").collect()
+        )
+        want_best = sorted(
+            tuple(r)
+            for r in dedup.link_best_match(
+                master, feed, "pid", "rid", "name", "s", 2, tiered=True
+            ).collect()
+        )
+        assert got_best == want_best
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_distance"):
+        idx.link(feeds[0], "rid", "s", max_distance=3)
+    idx.release()
+    release_operator_caches()
+
+
 def test_jaccard_join_rs_equals_bruteforce(spark):
     """Cross-table PPJoin against brute-force shingle Jaccard at several
     thresholds, on a corpus with planted cross-table near-dups, exact
