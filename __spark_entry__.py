@@ -33,13 +33,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distinct operator individually, plus four digest queries that fold the
     TPC-H sweep / analytics variants / scale-variant dedup demos / long-green
     ingestion-pipeline rows into one value-verified row per member (see
-    digest.py; window rotated rounds 5, 6, 8, and 9 — the round-9 rotation
-    promoted 15 of the round-8 digest-from-birth operators to direct rows,
-    demoting 15 long-green rows into the analytics/corpus digests). The
-    full per-query registry stays in suite.QUERIES for bench and
-    interactive use. Eight window entries are approximate result-set demos
-    with no SQL oracle (suite._ROWS_ONLY — the driver records rows-only for
-    them); their graded value contract is their oracle-checked
+    digest.py; window rotated rounds 5, 6, 8, 9, 10 and 11 — the round-11
+    rotation promoted the 7 round-10 digest-from-birth linkage/bloom rows
+    to direct rows, demoting 7 long-green rows into the analytics/corpus
+    digests). The full per-query registry stays in suite.QUERIES for bench
+    and interactive use. FIVE window entries are approximate result-set
+    demos with no SQL oracle (suite._ROWS_ONLY — the driver records
+    rows-only for them; down from eight in round 11, when the
+    deterministic-md5-plane hyperplane-LSH rows gained full DuckDB
+    replays); their graded value contract is their oracle-checked
     ``*_recall``/``*_check`` twin in this same window (same code path run
     against the exact operator)."""
     return {k: suite.QUERIES[k] for k in suite.CHECKED_QUERIES}

@@ -15,14 +15,24 @@ import pytest
 
 from etl_file_loader_spark.suite.similarity import lsh_proj_cte
 
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+import os
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"] + [
+    # locally-generated scale dirs (tools/gen_scale_data.py), when present:
+    # the margins must hold wherever the replay oracles run
+    d
+    for d in ["/tmp/sf1"]
+    if os.path.isdir(f"{d}/embeddings.parquet")
+]
 
 
 def _con(sf_dir):
+    import os
+
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
-    )
+    p = f"{sf_dir}/embeddings.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{src}'")
     return con
 
 

@@ -522,6 +522,31 @@ COMMENTARY = {
         "ANY hash family, which is how bloom_semi_join_fast (xxhash64 "
         "positions, 4.3x cheaper probe) keeps a full SQL oracle."
     ),
+    "fuzzy_link_tiers": (
+        "Round 11: tiered d=0->1->2 record-linkage resolution. The final "
+        "plan is deliberately SHALLOW — a union of three checkpointed "
+        "per-tier top-1 frames feeding the histogram aggregate — because "
+        "each tier ran EAGERLY at construction: tier 0 a lowercase hash "
+        "equi-join (no segments, no levenshtein), tiers 1-2 the PassJoin "
+        "probe over ONLY the anti-joined remainder, each topped by the "
+        "WindowGroupLimit rank pushdown. The localCheckpoint per tier is "
+        "the r9 lineage rule (the union + next tier's anti-join would "
+        "otherwise re-run every earlier tier per consumer). Measured "
+        "5.4x over single-shot at sf1 on a 60/20/10/10 mostly-clean feed "
+        "(NOTES_r11 §4): verify work tracks the DIRTY fraction."
+    ),
+    "fuzzy_link_incremental": (
+        "Round 11: standing-master incremental linkage (LinkageIndex). "
+        "Both feeds' tier plans read the master base from ONE "
+        "InMemoryRelation (the pinned lowered/repartitioned base built "
+        "once); segments are recomputed per link ON PURPOSE — a cached "
+        "exploded-segment table measured SLOWER than recomputation "
+        "(40.4 s vs 36.6 s at sf1) because it pays memory-format "
+        "serialization and breaks the codegen fusion that pipelines "
+        "segment generation into the candidate join (NOTES_r11 §7b). At "
+        "100 TB the base becomes a bucketed parquet write; plan shape per "
+        "feed is unchanged."
+    ),
     "langid_fixture": (
         "Round 9: multiclass hashed-NB language ID over the learnable "
         "fixture. Scan-side pure expressions end to end: ONE aliased "
