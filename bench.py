@@ -225,6 +225,9 @@ BENCH_QUERIES = [
     # round 11: standing-master incremental linkage (two feeds against
     # one LinkageIndex; base-only pinning measured fastest at sf10)
     "fuzzy_link_incremental",
+    # round 11: maintained incremental near-dedup (three batches through
+    # one NearDupIndex, flag-then-absorb)
+    "near_dedup_index_stream",
 ]
 
 

@@ -1165,6 +1165,96 @@ def incremental_near_dedup(
     )
 
 
+class NearDupIndex:
+    """MAINTAINED MinHash band index over an ingested corpus — the
+    executable form of :func:`incremental_near_dedup`'s "at scale that
+    index IS the persisted artifact" note, which that one-shot operator
+    states but cannot act on (it rebuilds the corpus index per call).
+
+    Build once from the seed corpus, :meth:`flag` each arriving batch
+    against the index (same output contract as
+    ``incremental_near_dedup``: matched_corpus_id = smallest indexed doc
+    sharing ANY band bucket, NULL -> unique), then :meth:`absorb` the
+    batch so later batches see it. The index holds one row per distinct
+    (band_idx, band_hash) — it grows with distinct CONTENT, not corpus
+    rows — and absorption is a union + re-min, CONFLUENT because min is
+    commutative/associative/idempotent: any absorption order of the same
+    batches yields the same index, so out-of-order ingest cannot corrupt
+    dedup decisions (the suite oracle exploits this: it replays the
+    final flags from the batch numbering alone). Each absorb
+    localCheckpoints the new index — per-epoch lineage stays one union
+    deep (the cdc_stream pattern); at cluster scale the same frame is
+    written per epoch (``state_v{n}``-style) instead.
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        id_col: str,
+        text_col: str,
+        num_hashes: int = 16,
+        n: int = 5,
+        bands: int = 4,
+        rows_per_band: int = 4,
+    ):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.n = n
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        self._index = (
+            self._band_index(corpus).localCheckpoint(eager=True)
+        )
+
+    def _band_index(self, df: DataFrame) -> DataFrame:
+        return (
+            _band_rows(
+                minhash_signatures(
+                    df, self.id_col, self.text_col,
+                    num_hashes=self.num_hashes, n=self.n,
+                ),
+                self.id_col,
+                self.bands,
+                self.rows_per_band,
+            )
+            .groupBy("band_idx", "band_hash")
+            .agg(F.min(F.col(self.id_col)).alias("_cid"))
+        )
+
+    def flag(self, new_df: DataFrame) -> DataFrame:
+        """(id, matched_corpus_id, is_near_dup) for every doc of the
+        batch, against the CURRENT index (docs absorbed so far)."""
+        new_bands = _band_rows(
+            minhash_signatures(
+                new_df, self.id_col, self.text_col,
+                num_hashes=self.num_hashes, n=self.n,
+            ),
+            self.id_col,
+            self.bands,
+            self.rows_per_band,
+        )
+        flagged = (
+            new_bands.join(self._index, ["band_idx", "band_hash"], "left")
+            .groupBy(self.id_col)
+            .agg(F.min("_cid").alias("matched_corpus_id"))
+        )
+        return flagged.select(
+            F.col(self.id_col),
+            F.col("matched_corpus_id"),
+            F.col("matched_corpus_id").isNotNull().cast("int").alias("is_near_dup"),
+        )
+
+    def absorb(self, new_df: DataFrame) -> None:
+        """Fold the batch's band buckets into the index (union + re-min)."""
+        self._index = (
+            self._index.unionByName(self._band_index(new_df))
+            .groupBy("band_idx", "band_hash")
+            .agg(F.min("_cid").alias("_cid"))
+            .localCheckpoint(eager=True)
+        )
+
+
 def semantic_contamination(
     corpus: DataFrame,
     bench: DataFrame,

@@ -620,6 +620,60 @@ FROM matched ORDER BY doc_id
 """
 
 
+def q_near_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED incremental near-dedup (operators/dedup.py:
+    NearDupIndex): seed the band index from the doc_id%4==0 quarter of
+    the corpus, then stream the three remaining quarters through it IN
+    ORDER — flag each batch against the docs absorbed SO FAR (not just
+    the seed), then absorb it. A batch-2 doc can therefore match a
+    batch-1 doc, which the one-shot ``dedup_incremental_near`` shape
+    cannot express. The oracle replays every flag from the batch
+    numbering alone (absorption is confluent: index state before batch k
+    = min per band bucket over all docs with batch < k)."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = dedup_ops.NearDupIndex(
+        docs.filter(F.col("doc_id") % 4 == 0), "doc_id", "text"
+    )
+    outs = []
+    for k in (1, 2, 3):
+        batch = docs.filter(F.col("doc_id") % 4 == k)
+        # flag() captures the CURRENT (immutable, checkpointed) index
+        # frame, so it stays correct even though absorb() replaces the
+        # index object afterwards — no eager materialization needed
+        outs.append(idx.flag(batch).withColumn("batch", F.lit(k).cast("int")))
+        idx.absorb(batch)
+    out = outs[0]
+    for part in outs[1:]:
+        out = out.unionByName(part)
+    return out.select(
+        "batch", "doc_id", "matched_corpus_id", "is_near_dup"
+    ).orderBy("batch", "doc_id")
+
+
+Q_NEAR_DEDUP_INDEX_STREAM_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_SIG_CTE},
+bands AS (
+{_BANDS_SQL}
+),
+matched AS (
+  SELECT b.doc_id,
+         min(CASE WHEN (c.doc_id % 4) < (b.doc_id % 4) THEN c.doc_id END)
+           AS matched_corpus_id
+  FROM bands b LEFT JOIN bands c USING (band_idx, band_hash)
+  WHERE b.doc_id % 4 <> 0
+  GROUP BY b.doc_id
+)
+SELECT CAST(doc_id % 4 AS INT) AS batch, doc_id, matched_corpus_id,
+       CAST(CASE WHEN matched_corpus_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS is_near_dup
+FROM matched ORDER BY batch, doc_id
+"""
+
+QUERIES.update({"near_dedup_index_stream": q_near_dedup_index_stream})
+ORACLES.update({"near_dedup_index_stream": Q_NEAR_DEDUP_INDEX_STREAM_SQL})
+
+
 def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Falsifiable gate for SemDeDup-style semantic dedup: on the clustered
     fixture the k-means-bucketed survivor set must agree with the exact

@@ -2637,6 +2637,56 @@ def test_link_best_match_tiered_equals_single_shot(spark):
     assert 104 not in tiered and 107 not in tiered
 
 
+def test_near_dup_index_stream_semantics(spark):
+    """The maintained band index: (a) a single flag() equals the one-shot
+    incremental_near_dedup against the same corpus; (b) after absorb(),
+    a later batch matches docs from an EARLIER BATCH, which the one-shot
+    shape cannot express; (c) absorption is confluent — absorb order
+    doesn't change the final index's decisions."""
+    from etl_file_loader_spark.operators import dedup
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about warehouse ingestion plans"
+    corpus = spark.createDataFrame([(0, text_a)], "doc_id long, text string")
+    b1 = spark.createDataFrame([(11, text_b)], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(22, text_b), (23, text_a)], "doc_id long, text string"
+    )
+
+    idx = dedup.NearDupIndex(corpus, "doc_id", "text")
+    one_shot = {
+        r["doc_id"]: (r["matched_corpus_id"], r["is_near_dup"])
+        for r in dedup.incremental_near_dedup(b1, corpus, "doc_id", "text").collect()
+    }
+    via_index = {
+        r["doc_id"]: (r["matched_corpus_id"], r["is_near_dup"])
+        for r in idx.flag(b1).collect()
+    }
+    assert via_index == one_shot  # (a)
+    assert via_index[11] == (None, 0)  # text_b unseen so far
+
+    idx.absorb(b1)
+    flags2 = {
+        r["doc_id"]: (r["matched_corpus_id"], r["is_near_dup"])
+        for r in idx.flag(b2).collect()
+    }
+    assert flags2[22] == (11, 1)  # (b): matched the BATCH-1 doc, not the seed
+    assert flags2[23] == (0, 1)   # still matches the seed
+
+    # (c) confluence: absorbing (b2 then b1) yields the same decisions
+    # for a probe as (b1 then b2)
+    probe = spark.createDataFrame([(99, text_b)], "doc_id long, text string")
+    idx_ab = dedup.NearDupIndex(corpus, "doc_id", "text")
+    idx_ab.absorb(b1)
+    idx_ab.absorb(b2)
+    idx_ba = dedup.NearDupIndex(corpus, "doc_id", "text")
+    idx_ba.absorb(b2)
+    idx_ba.absorb(b1)
+    got_ab = sorted(tuple(r) for r in idx_ab.flag(probe).collect())
+    got_ba = sorted(tuple(r) for r in idx_ba.flag(probe).collect())
+    assert got_ab == got_ba == [(99, 11, 1)]
+
+
 def test_linkage_index_matches_one_shot_operators(spark):
     """The standing-master index returns EXACTLY edit_distance_join's
     pairs and link_best_match's resolutions, across two successive feeds
