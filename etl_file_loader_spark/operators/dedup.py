@@ -1185,6 +1185,12 @@ class NearDupIndex:
     localCheckpoints the new index — per-epoch lineage stays one union
     deep (the cdc_stream pattern); at cluster scale the same frame is
     written per epoch (``state_v{n}``-style) instead.
+
+    Measured at sf10 (500k docs, 62.5k seed + 7 arriving batches, warm):
+    17.0 s maintained vs 29.0 s calling incremental_near_dedup per batch
+    against the growing corpus — and the asymptotics diverge (the
+    one-shot re-signatures the whole corpus per batch, O(F^2) docs
+    signed over F batches; the index signs each doc once).
     """
 
     def __init__(
