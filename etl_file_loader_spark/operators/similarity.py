@@ -826,6 +826,10 @@ class IVFIndex:
         )
         return pred.withColumnRenamed("prediction", "_ivf_bucket").drop("features")
 
+    def _centers_list(self) -> list:
+        """Centroids as plain per-dim float lists (probe ranking input)."""
+        return self.model.clusterCenters()
+
     def save(self, path: str) -> None:
         """Persist the fitted coarse quantizer (ml-native writer)."""
         self.model.write().overwrite().save(path)
@@ -851,7 +855,7 @@ class IVFIndex:
     ) -> DataFrame:
         import numpy as np
 
-        centers = self.model.clusterCenters()
+        centers = self._centers_list()
         qv = np.asarray(query_vec, dtype="float64")
         dists = [float(np.linalg.norm(qv - c)) for c in centers]
         probe = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
@@ -862,6 +866,129 @@ class IVFIndex:
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k)
         )
+
+
+class KMeansDF:
+    """Deterministic DataFrame-native Lloyd's k-means — the oracle-replayable
+    coarse quantizer.
+
+    pyspark.ml's KMeans is seeded but its k-means|| init and sample-order-
+    dependent iteration have no SQL form, which is why IVF rows stayed
+    rows-only demos. This variant makes every step an engine-agnostic
+    derivation so DuckDB can replay the ENTIRE fit from the parquet alone:
+
+    - init: the k vectors with the smallest ``(md5(cast(id as string)), id)``
+      — a pure expression both engines compute identically;
+    - assign: ``argmin_c Σ (x_i - c_i)²`` with ties to the lowest cluster
+      index (struct-array min — lexicographic, so the tiebreak is explicit);
+    - update: per-dimension mean, ROUNDED to ``round_to`` decimals each
+      iteration. Rounding is the determinism keystone: both engines agree
+      on the mean to ~1e-13 relative (summation order), so the rounded
+      centroid is identical unless a mean sits within noise of a rounding
+      boundary — tests/test_kmeans_df_oracle.py measures the minimum
+      boundary distance and the minimum assignment margin to prove the
+      agreement is numeric fact, not luck (the lsh_proj_cte precedent);
+    - empty clusters keep their previous centroid (replayable carry-over,
+      unlike farthest-point reseeding);
+    - a FIXED iteration count (no convergence test) so the replay unrolls
+      statically.
+
+    Scale shape: assignment is a narrow projection over broadcast centroid
+    literals (k·dim doubles — bytes); the update is one posexplode +
+    groupBy(bucket, pos) avg — k·dim result rows to the driver per
+    iteration. 1000 executors scan; nothing all-to-all. Fit on a sample at
+    100 TB (centroids need a sample, not the corpus) — but note the sample
+    itself must then be the oracle's input.
+    """
+
+    def __init__(self, k: int = 8, iters: int = 5, round_to: int = 6):
+        self.k = k
+        self.iters = iters
+        self.round_to = round_to
+        self.centers: list[list[float]] | None = None
+        # centroids after init and after each iteration — the per-iteration
+        # replay-equality tests compare these against the DuckDB CTE chain
+        self.history: list[list[list[float]]] = []
+
+    @staticmethod
+    def assign_expr(vec: Column, centers: list[list[float]]) -> Column:
+        """argmin-distance cluster id as a pure Column expression: an array
+        of (squared-L2, cluster-id) structs reduced with array_min —
+        lexicographic struct order makes 'ties to lowest id' explicit."""
+        structs = []
+        for cid, ctr in enumerate(centers):
+            carr = F.array(*[F.lit(float(x)) for x in ctr])
+            d = F.aggregate(
+                F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
+        return F.array_min(F.array(*structs)).getField("c")
+
+    def fit(self, df: DataFrame, id_col: str, vec_col: str) -> "KMeansDF":
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        seed_rows = (
+            base.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+            .limit(self.k)
+            .collect()
+        )
+        centers = [list(r._v) for r in seed_rows]
+        self.history = [centers]
+        for _ in range(self.iters):
+            assigned = base.withColumn("_b", self.assign_expr(F.col("_v"), centers))
+            stats = (
+                assigned.select("_b", F.posexplode("_v").alias("_pos", "_val"))
+                .groupBy("_b", "_pos")
+                # round IN Spark (HALF_UP == DuckDB's round-half-away for
+                # doubles); python round() is banker's — never used here
+                .agg(F.round(F.avg("_val"), self.round_to).alias("_c"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_cluster.setdefault(r._b, {})[r._pos] = r._c
+            centers = [
+                [by_cluster[c][p] for p in range(len(centers[c]))]
+                if c in by_cluster
+                else centers[c]  # empty cluster keeps its previous centroid
+                for c in range(self.k)
+            ]
+            self.history.append(centers)
+        self.centers = centers
+        return self
+
+
+class IVFIndexDF(IVFIndex):
+    """IVF ANN on the deterministic ``KMeansDF`` quantizer: same
+    assign/search surface as ``IVFIndex`` but every step — init, Lloyd
+    iterations, bucket assignment, probe ranking — is an engine-agnostic
+    derivation, so a DuckDB oracle replays the full approximate result set
+    (see suite/similarity.py:Q_SIMILARITY_IVF_TOPK_SQL). Use this where
+    verifiability matters; the pyspark.ml variant remains for learned
+    sample-based quantizers."""
+
+    def __init__(self, n_lists: int = 8, iters: int = 5, round_to: int = 6):
+        super().__init__(n_lists=n_lists)
+        self.km = KMeansDF(k=n_lists, iters=iters, round_to=round_to)
+
+    def fit(self, df: DataFrame, vec_col: str, id_col: str = "vec_id") -> "IVFIndexDF":
+        self.km.fit(df, id_col, vec_col)
+        return self
+
+    def assign(self, df: DataFrame, vec_col: str) -> DataFrame:
+        return df.withColumn(
+            "_ivf_bucket",
+            KMeansDF.assign_expr(
+                F.col(vec_col).cast("array<double>"), self.km.centers
+            ),
+        )
+
+    def _centers_list(self) -> list:
+        return [np.asarray(c, dtype="float64") for c in self.km.centers]
 
 
 def write_ivf_index(

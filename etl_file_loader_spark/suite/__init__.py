@@ -148,17 +148,17 @@ ORACLES.update(
 # corpus_digest, where each stays value-verified every round.
 #
 # Some promotions are approximate RESULT-SET demos; since round 11 only
-# FIVE remain rows-only (_ROWS_ONLY below) — the testdata-table hyperplane
+# FOUR remain rows-only (_ROWS_ONLY below) — the testdata-table hyperplane
 # rows (similarity_lsh_topk, knn_join_lsh, dedup_embedding_pairs_lsh)
 # gained full DuckDB value oracles by replaying the deterministic
-# md5-derived planes. The remaining five run on the numpy-RNG clustered
-# fixture or seed k-means, which have no SQL form; each keeps its
-# oracle-checked recall/agreement gate in this same window, running the
-# same code path against the exact operator (knn_join_lsh*_clustered ->
-# knn_join_recall / knn_join_auto_recall,
+# md5-derived planes, and similarity_ivf_topk followed via the
+# deterministic KMeansDF quantizer (kmeans_cte replay). The remaining four
+# run on the numpy-RNG clustered fixture, which has no SQL form; each
+# keeps its oracle-checked recall/agreement gate in this same window,
+# running the same code path against the exact operator
+# (knn_join_lsh*_clustered -> knn_join_recall / knn_join_auto_recall,
 # dedup_embedding_pairs_lsh_clustered -> dedup_embedding_clustered_recall,
-# semantic_dedup_clustered -> semantic_dedup_check, similarity_ivf_topk ->
-# similarity_ivf_recall).
+# semantic_dedup_clustered -> semantic_dedup_check).
 #
 # Round-6 rotation for reference: 11 long-green dedup/text rows demoted,
 # 12 promoted (html_extract + 11 previously-digest-only ops).
@@ -272,15 +272,17 @@ _ROWS_ONLY: set[str] = {
     # similarity_lsh_topk and knn_join_lsh LEFT this set — their
     # hyperplanes are deterministic md5 derivations, so DuckDB replays the
     # full bucketing (+ multi-probe, banding) and they now carry full
-    # value oracles. The five below legitimately stay demos: the
-    # *_clustered rows run on the numpy-RNG mixture-of-Gaussians fixture
-    # (no SQL form for the DATA, not the algorithm) and similarity_ivf_topk
-    # / semantic_dedup_clustered seed k-means (iterative, sample-order
-    # dependent); each keeps its oracle-checked recall/agreement gate in
-    # the same window.
+    # value oracles. Round 11 extra: similarity_ivf_topk ALSO left — it now
+    # runs the deterministic DataFrame-native KMeansDF quantizer (md5 init,
+    # fixed rounded Lloyd iterations) whose fit unrolls as chained DuckDB
+    # CTEs (suite/similarity.py:kmeans_cte). The four below legitimately
+    # stay demos: the *_clustered rows run on the numpy-RNG
+    # mixture-of-Gaussians fixture (no SQL form for the DATA, not the
+    # algorithm) and semantic_dedup_clustered seeds ml.KMeans on that same
+    # fixture; each keeps its oracle-checked recall/agreement gate in the
+    # same window.
     "dedup_embedding_pairs_lsh_clustered",
     "semantic_dedup_clustered",
-    "similarity_ivf_topk",
     "knn_join_lsh_clustered",
     "knn_join_lsh_auto_clustered",
 }
