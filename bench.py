@@ -228,6 +228,11 @@ BENCH_QUERIES = [
     # round 11: maintained incremental near-dedup (three batches through
     # one NearDupIndex, flag-then-absorb)
     "near_dedup_index_stream",
+    # round 11: web-corpus URL operators (canonicalization + domain guard)
+    "url_canonical",
+    "domain_guard",
+    # round 11: portable HyperLogLog (registers + merge + estimate)
+    "hll_distinct_check",
 ]
 
 

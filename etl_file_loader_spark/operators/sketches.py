@@ -183,6 +183,84 @@ def kmv_estimate(state: DataFrame, k: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable HyperLogLog (round 11): replayable registers + merge + estimate
+# ---------------------------------------------------------------------------
+# Spark's approx_count_distinct is HLL++ but engine-INTERNAL: only its
+# error is checkable (suite sketch_distinct_check). This HLL makes the
+# registers themselves a pure function of the data — the same md5-prefix
+# hash as KMV/CMS — so sketch, merge, and estimate are all exactly
+# replayable in SQL, while keeping HLL's constant-size state (m registers
+# of one small int, vs KMV's k hashes): the shape you persist per
+# partition/day at 100 TB and fold with max() forever after.
+
+_HLL_HASH_BITS = 4 * _HEX_DIGITS  # 60
+# estimator power cap: sum of 2^(cap - rho) over m <= 2^14 registers stays
+# < 2^54 -> exact int64 arithmetic in BOTH engines (no float harmonic sum)
+_HLL_RHO_CAP = 40
+
+
+def hll_registers(
+    df: DataFrame, keys: list[str], col: str, p: int = 10
+) -> DataFrame:
+    """Per-group HLL state: rows (keys..., bucket, rho) for the NON-EMPTY
+    registers only (sparse; empties are implicit in the estimator).
+    bucket = low p bits of the 60-bit md5 hash; rho = 1 + leading zeros
+    of the remaining 60-p bits, computed EXACTLY via binary-string length
+    (length(bin(x)) — no float log2 anywhere). One hash agg with map-side
+    max partials; per-group state <= 2^p small ints at any data size."""
+    m = 1 << p
+    w = _HLL_HASH_BITS - p
+    h = kmv_hash(F.col(col))
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    suffix = F.shiftright(h, p)  # h >= 0, so arithmetic shift == h // m
+    rho = F.when(suffix == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(suffix))
+    )
+    return (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Union-merge HLL states built with the same p: register-wise max —
+    the monoid fold (commutative, associative, idempotent), so partial
+    sketches from any partitioning/time-slicing combine exactly."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, keys: list[str], p: int = 10) -> DataFrame:
+    """Flajolet et al. HLL estimate per group, engine-portably: the
+    harmonic sum runs in EXACT int64 (2^(cap - min(rho, cap)) per
+    register, empties contribute 2^cap), then one double division for the
+    raw estimate and the standard small-range linear-counting correction
+    (E <= 2.5m and empty registers exist -> m * ln(m / V)). Emits
+    ``hll_est`` (double) plus ``n_regs``."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    cap = _HLL_RHO_CAP
+    agg = registers.groupBy(*keys).agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(cap) - F.least(F.col("rho"), F.lit(cap)))
+            .cast("long")
+        ).alias("_s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    s = F.col("_s_present") + (F.lit(m) - F.col("n_regs")) * F.lit(1 << cap)
+    v = (F.lit(m) - F.col("n_regs")).cast("double")
+    e_raw = F.lit(alpha * m * m * float(1 << cap)) / s.cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (F.col("n_regs") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.withColumn("hll_est", est).drop("_s_present")
+
+
+# ---------------------------------------------------------------------------
 # Bloom filter (round 9): portable build / merge / probe + semi-join pruning
 # ---------------------------------------------------------------------------
 

@@ -31,6 +31,15 @@ class CurationConfig:
 
     id_col: str = "doc_id"
     text_col: str = "text"
+    # stage 0a: URL-level policing (round 11) — runs BEFORE html
+    # extraction because it is the cheapest filter in the whole recipe
+    # (a regexp projection + broadcast anti-join + bounded-key window,
+    # no text processing at all): drop blocked registrable domains and
+    # cap docs per domain (anti-dominance). Requires ``url_col``; both
+    # guards optional and independent.
+    url_col: str | None = None
+    blocked_domains: tuple[str, ...] = ()
+    domain_cap: int | None = None
     # stage 0: HTML -> visible text (the web-crawl front door; the raw
     # text_col is REPLACED by the extracted main text before any
     # quality/dedup stage sees it)
@@ -173,6 +182,20 @@ class CurationPipeline:
         c = self.config
         did, txt = c.id_col, c.text_col
         cur = docs
+
+        if c.url_col is not None and (c.blocked_domains or c.domain_cap is not None):
+            from etl_file_loader_spark.operators import web as web_ops
+
+            if c.blocked_domains:
+                blocked = docs.sparkSession.createDataFrame(
+                    [(d,) for d in c.blocked_domains], ["domain"]
+                )
+                cur = web_ops.blocklist_filter(cur, c.url_col, blocked).drop("domain")
+            if c.domain_cap is not None:
+                cur = web_ops.domain_cap(cur, c.url_col, c.domain_cap, did).drop(
+                    "domain"
+                )
+            counts["url_guard"] = cur.count()
 
         if c.html_extract:
             from etl_file_loader_spark.operators import html as html_ops

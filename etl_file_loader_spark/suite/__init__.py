@@ -42,6 +42,7 @@ from etl_file_loader_spark.suite.similarity import *  # noqa: F401,F403
 from etl_file_loader_spark.suite.streaming import *  # noqa: F401,F403
 from etl_file_loader_spark.suite.text import *  # noqa: F401,F403
 from etl_file_loader_spark.suite.tpch import *  # noqa: F401,F403
+from etl_file_loader_spark.suite.web import *  # noqa: F401,F403
 from etl_file_loader_spark.suite.tpch import (  # noqa: F401
     _derived_partsupp,
     _PARTSUPP_CACHE,

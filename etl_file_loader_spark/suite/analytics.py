@@ -778,6 +778,142 @@ QUERIES.update({"kmv_distinct_check": q_kmv_distinct_check})
 ORACLES.update({"kmv_distinct_check": Q_KMV_DISTINCT_SQL})
 
 
+_HLL_P = 10
+
+
+def q_hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (operators/sketches.py:hll_registers/_merge/
+    _estimate): unlike approx_count_distinct (HLL++, engine-internal,
+    only error-checkable), these registers are a pure function of the
+    data, so the oracle re-derives every register, the exact-int64
+    harmonic sum, the small-range correction branch, and the register-set
+    md5. Two metrics exercise both estimator branches: o_custkey (raw
+    estimator, thousands distinct) and o_orderpriority (5 distinct ->
+    linear counting). The Spark side ALSO merges base/delta partial
+    sketches (register-wise max) and emits merge==direct as a flag the
+    oracle pins to 1."""
+    from etl_file_loader_spark.operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def reg_md5(regs: DataFrame) -> DataFrame:
+        return regs.groupBy("o_orderstatus").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("bucket", "rho"))),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s.getField("bucket").cast("string"),
+                            s.getField("rho").cast("string"),
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("reg_md5")
+        )
+
+    def rows(col: str, metric: str) -> DataFrame:
+        direct = sketches.hll_registers(orders, ["o_orderstatus"], col, _HLL_P)
+        base = sketches.hll_registers(
+            orders.filter(F.col("o_orderkey") % 3 != 0),
+            ["o_orderstatus"], col, _HLL_P,
+        )
+        delta = sketches.hll_registers(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            ["o_orderstatus"], col, _HLL_P,
+        )
+        merged = sketches.hll_merge([base, delta], ["o_orderstatus"])
+        est = sketches.hll_estimate(direct, ["o_orderstatus"], _HLL_P)
+        exact = orders.groupBy("o_orderstatus").agg(
+            F.countDistinct(col).alias("exact_n")
+        )
+        j = (
+            est.join(exact, "o_orderstatus")
+            .join(reg_md5(direct), "o_orderstatus")
+            .join(
+                reg_md5(merged).withColumnRenamed("reg_md5", "reg_md5_m"),
+                "o_orderstatus",
+            )
+        )
+        return j.select(
+            F.lit(metric).alias("metric"),
+            F.col("o_orderstatus").alias("grp"),
+            "n_regs",
+            F.round(F.col("hll_est"), 2).alias("hll_est"),
+            "exact_n",
+            (
+                F.abs(F.col("hll_est") - F.col("exact_n"))
+                <= 0.15 * F.col("exact_n")
+            ).cast("int").alias("within_tol"),
+            "reg_md5",
+            (F.col("reg_md5") == F.col("reg_md5_m")).cast("int").alias("merge_matches"),
+        )
+
+    return (
+        rows("o_custkey", "custkey")
+        .unionByName(rows("o_orderpriority", "priority"))
+        .orderBy("metric", "grp")
+    )
+
+
+def _hll_sql() -> str:
+    p = _HLL_P
+    m = 1 << p
+    w = 60 - p
+    cap = 40
+    # SAME python arithmetic as hll_estimate so the embedded literal is
+    # bit-identical in both engines
+    alpha_num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << cap)
+
+    def branch(col: str, metric: str) -> str:
+        return f"""
+  SELECT '{metric}' AS metric, g AS grp, n_regs,
+         round(est, 2) AS hll_est, exact_n,
+         CAST(abs(est - exact_n) <= 0.15 * exact_n AS INT) AS within_tol,
+         reg_md5, 1 AS merge_matches
+  FROM (
+    SELECT a.g, a.n_regs, a.reg_md5, e.exact_n,
+           CASE WHEN {alpha_num!r} / CAST(a.s_present + ({m} - a.n_regs) * {1 << cap} AS DOUBLE) <= {2.5 * m}
+                 AND a.n_regs < {m}
+                THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - a.n_regs AS DOUBLE))
+                ELSE {alpha_num!r} / CAST(a.s_present + ({m} - a.n_regs) * {1 << cap} AS DOUBLE)
+           END AS est
+    FROM (
+      SELECT g, count(*) AS n_regs,
+             sum(CAST(pow(2, {cap} - least(rho, {cap})) AS BIGINT)) AS s_present,
+             md5(string_agg(bucket || ':' || rho, ',' ORDER BY bucket)) AS reg_md5
+      FROM (
+        SELECT g, h % {m} AS bucket,
+               max(CASE WHEN h // {m} = 0 THEN {w + 1}
+                        ELSE {w + 1} - length(bin(h // {m})) END) AS rho
+        FROM (
+          SELECT o_orderstatus AS g,
+                 CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          FROM orders
+        ) GROUP BY 1, 2
+      ) GROUP BY g
+    ) a JOIN (
+      SELECT o_orderstatus AS g, count(DISTINCT {col}) AS exact_n
+      FROM orders GROUP BY 1
+    ) e USING (g)
+  )"""
+
+    return (
+        "SELECT * FROM ("
+        + branch("o_custkey", "custkey")
+        + "\n  UNION ALL"
+        + branch("o_orderpriority", "priority")
+        + "\n) ORDER BY metric, grp"
+    )
+
+
+Q_HLL_DISTINCT_SQL = _hll_sql()
+
+QUERIES.update({"hll_distinct_check": q_hll_distinct_check})
+ORACLES.update({"hll_distinct_check": Q_HLL_DISTINCT_SQL})
+
+
 _CMS_D = 4
 _CMS_W = 256
 _CMS_CANDS = [1, 2, 3, 500, 100000001]

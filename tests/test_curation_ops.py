@@ -704,6 +704,43 @@ def test_perplexity_filter_drops_gibberish(spark):
     assert res.stage_counts["perplexity_filter"] == 5
 
 
+def test_curation_url_guard_stage(spark):
+    """Stage 0a (round 11): blocked registrable domains drop first, then
+    the per-domain cap keeps the lowest doc_ids — BEFORE any text stage
+    runs, and only when url_col is configured."""
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    rows = [
+        (i, f"https://www.dom{i % 3}.com/{i}",
+         f"document text number {i} with words", "en")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "url", "text", "lang"])
+    cfg = CurationConfig(
+        url_col="url",
+        blocked_domains=("dom0.com",),
+        domain_cap=2,
+        min_quality=None,
+        scrub_pii=False,
+        near_dedup=False,
+    )
+    res = CurationPipeline(cfg).run(docs)
+    # dom0 blocked (4 docs gone); dom1/dom2 capped at 2 each -> 4 survive
+    assert res.stage_counts["url_guard"] == 4
+    assert res.stage_counts["packed"] == 4
+    kept = {r.doc_id for r in res.packed.select("doc_id").collect()}
+    assert kept == {1, 2, 4, 5}
+
+    # url_col unset -> stage skipped entirely even with guards configured
+    cfg_off = CurationConfig(
+        blocked_domains=("dom0.com",), domain_cap=2,
+        min_quality=None, scrub_pii=False, near_dedup=False,
+    )
+    res_off = CurationPipeline(cfg_off).run(docs)
+    assert "url_guard" not in res_off.stage_counts
+    assert res_off.stage_counts["packed"] == 12
+
+
 def test_perplexity_filter_disabled_is_noop(spark):
     from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
 

@@ -1625,6 +1625,71 @@ def test_kmv_merge_idempotent(spark):
     assert [tuple(r) for r in s1.collect()] == [tuple(r) for r in twice.collect()]
 
 
+def test_hll_registers_are_pure_function_of_data(spark):
+    # pin the register derivation against an independent python replay:
+    # 60-bit md5-prefix hash, bucket = low p bits, rho = 1 + leading
+    # zeros of the remaining 50 bits
+    import hashlib
+
+    sk = _kmv()
+    vals = [7, 123456, 999999999]
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, v long")
+    got = {
+        (r["bucket"], r["rho"])
+        for r in sk.hll_registers(df, ["g"], "v", p=10).collect()
+    }
+    want = set()
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        suffix = h >> 10
+        rho = 51 if suffix == 0 else 51 - suffix.bit_length()
+        want.add((h & 1023, rho))
+    # distinct buckets here (no max collision among 3 keys)
+    assert got == want
+
+
+def test_hll_estimator_accuracy(spark):
+    sk = _kmv()
+    n = 5000
+    df = spark.createDataFrame([("a", v) for v in range(n)], "g string, v long")
+    est = sk.hll_estimate(
+        sk.hll_registers(df, ["g"], "v", p=10), ["g"], p=10
+    ).collect()[0]
+    # HLL sigma ~ 1.04/sqrt(1024) ~ 3.3%; allow 4 sigma
+    assert abs(est["hll_est"] - n) / n < 0.15
+
+
+def test_hll_linear_counting_small_range(spark):
+    sk = _kmv()
+    df = spark.createDataFrame([("a", v % 5) for v in range(50)], "g string, v long")
+    est = sk.hll_estimate(
+        sk.hll_registers(df, ["g"], "v", p=10), ["g"], p=10
+    ).collect()[0]
+    # 5 distinct -> V = 1019 empties -> m*ln(m/V) ~ 5.01
+    assert est["n_regs"] == 5
+    assert abs(est["hll_est"] - 5) < 0.5
+
+
+def test_hll_merge_is_monoid(spark):
+    sk = _kmv()
+    df = spark.createDataFrame(
+        [("a", v) for v in range(400)] + [("b", v) for v in range(60)],
+        "g string, v long",
+    )
+    direct = sk.hll_registers(df, ["g"], "v", p=8)
+    s_even = sk.hll_registers(df.filter(F.col("v") % 2 == 0), ["g"], "v", p=8)
+    s_odd = sk.hll_registers(df.filter(F.col("v") % 2 == 1), ["g"], "v", p=8)
+
+    def as_set(regs):
+        return {(r["g"], r["bucket"], r["rho"]) for r in regs.collect()}
+
+    d = as_set(direct)
+    # merge == direct, order-free, idempotent (max monoid)
+    assert as_set(sk.hll_merge([s_even, s_odd], ["g"])) == d
+    assert as_set(sk.hll_merge([s_odd, s_even], ["g"])) == d
+    assert as_set(sk.hll_merge([s_even, s_odd, s_even], ["g"])) == d
+
+
 # ---------------------------------------------------------------------------
 # inverted index + phrase search (round 8)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,117 @@
+"""Behavioral edge cases for operators/web.py beyond the suite's
+branch-complete synthetic URLs (suite/web.py): default-port stripping on
+http, single-label hosts, queries that empty entirely after tracking-param
+removal, empty paths, and the blocklist/cap interplay."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_file_loader_spark.operators import web as web_ops
+
+
+def _norm(spark, url):
+    df = spark.createDataFrame([(url,)], ["u"])
+    return df.select(web_ops.url_normalize(F.col("u")).alias("n")).first().n
+
+
+def _domain(spark, host):
+    df = spark.createDataFrame([(host,)], ["h"])
+    return df.select(web_ops.registrable_domain(F.col("h")).alias("d")).first().d
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        # default ports stripped per scheme; non-default kept
+        ("http://Example.COM:80/a", "http://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:443/a", "http://example.com:443/a"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        # empty path -> '/'; fragment dropped
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com#top", "https://example.com/"),
+        # all params are tracking -> no '?' survives
+        ("https://example.com/a?utm_source=x&utm_medium=y", "https://example.com/a"),
+        ("https://example.com/a?fbclid=1", "https://example.com/a"),
+        # kept params preserve order; tracking removed from the middle
+        (
+            "https://example.com/a?b=1&utm_source=x&a=2",
+            "https://example.com/a?b=1&a=2",
+        ),
+        # scheme case folded; path case preserved
+        ("HTTPS://EXAMPLE.com/CaseSensitive", "https://example.com/CaseSensitive"),
+    ],
+)
+def test_url_normalize_edges(spark, raw, want):
+    assert _norm(spark, raw) == want
+
+
+@pytest.mark.parametrize(
+    "host,want",
+    [
+        ("www.example.com", "example.com"),
+        ("a.b.c.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("co.uk", "co.uk"),  # bare suffix: nothing to strip
+        ("localhost", "localhost"),  # single label passes through
+        ("deep.sub.domain.org", "domain.org"),
+    ],
+)
+def test_registrable_domain(spark, host, want):
+    assert _domain(spark, host) == want
+
+
+def test_url_parse_components(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://Sub.Example.co.uk:8443/p/q?x=1&y=2#frag",)], ["u"]
+    )
+    p = df.select(web_ops.url_parse(F.col("u")).alias("p")).first().p
+    assert (p.scheme, p.host, p.port, p.path, p.query, p.fragment) == (
+        "https", "sub.example.co.uk", 8443, "/p/q", "x=1&y=2", "frag",
+    )
+
+
+def test_url_parse_minimal(spark):
+    df = spark.createDataFrame([("http://h.io",)], ["u"])
+    p = df.select(web_ops.url_parse(F.col("u")).alias("p")).first().p
+    assert (p.scheme, p.host, p.port, p.path, p.query, p.fragment) == (
+        "http", "h.io", None, "", "", "",
+    )
+
+
+def test_domain_cap_and_blocklist(spark):
+    rows = [
+        (i, f"https://{'bad' if i < 4 else 'ok'}.example{i % 2}.com/{i}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    # registrable domain ignores the subdomain, so bad/ok collapse; use
+    # separate registrable domains to test the blocklist instead
+    df = spark.createDataFrame(
+        [(i, f"https://www.dom{i % 3}.com/{i}") for i in range(9)],
+        ["doc_id", "url"],
+    )
+    blocked = spark.createDataFrame([("dom0.com",)], ["domain"])
+    kept = web_ops.blocklist_filter(df, "url", blocked)
+    assert {r.domain for r in kept.select("domain").distinct().collect()} == {
+        "dom1.com", "dom2.com",
+    }
+    capped = web_ops.domain_cap(kept.drop("domain"), "url", 2, "doc_id")
+    got = sorted((r.domain, r.doc_id) for r in capped.select("domain", "doc_id").collect())
+    # survivors are the 2 LOWEST doc_ids per domain (deterministic order col)
+    assert got == [
+        ("dom1.com", 1), ("dom1.com", 4), ("dom2.com", 2), ("dom2.com", 5),
+    ]
+
+
+def test_domain_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.x.com/1", 10), (2, "https://b.x.com/2", 30),
+         (3, "https://y.org/3", 7)],
+        ["doc_id", "url", "n_chars"],
+    )
+    got = {
+        r.domain: (r.n_docs, r.total_chars, r.avg_chars)
+        for r in web_ops.domain_stats(df, "url", "n_chars").collect()
+    }
+    assert got == {"x.com": (2, 40, 20.0), "y.org": (1, 7, 7.0)}
