@@ -233,6 +233,10 @@ BENCH_QUERIES = [
     "domain_guard",
     # round 11: portable HyperLogLog (registers + merge + estimate)
     "hll_distinct_check",
+    # round 11: fully-replayable SemDeDup (KMeansDF quantizer)
+    "semantic_dedup_replay",
+    # round 11: weighted sampling without replacement (A-ES races)
+    "weighted_sample_check",
 ]
 
 

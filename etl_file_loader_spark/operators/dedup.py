@@ -1010,6 +1010,8 @@ def semantic_dedup(
     fit_fraction: float | None = None,
     seed: int = 42,
     max_iterations: int = 20,
+    quantizer: str = "ml",
+    round_to: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     k-means cluster the vectors, compare pairs only WITHIN each cluster,
@@ -1032,6 +1034,7 @@ def semantic_dedup(
     """
     from etl_file_loader_spark.operators.similarity import (
         IVFIndex,
+        IVFIndexDF,
         dot_vectorized,
         norm,
     )
@@ -1039,7 +1042,16 @@ def semantic_dedup(
     fit_df = (
         df.sample(fraction=fit_fraction, seed=seed) if fit_fraction else df
     )
-    idx = IVFIndex(n_lists=n_clusters, seed=seed).fit(fit_df, vec_col)
+    if quantizer == "df":
+        # the REPLAYABLE configuration (round 11): the deterministic
+        # KMeansDF coarse quantizer — with round_to set, the whole
+        # operator (fit, assignment, pair threshold, components) has a
+        # DuckDB value oracle (suite semantic_dedup_replay)
+        idx: IVFIndex = IVFIndexDF(n_lists=n_clusters).fit(
+            fit_df, vec_col, id_col=id_col
+        )
+    else:
+        idx = IVFIndex(n_lists=n_clusters, seed=seed).fit(fit_df, vec_col)
     assigned = idx.assign(df, vec_col).select(F.col(id_col), F.col("_ivf_bucket"))
     cand = _bucket_join_pairs(assigned, id_col, ["_ivf_bucket"])
     va = df.select(
@@ -1063,7 +1075,14 @@ def semantic_dedup(
                 / (F.col("_na") * F.col("_nb"))
             ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(
+            (
+                F.round(F.col("cosine"), round_to)
+                if round_to is not None
+                else F.col("cosine")
+            )
+            >= threshold
+        )
         .select("id_a", "id_b")
     )
     comp = connected_components(dup_pairs, max_iterations=max_iterations)

@@ -67,6 +67,52 @@ def stratified_sample(
     return df.filter(sample_key(F.col(id_col)) < expr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic and
+    engine-replayable: Efraimidis-Spirakis exponential races.
+
+    Each row gets key = ln(u) / w with u the md5-derived uniform of its
+    id — equivalently an Exp(w) race where the k SMALLEST arrival times
+    win, expressed as top-k by key (ln(u) < 0, so dividing by a larger
+    weight pulls the key toward 0). Selection probability is exactly
+    proportional to weight under sequential removal — the classic A-ES
+    result — yet there is no RNG: the same ids win in every rerun and in
+    any engine computing the same md5 (the suite oracle replays the full
+    selection; ties broken by id).
+
+    Rows with weight <= 0 are excluded (their race never finishes).
+
+    Plan shape: the row_number filter compiles to WindowGroupLimit, so
+    every map task pre-keeps only its local top-k per group BEFORE the
+    exchange — the same rank-pushdown the KMV sketch build rides; shuffle
+    volume is ~k rows per group regardless of input size. The
+    training-mix use case: per-domain / per-language document draws
+    proportional to quality or inverse-frequency weights.
+    """
+    from etl_file_loader_spark.operators.sketches import kmv_hash
+
+    u = (kmv_hash(F.col(id_col)) + F.lit(1)).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*(group_cols or [])).orderBy(
+        F.col("_ws_key").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_ws_key", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_ws_key")
+    )
+
+
 def shuffle_key(id_col: Column, seed: str = "shuffle") -> Column:
     """Deterministic pseudorandom ordering key for training-data shuffling.
 

@@ -59,77 +59,138 @@ _TRACKING_PREFIXES = ("utm_",)
 _TRACKING_NAMES = ("fbclid", "gclid", "msclkid", "mc_eid", "igshid")
 
 
+# component separator for the one-pass group pack: an octet that cannot
+# appear in a URL (control chars are illegal per RFC 3986)
+_SEP = "\x01"
+# the pack pattern: the URL shape, OR match-anything — a non-URL string
+# takes the second alternative, whose replacement references only
+# non-participating groups, so every component comes back EMPTY (six ''
+# fields) with zero conditional logic downstream
+_URL_PACK_RE = _URL_RE + "|^.*$"
+# what url_normalize emits for a non-URL input ('' scheme/host/path build
+# to exactly this); callers can filter on it cheaply
+INVALID_URL = ":///"
+
+
+def _url_packed(url: Column) -> Column:
+    """All six URL components from ONE regex execution per row.
+
+    Measured at sf10 (60M rows, NOTES_r11): Spark's runtime subexpression
+    elimination deduplicates identical UNCONDITIONAL subtrees, but (a)
+    independent regexp_extract calls are distinct subtrees — six of them
+    cost six full regex passes (~4 s each on 60M rows) — and (b) any
+    occurrence inside a CASE/IF branch is excluded from CSE, so guarding
+    fields with when() silently re-runs the regex per field. Hence this
+    shape: regexp_replace rewrites the string into a \\x01-delimited
+    group pack in one pass (split is a cheap byte scan), and the
+    ``|^.*$`` alternative makes non-URLs produce six EMPTY fields so no
+    caller ever needs a conditional around a component access."""
+    return F.split(
+        F.regexp_replace(url, _URL_PACK_RE, _SEP.join(f"${i}" for i in range(1, 7))),
+        _SEP,
+    )
+
+
 def url_parse(url: Column) -> Column:
     """Parse a URL into a struct(scheme, host, port, path, query, fragment).
 
-    Pure regexp_extract projections — missing pieces come back as empty
-    strings (port as null long), matching what the SQL replay yields.
+    One regex pass (see ``_url_packed``), all accesses unconditional (the
+    CSE contract) — missing pieces come back as empty strings (port as
+    null long), and a string that is not a URL at all parses to
+    all-empty, matching what the SQL replay yields.
     """
+    p = _url_packed(url)
+
+    def g(i: int) -> Column:
+        return F.get(p, i)
+
     return F.struct(
-        F.lower(F.regexp_extract(url, _URL_RE, 1)).alias("scheme"),
-        F.lower(F.regexp_extract(url, _URL_RE, 2)).alias("host"),
-        F.nullif(F.regexp_extract(url, _URL_RE, 3), F.lit("")).cast("long").alias("port"),
-        F.regexp_extract(url, _URL_RE, 4).alias("path"),
-        F.regexp_extract(url, _URL_RE, 5).alias("query"),
-        F.regexp_extract(url, _URL_RE, 6).alias("fragment"),
+        F.lower(g(0)).alias("scheme"),
+        F.lower(g(1)).alias("host"),
+        F.nullif(g(2), F.lit("")).cast("long").alias("port"),
+        g(3).alias("path"),
+        g(4).alias("query"),
+        g(5).alias("fragment"),
     )
 
 
 def _kept_query(query: Column) -> Column:
-    """Drop tracking parameters, preserving the order of the rest."""
-    name_re = "^(" + "|".join(_TRACKING_NAMES) + ")="
-    kept = F.filter(
-        F.split(query, "&"),
-        lambda p: ~p.startswith(_TRACKING_PREFIXES[0]) & ~p.rlike(name_re),
-    )
+    """Drop tracking parameters, preserving the order of the rest.
+    Prefix tests are chained startswith (byte compares), not a regex —
+    the per-element rlike was a measurable share of the sf10 scan."""
+    prefixes = list(_TRACKING_PREFIXES) + [n + "=" for n in _TRACKING_NAMES]
+
+    def is_tracking(p: Column) -> Column:
+        out = F.lit(False)
+        for pfx in prefixes:
+            out = out | p.startswith(pfx)
+        return out
+
+    kept = F.filter(F.split(query, "&"), lambda p: ~is_tracking(p))
     return F.array_join(kept, "&")
 
 
 def url_normalize(url: Column) -> Column:
     """Canonical URL: lowercase scheme+host, default port stripped
     (80/http, 443/https), fragment dropped, tracking params removed,
-    empty path -> '/', empty query -> no '?'."""
-    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
-    host = F.lower(F.regexp_extract(url, _URL_RE, 2))
-    port = F.regexp_extract(url, _URL_RE, 3)
-    path = F.regexp_extract(url, _URL_RE, 4)
-    query = F.regexp_extract(url, _URL_RE, 5)
+    empty path -> '/', empty query -> no '?'. A non-URL input emits
+    ``INVALID_URL`` (':///').
+
+    One regex pass and ONE evaluation of every component: each when()
+    here carries only LITERAL branch values (lengths for F.left, '/' or
+    ''), never a component subtree — a component inside a branch would be
+    re-evaluated per row because conditional occurrences are excluded
+    from Spark's subexpression elimination (the measured 52 s -> 93 s
+    regression documented in _url_packed)."""
+    p = _url_packed(url)
+    scheme = F.lower(F.get(p, 0))
+    host = F.lower(F.get(p, 1))
+    port = F.get(p, 2)
+    path = F.get(p, 3)
+    query = F.get(p, 4)
     keep_port = (
         (port != "")
         & ~((scheme == "http") & (port == "80"))
         & ~((scheme == "https") & (port == "443"))
     )
-    q = F.when(query == "", F.lit("")).otherwise(_kept_query(query))
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-        F.when(path == "", F.lit("/")).otherwise(path),
-        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    q = _kept_query(query)
+    # ':'||port truncated to 0 chars when stripped — branch values are
+    # literals, port itself stays unconditional
+    port_part = F.left(
+        F.concat(F.lit(":"), port),
+        F.when(keep_port, F.lit(100)).otherwise(F.lit(0)),
     )
+    slash = F.when(path == "", F.lit("/")).otherwise(F.lit(""))
+    q_part = F.left(
+        F.concat(F.lit("?"), q),
+        F.when(q == "", F.lit(0)).otherwise(F.lit(1 << 20)),
+    )
+    return F.concat(scheme, F.lit("://"), host, port_part, slash, path, q_part)
 
 
 def registrable_domain(host: Column) -> Column:
     """eTLD+1 under the _SECOND_LEVEL_TLDS heuristic: three labels when
-    the last two form a known second-level suffix, else two."""
+    the last two form a known second-level suffix, else two.
+
+    Shape: one slice length selected by a when() whose BRANCH VALUES are
+    trivial (label count / literals) — the label array and the last-two
+    join stay unconditional so the upstream parse subtree is CSE'd once
+    (the same branch-exclusion rule _url_packed documents; the first
+    draft's when(...last3...) CASE re-inlined the whole regex per
+    branch)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat(F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1))
-    last3 = F.concat(F.element_at(labels, -3), F.lit("."), last2)
     in_sl = last2.isin(*_SECOND_LEVEL_TLDS)
-    return (
-        F.when(n <= 2, host)
-        .when(in_sl & (n >= 3), last3)
-        .otherwise(last2)
-    )
+    take = F.when(n <= 2, n).when(in_sl, F.lit(3)).otherwise(F.lit(2))
+    return F.array_join(F.slice(labels, -take, take), ".")
 
 
 def domain_stats(df: DataFrame, url_col: str, chars_col: str | None = None) -> DataFrame:
     """Per-registrable-domain rollup: document count (+ total/avg chars
     when ``chars_col`` given) — the reputation/cap-decision input. One
     combinable aggregation keyed on a bounded-cardinality domain key."""
-    host = F.lower(F.regexp_extract(F.col(url_col), _URL_RE, 2))
+    host = url_parse(F.col(url_col)).getField("host")
     base = df.withColumn("_domain", registrable_domain(host))
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if chars_col:
@@ -149,7 +210,7 @@ def domain_cap(
     domain key; at 100 TB the shuffle is on the (bounded) domain
     cardinality, and skewed mega-domains are exactly the rows the cap
     discards, so task output stays bounded even where input is skewed."""
-    host = F.lower(F.regexp_extract(F.col(url_col), _URL_RE, 2))
+    host = url_parse(F.col(url_col)).getField("host")
     base = df.withColumn("_domain", registrable_domain(host))
     w = Window.partitionBy("_domain").orderBy(F.col(order_col).asc())
     return (
@@ -166,7 +227,7 @@ def blocklist_filter(
     """Anti-join the corpus against a blocked registrable-domain list
     (column ``domain``). The list is tiny relative to the corpus —
     broadcast explicitly so 1000 executors each prune locally."""
-    host = F.lower(F.regexp_extract(F.col(url_col), _URL_RE, 2))
+    host = url_parse(F.col(url_col)).getField("host")
     base = df.withColumn("_domain", registrable_domain(host))
     return (
         base.join(

@@ -705,6 +705,77 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a FULL value oracle (round 11): the deterministic
+    KMeansDF quantizer + rounded-cosine threshold make every stage of
+    ``semantic_dedup`` engine-agnostic — the DuckDB oracle replays the
+    5-iteration k-means fit (suite/similarity.py:kmeans_cte), the bucket
+    assignment, the within-bucket rounded-cosine pair threshold, and the
+    connected components (recursive CTE), then derives the identical
+    survivor set. Threshold 0.30 because the REAL embeddings table is
+    near-orthogonal (max pairwise cosine ~0.51) — at the production 0.95
+    the result is vacuously the full corpus; the replay needs a
+    configuration where clusters, pairs, AND components all do real work.
+    The clustered-fixture rows (semantic_dedup_check's >= 95% agreement
+    gate) remain the semantic-behavior evidence at the production
+    threshold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup_ops.semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=8, threshold=0.30,
+        quantizer="df", round_to=4,
+    ).select("vec_id")
+
+
+def _semantic_dedup_replay_sql() -> str:
+    from etl_file_loader_spark.suite.similarity import _COS, kmeans_cte
+
+    dist = (
+        "list_sum(list_transform(list_zip(v.vec, c.cv),"
+        " x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+    return f"""
+WITH RECURSIVE {kmeans_cte(8, 5)},
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM v CROSS JOIN c5 c)
+  WHERE rn = 1
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN v va ON va.vec_id = id_a
+  JOIN v vb ON vb.vec_id = id_b
+  WHERE {_COS.format(a="va.vec", b="vb.vec")} >= 0.30
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+losers AS (
+  SELECT src AS vec_id FROM reach GROUP BY src HAVING min(dst) <> src
+)
+SELECT e.vec_id FROM embeddings e ANTI JOIN losers l ON e.vec_id = l.vec_id
+"""
+
+
+Q_SEMANTIC_DEDUP_REPLAY_SQL = _semantic_dedup_replay_sql()
+
+QUERIES.update({"semantic_dedup_replay": q_semantic_dedup_replay})
+ORACLES.update({"semantic_dedup_replay": Q_SEMANTIC_DEDUP_REPLAY_SQL})
+
+
 def q_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench twin: the semantic-dedup product op alone (no exact baseline)
     on the clustered fixture at n=2000 — k-means assign, within-cluster

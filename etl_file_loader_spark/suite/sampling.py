@@ -83,6 +83,35 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py:weighted_sample): per-language top-5 draws with
+    probability proportional to n_chars, deterministically — the oracle
+    replays the full exponential race (ln of the md5-derived uniform over
+    the weight) and the identical (key DESC, id) selection order.
+    Engine agreement on the selection is pinned by
+    tests/test_weighted_sample.py's boundary-margin measurement."""
+    docs = _t(spark, sf_dir, "documents")
+    picked = sampling_ops.weighted_sample(
+        docs, "doc_id", "n_chars", k=5, group_cols=["lang"]
+    )
+    return picked.select("lang", "sample_rank", "doc_id", "n_chars")
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+SELECT lang, sample_rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+                       / 1152921504606846976.0) / n_chars DESC,
+                    doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM documents WHERE n_chars > 0
+) WHERE sample_rank <= 5
+"""
+
+
 def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard manifest per language: docs pack sequentially by
     id into 2000-token shards WITHIN each language partition (the window
@@ -580,6 +609,7 @@ QUERIES.update(
         "skewed_event_counts": q_skewed_event_counts,
         "diversity_sample_check": q_diversity_sample_check,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample_check": q_weighted_sample,
         "shard_packing": q_shard_packing,
         "hash_split": q_hash_split,
         "weighted_repeat": q_weighted_repeat,
@@ -597,6 +627,7 @@ ORACLES.update(
     {
         "skewed_event_counts": Q_SKEWED_EVENT_COUNTS_SQL,
         "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+        "weighted_sample_check": Q_WEIGHTED_SAMPLE_SQL,
         "shard_packing": Q_SHARD_PACKING_SQL,
         "hash_split": Q_HASH_SPLIT_SQL,
         "weighted_repeat": Q_WEIGHTED_REPEAT_SQL,

@@ -40,6 +40,8 @@ def _domain(spark, host):
         ),
         # scheme case folded; path case preserved
         ("HTTPS://EXAMPLE.com/CaseSensitive", "https://example.com/CaseSensitive"),
+        # non-URL input -> the documented INVALID_URL token (':///')
+        ("not a url at all", ":///"),
     ],
 )
 def test_url_normalize_edges(spark, raw, want):
