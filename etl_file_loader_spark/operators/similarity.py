@@ -927,9 +927,16 @@ class KMeansDF:
         return F.array_min(F.array(*structs)).getField("c")
 
     def fit(self, df: DataFrame, id_col: str, vec_col: str) -> "KMeansDF":
-        base = df.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
+        from etl_file_loader_spark.operators.cache import pin
+
+        # the fit re-scans the (id, vector) projection iters+1 times (one
+        # driver round-trip per Lloyd iteration) — pin it once; released
+        # by the batch driver's release_operator_caches() point
+        base = pin(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
         )
         seed_rows = (
             base.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))

@@ -556,6 +556,40 @@ COMMENTARY = {
         "presentation sort. Scoring at 100 TB is scan speed; the FIT is "
         "one groupBy(feature, lang) whose result is dim x n_langs rows."
     ),
+    "url_canonical": (
+        "Round 11: URL canonicalization. The property is ONE regex "
+        "execution per row: a single regexp_replace packs all six groups "
+        "into a \\x01-delimited string (the |^.*$ alternation handles "
+        "non-URLs with empty fields, so NO conditional guards exist — "
+        "conditional branches are excluded from codegen subexpression "
+        "elimination, the measured sf10 rule), and every downstream "
+        "component access is an unconditional array get that CSE "
+        "deduplicates. Pure projection — no exchange anywhere."
+    ),
+    "domain_guard": (
+        "Round 11: blocklist anti-join -> per-domain cap -> rollup. The "
+        "properties: the blocklist side is a BroadcastExchange (executors "
+        "prune locally), and the cap's row_number filter compiles to "
+        "WindowGroupLimit with a PARTIAL stage BELOW the exchange — each "
+        "map task pre-keeps <= cap rows per domain, so a mega-domain "
+        "(60M rows in ONE domain, measured 21.1 s at sf10) never "
+        "creates a straggler; shuffle volume ~ cap x domains."
+    ),
+    "weighted_sample_check": (
+        "Round 11: Efraimidis-Spirakis weighted sampling. Same "
+        "WindowGroupLimit partial-below-exchange shape as domain_guard: "
+        "the exponential-race key is a pure expression (md5 -> ln/w), "
+        "each map task pre-keeps its local top-k per group, ~k rows per "
+        "group reach the exchange at any input size."
+    ),
+    "hll_distinct_check": (
+        "Round 11: portable HLL. Register build is one hash aggregation "
+        "(groupBy group+bucket, max(rho)) with map-side partial max — "
+        "shuffle bounded by groups x m registers regardless of row "
+        "count; the estimate is a second tiny agg over <= m rows per "
+        "group with the harmonic sum in exact int64. No windows, no "
+        "collects except the bounded register table."
+    ),
 }
 
 
