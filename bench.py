@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "semantic_dedup_replay",
     # round 11: weighted sampling without replacement (A-ES races)
     "weighted_sample_check",
+    # round 11: maintained HLL register index (seed + 3 absorbed batches)
+    "hll_index_stream",
 ]
 
 

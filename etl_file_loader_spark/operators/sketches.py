@@ -260,6 +260,48 @@ def hll_estimate(registers: DataFrame, keys: list[str], p: int = 10) -> DataFram
     return agg.withColumn("hll_est", est).drop("_s_present")
 
 
+class HLLIndex:
+    """MAINTAINED distinct-count registers over arriving batches — the
+    streaming form of the portable HLL (the NearDupIndex/LinkageIndex
+    house pattern applied to the cheapest possible state).
+
+    Build once from the seed, :meth:`absorb` each arriving batch
+    (register-wise max merge), read :meth:`estimate` at any epoch. The
+    state is <= 2^p small ints per group FOREVER — it never grows with
+    data — and absorption is CONFLUENT (max is commutative/associative/
+    idempotent): any arrival order of the same batches yields the same
+    registers, so out-of-order or replayed ingest cannot corrupt the
+    count (the suite oracle replays every epoch's estimate from batch
+    numbering alone). Each absorb localCheckpoints the merged registers
+    so per-epoch lineage stays one union deep (the cdc_stream pattern);
+    at cluster scale the same frame is written per epoch and the merge
+    is a ~(groups x m)-row job regardless of batch size.
+
+    This is the 100 TB "distinct users/keys per day, all-time" shape:
+    sketch each partition/day once, fold forever, never recount.
+    """
+
+    def __init__(self, seed: DataFrame, keys: list[str], col: str, p: int = 10):
+        self.keys = keys
+        self.col = col
+        self.p = p
+        self._regs = hll_registers(seed, keys, col, p).localCheckpoint(eager=True)
+
+    def registers(self) -> DataFrame:
+        return self._regs
+
+    def estimate(self) -> DataFrame:
+        return hll_estimate(self._regs, self.keys, self.p)
+
+    def absorb(self, batch: DataFrame) -> "HLLIndex":
+        merged = hll_merge(
+            [self._regs, hll_registers(batch, self.keys, self.col, self.p)],
+            self.keys,
+        )
+        self._regs = merged.localCheckpoint(eager=True)
+        return self
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter (round 9): portable build / merge / probe + semi-join pruning
 # ---------------------------------------------------------------------------

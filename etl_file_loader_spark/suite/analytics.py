@@ -914,6 +914,106 @@ QUERIES.update({"hll_distinct_check": q_hll_distinct_check})
 ORACLES.update({"hll_distinct_check": Q_HLL_DISTINCT_SQL})
 
 
+def q_hll_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED HLL registers (operators/sketches.py:HLLIndex): seed
+    from the o_orderkey%4==0 quarter of orders, absorb the three
+    remaining quarters IN ORDER, and emit the per-group estimate + the
+    register-set md5 after every epoch. Absorption is confluent
+    (register-wise max), so the oracle replays epoch k's state from
+    batch numbering alone: registers at epoch k = max per (group,
+    bucket) over rows with o_orderkey%4 <= k."""
+    from etl_file_loader_spark.operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    idx = sketches.HLLIndex(
+        orders.filter(F.col("o_orderkey") % 4 == 0),
+        ["o_orderstatus"], "o_custkey", _HLL_P,
+    )
+
+    def snapshot(epoch: int) -> DataFrame:
+        est = idx.estimate()
+        md5 = idx.registers().groupBy("o_orderstatus").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("bucket", "rho"))),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s.getField("bucket").cast("string"),
+                            s.getField("rho").cast("string"),
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("reg_md5")
+        )
+        return est.join(md5, "o_orderstatus").select(
+            F.lit(epoch).alias("epoch"),
+            F.col("o_orderstatus").alias("grp"),
+            "n_regs",
+            F.round(F.col("hll_est"), 2).alias("hll_est"),
+            "reg_md5",
+        )
+
+    outs = [snapshot(0)]
+    for k in (1, 2, 3):
+        # registers()/estimate() capture the CURRENT checkpointed frame,
+        # so earlier snapshots stay correct after absorb() replaces it
+        idx.absorb(orders.filter(F.col("o_orderkey") % 4 == k))
+        outs.append(snapshot(k))
+    out = outs[0]
+    for part in outs[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("epoch", "grp")
+
+
+def _hll_index_stream_sql() -> str:
+    p = _HLL_P
+    m = 1 << p
+    w = 60 - p
+    cap = 40
+    alpha_num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << cap)
+
+    def epoch(k: int) -> str:
+        return f"""
+  SELECT {k} AS epoch, g AS grp, n_regs, round(est, 2) AS hll_est, reg_md5
+  FROM (
+    SELECT g, n_regs, reg_md5,
+           CASE WHEN {alpha_num!r} / CAST(s_present + ({m} - n_regs) * {1 << cap} AS DOUBLE) <= {2.5 * m}
+                 AND n_regs < {m}
+                THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_regs AS DOUBLE))
+                ELSE {alpha_num!r} / CAST(s_present + ({m} - n_regs) * {1 << cap} AS DOUBLE)
+           END AS est
+    FROM (
+      SELECT g, count(*) AS n_regs,
+             sum(CAST(pow(2, {cap} - least(rho, {cap})) AS BIGINT)) AS s_present,
+             md5(string_agg(bucket || ':' || rho, ',' ORDER BY bucket)) AS reg_md5
+      FROM (
+        SELECT g, h % {m} AS bucket,
+               max(CASE WHEN h // {m} = 0 THEN {w + 1}
+                        ELSE {w + 1} - length(bin(h // {m})) END) AS rho
+        FROM (
+          SELECT o_orderstatus AS g,
+                 CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          FROM orders WHERE o_orderkey % 4 <= {k}
+        ) GROUP BY 1, 2
+      ) GROUP BY g
+    )
+  )"""
+
+    return (
+        "SELECT * FROM ("
+        + "\n  UNION ALL".join(epoch(k) for k in range(4))
+        + "\n) ORDER BY epoch, grp"
+    )
+
+
+Q_HLL_INDEX_STREAM_SQL = _hll_index_stream_sql()
+
+QUERIES.update({"hll_index_stream": q_hll_index_stream})
+ORACLES.update({"hll_index_stream": Q_HLL_INDEX_STREAM_SQL})
+
+
 _CMS_D = 4
 _CMS_W = 256
 _CMS_CANDS = [1, 2, 3, 500, 100000001]

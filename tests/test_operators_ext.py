@@ -1670,6 +1670,33 @@ def test_hll_linear_counting_small_range(spark):
     assert abs(est["hll_est"] - 5) < 0.5
 
 
+def test_hll_index_confluence_and_oneshot_equality(spark):
+    # the maintained index must equal the one-shot registers over the
+    # union, in ANY absorption order (max-confluence)
+    sk = _kmv()
+    df = spark.createDataFrame(
+        [("a", v) for v in range(300)], "g string, v long"
+    )
+    seed = df.filter(F.col("v") % 3 == 0)
+    b1 = df.filter(F.col("v") % 3 == 1)
+    b2 = df.filter(F.col("v") % 3 == 2)
+
+    def regs_of(idx):
+        return {(r["g"], r["bucket"], r["rho"]) for r in idx.registers().collect()}
+
+    fwd = sk.HLLIndex(seed, ["g"], "v", p=8).absorb(b1).absorb(b2)
+    rev = sk.HLLIndex(seed, ["g"], "v", p=8).absorb(b2).absorb(b1)
+    dup = sk.HLLIndex(seed, ["g"], "v", p=8).absorb(b1).absorb(b1).absorb(b2)
+    oneshot = {
+        (r["g"], r["bucket"], r["rho"])
+        for r in sk.hll_registers(df, ["g"], "v", p=8).collect()
+    }
+    assert regs_of(fwd) == regs_of(rev) == regs_of(dup) == oneshot
+    # estimate reads the maintained registers
+    est = fwd.estimate().collect()[0]
+    assert abs(est["hll_est"] - 300) / 300 < 0.3
+
+
 def test_hll_merge_is_monoid(spark):
     sk = _kmv()
     df = spark.createDataFrame(
