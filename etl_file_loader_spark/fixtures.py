@@ -31,6 +31,24 @@ _CACHE: dict[tuple, DataFrame] = {}
 _CACHE_MAX = 8
 
 
+def _md5_uniform_grid(tag: str, rows: int, cols: int) -> "np.ndarray":
+    """(rows, cols) matrix of md5-derived uniforms in [0, 1): cell (r, c)
+    = first-8-hex of md5("{tag}_{r}_{c}") / 2^32 — the house portable
+    idiom (the hyperplane-LSH plane matrix's sibling), so any SQL engine
+    re-derives the identical values."""
+    import hashlib
+
+    out = np.empty((rows, cols), dtype="float64")
+    for r in range(rows):
+        pfx = f"{tag}_{r}_"
+        for c in range(cols):
+            out[r, c] = (
+                int(hashlib.md5(f"{pfx}{c}".encode()).hexdigest()[:8], 16)
+                / 4294967296.0
+            )
+    return out
+
+
 def clustered_embeddings(
     spark: SparkSession,
     n: int = 2000,
@@ -39,23 +57,39 @@ def clustered_embeddings(
     noise: float = 0.03,
     seed: int = 7,
 ) -> DataFrame:
-    """Mixture-of-Gaussians embeddings: k unit centers, points = center +
-    noise*N(0,I). At noise=0.03/dim=64 the expected intra-cluster cosine is
-    ~0.94 and cross-cluster ~0 — clean separation for a 0.9 near-dup
-    threshold, matching the (vec_id, embedding, label) schema of the
-    testdata embeddings table."""
+    """Clustered-mixture embeddings: k centers, points = center +
+    centered-uniform noise whose std is ``noise`` RELATIVE to the
+    expected center norm — intra-cluster cosine ~0.95+, cross-cluster ~0:
+    clean separation for a 0.9 near-dup threshold, matching the
+    (vec_id, embedding, label) schema of the testdata embeddings table.
+
+    Round 11: every value is an md5 derivation (``_md5_uniform_grid``) —
+    center (c, j) = u("ctr{seed}_c_j") - 0.5, point (i, j) =
+    float32(center(i % k, j) + (u("pt{seed}_i_j") - 0.5) * noise*sqrt(dim))
+    — so the fixture DATA itself replays in SQL
+    (suite/similarity.py:clustered_fixture_cte) and the rows that run on
+    it carry FULL value oracles; the previous numpy-RNG mixture had no
+    SQL form, which was the only reason the *_clustered rows stayed
+    rows-only demos. Deliberately NO normalization anywhere: u is exact
+    in double (int32 / 2^32), so every component is ONE correctly-rounded
+    add of identical inputs — BIT-IDENTICAL across engines with zero
+    summation-order exposure (a norm would reintroduce an
+    order-dependent reduction). Cosine consumers normalize internally,
+    so the geometry is unchanged by the missing unit-norm.
+    """
     import pandas as pd
 
     key = (spark.sparkContext.applicationId, n, dim, k, noise, seed)
     cached = _CACHE.get(key)
     if cached is not None:
         return cached
-    rng = np.random.default_rng(seed)
-    centers = rng.standard_normal((k, dim))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    centers = _md5_uniform_grid(f"ctr{seed}", k, dim) - 0.5
     labels = np.arange(n) % k
-    vecs = centers[labels] + noise * rng.standard_normal((n, dim))
-    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float32)
+    # centered uniform scaled so noise std relative to E[|center|]
+    # (= sqrt(dim/12)) equals ``noise``: S = noise*sqrt(12)*sqrt(dim/12)
+    scale = noise * float(np.sqrt(float(dim)))
+    noise_m = (_md5_uniform_grid(f"pt{seed}", n, dim) - 0.5) * scale
+    vecs = (centers[labels] + noise_m).astype(np.float32)
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),

@@ -273,19 +273,17 @@ _ROWS_ONLY: set[str] = {
     # similarity_lsh_topk and knn_join_lsh LEFT this set — their
     # hyperplanes are deterministic md5 derivations, so DuckDB replays the
     # full bucketing (+ multi-probe, banding) and they now carry full
-    # value oracles. Round 11 extra: similarity_ivf_topk ALSO left — it now
-    # runs the deterministic DataFrame-native KMeansDF quantizer (md5 init,
-    # fixed rounded Lloyd iterations) whose fit unrolls as chained DuckDB
-    # CTEs (suite/similarity.py:kmeans_cte). The four below legitimately
-    # stay demos: the *_clustered rows run on the numpy-RNG
-    # mixture-of-Gaussians fixture (no SQL form for the DATA, not the
-    # algorithm) and semantic_dedup_clustered seeds ml.KMeans on that same
-    # fixture; each keeps its oracle-checked recall/agreement gate in the
-    # same window.
-    "dedup_embedding_pairs_lsh_clustered",
-    "semantic_dedup_clustered",
-    "knn_join_lsh_clustered",
-    "knn_join_lsh_auto_clustered",
+    # value oracles. Round 11 extras EMPTIED this set entirely:
+    # similarity_ivf_topk left via the deterministic KMeansDF quantizer
+    # (kmeans_cte replay), and the four *_clustered rows left when the
+    # clustered fixture itself became an md5 derivation with a SQL form
+    # (fixtures.clustered_embeddings round-11 rewrite — bit-identical
+    # float32 across engines, pinned by
+    # tests/test_clustered_fixture_oracle.py — replayed by
+    # suite/similarity.py:clustered_fixture_cte; semantic_dedup_clustered
+    # additionally switched to the replayable KMeansDF configuration).
+    # Every driver window row now carries a FULL value oracle; the
+    # recall/agreement gates remain as semantic-behavior redundancy.
 }
 _no_oracle = [
     n for n in CHECKED_QUERIES if n not in ORACLES and n not in _ROWS_ONLY

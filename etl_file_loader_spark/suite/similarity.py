@@ -361,7 +361,7 @@ QUERIES.update(
 )
 
 
-def lsh_proj_cte(num_planes: int) -> str:
+def lsh_proj_cte(num_planes: int, table: str = "embeddings") -> str:
     """The hyperplane-LSH replay every LSH oracle builds on: DuckDB
     re-derives the SAME md5 plane weights as ``sim_ops._plane_matrix``
     (component (p, j) = md5("{p}_{j}") first-8-hex / 2^32 - 0.5) and
@@ -376,19 +376,47 @@ comp AS (
   SELECT vec_id,
          unnest(CAST(embedding AS DOUBLE[])) AS c,
          unnest(range(1, len(embedding) + 1)) AS j
-  FROM embeddings
+  FROM {table}
 ),
 planes AS (
   SELECT p, j + 1 AS j,
          CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
            / 4294967296.0 - 0.5 AS w
   FROM (SELECT unnest(range(0, {num_planes})) AS p),
-       (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS j)
+       (SELECT unnest(range(0, (SELECT len(embedding) FROM {table} LIMIT 1))) AS j)
 ),
 proj AS (
   SELECT c.vec_id, pl.p, sum(c.c * pl.w) AS proj
   FROM comp c JOIN planes pl USING (j)
   GROUP BY 1, 2
+)"""
+
+
+def clustered_fixture_cte(
+    n: int, dim: int = 64, k: int = 40, noise: float = 0.03, seed: int = 7,
+    name: str = "fx",
+) -> str:
+    """SQL twin of ``fixtures.clustered_embeddings`` — the round-11 change
+    that emptied _ROWS_ONLY: the fixture DATA is md5-derived with NO
+    normalization, so every float32 component is ONE correctly-rounded
+    double add of exactly-representable inputs (int32/2^32 uniforms) —
+    BIT-IDENTICAL across engines, pinned by
+    tests/test_clustered_fixture_oracle.py's exhaustive equality check."""
+    import math
+
+    scale = noise * math.sqrt(float(dim))
+    return f"""
+{name} AS MATERIALIZED (
+  SELECT i.i AS vec_id, CAST(i.i % {k} AS INT) AS label,
+         list(CAST(
+           (CAST('0x' || substr(md5('ctr{seed}_' || CAST(i.i % {k} AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+              / 4294967296.0 - 0.5)
+           + (CAST('0x' || substr(md5('pt{seed}_' || CAST(i.i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+              / 4294967296.0 - 0.5) * {scale!r}
+           AS FLOAT) ORDER BY j.j) AS embedding
+  FROM (SELECT unnest(range(0, {n})) AS i) i
+  CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) j
+  GROUP BY i.i
 )"""
 
 
@@ -475,7 +503,7 @@ SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
-def kmeans_cte(k: int, iters: int, round_to: int = 6) -> str:
+def kmeans_cte(k: int, iters: int, round_to: int = 6, table: str = "embeddings") -> str:
     """Full DuckDB replay of ``operators.similarity.KMeansDF.fit`` as
     statically-unrolled chained CTEs (one pair per Lloyd iteration —
     iteration's analog of the recursive BPE-merge replay):
@@ -494,10 +522,10 @@ def kmeans_cte(k: int, iters: int, round_to: int = 6) -> str:
     boundary orders of magnitude above that, then asserts the replayed
     centroids are EXACTLY equal per iteration."""
     parts = [f"""
-v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-e AS (SELECT vec_id, unnest(vec) AS val,
+v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM {table}),
+e AS MATERIALIZED (SELECT vec_id, unnest(vec) AS val,
              unnest(range(1, len(vec) + 1)) AS pos FROM v),
-c0 AS (
+c0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
          vec AS cv
   FROM (SELECT vec_id, vec FROM v
@@ -506,14 +534,14 @@ c0 AS (
     dist = "list_sum(list_transform(list_zip(v.vec, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2])))"
     for i in range(1, iters + 1):
         parts.append(f"""
-a{i} AS (
+a{i} AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT v.vec_id, c.cid,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
     FROM v CROSS JOIN c{i - 1} c)
   WHERE rn = 1
 ),
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
   FROM c{i - 1} p LEFT JOIN (
     SELECT cid, list(val ORDER BY pos) AS cv FROM (
@@ -558,10 +586,67 @@ LIMIT 10
 """
 
 
+def _knn_lsh_clustered_sql(n: int, num_bands: int, planes_per_band: int, k: int = 3) -> str:
+    """Full replay of knn_join_lsh over the md5-deterministic clustered
+    fixture (round 11: the fixture's SQL form emptied _ROWS_ONLY): derive
+    the fixture, re-project onto num_bands*planes_per_band md5 planes,
+    band, candidate-join, exact rounded-cosine rescore, mirror, rank."""
+    total_planes = num_bands * planes_per_band
+    return f"""
+WITH {clustered_fixture_cte(n)},
+{lsh_proj_cte(total_planes, table="fx")},
+bands AS (
+  SELECT vec_id, CAST(p // {planes_per_band} AS BIGINT) AS band,
+         CAST(sum(CASE WHEN proj >= 0 THEN 1 << (p % {planes_per_band}) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM fx),
+scored AS (
+  SELECT id_a, id_b,
+         {_COS.format(a="va.vec", b="vb.vec")} AS cosine
+  FROM cand
+  JOIN v va ON va.vec_id = id_a
+  JOIN v vb ON vb.vec_id = id_b
+),
+mirrored AS (
+  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS neighbor_id, cosine FROM scored
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM mirrored
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+Q_KNN_JOIN_LSH_CLUSTERED_SQL = _knn_lsh_clustered_sql(8000, 8, 8)
+# the auto row's planner is deterministic in (n, threshold) — embed the
+# SAME parameters plan_banding picks at build time
+_AUTO_BANDS, _AUTO_PLANES = sim_ops.plan_banding(8000, 0.9)
+Q_KNN_JOIN_LSH_AUTO_CLUSTERED_SQL = _knn_lsh_clustered_sql(
+    8000, _AUTO_BANDS, _AUTO_PLANES
+)
+
+
 ORACLES.update(
     {
         "similarity_topk": Q_SIMILARITY_TOPK_SQL,
         "similarity_pq_recall": "SELECT 'pq_rerank_recall_at_10' AS metric, 80 AS threshold_pct, 1 AS passed",
+        # round 11 extra: the clustered k-NN demos gain FULL value oracles
+        # — the fixture itself is now an md5 derivation with a SQL form
+        # (clustered_fixture_cte), removing the last reason for rows-only
+        "knn_join_lsh_clustered": Q_KNN_JOIN_LSH_CLUSTERED_SQL,
+        "knn_join_lsh_auto_clustered": Q_KNN_JOIN_LSH_AUTO_CLUSTERED_SQL,
         # round 11: the hyperplane-LSH demos gain FULL value oracles — the
         # planes are deterministic md5 derivations, so DuckDB replays the
         # whole bucketing + multi-probe + rescore (VERDICT r10 ask 3)

@@ -12,8 +12,10 @@ def test_fixture_deterministic(spark):
     b = fixtures.clustered_embeddings(spark, n=50).collect()
     assert a == b
     assert len(a) == 50 and len(a[0].embedding) == 64
-    # unit-normalized
-    assert abs(sum(x * x for x in a[0].embedding) - 1.0) < 1e-5
+    # round 11: deliberately NOT unit-normalized (bit-exact cross-engine
+    # contract — see the fixture docstring); |v| ~ sqrt(dim/12) ~ 2.31
+    norm2 = sum(x * x for x in a[0].embedding)
+    assert 2.0 < norm2 < 9.0
 
 
 def test_clustered_gate_passes(spark):
