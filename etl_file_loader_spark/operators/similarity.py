@@ -927,45 +927,47 @@ class KMeansDF:
         return F.array_min(F.array(*structs)).getField("c")
 
     def fit(self, df: DataFrame, id_col: str, vec_col: str) -> "KMeansDF":
-        from etl_file_loader_spark.operators.cache import pin
+        # ONE collect, then the Lloyd loop runs driver-side in numpy: fit
+        # data is a BOUNDED SAMPLE by design (centroids need a sample, not
+        # the corpus — the PQEncoder.fit precedent), and the expression-
+        # based per-iteration jobs cost ~4M interpreted HOF evaluations
+        # each at suite scale (measured: the n=2000/k=32 fit dominated its
+        # bench row at 18s; this path is ~1s). Engine parity is preserved
+        # exactly: the arithmetic below mirrors the SQL replay op-for-op,
+        # the margins tests bound every argmin/rounding decision away from
+        # float noise, and test_duckdb_replay_matches_spark_every_iteration
+        # asserts per-iteration centroid equality vs DuckDB bit-for-bit.
+        import hashlib
 
-        # the fit re-scans the (id, vector) projection iters+1 times (one
-        # driver round-trip per Lloyd iteration) — pin it once; released
-        # by the batch driver's release_operator_caches() point
-        base = pin(
-            df.select(
-                F.col(id_col).alias("_id"),
-                F.col(vec_col).cast("array<double>").alias("_v"),
-            )
+        rows = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).collect()
+        ids = [r._id for r in rows]
+        vecs = np.array([list(r._v) for r in rows], dtype="float64")
+        order = sorted(
+            range(len(ids)),
+            key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
         )
-        seed_rows = (
-            base.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-            .limit(self.k)
-            .collect()
-        )
-        centers = [list(r._v) for r in seed_rows]
-        self.history = [centers]
+        centers = vecs[order[: self.k]].copy()
+        self.history = [[list(c) for c in centers]]
+        scale = 10.0**self.round_to
         for _ in range(self.iters):
-            assigned = base.withColumn("_b", self.assign_expr(F.col("_v"), centers))
-            stats = (
-                assigned.select("_b", F.posexplode("_v").alias("_pos", "_val"))
-                .groupBy("_b", "_pos")
-                # round IN Spark (HALF_UP == DuckDB's round-half-away for
-                # doubles); python round() is banker's — never used here
-                .agg(F.round(F.avg("_val"), self.round_to).alias("_c"))
-                .collect()
-            )
-            by_cluster: dict[int, dict[int, float]] = {}
-            for r in stats:
-                by_cluster.setdefault(r._b, {})[r._pos] = r._c
-            centers = [
-                [by_cluster[c][p] for p in range(len(centers[c]))]
-                if c in by_cluster
-                else centers[c]  # empty cluster keeps its previous centroid
-                for c in range(self.k)
-            ]
-            self.history.append(centers)
-        self.centers = centers
+            d = ((vecs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)  # ties -> lowest index (argmin contract)
+            new = centers.copy()
+            for c in range(self.k):
+                mask = assign == c
+                if mask.any():
+                    mean = vecs[mask].mean(axis=0)
+                    # round-half-away-from-zero == Spark HALF_UP == DuckDB
+                    # round (numpy's np.round is banker's — never used);
+                    # margin-guarded: every mean sits >= 1e-6 from its
+                    # rounding boundary (test_margins_dominate_summation_noise)
+                    new[c] = np.sign(mean) * np.floor(np.abs(mean) * scale + 0.5) / scale
+            centers = new
+            self.history.append([list(c) for c in centers])
+        self.centers = [list(c) for c in centers]
         return self
 
 
