@@ -1012,6 +1012,7 @@ def semantic_dedup(
     max_iterations: int = 20,
     quantizer: str = "ml",
     round_to: int | None = None,
+    max_fit_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     k-means cluster the vectors, compare pairs only WITHIN each cluster,
@@ -1046,10 +1047,14 @@ def semantic_dedup(
         # the REPLAYABLE configuration (round 11): the deterministic
         # KMeansDF coarse quantizer — with round_to set, the whole
         # operator (fit, assignment, pair threshold, components) has a
-        # DuckDB value oracle (suite semantic_dedup_replay)
-        idx: IVFIndex = IVFIndexDF(n_lists=n_clusters).fit(
-            fit_df, vec_col, id_col=id_col
-        )
+        # DuckDB value oracle (suite semantic_dedup_replay). The fit is
+        # enforced-bounded even when fit_fraction is None (the default):
+        # KMeansDF collects at most max_fit_rows rows (deterministic
+        # md5-order prefix), so the full-corpus driver collect the round-11
+        # review flagged cannot happen regardless of caller configuration.
+        idx: IVFIndex = IVFIndexDF(
+            n_lists=n_clusters, max_fit_rows=max_fit_rows
+        ).fit(fit_df, vec_col, id_col=id_col)
     else:
         idx = IVFIndex(n_lists=n_clusters, seed=seed).fit(fit_df, vec_col)
     assigned = idx.assign(df, vec_col).select(F.col(id_col), F.col("_ivf_bucket"))

@@ -896,15 +896,35 @@ class KMeansDF:
     Scale shape: assignment is a narrow projection over broadcast centroid
     literals (k·dim doubles — bytes); the update is one posexplode +
     groupBy(bucket, pos) avg — k·dim result rows to the driver per
-    iteration. 1000 executors scan; nothing all-to-all. Fit on a sample at
-    100 TB (centroids need a sample, not the corpus) — but note the sample
-    itself must then be the oracle's input.
+    iteration. 1000 executors scan; nothing all-to-all.
+
+    The fit itself is ENFORCED-bounded (round 12): ``fit`` never collects
+    more than ``max_fit_rows`` rows to the driver. When the input exceeds
+    the bound, the fit set is the ``max_fit_rows`` rows with the smallest
+    ``(md5(cast(id as string)), id)`` — the same pure-expression order the
+    init already uses, so the selection is a deterministic prefix both
+    engines compute identically and the DuckDB replay stays exact
+    (``suite.similarity.kmeans_cte(max_fit_rows=...)`` embeds the same
+    ``ORDER BY md5(id), id LIMIT n`` rule). Spark executes the bound as
+    TakeOrderedAndProject: only ~max_fit_rows rows ever cross to the
+    driver, no matter the corpus size — centroids need a sample, not the
+    corpus, and now that is a contract, not a caller convention.
     """
 
-    def __init__(self, k: int = 8, iters: int = 5, round_to: int = 6):
+    def __init__(
+        self,
+        k: int = 8,
+        iters: int = 5,
+        round_to: int = 6,
+        max_fit_rows: int | None = 100_000,
+    ):
+        if max_fit_rows is not None and max_fit_rows < k:
+            raise ValueError(f"max_fit_rows={max_fit_rows} must be >= k={k}")
         self.k = k
         self.iters = iters
         self.round_to = round_to
+        self.max_fit_rows = max_fit_rows
+        self.n_fit_rows_: int | None = None
         self.centers: list[list[float]] | None = None
         # centroids after init and after each iteration — the per-iteration
         # replay-equality tests compare these against the DuckDB CTE chain
@@ -927,22 +947,32 @@ class KMeansDF:
         return F.array_min(F.array(*structs)).getField("c")
 
     def fit(self, df: DataFrame, id_col: str, vec_col: str) -> "KMeansDF":
-        # ONE collect, then the Lloyd loop runs driver-side in numpy: fit
-        # data is a BOUNDED SAMPLE by design (centroids need a sample, not
-        # the corpus — the PQEncoder.fit precedent), and the expression-
-        # based per-iteration jobs cost ~4M interpreted HOF evaluations
-        # each at suite scale (measured: the n=2000/k=32 fit dominated its
-        # bench row at 18s; this path is ~1s). Engine parity is preserved
-        # exactly: the arithmetic below mirrors the SQL replay op-for-op,
-        # the margins tests bound every argmin/rounding decision away from
-        # float noise, and test_duckdb_replay_matches_spark_every_iteration
-        # asserts per-iteration centroid equality vs DuckDB bit-for-bit.
+        # ONE bounded collect, then the Lloyd loop runs driver-side in
+        # numpy: the expression-based per-iteration jobs cost ~4M
+        # interpreted HOF evaluations each at suite scale (measured: the
+        # n=2000/k=32 fit dominated its bench row at 18s; this path is
+        # ~1s). Engine parity is preserved exactly: the arithmetic below
+        # mirrors the SQL replay op-for-op, the margins tests bound every
+        # argmin/rounding decision away from float noise, and
+        # test_duckdb_replay_matches_spark_every_iteration asserts
+        # per-iteration centroid equality vs DuckDB bit-for-bit. The
+        # max_fit_rows bound is enforced HERE (not by caller convention):
+        # the orderBy+limit plans as TakeOrderedAndProject, so the driver
+        # sees at most max_fit_rows rows regardless of input size, and the
+        # md5-order prefix rule replays exactly in DuckDB (kmeans_cte's
+        # vf CTE) — see tests/test_kmeans_bounded_fit.py.
         import hashlib
 
-        rows = df.select(
+        fit_src = df.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).cast("array<double>").alias("_v"),
-        ).collect()
+        )
+        if self.max_fit_rows is not None:
+            fit_src = fit_src.orderBy(
+                F.md5(F.col("_id").cast("string")), F.col("_id")
+            ).limit(self.max_fit_rows)
+        rows = fit_src.collect()
+        self.n_fit_rows_ = len(rows)
         ids = [r._id for r in rows]
         vecs = np.array([list(r._v) for r in rows], dtype="float64")
         order = sorted(
@@ -978,15 +1008,61 @@ class IVFIndexDF(IVFIndex):
     derivation, so a DuckDB oracle replays the full approximate result set
     (see suite/similarity.py:Q_SIMILARITY_IVF_TOPK_SQL). Use this where
     verifiability matters; the pyspark.ml variant remains for learned
-    sample-based quantizers."""
+    sample-based quantizers. The fit collect is enforced-bounded by
+    ``max_fit_rows`` (deterministic md5-order prefix — see KMeansDF)."""
 
-    def __init__(self, n_lists: int = 8, iters: int = 5, round_to: int = 6):
+    def __init__(
+        self,
+        n_lists: int = 8,
+        iters: int = 5,
+        round_to: int = 6,
+        max_fit_rows: int | None = 100_000,
+    ):
         super().__init__(n_lists=n_lists)
-        self.km = KMeansDF(k=n_lists, iters=iters, round_to=round_to)
+        self.km = KMeansDF(
+            k=n_lists, iters=iters, round_to=round_to, max_fit_rows=max_fit_rows
+        )
 
     def fit(self, df: DataFrame, vec_col: str, id_col: str = "vec_id") -> "IVFIndexDF":
         self.km.fit(df, id_col, vec_col)
         return self
+
+    def save(self, path: str) -> None:
+        """Persist the deterministic quantizer as plain data: one parquet
+        of (cid, cv) centroid rows plus the fit config as literal columns
+        — not the ml-native writer (IVFIndexDF has no self.model; the base
+        save() would crash on None and the base load() would silently
+        return a non-deterministic ml-backed index, losing exactly the
+        replayability this subclass exists for)."""
+        from pyspark.sql import SparkSession
+
+        if self.km.centers is None:
+            raise ValueError("save() before fit(): no centers to persist")
+        spark = SparkSession.getActiveSession()
+        rows = [
+            (cid, [float(x) for x in cv], self.km.iters, self.km.round_to,
+             self.km.max_fit_rows)
+            for cid, cv in enumerate(self.km.centers)
+        ]
+        spark.createDataFrame(
+            rows, "cid int, cv array<double>, iters int, round_to int, max_fit_rows int"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndexDF":
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        rows = spark.read.parquet(path).orderBy("cid").collect()
+        meta = rows[0]
+        idx = cls(
+            n_lists=len(rows),
+            iters=meta.iters,
+            round_to=meta.round_to,
+            max_fit_rows=meta.max_fit_rows,
+        )
+        idx.km.centers = [list(r.cv) for r in rows]
+        return idx
 
     def assign(self, df: DataFrame, vec_col: str) -> DataFrame:
         return df.withColumn(

@@ -503,7 +503,13 @@ SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
-def kmeans_cte(k: int, iters: int, round_to: int = 6, table: str = "embeddings") -> str:
+def kmeans_cte(
+    k: int,
+    iters: int,
+    round_to: int = 6,
+    table: str = "embeddings",
+    max_fit_rows: int | None = None,
+) -> str:
     """Full DuckDB replay of ``operators.similarity.KMeansDF.fit`` as
     statically-unrolled chained CTEs (one pair per Lloyd iteration —
     iteration's analog of the recursive BPE-merge replay):
@@ -520,15 +526,31 @@ def kmeans_cte(k: int, iters: int, round_to: int = 6, table: str = "embeddings")
     (~1e-13 relative), and tests/test_kmeans_df_oracle.py measures every
     assignment margin and every mean's distance from its rounding
     boundary orders of magnitude above that, then asserts the replayed
-    centroids are EXACTLY equal per iteration."""
+    centroids are EXACTLY equal per iteration.
+
+    ``max_fit_rows`` mirrors KMeansDF's enforced fit bound (round 12):
+    the fit relation ``vf`` is the ``max_fit_rows`` rows with the smallest
+    ``(md5(cast(id as varchar)), id)`` — the identical pure-expression
+    prefix rule Spark's TakeOrderedAndProject computes — so the replay
+    stays bit-exact even when the bound binds. ``None`` fits on the whole
+    table (exact replay of an unbounded fit, and of a bounded fit whose
+    bound exceeds the table — a deterministic total-order LIMIT beyond the
+    row count is the identity)."""
+    fit_rel = (
+        f"""(SELECT vec_id, vec FROM v
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {max_fit_rows})"""
+        if max_fit_rows is not None
+        else "v"
+    )
     parts = [f"""
 v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM {table}),
+vf AS MATERIALIZED (SELECT vec_id, vec FROM {fit_rel}),
 e AS MATERIALIZED (SELECT vec_id, unnest(vec) AS val,
-             unnest(range(1, len(vec) + 1)) AS pos FROM v),
+             unnest(range(1, len(vec) + 1)) AS pos FROM vf),
 c0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
          vec AS cv
-  FROM (SELECT vec_id, vec FROM v
+  FROM (SELECT vec_id, vec FROM vf
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
 )"""]
     dist = "list_sum(list_transform(list_zip(v.vec, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2])))"
@@ -538,7 +560,7 @@ a{i} AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT v.vec_id, c.cid,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
-    FROM v CROSS JOIN c{i - 1} c)
+    FROM vf v CROSS JOIN c{i - 1} c)
   WHERE rn = 1
 ),
 c{i} AS MATERIALIZED (
