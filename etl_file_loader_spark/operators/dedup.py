@@ -1284,6 +1284,46 @@ class NearDupIndex:
             .localCheckpoint(eager=True)
         )
 
+    def save(self, path: str) -> None:
+        """Write the band index durably (parquet state + JSON config) —
+        the persisted artifact the class docstring promises: resume
+        ingest in a later session without re-signing a single absorbed
+        doc. Confluence makes the boundary safe anywhere: flags after a
+        save/load are identical to an uninterrupted run (the suite's
+        near_dedup_index_stream crosses one to prove it)."""
+        from etl_file_loader_spark.operators.persist import save_index_state
+
+        save_index_state(
+            self._index,
+            {
+                "id_col": self.id_col,
+                "text_col": self.text_col,
+                "num_hashes": self.num_hashes,
+                "n": self.n,
+                "bands": self.bands,
+                "rows_per_band": self.rows_per_band,
+            },
+            path,
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "NearDupIndex":
+        """Restore a saved index; no corpus re-scan — the parquet IS the
+        state, already durable, so no localCheckpoint either (absorb
+        checkpoints its merges as usual from here on)."""
+        from etl_file_loader_spark.operators.persist import load_index_state
+
+        state, meta = load_index_state(spark, path)
+        obj = cls.__new__(cls)
+        obj.id_col = meta["id_col"]
+        obj.text_col = meta["text_col"]
+        obj.num_hashes = meta["num_hashes"]
+        obj.n = meta["n"]
+        obj.bands = meta["bands"]
+        obj.rows_per_band = meta["rows_per_band"]
+        obj._index = state
+        return obj
+
 
 def semantic_contamination(
     corpus: DataFrame,
@@ -1687,6 +1727,42 @@ class LinkageIndex:
             self._lbase.unpersist()
         except Exception:
             pass
+
+    def save(self, path: str) -> None:
+        """Write the lowered PassJoin base once, durably — the "written
+        once (bucketed parquet)" sentence from the class docstring as
+        code: the master is scanned/lowered exactly once per master
+        version, across sessions, not once per process."""
+        from etl_file_loader_spark.operators.persist import save_index_state
+
+        save_index_state(
+            self._lbase,
+            {"master_id": self.master_id, "max_distance": self.max_distance},
+            path,
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LinkageIndex":
+        """Restore a saved base: read, re-apply the parallelism spread
+        guard (a single-file parquet would otherwise enter the fan-out
+        join on 1-2 partitions — the measured 136s-vs-19s hazard
+        _pj_base exists to prevent), and pin. Links after a load are
+        identical to links from the building session (same base rows;
+        segments are recomputed per link from the base by design)."""
+        from etl_file_loader_spark.operators.persist import load_index_state
+
+        state, meta = load_index_state(spark, path)
+        par = spark.sparkContext.defaultParallelism
+        if state.rdd.getNumPartitions() < par:
+            state = state.repartition(par)
+        obj = cls.__new__(cls)
+        obj.master_id = meta["master_id"]
+        obj.max_distance = meta["max_distance"]
+        obj._lbase = pin(state)
+        obj._exact = obj._lbase.select(
+            F.col("_id").alias(obj.master_id), F.col("_s").alias("_k")
+        )
+        return obj
 
 
 def jaccard_pairs_auto(

@@ -301,6 +301,33 @@ class HLLIndex:
         self._regs = merged.localCheckpoint(eager=True)
         return self
 
+    def save(self, path: str) -> None:
+        """Write the registers durably — the "sketch each day once, fold
+        forever" shape needs the fold to survive the session. The state
+        is plain (keys, bucket, rho) rows: engine-portable (DuckDB reads
+        it directly — the registers are DATA, which is the whole point of
+        the portable HLL vs a binary native sketch)."""
+        from etl_file_loader_spark.operators.persist import save_index_state
+
+        save_index_state(
+            self._regs, {"keys": self.keys, "col": self.col, "p": self.p}, path
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "HLLIndex":
+        """Restore saved registers; estimates and further absorbs are
+        identical to an uninterrupted session (max-merge is confluent,
+        so the boundary cannot reorder anything observable)."""
+        from etl_file_loader_spark.operators.persist import load_index_state
+
+        state, meta = load_index_state(spark, path)
+        obj = cls.__new__(cls)
+        obj.keys = list(meta["keys"])
+        obj.col = meta["col"]
+        obj.p = meta["p"]
+        obj._regs = state
+        return obj
+
 
 # ---------------------------------------------------------------------------
 # Bloom filter (round 9): portable build / merge / probe + semi-join pruning

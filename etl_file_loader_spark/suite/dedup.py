@@ -629,13 +629,28 @@ def q_near_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-1 doc, which the one-shot ``dedup_incremental_near`` shape
     cannot express. The oracle replays every flag from the batch
     numbering alone (absorption is confluent: index state before batch k
-    = min per band bucket over all docs with batch < k)."""
+    = min per band bucket over all docs with batch < k).
+
+    Round 12: the stream CROSSES A SAVE/LOAD BOUNDARY between batches 1
+    and 2 — the index is written to parquet (NearDupIndex.save) and a
+    fresh object restored (load) mid-stream, as a session restart would.
+    The oracle is UNCHANGED: flags are a pure function of batch
+    numbering, so a correct round-trip is invisible to it — which is
+    exactly the durability contract this row now value-checks."""
+    import tempfile
+
     docs = _t(spark, sf_dir, "documents")
     idx = dedup_ops.NearDupIndex(
         docs.filter(F.col("doc_id") % 4 == 0), "doc_id", "text"
     )
     outs = []
     for k in (1, 2, 3):
+        if k == 2:
+            # simulate a session restart: persist, drop the live object,
+            # restore from the parquet artifact alone
+            ckpt = tempfile.mkdtemp(prefix="neardup_idx_")
+            idx.save(ckpt)
+            idx = dedup_ops.NearDupIndex.load(spark, ckpt)
         batch = docs.filter(F.col("doc_id") % 4 == k)
         # flag() captures the CURRENT (immutable, checkpointed) index
         # frame, so it stays correct even though absorb() replaces the

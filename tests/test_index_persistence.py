@@ -1,0 +1,132 @@
+"""Round 12: the maintained-index family survives a session.
+
+VERDICT r11 ranked this #1 under "missing": LinkageIndex / NearDupIndex /
+HLLIndex lived in-session (pinned / localCheckpointed frames) while their
+docstrings promised a written-once durable base — prose, not code. Each
+index now has save(path)/load(spark, path) over plain parquet
+(operators/persist.py). These tests assert RELOAD EQUALITY: flag/link/
+estimate outputs are identical before and after a round-trip, and
+absorbing MORE data into a restored index equals an uninterrupted run
+(confluence makes the boundary unobservable).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_file_loader_spark.operators import dedup as dedup_ops
+from etl_file_loader_spark.operators import sketches
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def part(spark):
+    return spark.read.parquet(f"{SF}/part.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_near_dup_index_reload_equality(spark, docs, tmp_path):
+    seed = docs.filter(F.col("doc_id") % 4 == 0)
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 2)
+
+    idx = dedup_ops.NearDupIndex(seed, "doc_id", "text")
+    idx.absorb(b1)
+    flags_live = _rows(idx.flag(b2))
+
+    path = str(tmp_path / "ndi")
+    idx.save(path)
+    back = dedup_ops.NearDupIndex.load(spark, path)
+    assert (back.id_col, back.text_col, back.num_hashes, back.n,
+            back.bands, back.rows_per_band) == (
+        idx.id_col, idx.text_col, idx.num_hashes, idx.n,
+        idx.bands, idx.rows_per_band,
+    )
+    assert _rows(back._index) == _rows(idx._index)
+    assert _rows(back.flag(b2)) == flags_live
+
+    # absorbing PAST the boundary equals the uninterrupted run
+    idx.absorb(b2)
+    back.absorb(b2)
+    assert _rows(back._index) == _rows(idx._index)
+
+
+def test_linkage_index_reload_equality(spark, part, tmp_path):
+    left = part.select(
+        F.col("p_partkey").alias("pid"), F.col("p_name").alias("name")
+    )
+    idx = dedup_ops.LinkageIndex(left, "pid", "name", max_distance=2)
+    feed = part.filter(F.col("p_partkey") % 16 == 1).select(
+        (F.col("p_partkey") + F.lit(5_000_000)).alias("rid"),
+        F.expr("substr(p_name, 2)").alias("s"),
+    )
+    live_link = _rows(idx.link(feed, "rid", "s"))
+    live_best = _rows(idx.link_best(feed, "rid", "s"))
+
+    path = str(tmp_path / "li")
+    idx.save(path)
+    back = dedup_ops.LinkageIndex.load(spark, path)
+    assert (back.master_id, back.max_distance) == ("pid", 2)
+    # the spread guard re-applies on load: the fan-out join must never
+    # run on a single-file parquet's 1-2 partitions
+    par = spark.sparkContext.defaultParallelism
+    assert back._lbase.rdd.getNumPartitions() >= min(
+        par, max(idx._lbase.rdd.getNumPartitions(), 1)
+    )
+    assert _rows(back.link(feed, "rid", "s")) == live_link
+    assert _rows(back.link_best(feed, "rid", "s")) == live_best
+    back.release()
+
+
+def test_hll_index_reload_equality(spark, orders, tmp_path):
+    seed = orders.filter(F.col("o_orderkey") % 4 == 0)
+    b1 = orders.filter(F.col("o_orderkey") % 4 == 1)
+    b2 = orders.filter(F.col("o_orderkey") % 4 == 2)
+
+    idx = sketches.HLLIndex(seed, ["o_orderstatus"], "o_custkey", p=8)
+    idx.absorb(b1)
+    est_live = _rows(idx.estimate())
+
+    path = str(tmp_path / "hll")
+    idx.save(path)
+    back = sketches.HLLIndex.load(spark, path)
+    assert (back.keys, back.col, back.p) == (["o_orderstatus"], "o_custkey", 8)
+    assert _rows(back.registers()) == _rows(idx.registers())
+    assert _rows(back.estimate()) == est_live
+
+    idx.absorb(b2)
+    back.absorb(b2)
+    assert _rows(back.registers()) == _rows(idx.registers())
+    assert _rows(back.estimate()) == _rows(idx.estimate())
+
+
+def test_hll_saved_registers_are_engine_portable(spark, orders, tmp_path):
+    """The persisted state is plain rows — DuckDB reads it directly and
+    agrees on every register (the portable-sketch point of the design)."""
+    import duckdb
+
+    idx = sketches.HLLIndex(
+        orders.filter(F.col("o_orderkey") % 4 == 0),
+        ["o_orderstatus"], "o_custkey", p=8,
+    )
+    path = str(tmp_path / "hllp")
+    idx.save(path)
+    duck = duckdb.sql(
+        f"SELECT o_orderstatus, bucket, rho FROM '{path}/state/*.parquet' "
+        f"ORDER BY 1, 2"
+    ).fetchall()
+    live = _rows(idx.registers())
+    assert [tuple(r) for r in duck] == live
