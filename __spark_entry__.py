@@ -37,13 +37,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation promoted the 7 round-10 digest-from-birth linkage/bloom rows
     to direct rows, demoting 7 long-green rows into the analytics/corpus
     digests). The full per-query registry stays in suite.QUERIES for bench
-    and interactive use. FIVE window entries are approximate result-set
-    demos with no SQL oracle (suite._ROWS_ONLY — the driver records
-    rows-only for them; down from eight in round 11, when the
-    deterministic-md5-plane hyperplane-LSH rows gained full DuckDB
-    replays); their graded value contract is their oracle-checked
-    ``*_recall``/``*_check`` twin in this same window (same code path run
-    against the exact operator)."""
+    and interactive use. Since round 11 EVERY window entry carries a full
+    DuckDB value oracle — suite._ROWS_ONLY is empty (the md5-derived
+    hyperplanes, the deterministic KMeansDF quantizer and the md5-derived
+    clustered fixture gave the former approximate-demo rows exact
+    replays); the oracle-checked ``*_recall``/``*_check`` twins remain in
+    the window as semantic-behavior redundancy, not as substitutes."""
     return {k: suite.QUERIES[k] for k in suite.CHECKED_QUERIES}
 
 

@@ -84,9 +84,20 @@ def _url_packed(url: Column) -> Column:
     shape: regexp_replace rewrites the string into a \\x01-delimited
     group pack in one pass (split is a cheap byte scan), and the
     ``|^.*$`` alternative makes non-URLs produce six EMPTY fields so no
-    caller ever needs a conditional around a component access."""
+    caller ever needs a conditional around a component access.
+
+    Untrusted-input guard: a literal 0x01 byte in the string (RFC-illegal
+    in a URL, but crawls carry garbage) would add split fields and shift
+    every later component into the wrong struct slot — so the separator
+    byte is translated OUT first (one byte-scan pass, no regex). The
+    components of such a string are parsed as if the illegal byte were
+    absent, never silently misaligned."""
     return F.split(
-        F.regexp_replace(url, _URL_PACK_RE, _SEP.join(f"${i}" for i in range(1, 7))),
+        F.regexp_replace(
+            F.translate(url, _SEP, ""),
+            _URL_PACK_RE,
+            _SEP.join(f"${i}" for i in range(1, 7)),
+        ),
         _SEP,
     )
 
@@ -117,13 +128,18 @@ def url_parse(url: Column) -> Column:
 def _kept_query(query: Column) -> Column:
     """Drop tracking parameters, preserving the order of the rest.
     Prefix tests are chained startswith (byte compares), not a regex —
-    the per-element rlike was a measurable share of the sf10 scan."""
+    the per-element rlike was a measurable share of the sf10 scan.
+    Named params are dropped both as ``name=value`` and BARE ``name``
+    (links in the wild carry ``&fbclid`` with no ``=``; a bare tracking
+    flag is as identity-carrying as a valued one)."""
     prefixes = list(_TRACKING_PREFIXES) + [n + "=" for n in _TRACKING_NAMES]
 
     def is_tracking(p: Column) -> Column:
         out = F.lit(False)
         for pfx in prefixes:
             out = out | p.startswith(pfx)
+        for name in _TRACKING_NAMES:
+            out = out | (p == name)
         return out
 
     kept = F.filter(F.split(query, "&"), lambda p: ~is_tracking(p))
@@ -168,9 +184,20 @@ def url_normalize(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, port_part, slash, path, q_part)
 
 
-def registrable_domain(host: Column) -> Column:
-    """eTLD+1 under the _SECOND_LEVEL_TLDS heuristic: three labels when
-    the last two form a known second-level suffix, else two.
+def registrable_domain(
+    host: Column, second_level_tlds: list[str] | None = None
+) -> Column:
+    """eTLD+1: three labels when the last two form a known second-level
+    suffix, else two.
+
+    ``second_level_tlds`` is INJECTABLE (round 12): pass a snapshot of the
+    Mozilla public-suffix list's two-label entries for real crawls — the
+    built-in ``_SECOND_LEVEL_TLDS`` is a 50-entry common subset that is
+    right for the fixtures but misses long-tail suffixes (com.co, co.at,
+    com.ua, ...) and drifts as the PSL changes. The suffix set compiles to
+    literals in the plan (an isin over a few thousand strings is a hash
+    probe per row, still scan-speed); wildcard/exception PSL rules are out
+    of scope for this expression form and documented as such.
 
     Shape: one slice length selected by a when() whose BRANCH VALUES are
     trivial (label count / literals) — the label array and the last-two
@@ -178,20 +205,28 @@ def registrable_domain(host: Column) -> Column:
     (the same branch-exclusion rule _url_packed documents; the first
     draft's when(...last3...) CASE re-inlined the whole regex per
     branch)."""
+    suffixes = (
+        _SECOND_LEVEL_TLDS if second_level_tlds is None else list(second_level_tlds)
+    )
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat(F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1))
-    in_sl = last2.isin(*_SECOND_LEVEL_TLDS)
+    in_sl = last2.isin(*suffixes)
     take = F.when(n <= 2, n).when(in_sl, F.lit(3)).otherwise(F.lit(2))
     return F.array_join(F.slice(labels, -take, take), ".")
 
 
-def domain_stats(df: DataFrame, url_col: str, chars_col: str | None = None) -> DataFrame:
+def domain_stats(
+    df: DataFrame,
+    url_col: str,
+    chars_col: str | None = None,
+    second_level_tlds: list[str] | None = None,
+) -> DataFrame:
     """Per-registrable-domain rollup: document count (+ total/avg chars
     when ``chars_col`` given) — the reputation/cap-decision input. One
     combinable aggregation keyed on a bounded-cardinality domain key."""
     host = url_parse(F.col(url_col)).getField("host")
-    base = df.withColumn("_domain", registrable_domain(host))
+    base = df.withColumn("_domain", registrable_domain(host, second_level_tlds))
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if chars_col:
         aggs += [
@@ -202,7 +237,11 @@ def domain_stats(df: DataFrame, url_col: str, chars_col: str | None = None) -> D
 
 
 def domain_cap(
-    df: DataFrame, url_col: str, max_per_domain: int, order_col: str
+    df: DataFrame,
+    url_col: str,
+    max_per_domain: int,
+    order_col: str,
+    second_level_tlds: list[str] | None = None,
 ) -> DataFrame:
     """Keep at most ``max_per_domain`` documents per registrable domain,
     deterministically (the ``order_col`` ascending picks survivors) — the
@@ -211,7 +250,7 @@ def domain_cap(
     cardinality, and skewed mega-domains are exactly the rows the cap
     discards, so task output stays bounded even where input is skewed."""
     host = url_parse(F.col(url_col)).getField("host")
-    base = df.withColumn("_domain", registrable_domain(host))
+    base = df.withColumn("_domain", registrable_domain(host, second_level_tlds))
     w = Window.partitionBy("_domain").orderBy(F.col(order_col).asc())
     return (
         base.withColumn("_rn", F.row_number().over(w))
@@ -222,13 +261,16 @@ def domain_cap(
 
 
 def blocklist_filter(
-    df: DataFrame, url_col: str, blocked_domains: DataFrame
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: DataFrame,
+    second_level_tlds: list[str] | None = None,
 ) -> DataFrame:
     """Anti-join the corpus against a blocked registrable-domain list
     (column ``domain``). The list is tiny relative to the corpus —
     broadcast explicitly so 1000 executors each prune locally."""
     host = url_parse(F.col(url_col)).getField("host")
-    base = df.withColumn("_domain", registrable_domain(host))
+    base = df.withColumn("_domain", registrable_domain(host, second_level_tlds))
     return (
         base.join(
             F.broadcast(blocked_domains.select(F.col("domain").alias("_domain"))),

@@ -148,18 +148,15 @@ ORACLES.update(
 # long-green rows (individually checked rounds 1-7) demoted into
 # corpus_digest, where each stays value-verified every round.
 #
-# Some promotions are approximate RESULT-SET demos; since round 11 only
-# FOUR remain rows-only (_ROWS_ONLY below) — the testdata-table hyperplane
-# rows (similarity_lsh_topk, knn_join_lsh, dedup_embedding_pairs_lsh)
-# gained full DuckDB value oracles by replaying the deterministic
-# md5-derived planes, and similarity_ivf_topk followed via the
-# deterministic KMeansDF quantizer (kmeans_cte replay). The remaining four
-# run on the numpy-RNG clustered fixture, which has no SQL form; each
-# keeps its oracle-checked recall/agreement gate in this same window,
-# running the same code path against the exact operator
-# (knn_join_lsh*_clustered -> knn_join_recall / knn_join_auto_recall,
-# dedup_embedding_pairs_lsh_clustered -> dedup_embedding_clustered_recall,
-# semantic_dedup_clustered -> semantic_dedup_check).
+# Some promotions were approximate RESULT-SET demos; since round 11 NONE
+# remain rows-only (_ROWS_ONLY below is EMPTY) — the testdata-table
+# hyperplane rows gained full DuckDB value oracles by replaying the
+# deterministic md5-derived planes, similarity_ivf_topk followed via the
+# deterministic KMeansDF quantizer (kmeans_cte replay), and the
+# *_clustered rows followed when the clustered fixture itself became an
+# md5 derivation with a SQL form. Every window row carries a full value
+# oracle; the recall/agreement gates stay in the window as
+# semantic-behavior redundancy (same code path, independent contract).
 #
 # Round-6 rotation for reference: 11 long-green dedup/text rows demoted,
 # 12 promoted (html_extract + 11 previously-digest-only ops).
@@ -263,11 +260,11 @@ assert len(CHECKED_QUERIES) <= 50, (
 assert len(CHECKED_QUERIES) == len(set(CHECKED_QUERIES))
 _missing = [n for n in CHECKED_QUERIES if n not in QUERIES]
 assert not _missing, f"CHECKED_QUERIES not registered: {_missing}"
-# Every checked query carries an oracle twin EXCEPT the eight approximate
-# result-set demos promoted in round 8 (see the rotation note above): their
-# LSH/k-means internals have no SQL form, the driver records a rows-only
-# check, and their value contract is the oracle-checked recall/agreement
-# gate in the same window driving the same code path.
+# Every checked query carries a full DuckDB value oracle. _ROWS_ONLY held
+# the approximate result-set demos (rounds 8-10) whose LSH/k-means
+# internals then had no SQL form; round 11 emptied it (history below) and
+# the assertion beneath now guards the stronger invariant: a window row
+# without an oracle is an error, not a weaker check.
 _ROWS_ONLY: set[str] = {
     # round 11 (VERDICT r10 ask 3): dedup_embedding_pairs_lsh,
     # similarity_lsh_topk and knn_join_lsh LEFT this set — their

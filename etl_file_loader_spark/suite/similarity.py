@@ -95,14 +95,17 @@ def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Falsifiable check for the IVF ANN path: recall@10 >= 60% (measured
+    """Falsifiable check for the IVF ANN path: recall@10 >= 70% (measured
     80% at sf0.01 / 100% at sf0.001 with the deterministic quantizer at
-    n_lists=8, n_probe=6; threshold leaves data-regeneration margin — the
-    row's value contract is now its FULL replay oracle, the gate is the
-    cross-scale redundancy)."""
+    n_lists=8, n_probe=6 — both deterministic per dataset, so 70 keeps
+    real regression-detection power while leaving data-regeneration
+    margin; the round-11 drop to 60 under-gated). The sharper PER-SCALE
+    floors (100 at sf0.001, 80 at sf0.01) live in
+    tests/test_ivf_recall_gate.py, where the scale is known — the static
+    oracle row here cannot express a scale-dependent literal."""
     exact = q_similarity_topk(spark, sf_dir).select("vec_id")
     approx = q_similarity_ivf_topk(spark, sf_dir).select("vec_id")
-    return _recall_flag(exact, approx, "ivf_recall_at_10", 60)
+    return _recall_flag(exact, approx, "ivf_recall_at_10", 70)
 
 
 # ---------------------------------------------------------------------------
@@ -675,7 +678,7 @@ ORACLES.update(
         "similarity_lsh_topk": Q_SIMILARITY_LSH_TOPK_SQL,
         "knn_join_lsh": Q_KNN_JOIN_LSH_SQL,
         "similarity_lsh_recall": "SELECT 'lsh_recall_at_10' AS metric, 60 AS threshold_pct, 1 AS passed",
-        "similarity_ivf_recall": "SELECT 'ivf_recall_at_10' AS metric, 60 AS threshold_pct, 1 AS passed",
+        "similarity_ivf_recall": "SELECT 'ivf_recall_at_10' AS metric, 70 AS threshold_pct, 1 AS passed",
         # round 11 extra: the k-means-seeded IVF row ALSO leaves _ROWS_ONLY
         # — KMeansDF's md5 init + fixed rounded Lloyd iterations unroll as
         # chained CTEs (the BPE-merge replay precedent, iteration instead

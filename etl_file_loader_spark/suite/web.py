@@ -71,7 +71,7 @@ _URL_DERIVE_SQL = """
 _TRACK_FILTER_SQL = (
     "array_to_string(list_filter(string_split({q}, '&'), "
     "x -> NOT starts_with(x, 'utm_') AND NOT regexp_matches(x, "
-    "'^(fbclid|gclid|msclkid|mc_eid|igshid)=')), '&')"
+    "'^(fbclid|gclid|msclkid|mc_eid|igshid)(=|$)')), '&')"
 )
 
 _SL_TLDS_SQL = ", ".join(f"'{t}'" for t in web_ops._SECOND_LEVEL_TLDS)

@@ -117,3 +117,51 @@ def test_domain_stats(spark):
         for r in web_ops.domain_stats(df, "url", "n_chars").collect()
     }
     assert got == {"x.com": (2, 40, 20.0), "y.org": (1, 7, 7.0)}
+
+
+def test_sep_byte_in_input_cannot_shift_components(spark):
+    # ADVICE r11: a literal 0x01 (the internal pack separator; RFC-illegal
+    # in URLs but present in crawl garbage) must not shift later
+    # components into the wrong struct fields — it is translated out
+    # before the pack, so the string parses as if the byte were absent.
+    dirty = "https://ex\x01ample.com/a\x01b?id=1\x01&fbclid=x#f\x01rag"
+    clean = "https://example.com/ab?id=1&fbclid=x#frag"
+    df = spark.createDataFrame([(dirty,), (clean,)], ["url"])
+    rows = df.select(
+        web_ops.url_parse(F.col("url")).alias("p"),
+        web_ops.url_normalize(F.col("url")).alias("n"),
+    ).collect()
+    assert tuple(rows[0].p) == tuple(rows[1].p)
+    assert rows[0].n == rows[1].n == "https://example.com/ab?id=1"
+
+
+def test_bare_tracking_params_dropped(spark):
+    # bare &fbclid (no '=') is as identity-carrying as a valued one; a
+    # non-tracking param that merely EQUALS a name+suffix must survive
+    df = spark.createDataFrame(
+        [("https://e.com/p?fbclid&id=1&gclid",),
+         ("https://e.com/p?fbclid2=keep&id=1",)],
+        ["url"],
+    )
+    got = [r.n for r in df.select(web_ops.url_normalize(F.col("url")).alias("n")).collect()]
+    assert got == ["https://e.com/p?id=1", "https://e.com/p?fbclid2=keep&id=1"]
+
+
+def test_registrable_domain_injectable_psl(spark):
+    # com.co is NOT in the built-in subset: default groups wrong (com.co
+    # treated as registrable), a caller-supplied PSL snapshot fixes it
+    df = spark.createDataFrame([("shop.example.com.co",)], ["host"])
+    default = df.select(web_ops.registrable_domain(F.col("host")).alias("d")).head().d
+    assert default == "com.co"
+    psl = list(web_ops._SECOND_LEVEL_TLDS) + ["com.co", "co.at", "com.ua"]
+    injected = df.select(
+        web_ops.registrable_domain(F.col("host"), psl).alias("d")
+    ).head().d
+    assert injected == "example.com.co"
+    # and the threading through the domain operators
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.com.co/1"), (2, "https://b.example.com.co/2")],
+        ["doc_id", "url"],
+    )
+    stats = web_ops.domain_stats(docs, "url", second_level_tlds=psl).collect()
+    assert [(r.domain, r.n_docs) for r in stats] == [("example.com.co", 2)]
