@@ -160,6 +160,17 @@ ORACLES.update(
 #
 # Round-6 rotation for reference: 11 long-green dedup/text rows demoted,
 # 12 promoted (html_extract + 11 previously-digest-only ops).
+#
+# Round-12 rotation (#7, VERDICT r11 ask 3): the 9 round-11 digest-born
+# rows get their direct driver rows — fuzzy_link_tiers,
+# fuzzy_link_incremental, near_dedup_index_stream, url_canonical,
+# domain_guard, hll_distinct_check, hll_index_stream,
+# semantic_dedup_replay, weighted_sample_check; 9 rows green since round
+# 9 demoted into their family digests (span_dedup / kn_bigram_logprob /
+# gopher_repetition_rules / ngram_novelty / packed_sequences_wordpiece /
+# packed_sequences_unigram -> corpus_digest; cdc_apply / table_diff ->
+# pipeline_digest; incremental_agg_check -> analytics_digest), where each
+# stays value-verified every round.
 CHECKED_QUERIES: list[str] = [
     # flagship + the four digests (members verified up front)
     "q1_pricing_summary",
@@ -177,14 +188,25 @@ CHECKED_QUERIES: list[str] = [
     # twin — xxhash64 positions behind the binary-carrier probe; the
     # equals-plain-semi-join oracle is hash-agnostic
     "bloom_semi_join_fast",
-    # analytics promoted round 9 (kmv/cms/zorder demoted round 11 into
-    # analytics_digest after two green rounds)
-    "incremental_agg_check",
+    # promoted round 12 (rotation #7): the portable HyperLogLog family —
+    # registers/estimate/merge value-replayed, plus the MAINTAINED
+    # register index whose stream now also crosses a save/load boundary
+    # (incremental_agg_check demoted into analytics_digest)
+    "hll_distinct_check",
+    "hll_index_stream",
     # dedup family
     "dedup_embedding_lsh_recall",
     "dedup_embedding_clustered_recall",
-    # promoted round 9: exact-substring span removal (Lee et al.)
-    "span_dedup",
+    # promoted round 12 (rotation #7): the round-11 digest-born linkage /
+    # maintained-index / web / sampling cohort (span_dedup demoted into
+    # corpus_digest after three green rounds)
+    "fuzzy_link_tiers",
+    "fuzzy_link_incremental",
+    "near_dedup_index_stream",
+    "url_canonical",
+    "domain_guard",
+    "semantic_dedup_replay",
+    "weighted_sample_check",
     # promoted round 10: the exact similarity self-joins (all-pairs
     # oracles prove the PassJoin / PPJoin blocking lossless) + the
     # perceptual image near-dedup fixture row
@@ -226,23 +248,16 @@ CHECKED_QUERIES: list[str] = [
     "curation_text_signals",
     "langid_fixture",
     "triplet_mining_lsh",
-    # promoted round 9: Kneser-Ney LM rung + Gopher repetition table +
-    # n-gram novelty (bigram_logprob and the long-green sampling rows
-    # demoted into corpus_digest)
-    "kn_bigram_logprob",
-    "gopher_repetition_rules",
-    "ngram_novelty",
+    # (kn_bigram_logprob / gopher_repetition_rules / ngram_novelty —
+    # window rows rounds 9-11 — demoted round 12 into corpus_digest)
     # sampling / training layouts (packed_sequences_bpe and
     # diversity_sample_check demoted round 11 into corpus_digest after
     # three green rounds)
-    # promoted round 9: the other two learned-tokenizer layouts (oracles
-    # re-learn WordPiece / unigram-LM vocabs end-to-end in SQL)
-    "packed_sequences_wordpiece",
-    "packed_sequences_unigram",
+    # (packed_sequences_wordpiece / packed_sequences_unigram — window
+    # rows rounds 9-11 — demoted round 12 into corpus_digest)
     "corpus_curation",
-    # pipeline merges / accounting promoted round 9
-    "cdc_apply",
-    "table_diff",
+    # (cdc_apply / table_diff — window rows rounds 9-11 — demoted round
+    # 12 into pipeline_digest)
     # multimodal + streaming (all oracle-bearing: real decodes carry
     # closed-form fixtures)
     "image_dhash_real",
