@@ -162,10 +162,42 @@ class CurationPipeline:
     ``run`` returns the packed frame + per-stage counts; ``run_and_write``
     additionally persists the shard layout (data partitioned by
     (partition..., shard_id) + manifest) via ``write_training_shards``.
+
+    ``on_stage`` (optional) is the live per-stage hook, mirroring
+    ``PipelineRunner``'s: called with ``(stage_name, doc_count,
+    seconds_since_previous_stage)`` right after each stage's count
+    materializes — per-stage wall attribution for free, since every stage
+    already ends in exactly one count job (the measured-composition tool
+    tools/measure_curation_composed.py consumes it).
     """
 
-    def __init__(self, config: CurationConfig):
+    def __init__(self, config: CurationConfig, on_stage=None):
         self.config = config
+        self.on_stage = on_stage
+
+    def _stage_counts(self, docs: DataFrame) -> dict:
+        """The per-stage count dict; a timing subclass when on_stage is
+        set (every stage writes through __setitem__ exactly once)."""
+        import time as _time
+
+        if self.on_stage is None:
+            return {"input": docs.count()}
+        hook = self.on_stage
+
+        class _Timed(dict):
+            def __init__(self):
+                super().__init__()
+                self._t = _time.perf_counter()
+
+            def __setitem__(self, k, v):
+                now = _time.perf_counter()
+                hook(k, v, round(now - self._t, 3))
+                self._t = now
+                super().__setitem__(k, v)
+
+        out = _Timed()
+        out["input"] = docs.count()
+        return out
 
     def _token_count(self, col):
         """Token-budget column under the configured tokenizer (default:
@@ -195,6 +227,14 @@ class CurationPipeline:
                 cur = web_ops.domain_cap(cur, c.url_col, c.domain_cap, did).drop(
                     "domain"
                 )
+            # barrier: every later stage re-evaluates its full upstream
+            # lineage per count job (and the semi-join gates evaluate it
+            # TWICE — build and probe sides); cutting here keeps the URL
+            # regex parse a once-per-corpus cost (measured composed at
+            # sf0.1: the unbarriered filter chain re-ran the HTML/URL
+            # projections so often the langid stage alone cost 34.6 s on
+            # 5k docs; barriered, the whole pipeline runs in seconds)
+            cur = self._barrier(cur)
             counts["url_guard"] = cur.count()
 
         if c.html_extract:
@@ -206,7 +246,12 @@ class CurationPipeline:
                     F.col(txt), c.html_min_words, c.html_max_link_density_milli
                 ),
             )
-            # extraction rewrites text in place, never drops rows; no count
+            # extraction rewrites text in place, never drops rows; no count.
+            # Barrier anyway: this regex+HOF projection is the most
+            # expensive per-row transform in the chain, and every later
+            # gate's BUILD side (quality/langid/classifier scoring) and
+            # PROBE side would otherwise each re-run it per stage
+            cur = self._barrier(cur)
 
         if c.min_quality is not None:
             cur = cur.filter(text_ops.quality_score(F.col(txt)) >= c.min_quality)
@@ -236,7 +281,10 @@ class CurationPipeline:
             keep_ids = scored.filter(
                 F.col("lang_pred").isin(*[str(lang) for lang in c.langid_keep])
             ).select(did)
-            cur = cur.join(keep_ids, did, "left_semi")
+            # barrier after the self-semi-join: without it the lineage
+            # DOUBLES per gate (both sides re-derive cur), compounding
+            # geometrically across langid -> classifier -> packing
+            cur = self._barrier(cur.join(keep_ids, did, "left_semi"))
             counts["langid_filter"] = cur.count()
 
         if c.classifier_weights_milli is not None:
@@ -249,7 +297,7 @@ class CurationPipeline:
                 threshold_milli=c.classifier_threshold_milli,
             )
             keep_ids = scores.filter(F.col("keep") == 1).select(did)
-            cur = cur.join(keep_ids, did, "left_semi")
+            cur = self._barrier(cur.join(keep_ids, did, "left_semi"))
             counts["classifier_filter"] = cur.count()
 
         if c.scrub_pii:
@@ -345,7 +393,7 @@ class CurationPipeline:
     def run(self, docs: DataFrame) -> CurationResult:
         c = self.config
         did, txt = c.id_col, c.text_col
-        counts: dict[str, int] = {"input": docs.count()}
+        counts: dict[str, int] = self._stage_counts(docs)
         cur = self._apply_filters(docs, counts)
 
         if c.near_dedup:

@@ -966,3 +966,21 @@ def test_pipeline_text_signals_matches_operator(spark):
     got = pipe.text_signals(docs).orderBy("doc_id").collect()
     want = text.text_signals(docs, "doc_id", "text", window=5).orderBy("doc_id").collect()
     assert got == want
+
+
+def test_curation_on_stage_hook(spark):
+    """on_stage receives (stage, count, seconds) once per stage count, in
+    stage order, with counts matching stage_counts."""
+    from etl_file_loader_spark.plans.curation import (
+        CurationConfig, CurationPipeline,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seen = []
+    cfg = CurationConfig(min_quality=0.3, scrub_pii=True, near_dedup=True)
+    res = CurationPipeline(
+        cfg, on_stage=lambda n, c, s: seen.append((n, c, s))
+    ).run(docs)
+    assert [n for n, _, _ in seen] == list(res.stage_counts.keys())
+    assert {n: c for n, c, _ in seen} == res.stage_counts
+    assert all(s >= 0 for _, _, s in seen)
