@@ -261,6 +261,17 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     # happens after the noop write (result fully materialized) and inside
     # the timed region's aftermath, not the timing itself.
     release_operator_caches()
+    # Also collect cyclic Python garbage: localCheckpointed frames inside
+    # finished operators (link_best tiers, index absorbs) are reachable
+    # only through py4j/DataFrame reference cycles after run_one returns,
+    # so their executor blocks survive until a full gc — the round-12 e2e
+    # drift root cause (r10->r11 the shared-query code started
+    # checkpointing more; the orphaned blocks squeezed the later e2e
+    # line's memory: measured cold 59.5k->70.6k and steady 68.6k->89.9k
+    # rows/s recovered by exactly this collect; NOTES_r12 §5).
+    import gc
+
+    gc.collect()
     return dt
 
 
@@ -372,6 +383,14 @@ def main() -> None:
     # the pipeline, not 85 queries' worth of stale cache pressure — measured
     # 1.6x drag on the sf1 e2e when left in place (NOTES_r5 §5).
     spark.catalog.clearCache()
+    # Belt-and-braces for the e2e measurement specifically: one more full
+    # gc + a short pause so the async ContextCleaner finishes unpersisting
+    # whatever the collect above freed late (the e2e line is the one
+    # cross-round comparable, so it gets the cleanest slate we can give)
+    import gc
+
+    gc.collect()
+    time.sleep(5)
     # Run the e2e line TWICE and report both (driver/builder parity watch,
     # VERDICT r5 ask 8): the first run carries whatever first-touch costs
     # this JVM still owes (codegen for the pipeline shapes, FS metadata);
