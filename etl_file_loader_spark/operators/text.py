@@ -45,28 +45,32 @@ def subword_estimate(text: Column) -> Column:
     )
 
 
+# The three ratio helpers are BRANCH-FREE on purpose (round 12, the
+# measured CSE rule): the old `when(empty, 0.0).otherwise(ratio)` guards
+# put the tokenize/regex subtree inside a conditional branch, which
+# excludes it from Spark's runtime subexpression elimination — so a
+# composite like quality_score (or any filter that inlines it) re-ran the
+# split per reference. `x / greatest(denominator, 1)` is value-identical:
+# an empty input has numerator exactly 0, so 0/1 == the old literal 0.0,
+# and a null input propagates null through both forms.
+
+
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     sw = [s.lower() for s in (stopwords or EN_STOPWORDS)]
     toks = tokens(text)
     n_stop = F.size(F.filter(toks, lambda w: F.lower(w).isin(sw)))
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        F.round(n_stop / F.size(toks), 6)
-    )
+    return F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
 def punct_ratio(text: Column) -> Column:
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
-        F.round(n_punct / F.length(text), 6)
-    )
+    return F.round(n_punct / F.greatest(F.length(text), F.lit(1)), 6)
 
 
 def mean_word_length(text: Column) -> Column:
     toks = tokens(text)
     total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        F.round(total / F.size(toks), 6)
-    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
 def quality_score(text: Column) -> Column:
@@ -400,9 +404,23 @@ def langid_score(
     (the :func:`classifier_score` discipline): ONE shared hashed-feature
     array per doc (aliased in its own projection so the expensive
     tokenize+md5 subtree is computed once, not once per language), one
-    exact int64 milli-unit sum per language, then an argmax CASE chain in
-    ascending language order so ties break to the lexicographically
-    smallest language — the same chain a SQL oracle replays verbatim.
+    exact int64 milli-unit sum per language, then a BRANCH-FREE argmax —
+    ``array_min`` over ``struct(-logit, lang)`` structs, which picks the
+    max logit with ties to the lexicographically smallest language
+    (identical semantics to the CASE-chain argmax the SQL oracles replay;
+    exact-double comparisons both ways).
+
+    Branch-free is load-bearing, not style (round 12, the same measured
+    CSE rule as the URL operators): a CASE-chain argmax puts every logit
+    reference inside a CONDITIONAL, and conditional occurrences are
+    excluded from Spark's runtime subexpression elimination — so when a
+    downstream gate filters on ``lang_pred`` (CurationPipeline stage 1c),
+    Catalyst collapses the projections and the tokenize+md5 fold re-runs
+    per logit reference, ~12x for four languages. Measured at sf10
+    (500k extracted docs, the composed-curation probe): the langid
+    semi-join stage cost 74.3 s with the CASE chain vs 9.0 s scoring the
+    same frame once; the struct-array argmax keeps every occurrence
+    unconditional so CSE collapses them — see NOTES_r12 §8.
 
     Output: (id, n_tokens, logit_<lang>... in sorted order, lang_pred).
     """
@@ -416,8 +434,15 @@ def langid_score(
         hashed_feature_indices(F.col(text_col), dim).alias("_f"),
     )
     ix = F.col("_f")
-    n = F.coalesce(F.size(ix), F.lit(0))
-    n = F.when(n < 0, F.lit(0)).otherwise(n)
+    # branch-free throughout (same CSE rule as the argmax below): the
+    # empty-doc guard is algebraic, not a CASE — greatest() instead of
+    # when() for the size clamp, and greatest(n, 1) as the divisor: for
+    # n = 0 the fold over the empty array is exactly 0, so
+    # b + 0/1000.0 == b bit-for-bit, the old when(n == 0, b) value. A
+    # when() here would wrap every fold in a conditional and exclude the
+    # shared _f hashing from runtime subexpression elimination the moment
+    # a downstream filter inlines these expressions.
+    n = F.greatest(F.coalesce(F.size(ix), F.lit(0)), F.lit(0))
     cols = [F.col("_id").alias(id_col), n.cast("long").alias("n_tokens")]
 
     def weight_sum(warr: Column):
@@ -430,25 +455,30 @@ def langid_score(
     for lang in langs:
         weights, bias_milli = models[lang]
         warr = F.array(*[F.lit(int(w)) for w in weights])
-        s = F.aggregate(ix, F.lit(0).cast("long"), weight_sum(warr))
+        s = F.coalesce(
+            F.aggregate(ix, F.lit(0).cast("long"), weight_sum(warr)),
+            F.lit(0).cast("long"),
+        )
         b = float(bias_milli) / 1000.0
-        logits[lang] = F.when(n == 0, F.lit(b)).otherwise(
-            F.lit(b) + s.cast("double") / (F.lit(1000.0) * n)
+        logits[lang] = F.lit(b) + s.cast("double") / (
+            F.lit(1000.0) * F.greatest(n, F.lit(1)).cast("double")
         )
         cols.append(logits[lang].alias(f"logit_{lang}"))
-    # argmax CASE chain over the ALIASED logit columns (compute each sum
-    # once); evaluated on the projected frame so references are cheap
-    scored = base.select(*cols)
-    pred = None
-    chain = F.lit(langs[-1])
-    for k in range(len(langs) - 2, -1, -1):
-        cond = None
-        for m in range(k + 1, len(langs)):
-            c = F.col(f"logit_{langs[k]}") >= F.col(f"logit_{langs[m]}")
-            cond = c if cond is None else (cond & c)
-        chain = F.when(cond, F.lit(langs[k])).otherwise(chain)
-    pred = chain
-    return scored.select("*", pred.alias("lang_pred"))
+    # branch-free argmax: each logit expression occurs exactly twice in
+    # ONE projection (its output column + one struct slot), both
+    # UNCONDITIONAL, so runtime CSE evaluates the fold + the shared _f
+    # hashing once per row no matter how a downstream filter inlines this
+    # (negating a double is exact; struct order = (-logit, lang) ==
+    # max-logit-ties-to-smallest-lang, the CASE chain's exact semantics)
+    pred = F.array_min(
+        F.array(
+            *[
+                F.struct((-logits[lang]).alias("nl"), F.lit(lang).alias("lg"))
+                for lang in langs
+            ]
+        )
+    ).getField("lg")
+    return base.select(*cols, pred.alias("lang_pred"))
 
 
 def classifier_score_joined(
