@@ -239,6 +239,11 @@ BENCH_QUERIES = [
     "weighted_sample_check",
     # round 11: maintained HLL register index (seed + 3 absorbed batches)
     "hll_index_stream",
+    # round 12: portable mergeable quantile sketch (p50/p90/p99 from
+    # decimal log-histogram registers, guaranteed error bound) + the
+    # maintained index stream (crosses a durable save/load boundary)
+    "quantile_hist_check",
+    "quantile_index_stream",
 ]
 
 

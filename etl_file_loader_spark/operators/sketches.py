@@ -528,3 +528,219 @@ def bloom_semi_join(
     )
     rhs = small.select(F.col(sk).alias(big_key)).distinct()
     return pruned.join(rhs, big_key, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Portable mergeable quantile sketch (round 12): decimal log-histogram
+# ---------------------------------------------------------------------------
+# The quantile rung of the portable-sketch family (KMV = distinct with
+# auditability, HLL = distinct at constant size, CMS = frequency, bloom =
+# membership; this = percentiles). percentile_approx is engine-internal —
+# only its error is checkable; these registers are DATA: a pure
+# string/int64 function of the values, so the sketch, its merge, AND its
+# estimate replay bit-for-bit in SQL, persist as plain parquet, and
+# combine across engines/days — the "p99 latency per day, all-time" shape
+# at 100 TB (sketch each partition once, sum-merge forever, never re-scan).
+#
+# Bucketing: v is quantized to integer sub-units (iv = floor(|v|·scale),
+# exact IEEE multiply + floor, identical in both engines), then bucketed
+# by its decimal prefix: d = digits(iv), p = min(d, sig_digits),
+# prefix = first p digits, exp = d - p. Bucket magnitude range
+# [prefix·10^exp, (prefix+1)·10^exp) — relative width <= 10^(1-sig), so a
+# within-bucket interpolated estimate carries a GUARANTEED relative error
+# bound (<= ~1% at sig=3), and values with <= sig digits are EXACT. All
+# bucket math is string/int ops — no transcendentals, no float rounding
+# ambiguity anywhere in the state.
+#
+# Merge = SUM of counts per (keys, sign, exp, prefix). NOTE the contract
+# difference from the max/min-confluent family (HLL/NearDup/Linkage):
+# addition is commutative/associative but NOT idempotent — absorbing a
+# batch twice double-counts. Exactly-once absorb is the caller's contract
+# (the same one any COUNT aggregation has); the suite oracle still
+# replays every epoch from batch numbering because the batches are
+# disjoint by construction.
+
+QUANTILE_SIG_DIGITS = 3
+
+
+def quantile_histogram(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    sig_digits: int = QUANTILE_SIG_DIGITS,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Per-group decimal log-histogram registers:
+    (keys..., sign, exp, prefix, cnt). One hash agg with map-side
+    partials; per-group state is bounded by ~(decades x 9*10^(sig-1) + 2)
+    rows FOREVER, regardless of data size. Nulls are excluded (like every
+    SQL aggregate)."""
+    v = F.col(col).cast("double")
+    sign = F.signum(v).cast("int")
+    iv = F.floor(F.abs(v) * F.lit(float(unit_scale))).cast("long")
+    s = iv.cast("string")
+    d = F.length(s)
+    p = F.least(d, F.lit(sig_digits))
+    prefix = F.substring(s, 1, sig_digits).cast("long")
+    exp = (d - p).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .select(
+            *keys,
+            sign.alias("sign"),
+            exp.alias("exp"),
+            prefix.alias("prefix"),
+        )
+        .groupBy(*keys, "sign", "exp", "prefix")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_hist_merge(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Sum-merge histograms built with the same (sig_digits, unit_scale)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys, "sign", "exp", "prefix").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def quantile_estimate(
+    hist: DataFrame,
+    keys: list[str],
+    qs_milli: list[int],
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Per-group quantile estimates from the registers, one row per
+    (group, q): ``q_milli``, ``est`` (double), plus ``n`` (group count).
+
+    Rank r = ceil(q·n) computed in EXACT integer milli arithmetic
+    ((q_milli·n + 999) div 1000) — no float rank boundary anywhere. The
+    register holding rank r is found by a cumulative-count window (tiny:
+    windows run over REGISTERS, never rows), and the estimate
+    interpolates linearly inside its bucket — guaranteed within the
+    bucket, so |est - true| <= bucket width <= true·10^(1-sig)."""
+    # secondary sort on sign: the three zero-magnitude buckets (sign
+    # -1/0/+1 with prefix 0) all have _ord = 0 and must order by value
+    # (negative epsilon < zero < positive epsilon)
+    cw = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ord"), F.col("sign"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lo = F.col("prefix") * F.pow(F.lit(10.0), F.col("exp")).cast("long")
+    hi = (F.col("prefix") + 1) * F.pow(F.lit(10.0), F.col("exp")).cast("long")
+    base = (
+        hist.withColumn("_lo", lo)
+        .withColumn("_hi", hi)
+        .withColumn("_ord", F.col("sign") * F.col("_lo"))
+        .withColumn("_cum", F.sum("cnt").over(cw))
+    )
+    totals = hist.groupBy(*keys).agg(F.sum("cnt").alias("_n"))
+    out = None
+    for qm in qs_milli:
+        r = F.floor((F.lit(int(qm)) * F.col("_n") + 999) / 1000).cast("long")
+        picked = (
+            base.join(totals, keys)
+            .withColumn("_r", r)
+            .filter(
+                (F.col("_cum") >= F.col("_r"))
+                & (F.col("_cum") - F.col("cnt") < F.col("_r"))
+            )
+        )
+        frac = (F.col("_r") - (F.col("_cum") - F.col("cnt"))).cast("double") / F.col(
+            "cnt"
+        ).cast("double")
+        est_mag = F.col("_lo") + frac * (F.col("_hi") - F.col("_lo"))
+        est_neg = -(F.col("_hi") - frac * (F.col("_hi") - F.col("_lo")))
+        est = (
+            F.when(F.col("sign") >= 0, est_mag).otherwise(est_neg)
+            / F.lit(float(unit_scale))
+        )
+        row = picked.select(
+            *keys,
+            F.lit(int(qm)).alias("q_milli"),
+            F.round(est, 6).alias("est"),
+            F.col("_n").alias("n"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+class QuantileIndex:
+    """MAINTAINED quantile registers over arriving batches — the
+    NearDupIndex/HLLIndex house pattern applied to percentiles.
+
+    Build once from the seed, :meth:`absorb` each arriving batch
+    (sum-merge), read :meth:`estimate` at any epoch; state stays
+    register-bounded forever. Contract difference from the confluent
+    indexes, stated loudly: sum is NOT idempotent — each batch must be
+    absorbed EXACTLY ONCE (the contract every COUNT/SUM aggregation has;
+    the confluent max/min indexes tolerate replays, this one does not).
+    Durable via ``save(path)``/``load(spark, path)`` (operators/persist.py
+    plain-parquet state + config)."""
+
+    def __init__(
+        self,
+        seed: DataFrame,
+        keys: list[str],
+        col: str,
+        sig_digits: int = QUANTILE_SIG_DIGITS,
+        unit_scale: int = 100,
+    ):
+        self.keys = keys
+        self.col = col
+        self.sig_digits = sig_digits
+        self.unit_scale = unit_scale
+        self._hist = quantile_histogram(
+            seed, keys, col, sig_digits, unit_scale
+        ).localCheckpoint(eager=True)
+
+    def registers(self) -> DataFrame:
+        return self._hist
+
+    def estimate(self, qs_milli: list[int]) -> DataFrame:
+        return quantile_estimate(
+            self._hist, self.keys, qs_milli, self.unit_scale
+        )
+
+    def absorb(self, batch: DataFrame) -> "QuantileIndex":
+        merged = quantile_hist_merge(
+            [
+                self._hist,
+                quantile_histogram(
+                    batch, self.keys, self.col, self.sig_digits, self.unit_scale
+                ),
+            ],
+            self.keys,
+        )
+        self._hist = merged.localCheckpoint(eager=True)
+        return self
+
+    def save(self, path: str) -> None:
+        from etl_file_loader_spark.operators.persist import save_index_state
+
+        save_index_state(
+            self._hist,
+            {
+                "keys": self.keys,
+                "col": self.col,
+                "sig_digits": self.sig_digits,
+                "unit_scale": self.unit_scale,
+            },
+            path,
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "QuantileIndex":
+        from etl_file_loader_spark.operators.persist import load_index_state
+
+        state, meta = load_index_state(spark, path)
+        obj = cls.__new__(cls)
+        obj.keys = list(meta["keys"])
+        obj.col = meta["col"]
+        obj.sig_digits = meta["sig_digits"]
+        obj.unit_scale = meta["unit_scale"]
+        obj._hist = state
+        return obj

@@ -1464,3 +1464,227 @@ ORACLES.update(
         "bloom_semi_join_fast": Q_BLOOM_SEMI_JOIN_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Portable mergeable quantile sketch (round 12): decimal log-histogram
+# ---------------------------------------------------------------------------
+
+_Q_MILLIS = [500, 900, 990]
+
+
+def _quantile_reg_md5(hist, keys):
+    """Order-insensitive md5 of a group's register set (the hll_index
+    idiom): the sketch STATE is value-verified, not just the estimate."""
+    return hist.groupBy(*keys).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("sign", "exp", "prefix", "cnt"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s.getField("sign").cast("string"),
+                        s.getField("exp").cast("string"),
+                        s.getField("prefix").cast("string"),
+                        s.getField("cnt").cast("string"),
+                    ),
+                ),
+                ",",
+            )
+        ).alias("reg_md5")
+    )
+
+
+def q_quantile_hist_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable quantile sketch (operators/sketches.py:quantile_histogram):
+    p50/p90/p99 of l_extendedprice per returnflag from decimal
+    log-histogram registers. Full value row: the register-set md5 (state
+    bit-exact), each estimate (derivation bit-exact — string/int bucket
+    math, exact integer milli ranks, one double interpolation), the TRUE
+    rank value computed independently, and the guarantee flag
+    |est - true| <= true/10^(sig-1) + quantization — asserting the
+    sketch's error bound, not just reproducing it."""
+    from etl_file_loader_spark.operators import sketches
+    from pyspark.sql.window import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag"]
+    hist = sketches.quantile_histogram(li, keys, "l_extendedprice")
+    est = sketches.quantile_estimate(hist, keys, _Q_MILLIS)
+    md5 = _quantile_reg_md5(hist, keys)
+    # independent truth: the value at rank ceil(q*n) in sorted order
+    w = W.partitionBy(*keys).orderBy(F.col("l_extendedprice"), F.lit(1))
+    ranked = li.select(*keys, "l_extendedprice").withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    out = None
+    for qm in _Q_MILLIS:
+        r = F.floor((F.lit(qm) * F.col("n") + 999) / 1000).cast("long")
+        e = est.filter(F.col("q_milli") == qm).withColumn("_r", r)
+        truth = e.join(ranked, keys).filter(F.col("_rn") == F.col("_r")).select(
+            *keys, "q_milli", "est", "n",
+            F.col("l_extendedprice").cast("double").alias("true_val"),
+        )
+        out = truth if out is None else out.unionByName(truth)
+    tol = F.col("true_val") * 0.011 + 0.02
+    return (
+        out.join(md5, keys)
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            "q_milli",
+            "est",
+            "n",
+            "true_val",
+            (F.abs(F.col("est") - F.col("true_val")) <= tol)
+            .cast("int")
+            .alias("within_bound"),
+            "reg_md5",
+        )
+        .orderBy("grp", "q_milli")
+    )
+
+
+_QH_BUCKET_SQL = """
+  SELECT g, CAST(CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS INT) AS sign,
+         CAST(length(s) - least(length(s), 3) AS INT) AS exp,
+         CAST(substr(s, 1, 3) AS BIGINT) AS prefix
+  FROM (SELECT g, v, CAST(CAST(floor(abs(v) * 100) AS BIGINT) AS VARCHAR) AS s FROM {src})
+"""
+
+
+def _quantile_est_sql(src: str, qs: list[int]) -> str:
+    """Shared estimate CTE chain over a (g, v) source: regs -> cum ->
+    one pick per q — the exact operator derivation (int bucket math,
+    integer milli rank, one double interpolation)."""
+    per_q = "\n  UNION ALL".join(
+        f"""
+  SELECT g, {qm} AS q_milli,
+         round((CASE WHEN sign >= 0 THEN lo + (CAST(r - (cum - cnt) AS DOUBLE) / cnt) * (hi - lo)
+                     ELSE -(hi - (CAST(r - (cum - cnt) AS DOUBLE) / cnt) * (hi - lo)) END) / 100.0, 6) AS est,
+         n
+  FROM (SELECT c.*, t.n, CAST(floor(({qm} * t.n + 999) / 1000) AS BIGINT) AS r
+        FROM cum c JOIN tot t USING (g))
+  WHERE cum >= r AND cum - cnt < r"""
+        for qm in qs
+    )
+    return f"""
+regs AS (
+  SELECT g, sign, exp, prefix, count(*) AS cnt FROM ({_QH_BUCKET_SQL.format(src=src)})
+  GROUP BY 1, 2, 3, 4
+),
+tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM regs GROUP BY g),
+cum AS (
+  SELECT g, sign, exp, prefix, cnt,
+         prefix * CAST(pow(10, exp) AS BIGINT) AS lo,
+         (prefix + 1) * CAST(pow(10, exp) AS BIGINT) AS hi,
+         sum(cnt) OVER (PARTITION BY g
+                        ORDER BY sign * (prefix * CAST(pow(10, exp) AS BIGINT)), sign) AS cum
+  FROM regs
+),
+md5s AS (
+  SELECT g, md5(string_agg(sign || ':' || exp || ':' || prefix || ':' || cnt, ','
+                ORDER BY sign, exp, prefix, cnt)) AS reg_md5
+  FROM regs GROUP BY g
+),
+ests AS ({per_q})
+"""
+
+
+Q_QUANTILE_HIST_SQL = f"""
+WITH src AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
+{_quantile_est_sql("src", _Q_MILLIS)},
+ranked AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM src
+)
+SELECT e.g AS grp, e.q_milli, e.est, e.n,
+       CAST(r.v AS DOUBLE) AS true_val,
+       CAST(abs(e.est - r.v) <= r.v * 0.011 + 0.02 AS INT) AS within_bound,
+       m.reg_md5
+FROM ests e
+JOIN ranked r ON r.g = e.g
+  AND r.rn = CAST(floor((e.q_milli * e.n + 999) / 1000) AS BIGINT)
+JOIN md5s m ON m.g = e.g
+ORDER BY grp, q_milli
+"""
+
+
+def q_quantile_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED quantile registers (operators/sketches.py:
+    QuantileIndex): seed from the o_orderkey%4==0 quarter of orders,
+    absorb the three remaining quarters IN ORDER, and emit the per-group
+    p90 + register-set md5 after every epoch. Absorb is a SUM-merge —
+    commutative/associative but NOT idempotent (exactly-once is the
+    caller contract, unlike the max/min-confluent indexes) — and the
+    batches are disjoint by construction, so the oracle replays epoch
+    k's registers from batch numbering alone: counts over rows with
+    o_orderkey%4 <= k. The stream also CROSSES a save/load boundary
+    between epochs 1 and 2 (the durability contract in the timed path,
+    like near_dedup_index_stream)."""
+    import tempfile
+
+    from etl_file_loader_spark.operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = ["o_orderstatus"]
+    idx = sketches.QuantileIndex(
+        orders.filter(F.col("o_orderkey") % 4 == 0), keys, "o_totalprice"
+    )
+
+    def snapshot(epoch: int) -> DataFrame:
+        est = idx.estimate([900]).select(
+            F.col("o_orderstatus").alias("grp"),
+            F.col("est").alias("p90"),
+            F.col("n"),
+        )
+        md5 = _quantile_reg_md5(idx.registers(), keys).select(
+            F.col("o_orderstatus").alias("grp"), "reg_md5"
+        )
+        return est.join(md5, "grp").select(
+            F.lit(epoch).alias("epoch"), "grp", "n", "p90", "reg_md5"
+        )
+
+    outs = [snapshot(0)]
+    for k in (1, 2, 3):
+        if k == 2:
+            ckpt = tempfile.mkdtemp(prefix="quantile_idx_")
+            idx.save(ckpt)
+            idx = sketches.QuantileIndex.load(spark, ckpt)
+        idx.absorb(orders.filter(F.col("o_orderkey") % 4 == k))
+        outs.append(snapshot(k))
+    out = outs[0]
+    for part in outs[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("epoch", "grp")
+
+
+def _quantile_index_stream_sql() -> str:
+    def epoch(k: int) -> str:
+        src = f"(SELECT o_orderstatus AS g, o_totalprice AS v FROM orders WHERE o_orderkey % 4 <= {k})"
+        return f"""
+  SELECT {k} AS epoch, e.g AS grp, e.n, e.est AS p90, m.reg_md5
+  FROM (WITH {_quantile_est_sql(src, [900])} SELECT * FROM ests) e
+  JOIN (WITH {_quantile_est_sql(src, [900])} SELECT * FROM md5s) m ON m.g = e.g"""
+
+    return (
+        "SELECT * FROM ("
+        + "\n  UNION ALL".join(epoch(k) for k in range(4))
+        + "\n) ORDER BY epoch, grp"
+    )
+
+
+Q_QUANTILE_INDEX_STREAM_SQL = _quantile_index_stream_sql()
+
+QUERIES.update(
+    {
+        "quantile_hist_check": q_quantile_hist_check,
+        "quantile_index_stream": q_quantile_index_stream,
+    }
+)
+ORACLES.update(
+    {
+        "quantile_hist_check": Q_QUANTILE_HIST_SQL,
+        "quantile_index_stream": Q_QUANTILE_INDEX_STREAM_SQL,
+    }
+)
