@@ -590,6 +590,25 @@ COMMENTARY = {
         "group with the harmonic sum in exact int64. No windows, no "
         "collects except the bounded register table."
     ),
+    "quantile_hist_check": (
+        "Round 12: portable quantile sketch. The histogram build is one "
+        "hash aggregation (groupBy group+sign+exp+prefix, count) with "
+        "map-side partials — the bucket id is pure string/int math on the "
+        "scan, and the shuffle is bounded by the register count "
+        "(decades x 9*10^(sig-1) per group) regardless of row count. The "
+        "estimate's window runs over REGISTERS, never rows; the only "
+        "row-proportional work in this suite row is the independent "
+        "true-rank verification (row_number over the group), which is the "
+        "CHECK, not the operator."
+    ),
+    "quantile_index_stream": (
+        "Round 12: maintained quantile registers. Each absorb is one "
+        "register-bounded sum-merge (union + groupBy over state rows); "
+        "per-epoch lineage stays one union deep behind the "
+        "localCheckpoint. The stream also writes + reloads the state "
+        "parquet mid-run (the durability boundary) — at cluster scale "
+        "that write IS the per-epoch artifact."
+    ),
 }
 
 
