@@ -98,7 +98,12 @@ def quality_score(text: Column) -> Column:
 def language_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
     """Argmax of per-language stopword-marker hit counts; tie/zero -> 'und'.
 
-    Ties break by language code ascending (deterministic).
+    Ties break by language code ascending (deterministic). Branch-free
+    argmax (round 12, the langid_score CSE rule): each score occurs
+    exactly once, inside an UNCONDITIONAL struct array, so the token
+    transform is subexpression-eliminated even when a downstream filter
+    inlines this whole expression; the old when-chain put every score
+    reference in a conditional and re-ran the tokenize per language.
     """
     markers = markers or LANG_MARKERS
     toks = F.transform(tokens(text), lambda w: F.lower(w))
@@ -106,11 +111,17 @@ def language_id(text: Column, markers: dict[str, list[str]] | None = None) -> Co
         (lang, F.size(F.filter(toks, lambda w: w.isin(words))))
         for lang, words in sorted(markers.items())
     ]
-    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
-    result = F.lit("und")
-    for lang, s in reversed(scores):  # earlier langs win ties -> apply last
-        result = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(result)
-    return result
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct((-s).alias("ns"), F.lit(lang).alias("lg"))
+                for lang, s in scores
+            ]
+        )
+    )
+    return F.when(best.getField("ns") < 0, best.getField("lg")).otherwise(
+        F.lit("und")
+    )
 
 
 def fingerprint(text: Column) -> Column:
