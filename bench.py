@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     # maintained index stream (crosses a durable save/load boundary)
     "quantile_hist_check",
     "quantile_index_stream",
+    # round 12: BM25 + dense-cosine reciprocal rank fusion
+    "hybrid_retrieval",
 ]
 
 

@@ -2270,6 +2270,48 @@ def bm25_topk(
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
 
 
+def rrf_fuse(
+    rankings: list[DataFrame], id_col: str, k0: int = 60, k: int = 10
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. 2009) of N ranked lists:
+    score(d) = Σ_i 1/(k0 + rank_i(d)), docs absent from a list contribute
+    nothing from it. The standard sparse+dense retrieval combiner (BM25 ⊕
+    embedding cosine) used for hard-negative mining and RAG candidate
+    pooling — rank-based, so the two scorers' incomparable scales never
+    need calibrating.
+
+    Inputs: each frame carries (id_col, rank) with rank 1-based. Output:
+    (id_col, rank_0..rank_{N-1} as nullable ints, rrf rounded to 6) —
+    top-k by (rrf DESC, id).
+
+    Scale shape: the INPUT lists are already top-k-sized (the expensive
+    ranking happened upstream at corpus scale); fusion is full-outer
+    joins over k-row frames + one left-associated double sum — driver-
+    trivial at any corpus size, and every term is 1/(k0+int), so both
+    engines compute identical doubles."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused = rankings[0].select(F.col(id_col), F.col("rank").alias("rank_0"))
+    for i, r in enumerate(rankings[1:], start=1):
+        fused = fused.join(
+            r.select(F.col(id_col), F.col("rank").alias(f"rank_{i}")),
+            id_col,
+            "full_outer",
+        )
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"rank_{i}").cast("double")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    return (
+        fused.withColumn("rrf", F.round(score, 6))
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 cleaning heuristics (Raffel et al. 2020, §2.2)
 # ---------------------------------------------------------------------------

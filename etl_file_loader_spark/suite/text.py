@@ -1686,3 +1686,71 @@ Q_LANGID_FIXTURE_SQL = _langid_sql()
 
 QUERIES.update({"langid_fixture": q_langid_fixture})
 ORACLES.update({"langid_fixture": Q_LANGID_FIXTURE_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ dense cosine via reciprocal rank fusion (round 12)
+# ---------------------------------------------------------------------------
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse+dense fusion (operators/text.py:rrf_fuse): the BM25 top-50
+    (fixed term query) and the cosine top-50 (vec_id 0's embedding as the
+    query) fuse by reciprocal rank — score = Σ 1/(60 + rank) — into a
+    top-10 candidate pool, the hard-negative-mining / RAG-pooling shape.
+    Full value oracle: both rankings and the fusion replay in SQL (rank
+    math over already-rounded scores; every fused term is 1/(60+int), so
+    the doubles agree bit-for-bit)."""
+    from pyspark.sql.window import Window as W
+
+    from etl_file_loader_spark.operators import similarity as sim_ops
+    from etl_file_loader_spark.suite.similarity import _query_vec
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = text_ops.bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+    ws = W.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    sparse_r = sparse.select(
+        "doc_id", F.row_number().over(ws).alias("rank")
+    )
+    dense = sim_ops.cosine_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=_BM25_K
+    )
+    wd = W.orderBy(F.col("score").desc(), F.col("vec_id"))
+    dense_r = dense.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wd).alias("rank")
+    )
+    return text_ops.rrf_fuse([sparse_r, dense_r], "doc_id", k0=60, k=10)
+
+
+Q_HYBRID_RETRIEVAL_SQL = f"""
+WITH sparse AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_0
+  FROM ({Q_BM25_RETRIEVAL_SQL})
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dense_scored AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, vec_id
+  LIMIT {_BM25_K}
+),
+dense AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_1
+  FROM dense_scored
+)
+SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.rank_0, d.rank_1,
+       round(COALESCE(1.0 / (60.0 + CAST(s.rank_0 AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / (60.0 + CAST(d.rank_1 AS DOUBLE)), 0.0), 6) AS rrf
+FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+QUERIES.update({"hybrid_retrieval": q_hybrid_retrieval})
+ORACLES.update({"hybrid_retrieval": Q_HYBRID_RETRIEVAL_SQL})

@@ -2987,3 +2987,25 @@ def test_jaccard_prefix_skips_hot_shingles(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.jaccard_join_prefix(df, "doc_id", "text", n=5, threshold=0.9).collect()
     assert out == []  # no pair is actually >= 0.9
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: doc in both lists beats single-list docs at similar ranks;
+    missing-list contribution is exactly 0; ties break on id."""
+    from etl_file_loader_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "rank"])
+    b = spark.createDataFrame([(2, 1), (4, 2), (5, 3)], ["id", "rank"])
+    got = rrf_fuse([a, b], "id", k0=60, k=10).collect()
+    rows = {r.id: (r.rank_0, r.rank_1, r.rrf) for r in got}
+    assert rows[2][:2] == (2, 1)
+    assert abs(rows[2][2] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert rows[1][:2] == (1, None)
+    assert abs(rows[1][2] - round(1 / 61, 6)) < 1e-9
+    # doc 2 (both lists) outranks everyone
+    assert got[0].id == 2
+    # equal-score docs order by id: ranks (3, None) vs (None, 3) tie
+    tied = [r.id for r in got if abs(r.rrf - round(1 / 63, 6)) < 1e-9]
+    assert tied == sorted(tied)
+    with __import__("pytest").raises(ValueError):
+        rrf_fuse([], "id")
