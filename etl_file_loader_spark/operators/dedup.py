@@ -1701,6 +1701,11 @@ class LinkageIndex:
         resolved: list[DataFrame] = []
         unresolved = feed
         for d in range(0, self.max_distance + 1):
+            # early exit (round 12): a drained tier would still pay the
+            # master-side segment projection over the full standing base —
+            # see link_best_match; the remainder probe is one limit(1)
+            if d > 0 and not unresolved.limit(1).take(1):
+                break
             if d == 0:
                 r0 = unresolved.select(
                     F.col(feed_id), F.lower(F.col(feed_col)).alias("_k")
@@ -1890,6 +1895,14 @@ def link_best_match(
     resolved: list[DataFrame] = []
     unresolved = right
     for d in range(0, max_distance + 1):
+        # early exit (round 12): every escalation tier pays the MASTER-side
+        # segment generation over the full left table even when nothing is
+        # left to resolve — measured at sf10 (2M master) a drained d=2 tier
+        # still cost a full-master segment scan. One cheap remainder probe
+        # per tier (limit(1) on an anti-joined frame) skips the rest; the
+        # result is identical (an empty tier contributes no rows).
+        if d > 0 and not unresolved.limit(1).take(1):
+            break
         if d == 0:
             r0 = unresolved.select(
                 F.col(right_id), F.lower(F.col(right_col)).alias("_k")
