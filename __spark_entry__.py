@@ -33,10 +33,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distinct operator individually, plus four digest queries that fold the
     TPC-H sweep / analytics variants / scale-variant dedup demos / long-green
     ingestion-pipeline rows into one value-verified row per member (see
-    digest.py; window rotated rounds 5, 6, 8, 9, 10 and 11 — the round-11
-    rotation promoted the 7 round-10 digest-from-birth linkage/bloom rows
-    to direct rows, demoting 7 long-green rows into the analytics/corpus
-    digests). The full per-query registry stays in suite.QUERIES for bench
+    digest.py; window rotated rounds 5, 6, 8, 9, 10, 11 and 12 — the
+    round-12 rotation (#7) promoted the 9 round-11 digest-born rows
+    (linkage tiers/incremental, maintained indexes, URL ops, HLL family,
+    SemDeDup replay, weighted sampling) to direct rows, demoting 9 rows
+    green since round 9 into their family digests). The full per-query
+    registry stays in suite.QUERIES for bench
     and interactive use. Since round 11 EVERY window entry carries a full
     DuckDB value oracle — suite._ROWS_ONLY is empty (the md5-derived
     hyperplanes, the deterministic KMeansDF quantizer and the md5-derived

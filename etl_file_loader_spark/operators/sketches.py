@@ -621,6 +621,9 @@ def quantile_estimate(
     windows run over REGISTERS, never rows), and the estimate
     interpolates linearly inside its bucket — guaranteed within the
     bucket, so |est - true| <= bucket width <= true·10^(1-sig)."""
+    bad = [q for q in qs_milli if not 0 < q <= 1000]
+    if bad:
+        raise ValueError(f"qs_milli must be in (0, 1000]: {bad}")
     # secondary sort on sign: the three zero-magnitude buckets (sign
     # -1/0/+1 with prefix 0) all have _ord = 0 and must order by value
     # (negative epsilon < zero < positive epsilon)
