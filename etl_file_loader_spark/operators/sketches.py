@@ -573,8 +573,9 @@ def quantile_histogram(
     """Per-group decimal log-histogram registers:
     (keys..., sign, exp, prefix, cnt). One hash agg with map-side
     partials; per-group state is bounded by ~(decades x 9*10^(sig-1) + 2)
-    rows FOREVER, regardless of data size. Nulls are excluded (like every
-    SQL aggregate)."""
+    rows FOREVER, regardless of data size. Nulls and NaNs are excluded
+    (nulls like every SQL aggregate; a NaN would otherwise produce a
+    null-fielded register that corrupts the cumulative rank walk)."""
     v = F.col(col).cast("double")
     sign = F.signum(v).cast("int")
     iv = F.floor(F.abs(v) * F.lit(float(unit_scale))).cast("long")
@@ -584,7 +585,7 @@ def quantile_histogram(
     prefix = F.substring(s, 1, sig_digits).cast("long")
     exp = (d - p).cast("int")
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .select(
             *keys,
             sign.alias("sign"),
@@ -640,35 +641,45 @@ def quantile_estimate(
         .withColumn("_ord", F.col("sign") * F.col("_lo"))
         .withColumn("_cum", F.sum("cnt").over(cw))
     )
-    totals = hist.groupBy(*keys).agg(F.sum("cnt").alias("_n"))
-    out = None
-    for qm in qs_milli:
-        r = F.floor((F.lit(int(qm)) * F.col("_n") + 999) / 1000).cast("long")
-        picked = (
-            base.join(totals, keys)
-            .withColumn("_r", r)
-            .filter(
-                (F.col("_cum") >= F.col("_r"))
-                & (F.col("_cum") - F.col("cnt") < F.col("_r"))
-            )
-        )
-        frac = (F.col("_r") - (F.col("_cum") - F.col("cnt"))).cast("double") / F.col(
-            "cnt"
-        ).cast("double")
-        est_mag = F.col("_lo") + frac * (F.col("_hi") - F.col("_lo"))
-        est_neg = -(F.col("_hi") - frac * (F.col("_hi") - F.col("_lo")))
-        est = (
-            F.when(F.col("sign") >= 0, est_mag).otherwise(est_neg)
-            / F.lit(float(unit_scale))
-        )
-        row = picked.select(
+    # ONE pass for all quantiles: explode the q list against the totals,
+    # join the cum-registers once, and bracket each (group, q)'s rank —
+    # plan size (and job count) stays O(1) in len(qs_milli) instead of a
+    # per-q union of join+filter branches (measured at sf10: the unioned
+    # form spent ~4.6 s of pure plan/job overhead on a 5,669-row state)
+    totals = (
+        hist.groupBy(*keys)
+        .agg(F.sum("cnt").alias("_n"))
+        .select(
             *keys,
-            F.lit(int(qm)).alias("q_milli"),
-            F.round(est, 6).alias("est"),
-            F.col("_n").alias("n"),
+            "_n",
+            F.explode(F.array(*[F.lit(int(q)) for q in qs_milli])).alias(
+                "q_milli"
+            ),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .withColumn(
+            "_r",
+            F.floor((F.col("q_milli") * F.col("_n") + 999) / 1000).cast("long"),
+        )
+    )
+    picked = base.join(totals, keys).filter(
+        (F.col("_cum") >= F.col("_r"))
+        & (F.col("_cum") - F.col("cnt") < F.col("_r"))
+    )
+    frac = (F.col("_r") - (F.col("_cum") - F.col("cnt"))).cast("double") / F.col(
+        "cnt"
+    ).cast("double")
+    est_mag = F.col("_lo") + frac * (F.col("_hi") - F.col("_lo"))
+    est_neg = -(F.col("_hi") - frac * (F.col("_hi") - F.col("_lo")))
+    est = (
+        F.when(F.col("sign") >= 0, est_mag).otherwise(est_neg)
+        / F.lit(float(unit_scale))
+    )
+    return picked.select(
+        *keys,
+        F.col("q_milli").cast("int").alias("q_milli"),
+        F.round(est, 6).alias("est"),
+        F.col("_n").alias("n"),
+    )
 
 
 class QuantileIndex:

@@ -2271,7 +2271,11 @@ def bm25_topk(
 
 
 def rrf_fuse(
-    rankings: list[DataFrame], id_col: str, k0: int = 60, k: int = 10
+    rankings: list[DataFrame],
+    id_col: str,
+    k0: int = 60,
+    k: int = 10,
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Reciprocal rank fusion (Cormack et al. 2009) of N ranked lists:
     score(d) = Σ_i 1/(k0 + rank_i(d)), docs absent from a list contribute
@@ -2279,6 +2283,10 @@ def rrf_fuse(
     embedding cosine) used for hard-negative mining and RAG candidate
     pooling — rank-based, so the two scorers' incomparable scales never
     need calibrating.
+
+    ``weights`` (optional, default all-1.0) scale each list's
+    contribution — w_i/(k0 + rank_i) — the common dense-heavier variant
+    for hard-negative mining.
 
     Inputs: each frame carries (id_col, rank) with rank 1-based. Output:
     (id_col, rank_0..rank_{N-1} as nullable ints, rrf rounded to 6) —
@@ -2291,6 +2299,12 @@ def rrf_fuse(
     engines compute identical doubles."""
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"{len(weights)} weights for {len(rankings)} rankings"
+        )
     fused = rankings[0].select(F.col(id_col), F.col("rank").alias("rank_0"))
     for i, r in enumerate(rankings[1:], start=1):
         fused = fused.join(
@@ -2301,7 +2315,8 @@ def rrf_fuse(
     score = None
     for i in range(len(rankings)):
         term = F.coalesce(
-            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"rank_{i}").cast("double")),
+            F.lit(float(weights[i]))
+            / (F.lit(float(k0)) + F.col(f"rank_{i}").cast("double")),
             F.lit(0.0),
         )
         score = term if score is None else score + term

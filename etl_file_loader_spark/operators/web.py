@@ -52,6 +52,10 @@ _SECOND_LEVEL_TLDS = [
     "com.pk", "com.bd",
     "co.in", "net.in", "org.in", "co.za", "co.kr", "or.kr",
     "co.id", "co.th", "co.il", "co.ke",
+    # round 12 (post-injectability): the misses the round-11 review named
+    "com.co", "co.at", "or.at", "com.ua", "net.ua", "org.ua",
+    "com.pe", "com.ve", "com.uy", "com.ec", "com.do", "com.gt",
+    "co.ve", "com.pl", "net.pl", "org.pl", "co.hu",
 ]
 
 # default tracking parameters to strip during normalization

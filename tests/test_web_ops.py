@@ -148,20 +148,27 @@ def test_bare_tracking_params_dropped(spark):
 
 
 def test_registrable_domain_injectable_psl(spark):
-    # com.co is NOT in the built-in subset: default groups wrong (com.co
-    # treated as registrable), a caller-supplied PSL snapshot fixes it
-    df = spark.createDataFrame([("shop.example.com.co",)], ["host"])
-    default = df.select(web_ops.registrable_domain(F.col("host")).alias("d")).head().d
-    assert default == "com.co"
-    psl = list(web_ops._SECOND_LEVEL_TLDS) + ["com.co", "co.at", "com.ua"]
+    # com.ly is NOT in the built-in subset: default groups wrong (com.ly
+    # treated as registrable), a caller-supplied PSL snapshot fixes it;
+    # com.co (a round-11-named miss) is now in the default
+    df = spark.createDataFrame(
+        [("shop.example.com.ly",), ("shop.example.com.co",)], ["host"]
+    )
+    defaults = [
+        r.d for r in df.select(
+            web_ops.registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    ]
+    assert defaults == ["com.ly", "example.com.co"]
+    psl = list(web_ops._SECOND_LEVEL_TLDS) + ["com.ly"]
     injected = df.select(
         web_ops.registrable_domain(F.col("host"), psl).alias("d")
-    ).head().d
-    assert injected == "example.com.co"
+    ).collect()
+    assert [r.d for r in injected] == ["example.com.ly", "example.com.co"]
     # and the threading through the domain operators
     docs = spark.createDataFrame(
-        [(1, "https://a.example.com.co/1"), (2, "https://b.example.com.co/2")],
+        [(1, "https://a.example.com.ly/1"), (2, "https://b.example.com.ly/2")],
         ["doc_id", "url"],
     )
     stats = web_ops.domain_stats(docs, "url", second_level_tlds=psl).collect()
-    assert [(r.domain, r.n_docs) for r in stats] == [("example.com.co", 2)]
+    assert [(r.domain, r.n_docs) for r in stats] == [("example.com.ly", 2)]
