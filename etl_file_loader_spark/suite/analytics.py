@@ -1622,8 +1622,6 @@ def q_quantile_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey%4 <= k. The stream also CROSSES a save/load boundary
     between epochs 1 and 2 (the durability contract in the timed path,
     like near_dedup_index_stream)."""
-    import tempfile
-
     from etl_file_loader_spark.operators import sketches
 
     orders = _t(spark, sf_dir, "orders")
@@ -1648,7 +1646,8 @@ def q_quantile_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = [snapshot(0)]
     for k in (1, 2, 3):
         if k == 2:
-            ckpt = tempfile.mkdtemp(prefix="quantile_idx_")
+            # fixed overwrite path — see near_dedup_index_stream
+            ckpt = "/tmp/efls_suite_ckpt/quantile_idx"
             idx.save(ckpt)
             idx = sketches.QuantileIndex.load(spark, ckpt)
         idx.absorb(orders.filter(F.col("o_orderkey") % 4 == k))

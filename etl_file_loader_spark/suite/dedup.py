@@ -637,8 +637,6 @@ def q_near_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is UNCHANGED: flags are a pure function of batch
     numbering, so a correct round-trip is invisible to it — which is
     exactly the durability contract this row now value-checks."""
-    import tempfile
-
     docs = _t(spark, sf_dir, "documents")
     idx = dedup_ops.NearDupIndex(
         docs.filter(F.col("doc_id") % 4 == 0), "doc_id", "text"
@@ -647,8 +645,10 @@ def q_near_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in (1, 2, 3):
         if k == 2:
             # simulate a session restart: persist, drop the live object,
-            # restore from the parquet artifact alone
-            ckpt = tempfile.mkdtemp(prefix="neardup_idx_")
+            # restore from the parquet artifact alone. FIXED path (mode
+            # overwrite), not mkdtemp: the driver and bench run this row
+            # every round and a fresh tempdir per run would accumulate
+            ckpt = "/tmp/efls_suite_ckpt/near_dedup_idx"
             idx.save(ckpt)
             idx = dedup_ops.NearDupIndex.load(spark, ckpt)
         batch = docs.filter(F.col("doc_id") % 4 == k)
