@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     "quantile_index_stream",
     # round 12: BM25 + dense-cosine reciprocal rank fusion
     "hybrid_retrieval",
+    # round 12: maintained count-min sketch stream (save/load boundary)
+    "cms_index_stream",
 ]
 
 

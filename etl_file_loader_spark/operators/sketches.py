@@ -758,3 +758,61 @@ class QuantileIndex:
         obj.unit_scale = meta["unit_scale"]
         obj._hist = state
         return obj
+
+
+class CMSIndex:
+    """MAINTAINED count-min sketch over arriving batches — the
+    heavy-hitter member of the maintained-index family (NearDup/Linkage =
+    min-confluent, HLL = max-confluent, Quantile/CMS = sum-merged with
+    the exactly-once absorb contract stated loudly: adding a batch twice
+    double-counts, same as any COUNT aggregate).
+
+    Build once from the seed, :meth:`absorb` each batch (cell-wise sum),
+    :meth:`query` point estimates at any epoch (never undercounting, the
+    CMS guarantee). State is depth x width cells FOREVER; durable via
+    ``save(path)``/``load(spark, path)`` — the "top talkers per day,
+    all-time" shape at 100 TB."""
+
+    def __init__(
+        self, seed: DataFrame, col: str, depth: int = 4, width: int = 256
+    ):
+        self.col = col
+        self.depth = depth
+        self.width = width
+        self._sk = cms_sketch(seed, col, depth, width).localCheckpoint(
+            eager=True
+        )
+
+    def sketch(self) -> DataFrame:
+        return self._sk
+
+    def absorb(self, batch: DataFrame) -> "CMSIndex":
+        merged = cms_merge(
+            [self._sk, cms_sketch(batch, self.col, self.depth, self.width)]
+        )
+        self._sk = merged.localCheckpoint(eager=True)
+        return self
+
+    def query(self, items: DataFrame, item_col: str) -> DataFrame:
+        return cms_query(self._sk, items, item_col, self.depth, self.width)
+
+    def save(self, path: str) -> None:
+        from etl_file_loader_spark.operators.persist import save_index_state
+
+        save_index_state(
+            self._sk,
+            {"col": self.col, "depth": self.depth, "width": self.width},
+            path,
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "CMSIndex":
+        from etl_file_loader_spark.operators.persist import load_index_state
+
+        state, meta = load_index_state(spark, path)
+        obj = cls.__new__(cls)
+        obj.col = meta["col"]
+        obj.depth = meta["depth"]
+        obj.width = meta["width"]
+        obj._sk = state
+        return obj

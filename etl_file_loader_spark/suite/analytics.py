@@ -1687,3 +1687,109 @@ ORACLES.update(
         "quantile_index_stream": Q_QUANTILE_INDEX_STREAM_SQL,
     }
 )
+
+
+def q_cms_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED count-min sketch (operators/sketches.py:CMSIndex): seed
+    from the o_orderkey%4==0 quarter of orders, absorb the three
+    remaining quarters IN ORDER, and emit the candidate point estimates +
+    the cell-set md5 after every epoch. Cell-wise sum is exactly-once
+    (like QuantileIndex; the batches are disjoint by construction), so
+    the oracle replays epoch k's cells from batch numbering alone. The
+    stream CROSSES a save/load boundary between epochs 1 and 2."""
+    from etl_file_loader_spark.operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    cands = spark.createDataFrame([(v,) for v in _CMS_CANDS], "o_custkey long")
+    idx = sketches.CMSIndex(
+        orders.filter(F.col("o_orderkey") % 4 == 0), "o_custkey", _CMS_D, _CMS_W
+    )
+
+    def snapshot(epoch: int) -> DataFrame:
+        est = idx.query(cands, "o_custkey")
+        md5 = idx.sketch().agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("r", "c", "cnt"))),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s.getField("r").cast("string"),
+                            s.getField("c").cast("string"),
+                            s.getField("cnt").cast("string"),
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("sketch_md5")
+        )
+        return est.crossJoin(md5).select(
+            F.lit(epoch).alias("epoch"),
+            F.col("o_custkey").alias("custkey"),
+            "est_count",
+            "sketch_md5",
+        )
+
+    outs = [snapshot(0)]
+    for k in (1, 2, 3):
+        if k == 2:
+            ckpt = "/tmp/efls_suite_ckpt/cms_idx"
+            idx.save(ckpt)
+            idx = sketches.CMSIndex.load(spark, ckpt)
+        idx.absorb(orders.filter(F.col("o_orderkey") % 4 == k))
+        outs.append(snapshot(k))
+    out = outs[0]
+    for part in outs[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("epoch", "custkey")
+
+
+def _cms_index_stream_sql() -> str:
+    d, w = _CMS_D, _CMS_W
+    rs = ", ".join(str(r) for r in range(d))
+    cands = ", ".join(f"({v})" for v in _CMS_CANDS)
+    h = (
+        "CAST('0x' || substr(md5(CAST({r} AS VARCHAR) || '|' || "
+        "CAST({x} AS VARCHAR)), 1, 15) AS BIGINT) % {w}"
+    )
+
+    def epoch(k: int) -> str:
+        return f"""
+  SELECT {k} AS epoch, e.k AS custkey, e.est_count, m.sketch_md5
+  FROM (
+    WITH cells AS (
+      SELECT t.r, {h.format(r='t.r', x='o_custkey', w=w)} AS c
+      FROM orders, unnest([{rs}]) t(r)
+      WHERE o_orderkey % 4 <= {k}
+    ),
+    sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY r, c),
+    cand(q) AS (VALUES {cands}),
+    probes AS (
+      SELECT cand.q AS k, t.r, {h.format(r='t.r', x='cand.q', w=w)} AS c
+      FROM cand, unnest([{rs}]) t(r)
+    )
+    SELECT k, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+    FROM probes LEFT JOIN sk USING (r, c) GROUP BY k
+  ) e
+  CROSS JOIN (
+    WITH cells AS (
+      SELECT t.r, {h.format(r='t.r', x='o_custkey', w=w)} AS c
+      FROM orders, unnest([{rs}]) t(r)
+      WHERE o_orderkey % 4 <= {k}
+    ),
+    sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY r, c)
+    SELECT md5(string_agg(r || ':' || c || ':' || cnt, ',' ORDER BY r, c, cnt)) AS sketch_md5
+    FROM sk
+  ) m"""
+
+    return (
+        "SELECT * FROM ("
+        + "\n  UNION ALL".join(epoch(k) for k in range(4))
+        + "\n) ORDER BY epoch, custkey"
+    )
+
+
+Q_CMS_INDEX_STREAM_SQL = _cms_index_stream_sql()
+
+QUERIES.update({"cms_index_stream": q_cms_index_stream})
+ORACLES.update({"cms_index_stream": Q_CMS_INDEX_STREAM_SQL})

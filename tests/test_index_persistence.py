@@ -130,3 +130,32 @@ def test_hll_saved_registers_are_engine_portable(spark, orders, tmp_path):
     ).fetchall()
     live = _rows(idx.registers())
     assert [tuple(r) for r in duck] == live
+
+
+def test_cms_index_reload_and_exactly_once(spark, orders, tmp_path):
+    from pyspark.sql import functions as F
+
+    seed = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    cands = spark.createDataFrame([(1,), (2,), (500,)], "o_custkey long")
+
+    idx = sketches.CMSIndex(seed, "o_custkey", depth=4, width=64)
+    idx.absorb(b1)
+    est_live = _rows(idx.query(cands, "o_custkey"))
+
+    path = str(tmp_path / "cms")
+    idx.save(path)
+    back = sketches.CMSIndex.load(spark, path)
+    assert (back.col, back.depth, back.width) == ("o_custkey", 4, 64)
+    assert _rows(back.sketch()) == _rows(idx.sketch())
+    assert _rows(back.query(cands, "o_custkey")) == est_live
+
+    # maintained == one-shot over the union
+    one = sketches.cms_sketch(orders, "o_custkey", depth=4, width=64)
+    assert _rows(idx.sketch()) == _rows(one)
+
+    # exactly-once contract: double absorb double-counts (sum, not max)
+    total_before = back.sketch().agg(F.sum("cnt")).first()[0]
+    back.absorb(b1)
+    total_after = back.sketch().agg(F.sum("cnt")).first()[0]
+    assert total_after == total_before + 4 * b1.count()
