@@ -607,7 +607,17 @@ COMMENTARY = {
         "per-epoch lineage stays one union deep behind the "
         "localCheckpoint. The stream also writes + reloads the state "
         "parquet mid-run (the durability boundary) — at cluster scale "
-        "that write IS the per-epoch artifact."
+        "that write IS the per-epoch artifact. The estimate explodes the "
+        "quantile list against the totals and brackets every (group, q) "
+        "in ONE join — plan size O(1) in the quantile count."
+    ),
+    "cms_index_stream": (
+        "Round 12: maintained count-min cells. The per-epoch work is a "
+        "depth-wide explode on the batch scan collapsing to <= depth x "
+        "width cells in map-side partials, then a cell-keyed sum-merge "
+        "over state rows; the candidate probe broadcasts the sketch and "
+        "min-reduces per item. Nothing in the plan grows with stream "
+        "history — cells are a fixed matrix forever."
     ),
 }
 
