@@ -816,3 +816,55 @@ class CMSIndex:
         obj.width = meta["width"]
         obj._sk = state
         return obj
+
+
+class KMVIndex:
+    """MAINTAINED KMV distinct-count sketch — the set-union member of the
+    maintained-index family, and the AUDITABLE complement of
+    :class:`HLLIndex`: the state is the k smallest distinct hashes
+    themselves (a pure function of the data, exactly replayable in SQL),
+    not lossy registers. Union-merge keeps the k smallest — idempotent /
+    commutative / associative, so like the min/max-confluent indexes
+    (and UNLIKE Quantile/CMS) replayed or out-of-order absorbs cannot
+    corrupt the estimate. Durable via ``save``/``load``
+    (operators/persist.py); state is groups x k longs forever."""
+
+    def __init__(self, seed: DataFrame, keys: list[str], col: str, k: int = 64):
+        self.keys = keys
+        self.col = col
+        self.k = k
+        self._state = kmv_sketch(seed, keys, col, k).localCheckpoint(eager=True)
+
+    def state(self) -> DataFrame:
+        return self._state
+
+    def estimate(self) -> DataFrame:
+        return kmv_estimate(self._state, self.k)
+
+    def absorb(self, batch: DataFrame) -> "KMVIndex":
+        merged = kmv_merge(
+            [self._state, kmv_sketch(batch, self.keys, self.col, self.k)],
+            self.keys,
+            self.k,
+        )
+        self._state = merged.localCheckpoint(eager=True)
+        return self
+
+    def save(self, path: str) -> None:
+        from etl_file_loader_spark.operators.persist import save_index_state
+
+        save_index_state(
+            self._state, {"keys": self.keys, "col": self.col, "k": self.k}, path
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "KMVIndex":
+        from etl_file_loader_spark.operators.persist import load_index_state
+
+        state, meta = load_index_state(spark, path)
+        obj = cls.__new__(cls)
+        obj.keys = list(meta["keys"])
+        obj.col = meta["col"]
+        obj.k = meta["k"]
+        obj._state = state
+        return obj

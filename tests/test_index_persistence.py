@@ -159,3 +159,34 @@ def test_cms_index_reload_and_exactly_once(spark, orders, tmp_path):
     back.absorb(b1)
     total_after = back.sketch().agg(F.sum("cnt")).first()[0]
     assert total_after == total_before + 4 * b1.count()
+
+
+def test_kmv_index_reload_and_confluence(spark, orders, tmp_path):
+    """KMVIndex: reload equality, maintained == one-shot, and — the
+    property that separates it from the sum-merged Quantile/CMS —
+    CONFLUENCE: replayed and out-of-order absorbs leave the state
+    unchanged (set-union keep-k-smallest is idempotent)."""
+    seed = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b1 = orders.filter(F.col("o_orderkey") % 3 == 1)
+    b2 = orders.filter(F.col("o_orderkey") % 3 == 2)
+
+    idx = sketches.KMVIndex(seed, ["o_orderstatus"], "o_custkey", k=32)
+    idx.absorb(b1).absorb(b2)
+    one = sketches.kmv_sketch(orders, ["o_orderstatus"], "o_custkey", k=32)
+    assert _rows(idx.state()) == _rows(one)
+
+    path = str(tmp_path / "kmv")
+    idx.save(path)
+    back = sketches.KMVIndex.load(spark, path)
+    assert (back.keys, back.col, back.k) == (["o_orderstatus"], "o_custkey", 32)
+    assert _rows(back.state()) == _rows(idx.state())
+    assert _rows(back.estimate()) == _rows(idx.estimate())
+
+    # confluence: absorbing b1 AGAIN (a replay) changes nothing
+    back.absorb(b1)
+    assert _rows(back.state()) == _rows(idx.state())
+
+    # order independence: seed -> b2 -> b1 equals seed -> b1 -> b2
+    other = sketches.KMVIndex(seed, ["o_orderstatus"], "o_custkey", k=32)
+    other.absorb(b2).absorb(b1)
+    assert _rows(other.state()) == _rows(idx.state())
