@@ -172,3 +172,54 @@ def test_registrable_domain_injectable_psl(spark):
     )
     stats = web_ops.domain_stats(docs, "url", second_level_tlds=psl).collect()
     assert [(r.domain, r.n_docs) for r in stats] == [("example.com.ly", 2)]
+
+
+def test_url_normalize_idempotent_and_parse_never_misaligns(spark):
+    """Crawl-garbage robustness in ONE job: for a batch of adversarial
+    strings (control bytes incl. the 0x01 separator, '&&'-runs, empty
+    components, regex metacharacters, punycode, deep ports/fragments),
+    url_parse always yields exactly its six struct fields (never a
+    shifted/misaligned component — the parse of the cleaned string), and
+    url_normalize is IDEMPOTENT: normalize(normalize(x)) == normalize(x),
+    including the INVALID_URL fixpoint for non-URLs."""
+    cases = [
+        "https://example.com",
+        "https://example.com/",
+        "HTTPS://EXAMPLE.COM:443/A/B?utm_source=x&id=1#frag",
+        "http://example.com:80?fbclid",
+        "http://example.com:8080/p?a=1&&b=2&",
+        "https://xn--bcher-kva.example/päth?q=ü",
+        "ftp://files.example.org/a/b/c.txt",
+        "git+ssh://host.example/repo.git#main",
+        "https://example.com/a%20b?x=%2F%3F",
+        "https://a.b.c.d.example.co.uk:65535/deep/../path?#",
+        "not a url at all",
+        "",
+        "   ",
+        ":///",
+        "https://\x01example.com/a\x01b?c\x01=1#f\x01",
+        "\x01\x01\x01",
+        "https://example.com/?&&&",
+        "https://example.com/#a#b#c",
+        "https://example.com/??",
+        "http://:80/path",
+        "https://example.com/a?gclid=1&gclid=2&keep=3",
+        "HtTpS://MiXeD.CaSe.ORG:443/",
+        "https://example.com/a?fbclid&utm_&x",
+        "a://b",
+        "https://192.168.0.1:8443/x?y=z",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["url"])
+    out = df.select(
+        "url",
+        web_ops.url_parse(F.col("url")).alias("p"),
+        web_ops.url_normalize(F.col("url")).alias("n1"),
+        web_ops.url_normalize(web_ops.url_normalize(F.col("url"))).alias("n2"),
+    ).collect()
+    for r in out:
+        assert len(r.p) == 6, r.url
+        # a parsed host never contains separators that belong to later
+        # components (the misalignment the 0x01 guard prevents)
+        assert all(ch not in (r.p.host or "") for ch in "/?#\x01"), r.url
+        assert "\x01" not in r.n1, r.url
+        assert r.n2 == r.n1, f"normalize not idempotent for {r.url!r}: {r.n1!r} -> {r.n2!r}"
