@@ -356,3 +356,64 @@ def test_packed_sequences_conserve_the_stream(spark, texts):
     for r in out[:-1]:
         assert r["n_tokens"] == seq_len
     assert out[-1]["n_tokens"] == stream_len - seq_len * (len(out) - 1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([1, 250, 500, 900, 990]),
+)
+def test_quantile_sketch_error_bound_property(spark, values, qm):
+    """Round-12 portable quantile sketch: for ARBITRARY finite doubles,
+    the estimate at any quantile stays within the documented guarantee
+    of the true rank value — |est - true| <= |true|/10^(sig-1) + bucket
+    quantization slack (2/unit_scale covers the cent-floor on both the
+    value and the bucket edge). One Spark job per example (batched
+    values), pure-Python rank model."""
+    from etl_file_loader_spark.operators import sketches
+
+    df = spark.createDataFrame([(1, float(v)) for v in values], ["g", "v"])
+    hist = sketches.quantile_histogram(df, ["g"], "v")
+    est_rows = sketches.quantile_estimate(hist, ["g"], [qm]).collect()
+    assert len(est_rows) == 1
+    est, n = est_rows[0].est, est_rows[0].n
+    assert n == len(values)
+    ordered = sorted(values)
+    true = ordered[(qm * n + 999) // 1000 - 1]
+    tol = abs(true) * 0.011 + 0.02 + 2.0 / 100.0
+    assert abs(est - true) <= tol, (values, qm, est, true)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0, max_value=1e7, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_quantile_merge_equals_one_shot_property(spark, values):
+    """Sum-merge over ANY 2-way split equals the one-shot histogram
+    (register-for-register)."""
+    from etl_file_loader_spark.operators import sketches
+
+    rows = [(1, i, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+    one = sketches.quantile_histogram(df, ["g"], "v")
+    parts = [
+        sketches.quantile_histogram(df.filter(F.col("i") % 2 == k), ["g"], "v")
+        for k in range(2)
+    ]
+    merged = sketches.quantile_hist_merge(parts, ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, one.collect())
+    )
