@@ -270,14 +270,17 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     # happens after the noop write (result fully materialized) and inside
     # the timed region's aftermath, not the timing itself.
     release_operator_caches()
-    # Also collect cyclic Python garbage: localCheckpointed frames inside
-    # finished operators (link_best tiers, index absorbs) are reachable
-    # only through py4j/DataFrame reference cycles after run_one returns,
-    # so their executor blocks survive until a full gc — the round-12 e2e
-    # drift root cause (r10->r11 the shared-query code started
-    # checkpointing more; the orphaned blocks squeezed the later e2e
-    # line's memory: measured cold 59.5k->70.6k and steady 68.6k->89.9k
-    # rows/s recovered by exactly this collect; NOTES_r12 §5).
+    # Also collect cyclic Python garbage: py4j handles to the finished
+    # query's JVM objects sit in Python reference cycles, and while they
+    # live the ContextCleaner's weak refs cannot clear — the JVM keeps
+    # the query's BROADCAST blocks and SHUFFLE state alive. Over ~90
+    # queries that accumulation squeezed the later e2e line (the
+    # round-12 drift root cause: cold 59.5k->70.6k and steady
+    # 68.6k->89.9k rows/s recovered by exactly this collect). Note the
+    # probed distinction (NOTES_r12 §5): localCheckpoint ENTRIES are
+    # strong-referenced by SparkContext until unpersist and are NOT what
+    # this frees — the reclaimed class is the weak-cleanable
+    # broadcast/shuffle garbage.
     import gc
 
     gc.collect()
