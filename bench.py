@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     "hybrid_retrieval",
     # round 12: maintained count-min sketch stream (save/load boundary)
     "cms_index_stream",
+    # round 12: real streaming quantile maintenance (exactly-once folds)
+    "streaming_quantile_state",
 ]
 
 

@@ -532,3 +532,117 @@ def cdc_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _fold_quantile_epoch(
+    spark,
+    state_dir: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    keys: list[str],
+    col: str,
+    sig_digits: int,
+    unit_scale: int,
+) -> bool:
+    """Fold ONE micro-batch's histogram into the epoch-named register
+    chain; returns False if this epoch already folded (a replayed batch —
+    the call is a no-op). Factored out of :func:`quantile_stream` so the
+    idempotence guard is directly testable."""
+    import re
+
+    from etl_file_loader_spark.fs import FS
+    from etl_file_loader_spark.operators import sketches
+
+    fs = FS(spark)
+    final = f"{state_dir}/state_e{epoch_id}"
+    if fs.exists(f"{final}/_SUCCESS"):
+        # this epoch committed its fold before a crash/restart replayed
+        # it — folding again would double-count (sum-merge is not
+        # confluent), so the guard IS the exactly-once
+        return False
+    h = sketches.quantile_histogram(batch_df, keys, col, sig_digits, unit_scale)
+    done = [
+        int(m.group(1))
+        for name in (fs.list_names(state_dir) if fs.exists(state_dir) else [])
+        if (m := re.fullmatch(r"state_e(\d+)", name))
+        and int(m.group(1)) < epoch_id
+        and fs.exists(f"{state_dir}/state_e{m.group(1)}/_SUCCESS")
+    ]
+    if done:
+        base = spark.read.parquet(f"{state_dir}/state_e{max(done)}")
+        merged = sketches.quantile_hist_merge([base, h], keys)
+    else:
+        merged = h
+    tmp = f"{state_dir}/_tmp_state_e{epoch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if not fs.exists(f"{tmp}/_SUCCESS"):
+        fs.write_text(f"{tmp}/_SUCCESS", "")
+    if fs.exists(final):
+        fs.rmtree(final)
+    fs.move(tmp, final)
+    return True
+
+
+def quantile_stream(
+    values: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    col: str,
+    sig_digits: int = 3,
+    unit_scale: int = 100,
+) -> StreamingQuery:
+    """Continuous quantile maintenance: each micro-batch's decimal
+    log-histogram sum-merges into an EPOCH-NAMED register snapshot chain
+    (``state_e{n}`` under ``state_dir``; read the latest with
+    :func:`latest_quantile_state`).
+
+    This is the executable answer to QuantileIndex's exactly-once
+    caveat: sum-merge is NOT confluent (cdc_stream's replay story —
+    "re-applying is a content no-op" — does not hold for counts), so
+    replay safety comes from the idempotent-sink recipe instead: foreach
+    Batch's ``epoch_id`` is stable across retries of the same batch, the
+    snapshot is PUBLISHED under that epoch's name via temp-write +
+    marker + atomic rename (the cdc_stream discipline), and a replayed
+    epoch that finds its own committed snapshot folds nothing. Engine
+    checkpointing guarantees each batch gets exactly one epoch_id;
+    the name guard turns at-least-once side effects into exactly-once
+    state. Per-batch plan: one histogram agg (map-side partials,
+    register-bounded shuffle) + one register-sized sum-merge — nothing
+    grows with stream history."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _fold_quantile_epoch(
+            batch_df.sparkSession, state_dir, batch_df, epoch_id,
+            keys, col, sig_digits, unit_scale,
+        )
+
+    return (
+        values.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_quantile_state(spark, state_dir: str) -> DataFrame:
+    """The most recent COMPLETE register snapshot of a
+    :func:`quantile_stream` chain (feed to ``sketches.quantile_estimate``
+    or load into a ``QuantileIndex`` via its parquet state)."""
+    import re
+
+    from etl_file_loader_spark.fs import FS
+
+    fs = FS(spark)
+    done = [
+        int(m.group(1))
+        for name in (fs.list_names(state_dir) if fs.exists(state_dir) else [])
+        if (m := re.fullmatch(r"state_e(\d+)", name))
+        and fs.exists(f"{state_dir}/state_e{m.group(1)}/_SUCCESS")
+    ]
+    if not done:
+        raise FileNotFoundError(f"no complete quantile state under {state_dir}")
+    return spark.read.parquet(f"{state_dir}/state_e{max(done)}")

@@ -297,3 +297,74 @@ ORACLES.update(
         "streaming_sessionize": Q_STREAMING_SESSIONIZE_SQL,
     }
 )
+
+
+def q_streaming_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming quantile maintenance (streaming/ingest.py:
+    quantile_stream): the orders table is split into two parquet files
+    (the arriving micro-batch files), streamed with availableNow, and
+    each micro-batch's decimal log-histogram folds into the epoch-named
+    register snapshot chain — the exactly-once discipline sum-merge
+    needs (epoch-named publish + replay guard; see the operator
+    docstring). The final registers must equal the ONE-SHOT histogram
+    over all orders regardless of how the engine batched the files
+    (disjoint batches + exact folds), so the oracle is the plain batch
+    replay: per-group register md5 + p50/p90/p99."""
+    import tempfile
+
+    from etl_file_loader_spark.operators import sketches
+    from etl_file_loader_spark.streaming.ingest import (
+        latest_quantile_state,
+        quantile_stream,
+    )
+    from etl_file_loader_spark.suite.analytics import _quantile_reg_md5
+
+    _ensure_session_confs(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="efls_stream_q_")
+    for k in range(2):
+        orders.filter(F.col("o_orderkey") % 2 == k).write.parquet(
+            f"{work}/src/b{k}"
+        )
+    schema = spark.read.parquet(f"{work}/src/b0").schema
+    stream = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(f"{work}/src/*")
+    q = quantile_stream(
+        stream, f"{work}/state", f"{work}/ckpt", ["o_orderstatus"], "o_totalprice"
+    )
+    q.awaitTermination()
+    state = latest_quantile_state(spark, f"{work}/state")
+    est = sketches.quantile_estimate(state, ["o_orderstatus"], [500, 900, 990])
+    md5 = _quantile_reg_md5(state, ["o_orderstatus"])
+    return (
+        est.join(md5, "o_orderstatus")
+        .select(
+            F.col("o_orderstatus").alias("grp"),
+            "q_milli",
+            "est",
+            "n",
+            "reg_md5",
+        )
+        .orderBy("grp", "q_milli")
+    )
+
+
+def _streaming_quantile_sql() -> str:
+    from etl_file_loader_spark.suite.analytics import _quantile_est_sql
+
+    return f"""
+WITH src AS (SELECT o_orderstatus AS g, o_totalprice AS v FROM orders),
+{_quantile_est_sql("src", [500, 900, 990])}
+SELECT e.g AS grp, e.q_milli, e.est, e.n, m.reg_md5
+FROM ests e JOIN md5s m ON m.g = e.g
+ORDER BY grp, q_milli
+"""
+
+
+Q_STREAMING_QUANTILE_SQL = _streaming_quantile_sql()
+
+QUERIES.update({"streaming_quantile_state": q_streaming_quantile_state})
+ORACLES.update({"streaming_quantile_state": Q_STREAMING_QUANTILE_SQL})

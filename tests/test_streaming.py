@@ -634,3 +634,63 @@ def test_cdc_stream_requires_seeded_state(spark):
     q = cdc_stream(stream, f"{root}/state", f"{root}/ck", ["k"], ["v"], "seq")
     with _pytest.raises(Exception, match="state_v0"):
         q.awaitTermination()
+
+
+def test_quantile_stream_exactly_once(spark, tmp_path):
+    """Round 12: streaming quantile maintenance. A real file-source
+    stream folds two micro-batch files into the epoch-named register
+    chain; the final registers equal the one-shot histogram (exactly-
+    once across batches); a RESTART with the same checkpoint and no new
+    files folds nothing; and the epoch guard makes a replayed fold a
+    literal no-op (the non-confluent-merge hazard cdc_stream's
+    confluence story cannot cover)."""
+    from etl_file_loader_spark.operators import sketches
+    from etl_file_loader_spark.streaming.ingest import (
+        _fold_quantile_epoch,
+        latest_quantile_state,
+        quantile_stream,
+    )
+
+    src = tmp_path / "q_src"
+    src.mkdir()
+    state_dir = str(tmp_path / "q_state")
+    ckpt = str(tmp_path / "q_ckpt")
+    rows1 = [(1, "A", 10.50), (2, "A", 99.99), (3, "B", 0.25)]
+    rows2 = [(4, "A", 12345.67), (5, "B", 0.75), (6, "B", 0.25)]
+    schema = "id long, g string, v double"
+    spark.createDataFrame(rows1, schema).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows2, schema).write.parquet(str(src / "b2"))
+
+    stream_schema = spark.read.parquet(str(src / "b1")).schema
+    stream = spark.readStream.schema(stream_schema).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(str(src / "*"))
+    q = quantile_stream(stream, state_dir, ckpt, ["g"], "v")
+    q.awaitTermination(120)
+
+    state = latest_quantile_state(spark, state_dir)
+    one = sketches.quantile_histogram(
+        spark.createDataFrame(rows1 + rows2, schema), ["g"], "v"
+    )
+    assert sorted(map(tuple, state.collect())) == sorted(map(tuple, one.collect()))
+
+    # restart, no new files: the checkpoint yields no epochs, state unchanged
+    q2 = quantile_stream(stream, state_dir, ckpt, ["g"], "v")
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, latest_quantile_state(spark, state_dir).collect())) == \
+        sorted(map(tuple, one.collect()))
+
+    # replayed epoch: folding the SAME epoch_id twice is a no-op, so the
+    # non-idempotent sum cannot double-count
+    batch = spark.createDataFrame([(7, "A", 50.0)], schema)
+    next_epoch = 10_000
+    assert _fold_quantile_epoch(spark, state_dir, batch, next_epoch, ["g"], "v", 3, 100)
+    after_once = sorted(map(tuple, latest_quantile_state(spark, state_dir).collect()))
+    assert not _fold_quantile_epoch(spark, state_dir, batch, next_epoch, ["g"], "v", 3, 100)
+    assert sorted(map(tuple, latest_quantile_state(spark, state_dir).collect())) == after_once
+
+    # the estimate over the streamed state matches the operator surface
+    est = {(r.g, r.q_milli): r.est for r in sketches.quantile_estimate(
+        latest_quantile_state(spark, state_dir), ["g"], [500]
+    ).collect()}
+    assert set(est) == {("A", 500), ("B", 500)}
