@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_file_loader_spark.functions import token_hash32, token_hash_bits, tokens
-from etl_file_loader_spark.operators.cache import pin
+from etl_file_loader_spark.operators.cache import pin, pin_checkpoint
 
 logger = logging.getLogger(__name__)
 
@@ -871,6 +871,9 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
+    prev_ckpt = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -888,9 +891,19 @@ def connected_components(
             )
         ).localCheckpoint()
         converged = new_labels.filter(F.col("new_label") != F.col("label")).limit(1).isEmpty()
+        # the converged probe materialized this round's checkpoint, so the
+        # previous round's is now unreachable — release it, or a long chain
+        # holds one label copy per round for the session lifetime
+        if prev_ckpt is not None:
+            release_local_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels.select(F.col("id"), F.col("new_label").alias("label"))
         if converged:
             break
+    if prev_ckpt is not None:
+        # the returned plan reads only the final label checkpoint — the
+        # edge set has served its O(diameter) joins and can go too
+        release_local_checkpoint(edges)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -1276,13 +1289,22 @@ class NearDupIndex:
         )
 
     def absorb(self, new_df: DataFrame) -> None:
-        """Fold the batch's band buckets into the index (union + re-min)."""
+        """Fold the batch's band buckets into the index (union + re-min).
+
+        The superseded checkpoint is released once the merge has
+        materialized (eager=True): without it a stream absorbing K
+        batches holds K copies of the band index in the block manager —
+        the LinkageIndex release idiom applied per-absorb."""
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
+        old = self._index
         self._index = (
             self._index.unionByName(self._band_index(new_df))
             .groupBy("band_idx", "band_hash")
             .agg(F.min("_cid").alias("_cid"))
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(old)
 
     def save(self, path: str) -> None:
         """Write the band index durably (parquet state + JSON config) —
@@ -1715,7 +1737,9 @@ class LinkageIndex:
                 )
             else:
                 tier_pairs = self.link(unresolved, feed_id, feed_col, d)
-            tier_best = _best(tier_pairs).localCheckpoint(eager=True)
+            # registered for release between workloads (same rationale
+            # as link_best_match's tier checkpoints)
+            tier_best = pin_checkpoint(_best(tier_pairs).localCheckpoint(eager=True))
             resolved.append(tier_best)
             unresolved = unresolved.join(
                 tier_best.select(feed_id), feed_id, "left_anti"
@@ -1914,7 +1938,12 @@ def link_best_match(
             tier_pairs = edit_distance_join(
                 left, unresolved, left_id, right_id, left_col, right_col, d
             )
-        tier_best = _best(tier_pairs).localCheckpoint(eager=True)
+        # per-tier checkpoints are registered for release: checkpoint
+        # entries are strong-referenced by SparkContext until an explicit
+        # RDD unpersist, so a session composing many link calls would
+        # otherwise accumulate one dead block set per tier per call —
+        # release_operator_caches() frees them between workloads
+        tier_best = pin_checkpoint(_best(tier_pairs).localCheckpoint(eager=True))
         resolved.append(tier_best)
         unresolved = unresolved.join(
             tier_best.select(right_id), right_id, "left_anti"

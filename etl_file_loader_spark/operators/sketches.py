@@ -294,11 +294,17 @@ class HLLIndex:
         return hll_estimate(self._regs, self.keys, self.p)
 
     def absorb(self, batch: DataFrame) -> "HLLIndex":
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
         merged = hll_merge(
             [self._regs, hll_registers(batch, self.keys, self.col, self.p)],
             self.keys,
         )
+        old = self._regs
         self._regs = merged.localCheckpoint(eager=True)
+        # the new eager checkpoint is materialized, so the predecessor's
+        # blocks are dead weight — release, don't accumulate per absorb
+        release_local_checkpoint(old)
         return self
 
     def save(self, path: str) -> None:
@@ -720,6 +726,8 @@ class QuantileIndex:
         )
 
     def absorb(self, batch: DataFrame) -> "QuantileIndex":
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
         merged = quantile_hist_merge(
             [
                 self._hist,
@@ -729,7 +737,9 @@ class QuantileIndex:
             ],
             self.keys,
         )
+        old = self._hist
         self._hist = merged.localCheckpoint(eager=True)
+        release_local_checkpoint(old)
         return self
 
     def save(self, path: str) -> None:
@@ -787,10 +797,14 @@ class CMSIndex:
         return self._sk
 
     def absorb(self, batch: DataFrame) -> "CMSIndex":
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
         merged = cms_merge(
             [self._sk, cms_sketch(batch, self.col, self.depth, self.width)]
         )
+        old = self._sk
         self._sk = merged.localCheckpoint(eager=True)
+        release_local_checkpoint(old)
         return self
 
     def query(self, items: DataFrame, item_col: str) -> DataFrame:
@@ -842,12 +856,16 @@ class KMVIndex:
         return kmv_estimate(self._state, self.k)
 
     def absorb(self, batch: DataFrame) -> "KMVIndex":
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
         merged = kmv_merge(
             [self._state, kmv_sketch(batch, self.keys, self.col, self.k)],
             self.keys,
             self.k,
         )
+        old = self._state
         self._state = merged.localCheckpoint(eager=True)
+        release_local_checkpoint(old)
         return self
 
     def save(self, path: str) -> None:

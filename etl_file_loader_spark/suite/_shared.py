@@ -77,6 +77,15 @@ def _dec(col, scale: int = 2):
     )
 
 
+def _suite_ckpt_dir(spark: SparkSession) -> str:
+    """Per-application scratch dir for the suite rows that cross a durable
+    save/load boundary mid-query. Suffixed with the applicationId so two
+    concurrent runs (suite + bench, or parallel pytest) cannot clobber
+    each other's state mid-query (ADVICE r12); still bounded — one dir
+    per app, every write inside is mode=overwrite."""
+    return f"/tmp/efls_suite_ckpt_{spark.sparkContext.applicationId}"
+
+
 # The two shared registries, populated by the family modules and finalized
 # (digests + driver window) in the package __init__.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

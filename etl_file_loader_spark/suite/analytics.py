@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _dec, _t
+from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _dec, _suite_ckpt_dir, _t
 
 
 def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,6 +914,18 @@ QUERIES.update({"hll_distinct_check": q_hll_distinct_check})
 ORACLES.update({"hll_distinct_check": Q_HLL_DISTINCT_SQL})
 
 
+
+def _epoch_snapshot(df: DataFrame) -> DataFrame:
+    """Materialize a maintained-index epoch snapshot NOW (round 13):
+    absorb() releases the superseded checkpoint the moment its merge
+    materializes, so a lazy snapshot would reference freed blocks by the
+    time the final cross-epoch union runs. The snapshot is tiny
+    (register md5s / point estimates), and the pinned checkpoint is
+    freed by release_operator_caches() between workloads."""
+    from etl_file_loader_spark.operators.cache import pin_checkpoint
+
+    return pin_checkpoint(df.localCheckpoint(eager=True))
+
 def q_hll_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED HLL registers (operators/sketches.py:HLLIndex): seed
     from the o_orderkey%4==0 quarter of orders, absorb the three
@@ -955,12 +967,13 @@ def q_hll_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reg_md5",
         )
 
-    outs = [snapshot(0)]
+    # snapshots materialize per epoch: absorb() now RELEASES the
+    # superseded checkpoint, so each epoch's frame must be pinned before
+    # the next absorb invalidates the state it reads
+    outs = [_epoch_snapshot(snapshot(0))]
     for k in (1, 2, 3):
-        # registers()/estimate() capture the CURRENT checkpointed frame,
-        # so earlier snapshots stay correct after absorb() replaces it
         idx.absorb(orders.filter(F.col("o_orderkey") % 4 == k))
-        outs.append(snapshot(k))
+        outs.append(_epoch_snapshot(snapshot(k)))
     out = outs[0]
     for part in outs[1:]:
         out = out.unionByName(part)
@@ -1643,15 +1656,15 @@ def q_quantile_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(epoch).alias("epoch"), "grp", "n", "p90", "reg_md5"
         )
 
-    outs = [snapshot(0)]
+    outs = [_epoch_snapshot(snapshot(0))]
     for k in (1, 2, 3):
         if k == 2:
             # fixed overwrite path — see near_dedup_index_stream
-            ckpt = "/tmp/efls_suite_ckpt/quantile_idx"
+            ckpt = _suite_ckpt_dir(spark) + "/quantile_idx"
             idx.save(ckpt)
             idx = sketches.QuantileIndex.load(spark, ckpt)
         idx.absorb(orders.filter(F.col("o_orderkey") % 4 == k))
-        outs.append(snapshot(k))
+        outs.append(_epoch_snapshot(snapshot(k)))
     out = outs[0]
     for part in outs[1:]:
         out = out.unionByName(part)
@@ -1730,14 +1743,14 @@ def q_cms_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sketch_md5",
         )
 
-    outs = [snapshot(0)]
+    outs = [_epoch_snapshot(snapshot(0))]
     for k in (1, 2, 3):
         if k == 2:
-            ckpt = "/tmp/efls_suite_ckpt/cms_idx"
+            ckpt = _suite_ckpt_dir(spark) + "/cms_idx"
             idx.save(ckpt)
             idx = sketches.CMSIndex.load(spark, ckpt)
         idx.absorb(orders.filter(F.col("o_orderkey") % 4 == k))
-        outs.append(snapshot(k))
+        outs.append(_epoch_snapshot(snapshot(k)))
     out = outs[0]
     for part in outs[1:]:
         out = out.unionByName(part)

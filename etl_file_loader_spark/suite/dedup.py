@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from etl_file_loader_spark.operators import dedup as dedup_ops
 from etl_file_loader_spark.operators import similarity as sim_ops
 from etl_file_loader_spark.operators import text as text_ops
-from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _t
+from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _suite_ckpt_dir, _t
 from etl_file_loader_spark.suite.similarity import _recall_flag
 
 
@@ -641,21 +641,30 @@ def q_near_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = dedup_ops.NearDupIndex(
         docs.filter(F.col("doc_id") % 4 == 0), "doc_id", "text"
     )
+    from etl_file_loader_spark.operators.cache import pin_checkpoint
+
     outs = []
     for k in (1, 2, 3):
         if k == 2:
             # simulate a session restart: persist, drop the live object,
-            # restore from the parquet artifact alone. FIXED path (mode
-            # overwrite), not mkdtemp: the driver and bench run this row
-            # every round and a fresh tempdir per run would accumulate
-            ckpt = "/tmp/efls_suite_ckpt/near_dedup_idx"
+            # restore from the parquet artifact alone. Per-application
+            # path (mode overwrite), not mkdtemp: the driver and bench
+            # run this row every round and a fresh tempdir per run would
+            # accumulate; the applicationId suffix keeps concurrent runs
+            # from clobbering each other's state mid-query (ADVICE r12)
+            ckpt = _suite_ckpt_dir(spark) + "/near_dedup_idx"
             idx.save(ckpt)
             idx = dedup_ops.NearDupIndex.load(spark, ckpt)
         batch = docs.filter(F.col("doc_id") % 4 == k)
-        # flag() captures the CURRENT (immutable, checkpointed) index
-        # frame, so it stays correct even though absorb() replaces the
-        # index object afterwards — no eager materialization needed
-        outs.append(idx.flag(batch).withColumn("batch", F.lit(k).cast("int")))
+        # each batch's flags materialize BEFORE the absorb: absorb()
+        # now releases the superseded index checkpoint (round 13), so a
+        # lazy flag frame would reference freed blocks at the final union
+        flags = pin_checkpoint(
+            idx.flag(batch)
+            .withColumn("batch", F.lit(k).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        outs.append(flags)
         idx.absorb(batch)
     out = outs[0]
     for part in outs[1:]:
