@@ -101,7 +101,41 @@ def cms_hash(col: Column, row: int, width: int) -> Column:
     )
 
 
-def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 256) -> DataFrame:
+CMS_WIDTH_MIN = 256
+# depth*2^18 cells ≈ 1M rows / ~8 MB — still comfortably broadcastable;
+# key spaces beyond this cap are only meaningfully sketchable for HEAVY
+# hitters (whose true count dominates the ~N/width collision mass)
+CMS_WIDTH_MAX = 1 << 18
+
+
+def auto_cms_width(
+    df: DataFrame, col: str, oversize: int = 4, k: int = 1024
+) -> int:
+    """Size the CMS width off a KMV distinct estimate of ``col``.
+
+    The sf10 probe (NOTES_r12 §15) made the regime rule undeniable:
+    width must scale with the distinct-key count — 100k uniform keys
+    over width 1024 over-estimate ~97x, silently. This is that rule as
+    code (the reference auto-sizes its stage batches off driver
+    knowledge the same way, settings.py:64): one cheap KMV pass (k
+    smallest md5 hashes, ±~3% at k=1024, deterministic — KMV is a pure
+    function of the data), then the power of two >= oversize * estimate,
+    clamped to [CMS_WIDTH_MIN, CMS_WIDTH_MAX]. At the cap, point queries
+    are only trustworthy for heavy hitters; the returned width is the
+    loudest honest answer short of refusing.
+    """
+    row = kmv_estimate(kmv_sketch(df.select(col), [], col, k), k).head()
+    est = 0.0 if row is None else float(row.distinct_est)
+    target = min(max(est * oversize, float(CMS_WIDTH_MIN)), float(CMS_WIDTH_MAX))
+    width = CMS_WIDTH_MIN
+    while width < target:
+        width <<= 1
+    return min(width, CMS_WIDTH_MAX)
+
+
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int | None = None
+) -> DataFrame:
     """Count-min sketch of ``col``'s frequency distribution: a
     depth x width counter matrix as rows (r, c, cnt) — the heavy-hitter
     complement to KMV's distinct counting. Deterministic md5 row hashes,
@@ -109,11 +143,21 @@ def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 256) -> Dat
     addition (``cms_merge``); point estimates never undercount
     (``cms_query`` = min over rows, classic CMS upper-bound guarantee).
 
+    ``width=None`` (the default) auto-sizes from a KMV distinct estimate
+    (:func:`auto_cms_width`) — an explicit width skips that pass but
+    puts the regime rule on the caller: width must scale with the
+    distinct-key count or queries must target heavy hitters. When you
+    need the width later (``cms_query``/``cms_merge`` of separately
+    built sketches), call ``auto_cms_width`` yourself and pass it, or
+    use :class:`CMSIndex`, which records it.
+
     Plan shape: explode each record into ``depth`` (r, c) cells — still
     scan-shaped — then ONE hash agg whose map-side partials collapse to
     at most depth*width cells per task: shuffle is O(depth*width)
     regardless of data size. The sketch fits in a broadcast at any scale.
     """
+    if width is None:
+        width = auto_cms_width(df, col)
     cells = df.select(
         F.explode(
             F.array(
@@ -567,6 +611,16 @@ def bloom_semi_join(
 # disjoint by construction.
 
 QUANTILE_SIG_DIGITS = 3
+# Supported magnitude ceiling for the quantized value |v|*unit_scale.
+# Above ~9.2e18 the int64 cast itself saturates, and the estimate-side
+# bucket bound hi = (prefix+1)*10^exp can reach 1e19 and wrap negative
+# under non-ANSI Spark, corrupting the _ord sort (ADVICE r12). 9e15 keeps
+# every derived quantity comfortably in-range (hi <= 1e16) AND below
+# 2^53, so the double->int64 conversion is exact in both engines.
+# Values beyond the ceiling saturate into the top bucket — clamping is
+# monotone, so every rank below the saturated mass is unaffected; only
+# quantiles that land INSIDE the clamped tail read the ceiling value.
+QUANTILE_MAX_IV = 9_000_000_000_000_000  # 9e15
 
 
 def quantile_histogram(
@@ -581,10 +635,20 @@ def quantile_histogram(
     partials; per-group state is bounded by ~(decades x 9*10^(sig-1) + 2)
     rows FOREVER, regardless of data size. Nulls and NaNs are excluded
     (nulls like every SQL aggregate; a NaN would otherwise produce a
-    null-fielded register that corrupts the cumulative rank walk)."""
+    null-fielded register that corrupts the cumulative rank walk).
+
+    Supported magnitude: |v| * unit_scale <= QUANTILE_MAX_IV (9e15) —
+    larger values clamp into the top bucket (monotone: ranks below the
+    clamped mass are exact as ever; quantiles inside it read the
+    ceiling). The previous behavior silently overflowed int64 near
+    9.2e18 and wrapped the estimate-side bucket bounds negative."""
     v = F.col(col).cast("double")
     sign = F.signum(v).cast("int")
-    iv = F.floor(F.abs(v) * F.lit(float(unit_scale))).cast("long")
+    # clamp BEFORE floor, on doubles: floor(double) returns int64, so an
+    # unclamped product overflows inside floor itself for huge inputs
+    iv = F.floor(
+        F.least(F.abs(v) * F.lit(float(unit_scale)), F.lit(float(QUANTILE_MAX_IV)))
+    ).cast("long")
     s = iv.cast("string")
     d = F.length(s)
     p = F.least(d, F.lit(sig_digits))
@@ -784,12 +848,15 @@ class CMSIndex:
     all-time" shape at 100 TB."""
 
     def __init__(
-        self, seed: DataFrame, col: str, depth: int = 4, width: int = 256
+        self, seed: DataFrame, col: str, depth: int = 4, width: int | None = None
     ):
         self.col = col
         self.depth = depth
-        self.width = width
-        self._sk = cms_sketch(seed, col, depth, width).localCheckpoint(
+        # width=None sizes off the seed's KMV distinct estimate (the sf10
+        # regime rule as code — see auto_cms_width); the resolved value is
+        # recorded here, used by every absorb/query, and persisted by save
+        self.width = auto_cms_width(seed, col) if width is None else width
+        self._sk = cms_sketch(seed, col, depth, self.width).localCheckpoint(
             eager=True
         )
 

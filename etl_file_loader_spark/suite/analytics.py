@@ -1563,7 +1563,7 @@ _QH_BUCKET_SQL = """
   SELECT g, CAST(CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS INT) AS sign,
          CAST(length(s) - least(length(s), 3) AS INT) AS exp,
          CAST(substr(s, 1, 3) AS BIGINT) AS prefix
-  FROM (SELECT g, v, CAST(CAST(floor(abs(v) * 100) AS BIGINT) AS VARCHAR) AS s FROM {src})
+  FROM (SELECT g, v, CAST(CAST(floor(least(abs(v) * 100, 9000000000000000)) AS BIGINT) AS VARCHAR) AS s FROM {src})
 """
 
 
