@@ -1027,18 +1027,26 @@ class IVFIndexDF(IVFIndex):
         self.km.fit(df, id_col, vec_col)
         return self
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, spark=None) -> None:
         """Persist the deterministic quantizer as plain data: one parquet
         of (cid, cv) centroid rows plus the fit config as literal columns
         — not the ml-native writer (IVFIndexDF has no self.model; the base
         save() would crash on None and the base load() would silently
         return a non-deterministic ml-backed index, losing exactly the
-        replayability this subclass exists for)."""
+        replayability this subclass exists for). ``spark`` may be passed
+        explicitly (ADVICE r12: getActiveSession() returns None on
+        threads without an active session — that used to surface as an
+        AttributeError)."""
         from pyspark.sql import SparkSession
 
         if self.km.centers is None:
             raise ValueError("save() before fit(): no centers to persist")
-        spark = SparkSession.getActiveSession()
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "IVFIndexDF.save: no active SparkSession on this thread — "
+                "pass spark explicitly (save(path, spark))"
+            )
         rows = [
             (cid, [float(x) for x in cv], self.km.iters, self.km.round_to,
              self.km.max_fit_rows)
@@ -1049,11 +1057,21 @@ class IVFIndexDF(IVFIndex):
         ).coalesce(1).write.mode("overwrite").parquet(path)
 
     @classmethod
-    def load(cls, path: str) -> "IVFIndexDF":
+    def load(cls, path: str, spark=None) -> "IVFIndexDF":
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.getActiveSession()
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "IVFIndexDF.load: no active SparkSession on this thread — "
+                "pass spark explicitly (load(path, spark))"
+            )
         rows = spark.read.parquet(path).orderBy("cid").collect()
+        if not rows:
+            raise ValueError(
+                f"IVFIndexDF.load: no centroid rows at {path!r} — the save "
+                "was interrupted or the path is wrong"
+            )
         meta = rows[0]
         idx = cls(
             n_lists=len(rows),
@@ -1242,8 +1260,19 @@ class PQEncoder:
             .limit(k)
         )
 
-    def save(self, path: str, spark) -> None:
-        """Persist codebooks as a tiny parquet table (subspace, code, center)."""
+    def save(self, path: str, spark=None) -> None:
+        """Persist codebooks as a tiny parquet table (subspace, code,
+        center). ``spark`` is optional like the rest of the index family
+        (round 13 signature unification — it was the one member that
+        REQUIRED the session positionally)."""
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "PQEncoder.save: no active SparkSession on this thread — "
+                "pass spark explicitly (save(path, spark))"
+            )
         m, ksub, dsub = self.codebooks.shape
         rows = [
             (j, c, [float(x) for x in self.codebooks[j, c]])
@@ -1255,8 +1284,21 @@ class PQEncoder:
         ).parquet(path)
 
     @classmethod
-    def load(cls, path: str, spark, seed: int = 42) -> "PQEncoder":
+    def load(cls, path: str, spark=None, seed: int = 42) -> "PQEncoder":
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "PQEncoder.load: no active SparkSession on this thread — "
+                "pass spark explicitly (load(path, spark))"
+            )
         rows = spark.read.parquet(path).collect()
+        if not rows:
+            raise ValueError(
+                f"PQEncoder.load: no codebook rows at {path!r} — the save "
+                "was interrupted or the path is wrong"
+            )
         m = max(r["subspace"] for r in rows) + 1
         ksub = max(r["code"] for r in rows) + 1
         dsub = len(rows[0]["center"])

@@ -534,6 +534,59 @@ def cdc_stream(
     )
 
 
+def _quantile_identity_guard(spark, state_dir: str, checkpoint_dir: str) -> None:
+    """Refuse to run a quantile stream whose epoch numbering does not
+    belong to ``state_dir``'s committed chain (ADVICE r12).
+
+    The exactly-once guard keys snapshots on foreachBatch ``epoch_id``,
+    whose numbering is owned by the CHECKPOINT: reset or relocate the
+    checkpoint dir while keeping state_dir (a common "restart the
+    stream" move) and epoch ids restart at 0, collide with committed
+    ``state_e0/e1/...``, and every new batch silently folds nothing
+    while ``latest_quantile_state`` serves stale registers. So the
+    stream records its checkpoint identity in a marker under state_dir
+    on first start and RAISES on mismatch thereafter — data loss becomes
+    a loud error with the two honest exits spelled out (reuse the
+    original checkpoint, or start a fresh state_dir). Comparison is the
+    literal string: two spellings of one location (file:/x vs /x) are
+    treated as different owners, the safe direction."""
+    import re
+
+    from etl_file_loader_spark.fs import FS
+
+    fs = FS(spark)
+    marker = f"{state_dir}/_stream_identity"
+    if fs.exists(marker):
+        recorded = fs.read_text(marker).strip()
+        if recorded != checkpoint_dir:
+            raise ValueError(
+                f"quantile_stream state at {state_dir!r} is owned by "
+                f"checkpoint {recorded!r}, but this stream runs on "
+                f"{checkpoint_dir!r}. Epoch ids from a different "
+                "checkpoint restart at 0 and collide with committed "
+                "state_e{n} snapshots — new batches would be silently "
+                "dropped as replays. Either restart with the original "
+                "checkpoint dir, or point the stream at a fresh "
+                "state_dir (and re-seed it from the old chain's latest "
+                "snapshot if its counts should carry over)."
+            )
+        return
+    has_state = fs.exists(state_dir) and any(
+        re.fullmatch(r"state_e(\d+)", n) for n in fs.list_names(state_dir)
+    )
+    if has_state:
+        raise ValueError(
+            f"quantile_stream state at {state_dir!r} has committed "
+            "state_e{n} snapshots but no _stream_identity marker (a "
+            "pre-marker chain, or one built by hand). Cannot prove this "
+            "stream's epoch numbering matches it; write the marker "
+            "yourself (the checkpoint dir the chain was built with) to "
+            "adopt the state explicitly, or start a fresh state_dir."
+        )
+    fs.mkdirs(state_dir)
+    fs.write_text(marker, checkpoint_dir)
+
+
 def _fold_quantile_epoch(
     spark,
     state_dir: str,
@@ -609,7 +662,15 @@ def quantile_stream(
     the name guard turns at-least-once side effects into exactly-once
     state. Per-batch plan: one histogram agg (map-side partials,
     register-bounded shuffle) + one register-sized sum-merge — nothing
-    grows with stream history."""
+    grows with stream history.
+
+    The epoch-name guard is only as good as the epoch numbering, which
+    belongs to the CHECKPOINT — so the state chain records its
+    checkpoint identity and a restart against a different checkpoint
+    raises instead of silently dropping batches whose restarted epoch
+    ids collide with committed snapshots (``_quantile_identity_guard``).
+    """
+    _quantile_identity_guard(values.sparkSession, state_dir, checkpoint_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

@@ -694,3 +694,50 @@ def test_quantile_stream_exactly_once(spark, tmp_path):
         latest_quantile_state(spark, state_dir), ["g"], [500]
     ).collect()}
     assert set(est) == {("A", 500), ("B", 500)}
+
+
+def test_quantile_stream_identity_guard(spark, tmp_path):
+    """ADVICE r12: epoch numbering belongs to the checkpoint. A restart
+    that keeps state_dir but resets/relocates the checkpoint would
+    restart epoch ids at 0, collide with committed state_e{n}, and
+    silently drop every new batch as a "replay" — the guard makes that
+    a loud error instead. Adopting a marker-less committed chain is
+    likewise explicit, never implicit."""
+    import pytest as _pytest
+
+    from etl_file_loader_spark.fs import FS
+    from etl_file_loader_spark.streaming.ingest import (
+        _quantile_identity_guard,
+        quantile_stream,
+    )
+
+    src = tmp_path / "qg_src"
+    src.mkdir()
+    state_dir = str(tmp_path / "qg_state")
+    ckpt = str(tmp_path / "qg_ckpt")
+    schema = "id long, g string, v double"
+    spark.createDataFrame([(1, "A", 1.0), (2, "B", 2.0)], schema).write.parquet(
+        str(src / "b1")
+    )
+    stream_schema = spark.read.parquet(str(src / "b1")).schema
+    stream = spark.readStream.schema(stream_schema).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(str(src / "*"))
+    q = quantile_stream(stream, state_dir, ckpt, ["g"], "v")
+    q.awaitTermination(120)
+    fs = FS(spark)
+    assert fs.read_text(f"{state_dir}/_stream_identity").strip() == ckpt
+
+    # same state_dir, DIFFERENT checkpoint: raise, don't drop batches
+    with _pytest.raises(ValueError, match="owned by"):
+        quantile_stream(stream, state_dir, str(tmp_path / "other_ckpt"), ["g"], "v")
+
+    # committed chain without a marker: refuse to guess its numbering
+    fs.delete(f"{state_dir}/_stream_identity")
+    with _pytest.raises(ValueError, match="no _stream_identity"):
+        _quantile_identity_guard(spark, state_dir, ckpt)
+
+    # explicit adoption: write the marker back -> the original pairing runs
+    fs.write_text(f"{state_dir}/_stream_identity", ckpt)
+    q2 = quantile_stream(stream, state_dir, ckpt, ["g"], "v")
+    q2.awaitTermination(120)
