@@ -161,6 +161,16 @@ ORACLES.update(
 # Round-6 rotation for reference: 11 long-green dedup/text rows demoted,
 # 12 promoted (html_extract + 11 previously-digest-only ops).
 #
+# Round-13 rotation (#8, VERDICT r12 ask 3): the 5 round-12 digest-born
+# rows get their direct driver rows — quantile_hist_check,
+# quantile_index_stream, cms_index_stream, streaming_quantile_state,
+# hybrid_retrieval; 5 long-green rows demoted into their family digests
+# (bloom_filter_check / bloom_probe_stats, window rows since round 10 ->
+# analytics_digest; image_dhash_real / audio_fingerprint_real, window
+# rows since round 9 -> corpus_digest; streaming_sessionize, window row
+# since round 9 -> pipeline_digest), where each stays value-verified
+# every round.
+#
 # Round-12 rotation (#7, VERDICT r11 ask 3): the 9 round-11 digest-born
 # rows get their direct driver rows — fuzzy_link_tiers,
 # fuzzy_link_incremental, near_dedup_index_stream, url_canonical,
@@ -178,11 +188,9 @@ CHECKED_QUERIES: list[str] = [
     "analytics_digest",
     "corpus_digest",
     "pipeline_digest",
-    # promoted round 10: the Bloom filter family (packed words verified
-    # bit-for-bit, probe flags incl. the deterministic FP set, pruned
-    # semi-join vs the plain semi-join oracle)
-    "bloom_filter_check",
-    "bloom_probe_stats",
+    # Bloom semi-joins (the build/probe pair — window rows rounds 10-12
+    # — demoted round 13 into analytics_digest; the semi-join twins keep
+    # their direct rows)
     "bloom_semi_join",
     # promoted round 11 (rotation #6): the production-hash bloom semi-join
     # twin — xxhash64 positions behind the binary-carrier probe; the
@@ -194,6 +202,15 @@ CHECKED_QUERIES: list[str] = [
     # (incremental_agg_check demoted into analytics_digest)
     "hll_distinct_check",
     "hll_index_stream",
+    # promoted round 13 (rotation #8): the round-12 digest-born sketch
+    # cohort — portable quantile registers (+ the maintained index stream
+    # crossing a save/load boundary), the maintained count-min sketch,
+    # and the REAL Structured Streaming quantile maintenance row with its
+    # exactly-once epoch folds
+    "quantile_hist_check",
+    "quantile_index_stream",
+    "cms_index_stream",
+    "streaming_quantile_state",
     # dedup family
     "dedup_embedding_lsh_recall",
     "dedup_embedding_clustered_recall",
@@ -248,6 +265,9 @@ CHECKED_QUERIES: list[str] = [
     "curation_text_signals",
     "langid_fixture",
     "triplet_mining_lsh",
+    # promoted round 13 (rotation #8): reciprocal rank fusion of BM25 +
+    # dense cosine rankings (digest-born round 12), fully value-replayed
+    "hybrid_retrieval",
     # (kn_bigram_logprob / gopher_repetition_rules / ngram_novelty —
     # window rows rounds 9-11 — demoted round 12 into corpus_digest)
     # sampling / training layouts (packed_sequences_bpe and
@@ -258,12 +278,9 @@ CHECKED_QUERIES: list[str] = [
     "corpus_curation",
     # (cdc_apply / table_diff — window rows rounds 9-11 — demoted round
     # 12 into pipeline_digest)
-    # multimodal + streaming (all oracle-bearing: real decodes carry
-    # closed-form fixtures)
-    "image_dhash_real",
-    "audio_fingerprint_real",
-    # promoted round 9: the custom stateful streaming operator
-    "streaming_sessionize",
+    # (image_dhash_real / audio_fingerprint_real — window rows rounds
+    # 9-12 — demoted round 13 into corpus_digest; streaming_sessionize —
+    # window row rounds 9-12 — demoted round 13 into pipeline_digest)
     # promoted round 10: streaming CDC apply — out-of-order micro-batches
     # through the tombstoned incremental merge replay the batch oracle
     "streaming_cdc_apply",
