@@ -58,6 +58,81 @@ _SECOND_LEVEL_TLDS = [
     "co.ve", "com.pl", "net.pl", "org.pl", "co.hu",
 ]
 
+def load_psl(source: str) -> dict[str, list[str]]:
+    """Parse a Mozilla ``public_suffix_list.dat`` snapshot (public data,
+    user-supplied — pass a local path or the raw text itself) into the
+    rule sets :func:`registrable_domain` consumes. Round 13: closes the
+    "users must hand-build the list" gap the injectable param left open.
+
+    Returns ``{"second_level": [...], "wildcard": [...], "exception":
+    [...], "skipped_deep": [...]}``:
+
+    - ``second_level``: plain two-label rules (``co.uk``) — the isin set.
+    - ``wildcard``: the parent label of ``*.X`` rules (``ck`` for
+      ``*.ck``): ANY two-label host tail under X is a public suffix.
+    - ``exception``: ``!``-rules as their two-label suffix (``www.ck``):
+      carved back OUT of the wildcard — the host itself is registrable.
+    - ``skipped_deep``: rules deeper than two labels (``a.b.ck``,
+      ``*.b.ck``, 3+-label exceptions) — outside the two-label expression
+      form registrable_domain implements; returned (not swallowed) so a
+      caller can see exactly what the expression form cannot honor.
+
+    Single-label rules (``com``) need no entry — two labels is already
+    the default take. Comments (``//``), blank lines, and inline
+    whitespace per the PSL spec ("each line is only read up to the first
+    whitespace").
+    """
+    import os
+
+    text = source
+    if "\n" not in source and os.path.exists(source):
+        with open(source, encoding="utf-8") as fh:
+            text = fh.read()
+    out: dict[str, list[str]] = {
+        "second_level": [], "wildcard": [], "exception": [], "skipped_deep": []
+    }
+    for raw in text.splitlines():
+        line = raw.strip().split()[0] if raw.strip() else ""
+        if not line or line.startswith("//"):
+            continue
+        rule = line.lower()
+        if rule.startswith("!"):
+            body = rule[1:]
+            if body.count(".") == 1:
+                out["exception"].append(body)
+            else:
+                out["skipped_deep"].append(rule)
+        elif rule.startswith("*."):
+            body = rule[2:]
+            if "." not in body:
+                out["wildcard"].append(body)
+            else:
+                out["skipped_deep"].append(rule)
+        elif rule.count(".") == 1:
+            out["second_level"].append(rule)
+        elif "." in rule:
+            out["skipped_deep"].append(rule)
+        # single-label rules: two-label default already covers them
+    return out
+
+
+def _psl_rules(
+    second_level_tlds,
+) -> tuple[list[str], list[str], list[str]]:
+    """Normalize the injectable suffix argument: a plain list is the
+    historical two-label set; a dict is :func:`load_psl` output (full
+    wildcard/exception semantics); None is the built-in subset."""
+    if second_level_tlds is None:
+        return _SECOND_LEVEL_TLDS, [], []
+    if isinstance(second_level_tlds, dict):
+        return (
+            list(second_level_tlds.get("second_level", [])),
+            list(second_level_tlds.get("wildcard", [])),
+            list(second_level_tlds.get("exception", [])),
+        )
+    return list(second_level_tlds), [], []
+
+
 # default tracking parameters to strip during normalization
 _TRACKING_PREFIXES = ("utm_",)
 _TRACKING_NAMES = ("fbclid", "gclid", "msclkid", "mc_eid", "igshid")
@@ -189,7 +264,7 @@ def url_normalize(url: Column) -> Column:
 
 
 def registrable_domain(
-    host: Column, second_level_tlds: list[str] | None = None
+    host: Column, second_level_tlds: list[str] | dict | None = None
 ) -> Column:
     """eTLD+1: three labels when the last two form a known second-level
     suffix, else two.
@@ -198,10 +273,15 @@ def registrable_domain(
     Mozilla public-suffix list's two-label entries for real crawls — the
     built-in ``_SECOND_LEVEL_TLDS`` is a 50-entry common subset that is
     right for the fixtures but misses long-tail suffixes (com.co, co.at,
-    com.ua, ...) and drifts as the PSL changes. The suffix set compiles to
-    literals in the plan (an isin over a few thousand strings is a hash
-    probe per row, still scan-speed); wildcard/exception PSL rules are out
-    of scope for this expression form and documented as such.
+    com.ua, ...) and drifts as the PSL changes. Round 13: pass
+    :func:`load_psl` output (a dict) instead of a plain list and the
+    single-label wildcard (``*.ck``) and exception (``!www.ck``) rules
+    are honored too — a wildcard makes ANY two-label tail under its TLD
+    a suffix (take 3), an exception carves its suffix back out (take 2).
+    The suffix sets compile to literals in the plan (an isin over a few
+    thousand strings is a hash probe per row, still scan-speed); rules
+    deeper than two labels remain out of scope for this expression form
+    (load_psl reports them under "skipped_deep").
 
     Shape: one slice length selected by a when() whose BRANCH VALUES are
     trivial (label count / literals) — the label array and the last-two
@@ -209,13 +289,15 @@ def registrable_domain(
     (the same branch-exclusion rule _url_packed documents; the first
     draft's when(...last3...) CASE re-inlined the whole regex per
     branch)."""
-    suffixes = (
-        _SECOND_LEVEL_TLDS if second_level_tlds is None else list(second_level_tlds)
-    )
+    suffixes, wildcards, exceptions = _psl_rules(second_level_tlds)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat(F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1))
     in_sl = last2.isin(*suffixes)
+    if wildcards:
+        in_sl = in_sl | F.element_at(labels, -1).isin(*wildcards)
+    if exceptions:
+        in_sl = in_sl & ~last2.isin(*exceptions)
     take = F.when(n <= 2, n).when(in_sl, F.lit(3)).otherwise(F.lit(2))
     return F.array_join(F.slice(labels, -take, take), ".")
 
@@ -224,7 +306,7 @@ def domain_stats(
     df: DataFrame,
     url_col: str,
     chars_col: str | None = None,
-    second_level_tlds: list[str] | None = None,
+    second_level_tlds: list[str] | dict | None = None,
 ) -> DataFrame:
     """Per-registrable-domain rollup: document count (+ total/avg chars
     when ``chars_col`` given) — the reputation/cap-decision input. One
@@ -245,7 +327,7 @@ def domain_cap(
     url_col: str,
     max_per_domain: int,
     order_col: str,
-    second_level_tlds: list[str] | None = None,
+    second_level_tlds: list[str] | dict | None = None,
 ) -> DataFrame:
     """Keep at most ``max_per_domain`` documents per registrable domain,
     deterministically (the ``order_col`` ascending picks survivors) — the
@@ -268,7 +350,7 @@ def blocklist_filter(
     df: DataFrame,
     url_col: str,
     blocked_domains: DataFrame,
-    second_level_tlds: list[str] | None = None,
+    second_level_tlds: list[str] | dict | None = None,
 ) -> DataFrame:
     """Anti-join the corpus against a blocked registrable-domain list
     (column ``domain``). The list is tiny relative to the corpus —

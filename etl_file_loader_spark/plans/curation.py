@@ -40,6 +40,10 @@ class CurationConfig:
     url_col: str | None = None
     blocked_domains: tuple[str, ...] = ()
     domain_cap: int | None = None
+    # public-suffix rules for the registrable-domain key: None = built-in
+    # subset; a list of two-label suffixes; or load_psl() output (a dict
+    # with wildcard/exception rules from a real Mozilla PSL snapshot)
+    second_level_tlds: tuple[str, ...] | list[str] | dict | None = None
     # stage 0: HTML -> visible text (the web-crawl front door; the raw
     # text_col is REPLACED by the extracted main text before any
     # quality/dedup stage sees it)
@@ -222,11 +226,15 @@ class CurationPipeline:
                 blocked = docs.sparkSession.createDataFrame(
                     [(d,) for d in c.blocked_domains], ["domain"]
                 )
-                cur = web_ops.blocklist_filter(cur, c.url_col, blocked).drop("domain")
+                cur = web_ops.blocklist_filter(
+                    cur, c.url_col, blocked,
+                    second_level_tlds=c.second_level_tlds,
+                ).drop("domain")
             if c.domain_cap is not None:
-                cur = web_ops.domain_cap(cur, c.url_col, c.domain_cap, did).drop(
-                    "domain"
-                )
+                cur = web_ops.domain_cap(
+                    cur, c.url_col, c.domain_cap, did,
+                    second_level_tlds=c.second_level_tlds,
+                ).drop("domain")
             # barrier: every later stage re-evaluates its full upstream
             # lineage per count job (and the semi-join gates evaluate it
             # TWICE — build and probe sides); cutting here keeps the URL

@@ -223,3 +223,94 @@ def test_url_normalize_idempotent_and_parse_never_misaligns(spark):
         assert all(ch not in (r.p.host or "") for ch in "/?#\x01"), r.url
         assert "\x01" not in r.n1, r.url
         assert r.n2 == r.n1, f"normalize not idempotent for {r.url!r}: {r.n1!r} -> {r.n2!r}"
+
+
+_PSL_FIXTURE = """\
+// ===BEGIN ICANN DOMAINS===
+// comment line
+com
+co.uk   // trailing whitespace then junk is ignored per spec
+ORG.UK
+*.ck
+!www.ck
+a.b.ck
+*.deep.example
+!three.label.rule
+xn--p1ai
+
+uk
+"""
+
+
+def test_load_psl_parses_fixture(tmp_path):
+    from etl_file_loader_spark.operators.web import load_psl
+
+    p = tmp_path / "public_suffix_list.dat"
+    p.write_text(_PSL_FIXTURE)
+    rules = load_psl(str(p))
+    assert rules["second_level"] == ["co.uk", "org.uk"]  # lowered
+    assert rules["wildcard"] == ["ck"]
+    assert rules["exception"] == ["www.ck"]
+    # deeper-than-two-label rules are REPORTED, not silently honored
+    assert set(rules["skipped_deep"]) == {"a.b.ck", "*.deep.example", "!three.label.rule"}
+    # raw text is accepted too (no file needed)
+    assert load_psl(_PSL_FIXTURE) == rules
+
+
+def test_registrable_domain_wildcard_and_exception(spark):
+    from etl_file_loader_spark.operators.web import load_psl, registrable_domain
+
+    rules = load_psl(_PSL_FIXTURE)
+    hosts = spark.createDataFrame(
+        [
+            ("news.bbc.co.uk",),   # plain 2-label rule -> take 3
+            ("x.example.com",),    # single-label rule 'com' -> default 2
+            ("shop.stuff.ck",),    # wildcard *.ck: stuff.ck is a suffix -> take 3
+            ("www.ck",),           # exception !www.ck -> registrable itself
+            ("sub.www.ck",),       # exception: www.ck not a suffix -> take 2
+            ("plain.org.uk",),     # case-lowered rule applies
+        ],
+        "host string",
+    )
+    got = {
+        r.host: r.dom
+        for r in hosts.select(
+            "host", registrable_domain(F.col("host"), rules).alias("dom")
+        ).collect()
+    }
+    assert got == {
+        "news.bbc.co.uk": "bbc.co.uk",
+        "x.example.com": "example.com",
+        "shop.stuff.ck": "shop.stuff.ck",
+        "www.ck": "www.ck",
+        "sub.www.ck": "www.ck",
+        "plain.org.uk": "plain.org.uk",
+    }
+
+
+def test_curation_pipeline_accepts_psl(spark):
+    """The PSL rules thread through CurationPipeline's url_guard: with a
+    wildcard PSL, two docs under distinct ck sub-zones are distinct
+    registrable domains (cap 1 keeps both); without it they collapse to
+    one domain (cap 1 keeps one)."""
+    from etl_file_loader_spark.operators.web import load_psl
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    rules = load_psl(_PSL_FIXTURE)
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.stuff.ck/x", "good text with enough words here to pass", "en"),
+            (2, "http://b.stuff.ck/y", "more good text with enough words here too", "en"),
+        ],
+        "doc_id long, url string, text string, lang string",
+    )
+    kwargs = dict(
+        id_col="doc_id", text_col="text", url_col="url", domain_cap=1,
+        min_quality=None,
+    )
+    with_psl = CurationPipeline(
+        CurationConfig(second_level_tlds=rules, **kwargs)
+    ).run(docs)
+    without = CurationPipeline(CurationConfig(**kwargs)).run(docs)
+    assert with_psl.stage_counts["url_guard"] == 2  # a.stuff.ck != b.stuff.ck (take 3)
+    assert without.stage_counts["url_guard"] == 1   # both collapse to stuff.ck
