@@ -1,19 +1,23 @@
-"""sf10 measurement for the round-12 LinkageIndex durability path.
+"""sf10 measurement for the LinkageIndex durability path — round 13:
+PROCESS-ISOLATED legs.
 
 The class docstring's 100 TB story says the lowered master base "would
-be written once (bucketed parquet)" — round 12 made that code
-(save/load); this tool measures the claim on the 2M-row sf10 part
-master: per-session cost of (a) rebuilding the base from the master
-scan vs (b) loading the saved base, each followed by the same
-link_best feed resolution. The build is once-per-master-version; every
-later session pays only (b).
+be written once (bucketed parquet)"; round 12 made that code (save/
+load) and measured restore+link 72.9 s vs rebuild+link 106.5 s — but
+both legs ran in ONE JVM, so the restore leg was warmer (NOTES_r12 §12's
+own caveat). This version runs each leg in a FRESH python+JVM process
+(`--leg=...` child mode), so neither leg inherits the other's JIT/page
+cache/broadcast state; the save leg runs first and is the
+once-per-master-version cost the index amortizes.
 
-Usage: python tools/measure_linkage_persist.py [sf_dir] (default /tmp/sf10)
+Usage: python tools/measure_linkage_persist.py [sf_dir]   (orchestrator)
+       python tools/measure_linkage_persist.py --leg={save,rebuild,restore} sf_dir path
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import tempfile
 import time
@@ -21,20 +25,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import functions as F  # noqa: E402
-
-from etl_file_loader_spark.operators import dedup as dedup_ops  # noqa: E402
-from etl_file_loader_spark.operators.cache import (  # noqa: E402
-    release_operator_caches,
-)
-from etl_file_loader_spark.session import get_spark  # noqa: E402
-
 
 def _feed(part):
     """One-deletion dirty feed from the %256==1 slice (the
     fuzzy_link_incremental recipe, thinned for sf10 — the quantity under
     test is base reuse across sessions, not tier-1 throughput, which
     NOTES_r11 sections 4/7b already measure)."""
+    from pyspark.sql import functions as F
+
     src = part.filter(F.col("p_partkey") % 256 == 1).select(
         "p_partkey", "p_name", F.length("p_name").alias("_l")
     )
@@ -48,61 +46,88 @@ def _feed(part):
     )
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
-    spark = get_spark("linkage-persist")
+def _leg(which: str, sf_dir: str, path: str) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_file_loader_spark.operators import dedup as dedup_ops
+    from etl_file_loader_spark.session import get_spark
+
+    spark = get_spark(f"linkage-persist-{which}")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm floor
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     master = part.select(
         F.col("p_partkey").alias("pid"), F.col("p_name").alias("name")
     )
-    n_master = master.count()
     feed = _feed(part).localCheckpoint(eager=True)
-    n_feed = feed.count()
+    out: dict = {"leg": which, "feed_rows": feed.count()}
+
+    if which == "save":
+        t0 = time.perf_counter()
+        idx = dedup_ops.LinkageIndex(master, "pid", "name", max_distance=2)
+        out["build_sec"] = round(time.perf_counter() - t0, 2)
+        t1 = time.perf_counter()
+        idx.save(path)
+        out["save_sec"] = round(time.perf_counter() - t1, 2)
+        out["master_rows"] = master.count()
+    elif which == "rebuild":
+        t0 = time.perf_counter()
+        idx = dedup_ops.LinkageIndex(master, "pid", "name", max_distance=2)
+        out["resolved"] = idx.link_best(feed, "rid", "s").count()
+        out["per_session_cost_sec"] = round(time.perf_counter() - t0, 2)
+    elif which == "restore":
+        t0 = time.perf_counter()
+        idx = dedup_ops.LinkageIndex.load(spark, path)
+        out["resolved"] = idx.link_best(feed, "rid", "s").count()
+        out["per_session_cost_sec"] = round(time.perf_counter() - t0, 2)
+    else:
+        raise SystemExit(f"unknown leg {which}")
+    print("LEG_JSON " + json.dumps(out))
+    spark.stop()
+
+
+def _run_leg(which: str, sf_dir: str, path: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, __file__, f"--leg={which}", sf_dir, path],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("LEG_JSON "):
+            return json.loads(line[len("LEG_JSON "):])
+    raise SystemExit(
+        f"leg {which} produced no result:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--leg="):
+        _leg(sys.argv[1].split("=", 1)[1], sys.argv[2], sys.argv[3])
+        return
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
     path = tempfile.mkdtemp(prefix="linkage_idx_")
-
-    # (a) build-from-master session: lower + pin + write once
-    t0 = time.perf_counter()
-    idx = dedup_ops.LinkageIndex(master, "pid", "name", max_distance=2)
-    t_build = time.perf_counter() - t0
-    t1 = time.perf_counter()
-    idx.save(path)
-    t_save = time.perf_counter() - t1
-    t2 = time.perf_counter()
-    r_build = idx.link_best(feed, "rid", "s").count()
-    t_link_build = time.perf_counter() - t2
-    idx.release()
-    release_operator_caches()
-
-    # (b) restore session: read the saved base, same link
-    t3 = time.perf_counter()
-    back = dedup_ops.LinkageIndex.load(spark, path)
-    t_load = time.perf_counter() - t3
-    t4 = time.perf_counter()
-    r_load = back.link_best(feed, "rid", "s").count()
-    t_link_load = time.perf_counter() - t4
-    assert r_load == r_build
-
+    save = _run_leg("save", sf_dir, path)
+    rebuild = _run_leg("rebuild", sf_dir, path)
+    restore = _run_leg("restore", sf_dir, path)
+    assert rebuild["resolved"] == restore["resolved"], (rebuild, restore)
     print(
         json.dumps(
             {
                 "sf_dir": sf_dir,
-                "master_rows": n_master,
-                "feed_rows": n_feed,
-                "resolved": r_load,
-                "build_sec": round(t_build, 2),
-                "save_sec": round(t_save, 2),
-                "link_after_build_sec": round(t_link_build, 2),
-                "load_sec": round(t_load, 2),
-                "link_after_load_sec": round(t_link_load, 2),
-                "per_session_cost_rebuild": round(t_build + t_link_build, 2),
-                "per_session_cost_restore": round(t_load + t_link_load, 2),
+                "isolation": "fresh process per leg",
+                "master_rows": save["master_rows"],
+                "feed_rows": rebuild["feed_rows"],
+                "resolved": restore["resolved"],
+                "one_time_build_sec": save["build_sec"],
+                "one_time_save_sec": save["save_sec"],
+                "per_session_cost_rebuild": rebuild["per_session_cost_sec"],
+                "per_session_cost_restore": restore["per_session_cost_sec"],
+                "restore_speedup": round(
+                    rebuild["per_session_cost_sec"] / restore["per_session_cost_sec"], 2
+                ),
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
