@@ -161,3 +161,29 @@ def test_connected_components_releases_round_checkpoints(spark):
     # only the FINAL label checkpoint may remain live (edges + every
     # superseded round released inside the loop)
     assert _n_persistent(spark) - before <= 1
+
+
+def test_link_best_tier_checkpoints_release_between_workloads(spark):
+    """The per-tier link_best checkpoints cannot release behind their own
+    lazy return value (the pin() contract), so they register with
+    pin_checkpoint and release_operator_caches() frees them between
+    workloads — a session composing many link calls stays bounded."""
+    from etl_file_loader_spark.operators.dedup import LinkageIndex
+
+    before = _n_persistent(spark)
+    master = spark.range(200).select(
+        F.col("id").alias("pid"),
+        F.concat(F.lit("name-"), F.col("id").cast("string")).alias("name"),
+    )
+    idx = LinkageIndex(master, "pid", "name", max_distance=1)
+    feed = spark.range(50).select(
+        (F.col("id") + 1000).alias("rid"),
+        F.concat(F.lit("name-"), F.col("id").cast("string")).alias("s"),
+    )
+    resolved = idx.link_best(feed, "rid", "s")
+    assert resolved.count() == 50  # exact tier resolves everything
+    assert _n_persistent(spark) > before  # tier checkpoints live until release
+    idx.release()
+    released = release_operator_caches()
+    assert released >= 1
+    assert _n_persistent(spark) == before
