@@ -609,7 +609,12 @@ COMMENTARY = {
         "parquet mid-run (the durability boundary) — at cluster scale "
         "that write IS the per-epoch artifact. The estimate explodes the "
         "quantile list against the totals and brackets every (group, q) "
-        "in ONE join — plan size O(1) in the quantile count."
+        "in ONE join — plan size O(1) in the quantile count. Round 13: "
+        "the DUMPED plan is a union of four Scan ExistingRDD nodes — each "
+        "epoch's snapshot materializes eagerly at snapshot time (absorb "
+        "now RELEASES the superseded checkpoint, so a lazy cross-epoch "
+        "union would reference freed blocks); the per-epoch work "
+        "described above runs during construction, before this plan."
     ),
     "cms_index_stream": (
         "Round 12: maintained count-min cells. The per-epoch work is a "
@@ -617,7 +622,9 @@ COMMENTARY = {
         "width cells in map-side partials, then a cell-keyed sum-merge "
         "over state rows; the candidate probe broadcasts the sketch and "
         "min-reduces per item. Nothing in the plan grows with stream "
-        "history — cells are a fixed matrix forever."
+        "history — cells are a fixed matrix forever. Round 13: the dumped "
+        "plan shows the union of materialized epoch snapshots (see "
+        "quantile_index_stream note)."
     ),
 }
 
