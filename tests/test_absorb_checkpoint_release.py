@@ -10,6 +10,14 @@ stream's lifetime. Round 13 releases the predecessor inside every
 absorb; these tests assert the persistent-RDD count stays CONSTANT
 across K >= 5 absorbs per index class AND the estimates still match an
 all-at-once build (the release must not change any answer).
+
+Counting discipline: ``getPersistentRDDs`` is a weak-value map, so
+entries left by EARLIER tests can vanish whenever the JVM GCs — absolute
+before/after count equality is flaky across a shared session. Every
+assertion here therefore tracks the set of RDD ids CREATED BY THIS TEST
+(ids now minus ids at test start) and requires that set to stay
+constant-size across absorbs and empty after release; ids from other
+tests disappearing mid-test cannot affect it.
 """
 
 import pytest
@@ -32,8 +40,17 @@ from etl_file_loader_spark.operators.sketches import (
 K_ABSORBS = 5
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _persistent_ids(spark) -> set:
+    """Ids of currently-live persistent RDDs (weak-map snapshot)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def _new_ids(spark, base: set) -> set:
+    return _persistent_ids(spark) - base
 
 
 def _batches(spark, k=K_ABSORBS):
@@ -48,13 +65,14 @@ def _batches(spark, k=K_ABSORBS):
     ]
 
 
-def _assert_constant_rdds(spark, index, batches):
-    """Absorb K batches; the persistent-RDD count after each absorb must
-    equal the count after the first (one live checkpoint per index)."""
+def _assert_constant_rdds(spark, index, batches, base: set):
+    """Absorb K batches; the number of THIS test's live persistent RDDs
+    after each absorb must equal the count after the first (one live
+    checkpoint per index, superseded ones released)."""
     baseline = None
     for b in batches:
         index.absorb(b)
-        n = _n_persistent(spark)
+        n = len(_new_ids(spark, base))
         if baseline is None:
             baseline = n
         assert n == baseline, f"checkpoint accumulation: {n} != {baseline}"
@@ -62,9 +80,9 @@ def _assert_constant_rdds(spark, index, batches):
 
 def test_hll_index_constant_checkpoints(spark):
     batches = _batches(spark)
-    before = _n_persistent(spark)
+    base = _persistent_ids(spark)
     idx = HLLIndex(batches[0], ["grp"], "id", p=6)
-    _assert_constant_rdds(spark, idx, batches[1:])
+    _assert_constant_rdds(spark, idx, batches[1:], base)
     # answers unaffected: maintained estimate == one-shot over the union
     union = batches[0]
     for b in batches[1:]:
@@ -76,14 +94,14 @@ def test_hll_index_constant_checkpoints(spark):
     got = {(r.grp, r.hll_est) for r in idx.estimate().collect()}
     assert got == expect
     release_local_checkpoint(idx._regs)
-    assert _n_persistent(spark) == before
+    assert not _new_ids(spark, base)
 
 
 def test_quantile_index_constant_checkpoints(spark):
     batches = _batches(spark)
-    before = _n_persistent(spark)
+    base = _persistent_ids(spark)
     idx = QuantileIndex(batches[0], ["grp"], "val")
-    _assert_constant_rdds(spark, idx, batches[1:])
+    _assert_constant_rdds(spark, idx, batches[1:], base)
     union = batches[0]
     for b in batches[1:]:
         union = union.unionByName(b)
@@ -93,14 +111,14 @@ def test_quantile_index_constant_checkpoints(spark):
     assert got == expect
     release_local_checkpoint(idx._hist)
     release_local_checkpoint(one_shot._hist)
-    assert _n_persistent(spark) == before
+    assert not _new_ids(spark, base)
 
 
 def test_cms_index_constant_checkpoints(spark):
     batches = _batches(spark)
-    before = _n_persistent(spark)
+    base = _persistent_ids(spark)
     idx = CMSIndex(batches[0], "grp", width=64)
-    _assert_constant_rdds(spark, idx, batches[1:])
+    _assert_constant_rdds(spark, idx, batches[1:], base)
     probes = spark.createDataFrame([(0,), (3,)], "grp long")
     union = batches[0]
     for b in batches[1:]:
@@ -115,31 +133,31 @@ def test_cms_index_constant_checkpoints(spark):
         assert est >= true[g]
     release_local_checkpoint(idx._sk)
     release_local_checkpoint(one_shot._sk)
-    assert _n_persistent(spark) == before
+    assert not _new_ids(spark, base)
 
 
 def test_kmv_index_constant_checkpoints(spark):
     batches = _batches(spark)
-    before = _n_persistent(spark)
+    base = _persistent_ids(spark)
     idx = KMVIndex(batches[0], ["grp"], "id", k=16)
-    _assert_constant_rdds(spark, idx, batches[1:])
+    _assert_constant_rdds(spark, idx, batches[1:], base)
     assert idx.estimate().count() == 7
     release_local_checkpoint(idx._state)
-    assert _n_persistent(spark) == before
+    assert not _new_ids(spark, base)
 
 
 def test_near_dup_index_constant_checkpoints(spark):
     batches = _batches(spark)
-    before = _n_persistent(spark)
+    base = _persistent_ids(spark)
     idx = NearDupIndex(batches[0], "id", "text")
-    _assert_constant_rdds(spark, idx, batches[1:])
+    _assert_constant_rdds(spark, idx, batches[1:], base)
     # flags still work after K releases (every doc is a near-dup of the
     # shared template, so batch 0's ids win the min)
     flagged = idx.flag(batches[0].limit(5))
     assert flagged.filter(F.col("is_near_dup") == 1).count() == 5
     release_local_checkpoint(idx._index)
     release_operator_caches()
-    assert _n_persistent(spark) == before
+    assert not _new_ids(spark, base)
 
 
 def test_release_is_noop_on_non_checkpoint_frames(spark, tmp_path):
@@ -150,7 +168,7 @@ def test_release_is_noop_on_non_checkpoint_frames(spark, tmp_path):
 
 
 def test_connected_components_releases_round_checkpoints(spark):
-    before = _n_persistent(spark)
+    base = _persistent_ids(spark)
     # a 12-node chain forces many min-label rounds (diameter >> 3)
     pairs = spark.range(11).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
@@ -160,7 +178,7 @@ def test_connected_components_releases_round_checkpoints(spark):
     assert len(rows) == 12 and {r.cluster_id for r in rows} == {0}
     # only the FINAL label checkpoint may remain live (edges + every
     # superseded round released inside the loop)
-    assert _n_persistent(spark) - before <= 1
+    assert len(_new_ids(spark, base)) <= 1
 
 
 def test_link_best_tier_checkpoints_release_between_workloads(spark):
@@ -170,7 +188,7 @@ def test_link_best_tier_checkpoints_release_between_workloads(spark):
     workloads — a session composing many link calls stays bounded."""
     from etl_file_loader_spark.operators.dedup import LinkageIndex
 
-    before = _n_persistent(spark)
+    base = _persistent_ids(spark)
     master = spark.range(200).select(
         F.col("id").alias("pid"),
         F.concat(F.lit("name-"), F.col("id").cast("string")).alias("name"),
@@ -182,8 +200,8 @@ def test_link_best_tier_checkpoints_release_between_workloads(spark):
     )
     resolved = idx.link_best(feed, "rid", "s")
     assert resolved.count() == 50  # exact tier resolves everything
-    assert _n_persistent(spark) > before  # tier checkpoints live until release
+    assert _new_ids(spark, base)  # tier checkpoints live until release
     idx.release()
     released = release_operator_caches()
     assert released >= 1
-    assert _n_persistent(spark) == before
+    assert not _new_ids(spark, base)
