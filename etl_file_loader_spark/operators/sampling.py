@@ -723,6 +723,140 @@ def temperature_mixture(
     return weighted_repeat(joined, id_col, F.col("_mix_w"), salt=salt)
 
 
+# Supported magnitude ceiling for mixture_waterfill's exact-integer
+# threshold math: with milli weights (Σw <= 1000) every cross-multiply
+# stays <= 1000 * 9e15 = 9e18 < int64 max, so the capping predicate and
+# the floor-division allocation are EXACT in both engines — the same
+# ceiling discipline as sketches.QUANTILE_MAX_IV.
+WATERFILL_MAX_TOKENS = 9_000_000_000_000_000  # 9e15
+
+
+def mixture_waterfill(
+    df: DataFrame,
+    domain_col: str,
+    size_col: str,
+    weights_milli: dict[str, int],
+    budget: int,
+) -> DataFrame:
+    """Allocate a token ``budget`` across domains toward TARGET mixture
+    weights, respecting per-domain availability — the waterfilling data-
+    mixing solver (the step between "we want 50% en / 20% de / ..." and
+    what the corpus can actually supply). Domains whose fair share
+    exceeds their supply are CAPPED at it; the freed budget redistributes
+    proportionally among the rest, recursively, until a fixpoint.
+
+    Closed form instead of the textbook loop: sort positive-weight
+    domains by fill ratio avail/w ascending; a domain caps iff it caps at
+    the threshold its prefix implies —
+
+        ``avail * (W - W_prev) <= w * max(budget - A_prev, 0)``
+
+    (A_prev/W_prev = exclusive prefix sums of avail/weight in that
+    order). Capping is prefix-closed under this order (capping a domain
+    only RAISES the water level for the rest), so a running-AND over the
+    sorted prefix turns the per-row test into the exact fixpoint set —
+    one aggregate + one register-sized window, no iteration, no driver
+    loop. Uncapped domains then split the remaining budget by weight:
+    ``alloc = (w * B_rem) div W_rem`` (floor division; the <= |domains|
+    rounding residue is documented, not redistributed).
+
+    Exactness contract: weights are MILLI integers (each >= 0, sum in
+    (0, 1000]); ``size_col`` sums and ``budget`` must stay <=
+    WATERFILL_MAX_TOKENS (9e15). Then every comparison and division is
+    exact int64 in Spark AND DuckDB — the whole allocation replays
+    bit-for-bit in SQL. The sort key is the ratio as one double divide
+    (deterministic IEEE op, identical in both engines), tie-broken by
+    domain.
+
+    Plan shape (100 TB): one map-side-combinable aggregate to |domains|
+    rows; everything after runs over that register-sized frame (the
+    single-partition window is |domains| rows — the temperature_mixture
+    precedent). The corpus itself is never shuffled. Output: one row per
+    domain — ``avail``, ``w_milli``, ``capped`` (int), ``alloc``,
+    ``rate`` (alloc/avail, 6 dp; the per-domain keep rate to feed
+    :func:`stratified_sample` / :func:`weighted_repeat`).
+    """
+    ws = {str(k): int(v) for k, v in weights_milli.items()}
+    if any(v < 0 for v in ws.values()):
+        raise ValueError("weights_milli must be >= 0")
+    wsum = sum(ws.values())
+    if not 0 < wsum <= 1000:
+        raise ValueError(
+            f"weights_milli must sum in (0, 1000] for exact int64 math: {wsum}"
+        )
+    budget = int(budget)
+    if not 0 <= budget <= WATERFILL_MAX_TOKENS:
+        raise ValueError(
+            f"budget must be in [0, {WATERFILL_MAX_TOKENS}]: {budget}"
+        )
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        list(ws.items()), "domain string, w_milli long"
+    ).withColumnRenamed("domain", domain_col)
+    totals = df.groupBy(domain_col).agg(
+        F.sum(F.col(size_col).cast("long")).alias("avail")
+    )
+    j = totals.join(F.broadcast(wdf), domain_col, "left").select(
+        domain_col,
+        F.col("avail"),
+        F.coalesce(F.col("w_milli"), F.lit(0)).cast("long").alias("w_milli"),
+    )
+    pos = j.filter(F.col("w_milli") > 0)
+    zero = j.filter(F.col("w_milli") <= 0)
+    ratio = F.col("avail").cast("double") / F.col("w_milli").cast("double")
+    order = [ratio.asc(), F.col(domain_col).asc()]
+    w_prev = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    b = F.lit(budget)
+    staged = (
+        pos.withColumn("_a_prev", F.coalesce(F.sum("avail").over(w_prev), F.lit(0)))
+        .withColumn("_w_prev", F.coalesce(F.sum("w_milli").over(w_prev), F.lit(0)))
+        .withColumn("_w_tot", F.sum("w_milli").over(w_all))
+        .withColumn(
+            "_pred",
+            (
+                F.col("avail") * (F.col("_w_tot") - F.col("_w_prev"))
+                <= F.col("w_milli") * F.greatest(b - F.col("_a_prev"), F.lit(0))
+            ).cast("int"),
+        )
+        .withColumn("capped", F.min("_pred").over(w_run))
+        .withColumn("_cap_a", F.sum(F.col("capped") * F.col("avail")).over(w_all))
+        .withColumn("_cap_w", F.sum(F.col("capped") * F.col("w_milli")).over(w_all))
+    )
+    b_rem = b - F.col("_cap_a")
+    w_rem = F.col("_w_tot") - F.col("_cap_w")
+    alloc = F.when(F.col("capped") == 1, F.col("avail")).otherwise(
+        F.when(w_rem <= 0, F.lit(0)).otherwise(
+            F.expr("(w_milli * _b_rem) div _w_rem")
+        )
+    )
+    raced = (
+        staged.withColumn("_b_rem", b_rem)
+        .withColumn("_w_rem", w_rem)
+        .withColumn("alloc", alloc)
+        .select(domain_col, "avail", "w_milli", "capped", "alloc")
+    )
+    out = raced.unionByName(
+        zero.select(
+            domain_col,
+            "avail",
+            "w_milli",
+            F.lit(0).alias("capped"),
+            F.lit(0).cast("long").alias("alloc"),
+        )
+    )
+    rate = F.when(
+        F.col("avail") > 0,
+        F.round(F.col("alloc").cast("double") / F.col("avail").cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("rate", rate)
+
+
 # ---------------------------------------------------------------------------
 # DSIR: data selection via importance resampling (Xie et al. 2023)
 # ---------------------------------------------------------------------------

@@ -752,6 +752,68 @@ def quantile_estimate(
     )
 
 
+def quantile_trim(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lo_milli: int | None = None,
+    hi_milli: int | None = None,
+    sig_digits: int = QUANTILE_SIG_DIGITS,
+    unit_scale: int = 100,
+    keep_bounds: bool = False,
+) -> DataFrame:
+    """Per-group quantile band filter: keep rows whose ``col`` lies within
+    the group's [q_lo, q_hi] estimated from the portable quantile sketch —
+    the CCNet recipe (per-language perplexity bands) generalized to any
+    (group, score) pair: tail-trimming outliers per domain/language before
+    training without ever sorting the corpus.
+
+    Bounds come from :func:`quantile_estimate` over the group's decimal
+    log-histogram, so the whole trim — registers, ranks, interpolated
+    bounds, and the final comparison — replays bit-for-bit in SQL (the
+    estimates are rounded to 6 dp in both engines before comparing).
+    Rows with NULL/NaN ``col`` are dropped, as are groups whose values
+    are all NULL/NaN (no registers -> no bounds -> no rows).
+
+    Either bound may be None (one-sided trim); ``keep_bounds=True``
+    appends the applied ``_q_lo``/``_q_hi`` columns (whichever exist).
+
+    Plan shape (100 TB): one map-side-combinable aggregate to the
+    register-bounded histogram, a register-sized estimate, then ONE
+    equi-join of the corpus against |groups| bound rows (broadcast when
+    small — Catalyst/AQE decides) and a scan-side band filter. Two passes
+    over the data, which is the floor for any data-dependent threshold.
+    """
+    if lo_milli is None and hi_milli is None:
+        raise ValueError("at least one of lo_milli / hi_milli is required")
+    if lo_milli is not None and hi_milli is not None and lo_milli > hi_milli:
+        raise ValueError(f"lo_milli > hi_milli: {lo_milli} > {hi_milli}")
+    qs = sorted({q for q in (lo_milli, hi_milli) if q is not None})
+    hist = quantile_histogram(df, keys, col, sig_digits, unit_scale)
+    est = quantile_estimate(hist, keys, qs, unit_scale)
+    aggs = []
+    if lo_milli is not None:
+        aggs.append(
+            F.min(F.when(F.col("q_milli") == lo_milli, F.col("est"))).alias("_q_lo")
+        )
+    if hi_milli is not None:
+        aggs.append(
+            F.min(F.when(F.col("q_milli") == hi_milli, F.col("est"))).alias("_q_hi")
+        )
+    bounds = est.groupBy(*keys).agg(*aggs)
+    v = F.col(col).cast("double")
+    cond = v.isNotNull() & ~F.isnan(v)
+    if lo_milli is not None:
+        cond = cond & (v >= F.col("_q_lo"))
+    if hi_milli is not None:
+        cond = cond & (v <= F.col("_q_hi"))
+    out = df.join(bounds, keys).filter(cond)
+    if keep_bounds:
+        return out
+    drop = [c for c in ("_q_lo", "_q_hi") if c in out.columns]
+    return out.drop(*drop)
+
+
 class QuantileIndex:
     """MAINTAINED quantile registers over arriving batches — the
     NearDupIndex/HLLIndex house pattern applied to percentiles.

@@ -1702,6 +1702,62 @@ ORACLES.update(
 )
 
 
+def q_quantile_trim_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile band filter (operators/sketches.py:
+    quantile_trim): keep lineitem rows whose l_extendedprice lies within
+    the per-returnflag [p10, p90] band estimated from the portable
+    quantile sketch — the CCNet per-language perplexity-trim shape. Full
+    value row per group: the applied bounds (sketch-derived, so the
+    register walk and interpolation replay in SQL), the survivor count,
+    the decimal-staged survivor sum, and the survivor min/max (which pin
+    the band edges against off-by-one-bucket errors)."""
+    from etl_file_loader_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    trimmed = sketches.quantile_trim(
+        li, ["l_returnflag"], "l_extendedprice", 100, 900, keep_bounds=True
+    )
+    return (
+        trimmed.groupBy("l_returnflag")
+        .agg(
+            F.min("_q_lo").alias("q_lo"),
+            F.min("_q_hi").alias("q_hi"),
+            F.count(F.lit(1)).alias("kept"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("kept_sum"),
+            F.min(F.col("l_extendedprice").cast("double")).alias("kept_min"),
+            F.max(F.col("l_extendedprice").cast("double")).alias("kept_max"),
+        )
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            "q_lo", "q_hi", "kept", "kept_sum", "kept_min", "kept_max",
+        )
+        .orderBy("grp")
+    )
+
+
+Q_QUANTILE_TRIM_SQL = f"""
+WITH src AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
+{_quantile_est_sql("src", [100, 900])},
+bounds AS (
+  SELECT g, min(CASE WHEN q_milli = 100 THEN est END) AS q_lo,
+         min(CASE WHEN q_milli = 900 THEN est END) AS q_hi
+  FROM ests GROUP BY g
+)
+SELECT s.g AS grp, b.q_lo, b.q_hi,
+       CAST(count(*) AS BIGINT) AS kept,
+       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS kept_sum,
+       CAST(min(v) AS DOUBLE) AS kept_min,
+       CAST(max(v) AS DOUBLE) AS kept_max
+FROM src s JOIN bounds b ON b.g = s.g
+WHERE s.v >= b.q_lo AND s.v <= b.q_hi
+GROUP BY s.g, b.q_lo, b.q_hi
+ORDER BY grp
+"""
+
+QUERIES.update({"quantile_trim_band": q_quantile_trim_band})
+ORACLES.update({"quantile_trim_band": Q_QUANTILE_TRIM_SQL})
+
+
 def q_cms_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED count-min sketch (operators/sketches.py:CMSIndex): seed
     from the o_orderkey%4==0 quarter of orders, absorb the three

@@ -1414,3 +1414,102 @@ ORDER BY lang, bucket, batch_idx
 
 QUERIES.update({"length_bucketed_batches": q_length_bucketed_batches})
 ORACLES.update({"length_bucketed_batches": Q_LENGTH_BUCKETED_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Mixture waterfilling: target weights vs per-domain availability (round 13)
+# ---------------------------------------------------------------------------
+
+# es deliberately OMITTED: a corpus domain with no target weight must come
+# back as an explicit zero-allocation row, not disappear
+_WF_WEIGHTS = {"en": 100, "de": 400, "zh": 300, "fr": 200}
+
+
+def q_mixture_waterfill_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilling budget allocation
+    (operators/sampling.py:mixture_waterfill): per-language token supply
+    vs the target mixture {de: .4, zh: .3, fr: .2, en: .1}, budget = half
+    the corpus's tokens. The weights deliberately over-ask the small
+    languages so the capped/uncapped split, the freed-budget
+    redistribution, and the zero-weight passthrough (es) all appear in
+    the five output rows. Every comparison and division is exact int64
+    (milli weights), so the oracle replays the closed-form threshold
+    split bit-for-bit. The budget is derived from ONE bounded collect of
+    the corpus total (audit-row precedent); the oracle computes the same
+    total in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        text_ops.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    total = toks.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
+    budget = int(total) // 2
+    return (
+        sampling_ops.mixture_waterfill(
+            toks, "lang", "n_tokens", _WF_WEIGHTS, budget
+        )
+        .select("lang", "avail", "w_milli", "capped", "alloc", "rate")
+        .orderBy("lang")
+    )
+
+
+Q_MIXTURE_WATERFILL_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+avail AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS avail FROM toks GROUP BY lang),
+b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget FROM toks),
+w(lang, w_milli) AS (VALUES ('en', 100), ('de', 400), ('zh', 300), ('fr', 200)),
+j AS (SELECT a.lang, a.avail, CAST(coalesce(w.w_milli, 0) AS BIGINT) AS w_milli
+      FROM avail a LEFT JOIN w USING (lang)),
+pos AS (SELECT * FROM j WHERE w_milli > 0),
+r AS (
+  SELECT pos.*, budget,
+         CAST(avail AS DOUBLE) / w_milli AS ratio,
+         CAST(coalesce(sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w_milli, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS a_prev,
+         CAST(coalesce(sum(w_milli) OVER (ORDER BY CAST(avail AS DOUBLE) / w_milli, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_prev,
+         CAST(sum(w_milli) OVER () AS BIGINT) AS w_tot
+  FROM pos, b
+),
+p AS (
+  SELECT r.*,
+         CAST(avail * (w_tot - w_prev)
+              <= w_milli * greatest(budget - a_prev, CAST(0 AS BIGINT)) AS INT) AS pred
+  FROM r
+),
+c AS (
+  SELECT p.*, min(pred) OVER (ORDER BY ratio, lang
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+  FROM p
+),
+g AS (
+  SELECT c.*,
+         CAST(sum(capped * avail) OVER () AS BIGINT) AS cap_a,
+         CAST(sum(capped * w_milli) OVER () AS BIGINT) AS cap_w
+  FROM c
+),
+alloc AS (
+  SELECT lang, avail, w_milli, capped,
+         CASE WHEN capped = 1 THEN avail
+              WHEN w_tot - cap_w <= 0 THEN CAST(0 AS BIGINT)
+              ELSE (w_milli * (budget - cap_a)) // (w_tot - cap_w) END AS alloc
+  FROM g
+  UNION ALL
+  SELECT lang, avail, w_milli, 0 AS capped, CAST(0 AS BIGINT) AS alloc
+  FROM j WHERE w_milli <= 0
+)
+SELECT lang, avail, w_milli, CAST(capped AS INT) AS capped,
+       CAST(alloc AS BIGINT) AS alloc,
+       CASE WHEN avail > 0 THEN round(CAST(alloc AS DOUBLE) / avail, 6)
+            ELSE 0.0 END AS rate
+FROM alloc
+ORDER BY lang
+"""
+
+QUERIES.update({"mixture_waterfill_alloc": q_mixture_waterfill_alloc})
+ORACLES.update({"mixture_waterfill_alloc": Q_MIXTURE_WATERFILL_SQL})
