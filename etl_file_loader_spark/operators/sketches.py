@@ -761,6 +761,7 @@ def quantile_trim(
     sig_digits: int = QUANTILE_SIG_DIGITS,
     unit_scale: int = 100,
     keep_bounds: bool = False,
+    broadcast_bounds: bool = True,
 ) -> DataFrame:
     """Per-group quantile band filter: keep rows whose ``col`` lies within
     the group's [q_lo, q_hi] estimated from the portable quantile sketch —
@@ -779,10 +780,17 @@ def quantile_trim(
     appends the applied ``_q_lo``/``_q_hi`` columns (whichever exist).
 
     Plan shape (100 TB): one map-side-combinable aggregate to the
-    register-bounded histogram, a register-sized estimate, then ONE
-    equi-join of the corpus against |groups| bound rows (broadcast when
-    small — Catalyst/AQE decides) and a scan-side band filter. Two passes
-    over the data, which is the floor for any data-dependent threshold.
+    register-bounded histogram (the estimate's totals REUSE the register
+    exchange — verified: one source scan for the whole sketch side), a
+    register-sized estimate, then ONE equi-join of the corpus against
+    |groups| bound rows with the band predicate fused into the join.
+    Two passes over the data, which is the floor for any data-dependent
+    threshold. ``broadcast_bounds`` (default True) pins the build side
+    to the bounds frame — without the hint the optimizer broadcast the
+    CORPUS side at small scale (observed at sf0.01: BuildLeft on the
+    full scan), a choice that inverts catastrophically at 100 TB; set it
+    False only for extreme group cardinalities where |groups| rows of
+    two doubles outgrow the broadcast budget.
     """
     if lo_milli is None and hi_milli is None:
         raise ValueError("at least one of lo_milli / hi_milli is required")
@@ -807,7 +815,8 @@ def quantile_trim(
         cond = cond & (v >= F.col("_q_lo"))
     if hi_milli is not None:
         cond = cond & (v <= F.col("_q_hi"))
-    out = df.join(bounds, keys).filter(cond)
+    rhs = F.broadcast(bounds) if broadcast_bounds else bounds
+    out = df.join(rhs, keys).filter(cond)
     if keep_bounds:
         return out
     drop = [c for c in ("_q_lo", "_q_hi") if c in out.columns]
