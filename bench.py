@@ -250,6 +250,10 @@ BENCH_QUERIES = [
     "cms_index_stream",
     # round 12: real streaming quantile maintenance (exactly-once folds)
     "streaming_quantile_state",
+    # round 13: quantile band trim (CCNet shape) + waterfilling mixture
+    # allocation
+    "quantile_trim_band",
+    "mixture_waterfill_alloc",
 ]
 
 

@@ -626,6 +626,30 @@ COMMENTARY = {
         "plan shows the union of materialized epoch snapshots (see "
         "quantile_index_stream note)."
     ),
+    "quantile_trim_band": (
+        "Round 13: per-group quantile band filter. MUST-KEEP properties: "
+        "(a) the estimate's totals REUSE the register exchange "
+        "(ReusedExchange on the histogram aggregation) so the whole "
+        "sketch side costs ONE source scan; (b) the final band join is "
+        "BroadcastHashJoin with BuildRight = the |groups|-row bounds "
+        "frame (pinned by an explicit broadcast() — at sf0.01 the "
+        "optimizer otherwise broadcast the CORPUS side, a choice that "
+        "inverts catastrophically at 100 TB); (c) the band predicate is "
+        "fused into the join condition, so survivors never materialize "
+        "out-of-band. Two source scans total — the floor for any "
+        "data-dependent threshold."
+    ),
+    "mixture_waterfill_alloc": (
+        "Round 13: waterfilling budget allocation. One map-side-"
+        "combinable aggregate reduces the corpus to |domains| rows; "
+        "every window after it (exclusive prefix sums, the running-AND "
+        "capping fixpoint, the global remainder sums) runs over that "
+        "register-sized frame — the single-partition exchange is "
+        "|domains| rows by construction, never data. The corpus itself "
+        "is never shuffled and never rescanned; all threshold math is "
+        "exact int64 (milli weights), so the plan contains no UDF and "
+        "no float-order hazard."
+    ),
 }
 
 
