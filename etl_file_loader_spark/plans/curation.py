@@ -127,6 +127,17 @@ class CurationConfig:
     # (n_bigrams = 0) pass through — length floors are stage 1's job.
     perplexity_filter: bool = False
     min_mean_logprob: float = -8.0
+    # stage 4c band variant — CCNet's ACTUAL per-language discipline
+    # (Wenzek et al. 2020 keep the head/middle perplexity tertiles per
+    # language, not an absolute floor): keep docs whose mean_logprob lies
+    # within the per-group [lo_milli, hi_milli] quantile band, bounds from
+    # the portable quantile sketch (operators/sketches.quantile_trim —
+    # register-bounded, SQL-replayable). E.g. (333, 1000) keeps the most
+    # fluent two thirds of each language. Mutually exclusive with the
+    # absolute floor; unscoreable docs (n_bigrams = 0) pass through
+    # either way (length floors are stage 1's job).
+    perplexity_band: tuple[int, int] | None = None
+    perplexity_band_by: list[str] = field(default_factory=lambda: ["lang"])
     # stage 5: held-out split (label -> fraction; None disables)
     split_fractions: dict[str, float] | None = None
     keep_splits: tuple[str, ...] = ("train",)
@@ -366,16 +377,37 @@ class CurationPipeline:
         return cur
 
     def _apply_perplexity(self, cur: DataFrame, counts: dict[str, int]) -> DataFrame:
-        """Stage 4c: Kneser-Ney fluency floor, always AFTER dedup — shared
-        by ``run`` and the versioned incremental driver."""
+        """Stage 4c: Kneser-Ney fluency gate, always AFTER dedup — shared
+        by ``run`` and the versioned incremental driver. Two forms: the
+        absolute floor (``min_mean_logprob``) or the CCNet per-language
+        quantile band (``perplexity_band``)."""
         c = self.config
-        if not c.perplexity_filter:
+        if c.perplexity_filter and c.perplexity_band is not None:
+            raise ValueError(
+                "perplexity_filter and perplexity_band are mutually "
+                "exclusive — pick the absolute floor or the quantile band"
+            )
+        if not c.perplexity_filter and c.perplexity_band is None:
             return cur
         scored = text_ops.kn_bigram_logprob(cur, c.id_col, c.text_col)
-        keep_ids = scored.filter(
-            (F.col("n_bigrams") == 0)
-            | (F.col("mean_logprob") >= F.lit(float(c.min_mean_logprob)))
-        ).select(c.id_col)
+        if c.perplexity_band is not None:
+            from etl_file_loader_spark.operators.sketches import quantile_trim
+
+            lo, hi = c.perplexity_band
+            scoreable = scored.filter(F.col("n_bigrams") > 0).join(
+                cur.select(c.id_col, *c.perplexity_band_by), c.id_col
+            )
+            kept = quantile_trim(
+                scoreable, c.perplexity_band_by, "mean_logprob", lo, hi
+            )
+            keep_ids = kept.select(c.id_col).unionByName(
+                scored.filter(F.col("n_bigrams") == 0).select(c.id_col)
+            )
+        else:
+            keep_ids = scored.filter(
+                (F.col("n_bigrams") == 0)
+                | (F.col("mean_logprob") >= F.lit(float(c.min_mean_logprob)))
+            ).select(c.id_col)
         cur = cur.join(keep_ids, c.id_col, "left_semi")
         counts["perplexity_filter"] = cur.count()
         return cur

@@ -751,6 +751,65 @@ def test_perplexity_filter_disabled_is_noop(spark):
     assert res.stage_counts["packed"] == 6
 
 
+def test_perplexity_band_trims_per_language(spark):
+    """Stage 4c band variant (round 13): the CCNet per-language quantile
+    band — kept ids must equal the manual quantile_trim replay over the
+    per-language mean_logprob distribution, with the unscoreable doc
+    (n_bigrams = 0) passing through."""
+    from etl_file_loader_spark.operators.sketches import quantile_trim
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    en = _ppl_corpus(spark)
+    de = spark.createDataFrame(
+        [
+            (11, "das modell lernt auf dem korpus und das modell lernt weiter", "de"),
+            (12, "das modell lernt auf dem korpus und das modell bleibt hier", "de"),
+            (13, "qqx zvw pltk mnro aab ccd eef ggh", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs = en.unionByName(de)
+    cfg = CurationConfig(
+        min_quality=None,
+        scrub_pii=False,
+        near_dedup=False,
+        perplexity_band=(500, 1000),  # keep >= per-language median logprob
+    )
+    res = CurationPipeline(cfg).run(docs)
+    kept = {r["doc_id"] for r in res.packed.select("doc_id").collect()}
+
+    scored = text.kn_bigram_logprob(docs, "doc_id", "text")
+    scoreable = scored.filter(F.col("n_bigrams") > 0).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    expect = {
+        r["doc_id"]
+        for r in quantile_trim(scoreable, ["lang"], "mean_logprob", 500, 1000).collect()
+    }
+    expect.add(6)  # unscoreable passes through
+    assert kept == expect
+    # the band bit: word salad (below the median in BOTH languages) is out
+    assert 5 not in kept and 13 not in kept
+    assert res.stage_counts["perplexity_filter"] == len(kept)
+
+
+def test_perplexity_floor_and_band_mutually_exclusive(spark):
+    import pytest as _pytest
+
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    docs = _ppl_corpus(spark)
+    cfg = CurationConfig(
+        min_quality=None,
+        scrub_pii=False,
+        near_dedup=False,
+        perplexity_filter=True,
+        perplexity_band=(500, 1000),
+    )
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        CurationPipeline(cfg).run(docs)
+
+
 # ---------------------------------------------------------------------------
 # round 9: shared gram-table signal stage + span-dedup curation stage 4d
 # ---------------------------------------------------------------------------
