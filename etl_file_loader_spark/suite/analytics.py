@@ -920,11 +920,16 @@ def _epoch_snapshot(df: DataFrame) -> DataFrame:
     absorb() releases the superseded checkpoint the moment its merge
     materializes, so a lazy snapshot would reference freed blocks by the
     time the final cross-epoch union runs. The snapshot is tiny
-    (register md5s / point estimates), and the pinned checkpoint is
-    freed by release_operator_caches() between workloads."""
+    (register md5s / point estimates) — coalesce(1) first so the eager
+    materialization costs ONE task instead of shuffle-partition-many
+    (measured: the 32-task eager checkpoints were the bulk of the
+    stream rows' round-13 bench cost; only the final register-sized
+    stage collapses, the partial aggs upstream stay parallel). The
+    pinned checkpoint is freed by release_operator_caches() between
+    workloads."""
     from etl_file_loader_spark.operators.cache import pin_checkpoint
 
-    return pin_checkpoint(df.localCheckpoint(eager=True))
+    return pin_checkpoint(df.coalesce(1).localCheckpoint(eager=True))
 
 def q_hll_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED HLL registers (operators/sketches.py:HLLIndex): seed
