@@ -735,7 +735,7 @@ def mixture_waterfill(
     df: DataFrame,
     domain_col: str,
     size_col: str,
-    weights_milli: dict[str, int],
+    weights_milli: dict[str, int] | DataFrame,
     budget: int,
 ) -> DataFrame:
     """Allocate a token ``budget`` across domains toward TARGET mixture
@@ -766,7 +766,9 @@ def mixture_waterfill(
     exact int64 in Spark AND DuckDB — the whole allocation replays
     bit-for-bit in SQL. The sort key is the ratio as one double divide
     (deterministic IEEE op, identical in both engines), tie-broken by
-    domain.
+    domain. ``weights_milli`` may also be a DataFrame of
+    (``domain_col``, ``w_milli``) for table-resident mixture specs —
+    same contract, validated with one register-sized aggregate.
 
     Plan shape (100 TB): one map-side-combinable aggregate to |domains|
     rows; everything after runs over that register-sized frame (the
@@ -776,23 +778,42 @@ def mixture_waterfill(
     ``rate`` (alloc/avail, 6 dp; the per-domain keep rate to feed
     :func:`stratified_sample` / :func:`weighted_repeat`).
     """
-    ws = {str(k): int(v) for k, v in weights_milli.items()}
-    if any(v < 0 for v in ws.values()):
-        raise ValueError("weights_milli must be >= 0")
-    wsum = sum(ws.values())
-    if not 0 < wsum <= 1000:
-        raise ValueError(
-            f"weights_milli must sum in (0, 1000] for exact int64 math: {wsum}"
-        )
     budget = int(budget)
     if not 0 <= budget <= WATERFILL_MAX_TOKENS:
         raise ValueError(
             f"budget must be in [0, {WATERFILL_MAX_TOKENS}]: {budget}"
         )
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        list(ws.items()), "domain string, w_milli long"
-    ).withColumnRenamed("domain", domain_col)
+    if isinstance(weights_milli, DataFrame):
+        # table-resident mixture spec (large domain sets): columns
+        # (domain_col, w_milli). The exactness contract still needs
+        # Σw in (0, 1000] — validated with ONE register-sized aggregate
+        # (1-row collect, audit precedent).
+        wdf = weights_milli.select(
+            F.col(domain_col), F.col("w_milli").cast("long").alias("w_milli")
+        )
+        chk = wdf.agg(
+            F.sum("w_milli").alias("s"), F.min("w_milli").alias("mn")
+        ).collect()[0]
+        if chk["mn"] is not None and chk["mn"] < 0:
+            raise ValueError("weights_milli must be >= 0")
+        if chk["s"] is None or not 0 < chk["s"] <= 1000:
+            raise ValueError(
+                "weights_milli must sum in (0, 1000] for exact int64 "
+                f"math: {chk['s']}"
+            )
+    else:
+        ws = {str(k): int(v) for k, v in weights_milli.items()}
+        if any(v < 0 for v in ws.values()):
+            raise ValueError("weights_milli must be >= 0")
+        wsum = sum(ws.values())
+        if not 0 < wsum <= 1000:
+            raise ValueError(
+                f"weights_milli must sum in (0, 1000] for exact int64 math: {wsum}"
+            )
+        wdf = spark.createDataFrame(
+            list(ws.items()), "domain string, w_milli long"
+        ).withColumnRenamed("domain", domain_col)
     totals = df.groupBy(domain_col).agg(
         F.sum(F.col(size_col).cast("long")).alias("avail")
     )

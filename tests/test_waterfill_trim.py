@@ -116,6 +116,30 @@ def test_waterfill_validates_inputs(spark):
         mixture_waterfill(df, "dom", "toks", {"a": 500}, WATERFILL_MAX_TOKENS + 1)
 
 
+def test_waterfill_dataframe_weights_match_dict(spark):
+    """Table-resident weights (the large-domain-set path) must produce
+    the identical allocation, and fail the same validations."""
+    avail = {"a": 500, "b": 2_000, "c": 700}
+    w = {"a": 600, "b": 300}
+    df = spark.createDataFrame(list(avail.items()), "dom string, toks long")
+    wdf = spark.createDataFrame(list(w.items()), "dom string, w_milli long")
+    via_dict = {
+        r["dom"]: tuple(r)[1:]
+        for r in mixture_waterfill(df, "dom", "toks", w, 3_000).collect()
+    }
+    via_df = {
+        r["dom"]: tuple(r)[1:]
+        for r in mixture_waterfill(df, "dom", "toks", wdf, 3_000).collect()
+    }
+    assert via_dict == via_df
+    bad = spark.createDataFrame([("a", 1200)], "dom string, w_milli long")
+    with pytest.raises(ValueError, match="sum"):
+        mixture_waterfill(df, "dom", "toks", bad, 100)
+    neg = spark.createDataFrame([("a", -5), ("b", 500)], "dom string, w_milli long")
+    with pytest.raises(ValueError, match=">= 0"):
+        mixture_waterfill(df, "dom", "toks", neg, 100)
+
+
 def test_waterfill_exact_at_the_ceiling(spark):
     """int64 exactness at the documented magnitude ceiling: one domain
     holding 9e15 tokens against milli weights must not overflow any
