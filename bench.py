@@ -251,9 +251,10 @@ BENCH_QUERIES = [
     # round 12: real streaming quantile maintenance (exactly-once folds)
     "streaming_quantile_state",
     # round 13: quantile band trim (CCNet shape) + waterfilling mixture
-    # allocation
+    # allocation + maintained fixed-query BM25 postings
     "quantile_trim_band",
     "mixture_waterfill_alloc",
+    "bm25_index_stream",
 ]
 
 

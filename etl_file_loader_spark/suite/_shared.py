@@ -91,3 +91,18 @@ def _suite_ckpt_dir(spark: SparkSession) -> str:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+
+
+def _epoch_snapshot(df):
+    """Materialize a maintained-index epoch snapshot NOW (round 13):
+    absorb() releases the superseded checkpoint the moment its merge
+    materializes, so a lazy snapshot would reference freed blocks by the
+    time the final cross-epoch union runs. The snapshot is tiny
+    (register md5s / point estimates / top-k cuts) — coalesce(1) first so
+    the eager materialization costs ONE task instead of
+    shuffle-partition-many (only the final register-sized stage
+    collapses, the partial aggs upstream stay parallel). The pinned
+    checkpoint is freed by release_operator_caches() between workloads."""
+    from etl_file_loader_spark.operators.cache import pin_checkpoint
+
+    return pin_checkpoint(df.coalesce(1).localCheckpoint(eager=True))

@@ -8,7 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _dec, _suite_ckpt_dir, _t
+from etl_file_loader_spark.suite._shared import (
+    ORACLES,
+    QUERIES,
+    _dec,
+    _epoch_snapshot,
+    _suite_ckpt_dir,
+    _t,
+)
 
 
 def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,21 +922,9 @@ ORACLES.update({"hll_distinct_check": Q_HLL_DISTINCT_SQL})
 
 
 
-def _epoch_snapshot(df: DataFrame) -> DataFrame:
-    """Materialize a maintained-index epoch snapshot NOW (round 13):
-    absorb() releases the superseded checkpoint the moment its merge
-    materializes, so a lazy snapshot would reference freed blocks by the
-    time the final cross-epoch union runs. The snapshot is tiny
-    (register md5s / point estimates) — coalesce(1) first so the eager
-    materialization costs ONE task instead of shuffle-partition-many
-    (measured: the 32-task eager checkpoints were the bulk of the
-    stream rows' round-13 bench cost; only the final register-sized
-    stage collapses, the partial aggs upstream stay parallel). The
-    pinned checkpoint is freed by release_operator_caches() between
-    workloads."""
-    from etl_file_loader_spark.operators.cache import pin_checkpoint
-
-    return pin_checkpoint(df.coalesce(1).localCheckpoint(eager=True))
+# _epoch_snapshot moved to suite._shared (round 13: the BM25 index
+# stream row in suite/text.py needs it too); re-exported via the import
+# at the top of this module.
 
 def q_hll_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED HLL registers (operators/sketches.py:HLLIndex): seed

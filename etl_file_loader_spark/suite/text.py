@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from etl_file_loader_spark.operators import text as text_ops
-from etl_file_loader_spark.suite._shared import ORACLES, QUERIES, _t
+from etl_file_loader_spark.suite._shared import (
+    ORACLES,
+    QUERIES,
+    _epoch_snapshot,
+    _suite_ckpt_dir,
+    _t,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1167,8 +1173,13 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_oracle_sql() -> str:
-    # identical Python doubles on both engines; left-associated term sum
+def _bm25_oracle_sql(where: str = "", limit: int | None = None) -> str:
+    # identical Python doubles on both engines; left-associated term sum.
+    # ``where``/``limit`` parameterize the source slice and the cut so the
+    # maintained-index stream row can replay each epoch from batch
+    # numbering alone (round 13).
+    if limit is None:
+        limit = _BM25_K
     tf_cols = ",\n         ".join(
         f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -1195,7 +1206,7 @@ WITH d AS (
            CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                 ELSE string_split_regex(trim(text), '\s+') END,
            t -> lower(t)) AS w
-  FROM documents
+  FROM documents {where}
 ),
 base AS (
   SELECT doc_id, len(w) AS dl,
@@ -1211,11 +1222,75 @@ SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
        round(0.0 + {term_sum}, 6) AS bm25
 FROM base CROSS JOIN st
 ORDER BY bm25 DESC, doc_id
-LIMIT {_BM25_K}
+LIMIT {limit}
 """
 
 
 Q_BM25_RETRIEVAL_SQL = _bm25_oracle_sql()
+
+
+_BM25_STREAM_K = 5
+
+
+def q_bm25_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED fixed-query BM25 postings (operators/text.py:BM25Index):
+    seed from the doc_id%4==0 quarter of documents, absorb the three
+    remaining quarters IN ORDER, and emit the top-5 ranking after every
+    epoch — each ranking reflects the FULL absorbed corpus (idf/avgdl
+    recomputed from postings; no text re-tokenized after its one absorb).
+    Absorb is append (exactly-once per doc, like the quantile/CMS
+    sum-merge family) and the batches are disjoint by construction, so
+    the oracle replays epoch k's ranking from batch numbering alone:
+    BM25 over rows with doc_id%4 <= k. The stream CROSSES a save/load
+    boundary between epochs 1 and 2 (the index-family durability
+    discipline)."""
+    from etl_file_loader_spark.operators.text import BM25Index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = BM25Index(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+    )
+
+    def snapshot(epoch: int) -> DataFrame:
+        return _epoch_snapshot(
+            idx.topk(_BM25_STREAM_K).select(
+                F.lit(epoch).alias("epoch"), "doc_id", "n_tokens", "bm25"
+            )
+        )
+
+    outs = [snapshot(0)]
+    for k in (1, 2, 3):
+        if k == 2:
+            ckpt = _suite_ckpt_dir(spark) + "/bm25_idx"
+            idx.save(ckpt)
+            idx = BM25Index.load(spark, ckpt)
+        idx.absorb(docs.filter(F.col("doc_id") % 4 == k))
+        outs.append(snapshot(k))
+    out = outs[0]
+    for part in outs[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("epoch", F.col("bm25").desc(), "doc_id")
+
+
+def _bm25_index_stream_sql() -> str:
+    def epoch(k: int) -> str:
+        inner = _bm25_oracle_sql(
+            where=f"WHERE doc_id % 4 <= {k}", limit=_BM25_STREAM_K
+        )
+        return f"  SELECT {k} AS epoch, * FROM ({inner})"
+
+    return (
+        "SELECT * FROM ("
+        + "\n  UNION ALL\n".join(epoch(k) for k in range(4))
+        + "\n) ORDER BY epoch, bm25 DESC, doc_id"
+    )
+
+
+Q_BM25_INDEX_STREAM_SQL = _bm25_index_stream_sql()
+
+QUERIES.update({"bm25_index_stream": q_bm25_index_stream})
+ORACLES.update({"bm25_index_stream": Q_BM25_INDEX_STREAM_SQL})
 
 
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

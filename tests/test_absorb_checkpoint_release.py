@@ -146,6 +146,23 @@ def test_kmv_index_constant_checkpoints(spark):
     assert not _new_ids(spark, base)
 
 
+def test_bm25_index_constant_checkpoints(spark):
+    from etl_file_loader_spark.operators.text import BM25Index, bm25_score
+
+    batches = _batches(spark, 4)
+    base = _persistent_ids(spark)
+    idx = BM25Index(batches[0], "id", "text", ["quick", "doc"])
+    _assert_constant_rdds(spark, idx, batches[1:], base)
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    expect = {tuple(r) for r in bm25_score(union, "id", "text", ["quick", "doc"]).collect()}
+    got = {tuple(r) for r in idx.score().collect()}
+    assert got == expect
+    release_local_checkpoint(idx._post)
+    assert not _new_ids(spark, base)
+
+
 def test_near_dup_index_constant_checkpoints(spark):
     batches = _batches(spark)
     base = _persistent_ids(spark)

@@ -113,6 +113,30 @@ def test_hll_index_reload_equality(spark, orders, tmp_path):
     assert _rows(back.estimate()) == _rows(idx.estimate())
 
 
+def test_bm25_index_reload_equality(spark, docs, tmp_path):
+    from etl_file_loader_spark.operators.text import BM25Index, bm25_score
+
+    terms = ["shared", "doc"]
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    idx = BM25Index(seed, "doc_id", "text", terms)
+    idx.absorb(b1)
+    path = str(tmp_path / "bm25")
+    idx.save(path)
+    back = BM25Index.load(spark, path)
+    assert (back.terms, back.k1, back.b) == (terms, 1.2, 0.75)
+    assert _rows(back.postings()) == _rows(idx.postings())
+
+    idx.absorb(b2)
+    back.absorb(b2)
+    assert _rows(back.score()) == _rows(idx.score())
+    # maintained score == scan-time one-shot over the whole corpus
+    one_shot = _rows(bm25_score(docs, "doc_id", "text", terms))
+    assert _rows(back.score()) == one_shot
+
+
 def test_hll_saved_registers_are_engine_portable(spark, orders, tmp_path):
     """The persisted state is plain rows — DuckDB reads it directly and
     agrees on every register (the portable-sketch point of the design)."""
