@@ -650,6 +650,17 @@ COMMENTARY = {
         "exact int64 (milli weights), so the plan contains no UDF and "
         "no float-order hazard."
     ),
+    "bm25_index_stream": (
+        "Round 13: maintained fixed-query BM25 postings. Per-epoch work "
+        "during construction: tokenize ONLY the new batch into postings "
+        "rows (one narrow projection, no explode — per-term tf is an "
+        "in-place filter over the bound token array), append to the "
+        "checkpointed postings, score = one scalar-aggregate stats row "
+        "broadcast back over stored longs. No text is re-read after its "
+        "one absorb — at 100 TB a standing query scores from postings, "
+        "never re-tokenizes. The dumped plan is the union of "
+        "materialized epoch snapshots (see quantile_index_stream note)."
+    ),
 }
 
 
