@@ -1202,6 +1202,13 @@ def incremental_near_dedup(
     )
 
 
+def _band_fold(df: DataFrame) -> DataFrame:
+    """TieredState fold for the band index: one row per bucket, canonical
+    id = min over contributions. Idempotent + associative across tiers
+    (min), which is exactly NearDupIndex's confluence contract."""
+    return df.groupBy("band_idx", "band_hash").agg(F.min("_cid").alias("_cid"))
+
+
 class NearDupIndex:
     """MAINTAINED MinHash band index over an ingested corpus — the
     executable form of :func:`incremental_near_dedup`'s "at scale that
@@ -1213,15 +1220,23 @@ class NearDupIndex:
     ``incremental_near_dedup``: matched_corpus_id = smallest indexed doc
     sharing ANY band bucket, NULL -> unique), then :meth:`absorb` the
     batch so later batches see it. The index holds one row per distinct
-    (band_idx, band_hash) — it grows with distinct CONTENT, not corpus
-    rows — and absorption is a union + re-min, CONFLUENT because min is
+    (band_idx, band_hash) per tier — it grows with distinct CONTENT,
+    not corpus rows — and absorption is CONFLUENT because min is
     commutative/associative/idempotent: any absorption order of the same
-    batches yields the same index, so out-of-order ingest cannot corrupt
+    batches yields the same flags, so out-of-order ingest cannot corrupt
     dedup decisions (the suite oracle exploits this: it replays the
-    final flags from the batch numbering alone). Each absorb
-    localCheckpoints the new index — per-epoch lineage stays one union
-    deep (the cdc_stream pattern); at cluster scale the same frame is
-    written per epoch (``state_v{n}``-style) instead.
+    final flags from the batch numbering alone).
+
+    Round 14 — absorb is O(batch), not O(state): the state is an
+    LSM-style :class:`~etl_file_loader_spark.operators.tiered.
+    TieredState` ladder whose fold is the per-bucket canonical-id
+    ``min``. An absorb signs and checkpoints ONLY the batch's band rows;
+    geometric cascade merges keep tier count O(log(state/batch)) and
+    re-copy each band row only O(log n) times over a stream's lifetime
+    (the round-13 shape re-min'd the FULL index per absorb — measured
+    per-absorb in tools/measure_absorb_release.py). :meth:`flag` takes
+    its per-doc ``min`` over the tier union, so tiering is invisible to
+    every answer.
 
     Measured at sf10 (500k docs, 62.5k seed + 7 arriving batches, warm):
     17.0 s maintained vs 29.0 s calling incremental_near_dedup per batch
@@ -1240,29 +1255,29 @@ class NearDupIndex:
         bands: int = 4,
         rows_per_band: int = 4,
     ):
+        from etl_file_loader_spark.operators.tiered import TieredState
+
         self.id_col = id_col
         self.text_col = text_col
         self.num_hashes = num_hashes
         self.n = n
         self.bands = bands
         self.rows_per_band = rows_per_band
-        self._index = (
-            self._band_index(corpus).localCheckpoint(eager=True)
-        )
+        self._state = TieredState.build(self._band_raw(corpus), _band_fold)
 
-    def _band_index(self, df: DataFrame) -> DataFrame:
-        return (
-            _band_rows(
-                minhash_signatures(
-                    df, self.id_col, self.text_col,
-                    num_hashes=self.num_hashes, n=self.n,
-                ),
-                self.id_col,
-                self.bands,
-                self.rows_per_band,
-            )
-            .groupBy("band_idx", "band_hash")
-            .agg(F.min(F.col(self.id_col)).alias("_cid"))
+    def _band_raw(self, df: DataFrame) -> DataFrame:
+        """(band_idx, band_hash, _cid) band rows of ``df`` — the raw
+        tier contribution; the state's fold min-reduces per bucket."""
+        return _band_rows(
+            minhash_signatures(
+                df, self.id_col, self.text_col,
+                num_hashes=self.num_hashes, n=self.n,
+            ),
+            self.id_col,
+            self.bands,
+            self.rows_per_band,
+        ).select(
+            "band_idx", "band_hash", F.col(self.id_col).alias("_cid")
         )
 
     def flag(self, new_df: DataFrame) -> DataFrame:
@@ -1278,7 +1293,7 @@ class NearDupIndex:
             self.rows_per_band,
         )
         flagged = (
-            new_bands.join(self._index, ["band_idx", "band_hash"], "left")
+            new_bands.join(self._state.view(), ["band_idx", "band_hash"], "left")
             .groupBy(self.id_col)
             .agg(F.min("_cid").alias("matched_corpus_id"))
         )
@@ -1289,22 +1304,23 @@ class NearDupIndex:
         )
 
     def absorb(self, new_df: DataFrame) -> None:
-        """Fold the batch's band buckets into the index (union + re-min).
+        """Fold the batch's band buckets into the index — O(batch): only
+        the batch is signed, min-reduced, and checkpointed; the tiered
+        state's geometric cascade bounds tier count and releases every
+        superseded checkpoint once its merge materialized (the round-13
+        leak fix, carried by TieredState for the whole ladder)."""
+        self._state.absorb(self._band_raw(new_df))
 
-        The superseded checkpoint is released once the merge has
-        materialized (eager=True): without it a stream absorbing K
-        batches holds K copies of the band index in the block manager —
-        the LinkageIndex release idiom applied per-absorb."""
-        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+    def index_frame(self) -> DataFrame:
+        """The fully-folded (band_idx, band_hash, _cid) index — one row
+        per bucket across all tiers. Lazy; the save/export shape."""
+        return self._state.compacted()
 
-        old = self._index
-        self._index = (
-            self._index.unionByName(self._band_index(new_df))
-            .groupBy("band_idx", "band_hash")
-            .agg(F.min("_cid").alias("_cid"))
-            .localCheckpoint(eager=True)
-        )
-        release_local_checkpoint(old)
+    def release(self) -> None:
+        """Free the index's block-manager state (all tiers); the object
+        is unusable afterwards. Call before rebinding to a loaded copy —
+        the suite's save/load-crossing stream discipline."""
+        self._state.release()
 
     def save(
         self,
@@ -1330,7 +1346,7 @@ class NearDupIndex:
         from etl_file_loader_spark.operators.persist import save_index_state
 
         save_index_state(
-            self._index,
+            self.index_frame(),
             {
                 "id_col": self.id_col,
                 "text_col": self.text_col,
@@ -1351,6 +1367,8 @@ class NearDupIndex:
         checkpoints its merges as usual from here on)."""
         from etl_file_loader_spark.operators.persist import load_index_state
 
+        from etl_file_loader_spark.operators.tiered import TieredState
+
         state, meta = load_index_state(spark, path)
         obj = cls.__new__(cls)
         obj.id_col = meta["id_col"]
@@ -1359,7 +1377,7 @@ class NearDupIndex:
         obj.n = meta["n"]
         obj.bands = meta["bands"]
         obj.rows_per_band = meta["rows_per_band"]
-        obj._index = state
+        obj._state = TieredState.restored(state, _band_fold)
         return obj
 
 

@@ -124,8 +124,26 @@ def auto_cms_width(
     are only trustworthy for heavy hitters; the returned width is the
     loudest honest answer short of refusing.
     """
+    import warnings
+
     row = kmv_estimate(kmv_sketch(df.select(col), [], col, k), k).head()
     est = 0.0 if row is None else float(row.distinct_est)
+    if est * oversize > CMS_WIDTH_MAX:
+        # the last silent path of the r12 width hazard: at the cap the
+        # sketch re-enters the over-estimate regime the auto-sizer was
+        # built to kill — say so LOUDLY instead of silently clamping
+        warnings.warn(
+            f"auto_cms_width: estimated ~{est:.0f} distinct values of "
+            f"{col!r}; oversize x{oversize} wants width "
+            f"{int(est * oversize)} but the cap is {CMS_WIDTH_MAX} "
+            f"(2^18, ~{4 * CMS_WIDTH_MAX} cells at depth 4 — the "
+            "broadcastability bound). Point estimates at this width are "
+            "only trustworthy for HEAVY HITTERS (true count >> "
+            f"~N/{CMS_WIDTH_MAX} collision mass); for faithful counts "
+            "of arbitrary keys use an exact groupBy or KMV/HLL per key "
+            "group instead.",
+            stacklevel=2,
+        )
     target = min(max(est * oversize, float(CMS_WIDTH_MIN)), float(CMS_WIDTH_MAX))
     width = CMS_WIDTH_MIN
     while width < target:
@@ -350,6 +368,14 @@ class HLLIndex:
         # blocks are dead weight — release, don't accumulate per absorb
         release_local_checkpoint(old)
         return self
+
+    def release(self) -> None:
+        """Free the state checkpoint (register-bounded — tiny, but the
+        suite's save/load-crossing streams rebind to a loaded copy and
+        the pre-save checkpoint should not outlive it)."""
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
+        release_local_checkpoint(self._regs)
 
     def save(self, path: str) -> None:
         """Write the registers durably — the "sketch each day once, fold
@@ -877,6 +903,14 @@ class QuantileIndex:
         release_local_checkpoint(old)
         return self
 
+    def release(self) -> None:
+        """Free the state checkpoint (register-bounded — tiny, but the
+        suite's save/load-crossing streams rebind to a loaded copy and
+        the pre-save checkpoint should not outlive it)."""
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
+        release_local_checkpoint(self._hist)
+
     def save(self, path: str) -> None:
         from etl_file_loader_spark.operators.persist import save_index_state
 
@@ -945,6 +979,14 @@ class CMSIndex:
         release_local_checkpoint(old)
         return self
 
+    def release(self) -> None:
+        """Free the state checkpoint (register-bounded — tiny, but the
+        suite's save/load-crossing streams rebind to a loaded copy and
+        the pre-save checkpoint should not outlive it)."""
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
+        release_local_checkpoint(self._sk)
+
     def query(self, items: DataFrame, item_col: str) -> DataFrame:
         return cms_query(self._sk, items, item_col, self.depth, self.width)
 
@@ -1005,6 +1047,14 @@ class KMVIndex:
         self._state = merged.localCheckpoint(eager=True)
         release_local_checkpoint(old)
         return self
+
+    def release(self) -> None:
+        """Free the state checkpoint (register-bounded — tiny, but the
+        suite's save/load-crossing streams rebind to a loaded copy and
+        the pre-save checkpoint should not outlive it)."""
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
+        release_local_checkpoint(self._state)
 
     def save(self, path: str) -> None:
         from etl_file_loader_spark.operators.persist import save_index_state

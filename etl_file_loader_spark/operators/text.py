@@ -2307,12 +2307,19 @@ class BM25Index:
     - Absorb is APPEND: exactly-once per doc is the caller's contract
       (a batch absorbed twice double-counts its docs in N/df/avgdl —
       the quantile/CMS sum-merge caveat, not the HLL max confluence).
+    - Absorb cost is O(batch), not O(state) (round 14): the postings
+      live in an LSM-style TieredState with identity fold — an absorb
+      tokenizes and checkpoints ONLY the batch; geometric cascade
+      merges (pure concatenation — postings never reduce) bound tier
+      count at O(log(docs/batch)) and re-copy each posting row only
+      O(log n) times over the stream's lifetime. Measured per-absorb in
+      tools/measure_absorb_release.py.
     - The query terms are fixed at build (the fixed-query BM25 shape —
       decontamination probes, standing domain queries); a new query
       needs a new index or the scan-time :func:`bm25_score`.
     - Frames returned by :meth:`postings` are valid only until the next
-      absorb (the superseded checkpoint is released — the round-13
-      index-family contract).
+      absorb (a cascade may release member tiers — the round-13
+      index-family contract, carried by TieredState).
 
     Reference parity anchor: the reference engine has no retrieval
     operator; this extends the training-data-pipeline surface
@@ -2328,33 +2335,39 @@ class BM25Index:
         k1: float = 1.2,
         b: float = 0.75,
     ):
+        from etl_file_loader_spark.operators.tiered import TieredState
+
         self.id_col = id_col
         self.text_col = text_col
         self.terms = _bm25_terms(query_terms)
         self.k1 = float(k1)
         self.b = float(b)
-        self._post = _bm25_base(seed, id_col, text_col, self.terms).localCheckpoint(
-            eager=True
+        self._state = TieredState.build(
+            _bm25_base(seed, id_col, text_col, self.terms)
         )
 
     def postings(self) -> DataFrame:
-        return self._post
+        return self._state.view()
 
     def absorb(self, batch: DataFrame) -> "BM25Index":
-        from etl_file_loader_spark.operators.cache import release_local_checkpoint
-
-        new = _bm25_base(batch, self.id_col, self.text_col, self.terms)
-        old = self._post
-        self._post = old.unionByName(new).localCheckpoint(eager=True)
-        release_local_checkpoint(old)
+        """Append the batch's postings — tokenizes and checkpoints ONLY
+        the batch (O(batch); the tiered-state contract above)."""
+        self._state.absorb(
+            _bm25_base(batch, self.id_col, self.text_col, self.terms)
+        )
         return self
+
+    def release(self) -> None:
+        """Free the postings' block-manager state (all tiers); the index
+        is unusable afterwards. Call before rebinding to a loaded copy."""
+        self._state.release()
 
     def score(self) -> DataFrame:
         """(id, n_tokens, bm25) over every absorbed doc — identical to
         ``bm25_score`` over the union of all absorbed batches (pinned by
         test), from postings alone."""
         return _bm25_score_from_base(
-            self._post, self.id_col, len(self.terms), self.k1, self.b
+            self.postings(), self.id_col, len(self.terms), self.k1, self.b
         )
 
     def topk(self, k: int) -> DataFrame:
@@ -2369,7 +2382,7 @@ class BM25Index:
         from etl_file_loader_spark.operators.persist import save_index_state
 
         save_index_state(
-            self._post,
+            self._state.compacted(),
             {
                 "id_col": self.id_col,
                 "text_col": self.text_col,
@@ -2384,6 +2397,8 @@ class BM25Index:
     def load(cls, spark, path: str) -> "BM25Index":
         from etl_file_loader_spark.operators.persist import load_index_state
 
+        from etl_file_loader_spark.operators.tiered import TieredState
+
         state, meta = load_index_state(spark, path)
         obj = cls.__new__(cls)
         obj.id_col = meta["id_col"]
@@ -2391,7 +2406,7 @@ class BM25Index:
         obj.terms = list(meta["terms"])
         obj.k1 = float(meta["k1"])
         obj.b = float(meta["b"])
-        obj._post = state
+        obj._state = TieredState.restored(state)
         return obj
 
 

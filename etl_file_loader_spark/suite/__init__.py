@@ -211,6 +211,15 @@ CHECKED_QUERIES: list[str] = [
     "quantile_index_stream",
     "cms_index_stream",
     "streaming_quantile_state",
+    # promoted round 14 (rotation #9): the round-13 digest-born trio —
+    # the per-group quantile band filter (CCNet perplexity-trim shape),
+    # the closed-form waterfilling mixture allocator (exact int64
+    # milli-weight algebra), and the maintained fixed-query BM25
+    # postings stream (crosses a save/load boundary; round-14 tiered
+    # O(batch) absorb)
+    "quantile_trim_band",
+    "mixture_waterfill_alloc",
+    "bm25_index_stream",
     # dedup family
     "dedup_embedding_lsh_recall",
     "dedup_embedding_clustered_recall",
@@ -225,11 +234,11 @@ CHECKED_QUERIES: list[str] = [
     "semantic_dedup_replay",
     "weighted_sample_check",
     # promoted round 10: the exact similarity self-joins (all-pairs
-    # oracles prove the PassJoin / PPJoin blocking lossless) + the
-    # perceptual image near-dedup fixture row
+    # oracles prove the PassJoin / PPJoin blocking lossless)
+    # (image_dedup_pairs — window row rounds 10-13, four green rounds —
+    # demoted round 14 (rotation #9) into corpus_digest)
     "fuzzy_match_parts",
     "jaccard_join_prefix",
-    "image_dedup_pairs",
     # promoted round 11 (rotation #6): the round-10 digest-born exact
     # similarity-join family — PPJoin candidate accounting, the R-S
     # record-linkage trio (edit-distance join, shingle-Jaccard join,
@@ -242,10 +251,12 @@ CHECKED_QUERIES: list[str] = [
     "jaccard_pairs_auto",
     "near_dedup_exact",
     # promoted round 8: embedding-LSH pair demos + semantic dedup family
+    # (semantic_dedup_check / semantic_dedup_clustered — window rows
+    # rounds 8-13, six green rounds — demoted round 14 (rotation #9)
+    # into corpus_digest; the replay row semantic_dedup_replay keeps its
+    # direct slot)
     "dedup_embedding_pairs_lsh",
     "dedup_embedding_pairs_lsh_clustered",
-    "semantic_dedup_check",
-    "semantic_dedup_clustered",
     # similarity / ANN
     "similarity_lsh_recall",
     "similarity_ivf_recall",

@@ -1662,6 +1662,9 @@ def q_quantile_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # fixed overwrite path — see near_dedup_index_stream
             ckpt = _suite_ckpt_dir(spark) + "/quantile_idx"
             idx.save(ckpt)
+            # pre-save checkpoint must not outlive the restored copy
+            # (ADVICE r13: the rebind leaked it for the session)
+            idx.release()
             idx = sketches.QuantileIndex.load(spark, ckpt)
         idx.absorb(orders.filter(F.col("o_orderkey") % 4 == k))
         outs.append(_epoch_snapshot(snapshot(k)))
@@ -1804,6 +1807,7 @@ def q_cms_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k == 2:
             ckpt = _suite_ckpt_dir(spark) + "/cms_idx"
             idx.save(ckpt)
+            idx.release()  # rebind leak — see quantile_idx note above
             idx = sketches.CMSIndex.load(spark, ckpt)
         idx.absorb(orders.filter(F.col("o_orderkey") % 4 == k))
         outs.append(_epoch_snapshot(snapshot(k)))

@@ -146,33 +146,46 @@ def test_kmv_index_constant_checkpoints(spark):
     assert not _new_ids(spark, base)
 
 
-def test_bm25_index_constant_checkpoints(spark):
+def _assert_tiered_rdds(spark, index, batches, base: set, max_tiers=6):
+    """Tiered (doc-proportional) indexes hold ONE live checkpoint per
+    tier — after every absorb the set of this test's live persistent
+    RDDs must exactly track the tier ladder (superseded tiers released
+    inside the cascade), and the ladder stays logarithmically bounded."""
+    for b in batches:
+        index.absorb(b)
+        n = len(_new_ids(spark, base))
+        tiers = len(index._state._tiers)
+        assert n == tiers, f"live checkpoints {n} != tiers {tiers}"
+        assert tiers <= max_tiers, f"cascade failed to bound tiers: {tiers}"
+
+
+def test_bm25_index_tiered_checkpoints(spark):
     from etl_file_loader_spark.operators.text import BM25Index, bm25_score
 
     batches = _batches(spark, 4)
     base = _persistent_ids(spark)
     idx = BM25Index(batches[0], "id", "text", ["quick", "doc"])
-    _assert_constant_rdds(spark, idx, batches[1:], base)
+    _assert_tiered_rdds(spark, idx, batches[1:], base)
     union = batches[0]
     for b in batches[1:]:
         union = union.unionByName(b)
     expect = {tuple(r) for r in bm25_score(union, "id", "text", ["quick", "doc"]).collect()}
     got = {tuple(r) for r in idx.score().collect()}
     assert got == expect
-    release_local_checkpoint(idx._post)
+    idx.release()
     assert not _new_ids(spark, base)
 
 
-def test_near_dup_index_constant_checkpoints(spark):
+def test_near_dup_index_tiered_checkpoints(spark):
     batches = _batches(spark)
     base = _persistent_ids(spark)
     idx = NearDupIndex(batches[0], "id", "text")
-    _assert_constant_rdds(spark, idx, batches[1:], base)
-    # flags still work after K releases (every doc is a near-dup of the
-    # shared template, so batch 0's ids win the min)
+    _assert_tiered_rdds(spark, idx, batches[1:], base)
+    # flags still work after the cascade's releases (every doc is a
+    # near-dup of the shared template, so batch 0's ids win the min)
     flagged = idx.flag(batches[0].limit(5))
     assert flagged.filter(F.col("is_near_dup") == 1).count() == 5
-    release_local_checkpoint(idx._index)
+    idx.release()
     release_operator_caches()
     assert not _new_ids(spark, base)
 

@@ -55,13 +55,13 @@ def test_near_dup_index_reload_equality(spark, docs, tmp_path):
         idx.id_col, idx.text_col, idx.num_hashes, idx.n,
         idx.bands, idx.rows_per_band,
     )
-    assert _rows(back._index) == _rows(idx._index)
+    assert _rows(back.index_frame()) == _rows(idx.index_frame())
     assert _rows(back.flag(b2)) == flags_live
 
     # absorbing PAST the boundary equals the uninterrupted run
     idx.absorb(b2)
     back.absorb(b2)
-    assert _rows(back._index) == _rows(idx._index)
+    assert _rows(back.index_frame()) == _rows(idx.index_frame())
 
 
 def test_linkage_index_reload_equality(spark, part, tmp_path):
