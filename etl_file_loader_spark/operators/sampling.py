@@ -793,7 +793,10 @@ def mixture_waterfill(
             F.col(domain_col), F.col("w_milli").cast("long").alias("w_milli")
         )
         chk = wdf.agg(
-            F.sum("w_milli").alias("s"), F.min("w_milli").alias("mn")
+            F.sum("w_milli").alias("s"),
+            F.min("w_milli").alias("mn"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(domain_col)).alias("nd"),
         ).collect()[0]
         if chk["mn"] is not None and chk["mn"] < 0:
             raise ValueError("weights_milli must be >= 0")
@@ -801,6 +804,14 @@ def mixture_waterfill(
             raise ValueError(
                 "weights_milli must sum in (0, 1000] for exact int64 "
                 f"math: {chk['s']}"
+            )
+        if chk["n"] != chk["nd"]:
+            # ADVICE r13: duplicate domain rows pass the sum check but
+            # fan out the totals join — double-counted avail/weight in
+            # the window math and duplicate output rows, silently
+            raise ValueError(
+                "weights_milli has duplicate domain rows: "
+                f"{chk['n']} rows over {chk['nd']} distinct {domain_col}"
             )
     else:
         ws = {str(k): int(v) for k, v in weights_milli.items()}
@@ -817,9 +828,30 @@ def mixture_waterfill(
     totals = df.groupBy(domain_col).agg(
         F.sum(F.col(size_col).cast("long")).alias("avail")
     )
+    # ADVICE r13: budget is range-checked above but per-domain avail was
+    # not — a domain above 9e15 silently overflows the avail*(W-W_prev)
+    # cross-multiply (wrong cap decisions, no error). Guard in the same
+    # pass (no extra job): the expression raises from the executor the
+    # moment an over-ceiling sum materializes, mirroring the
+    # quantile_histogram magnitude-clamp discipline with raise instead
+    # of saturate (a saturated avail would silently mis-allocate).
+    avail_checked = F.when(
+        F.col("avail") > F.lit(WATERFILL_MAX_TOKENS),
+        F.raise_error(
+            F.concat(
+                F.lit("mixture_waterfill: domain "),
+                F.col(domain_col).cast("string"),
+                F.lit(
+                    f" avail exceeds WATERFILL_MAX_TOKENS"
+                    f" ({WATERFILL_MAX_TOKENS}): "
+                ),
+                F.col("avail").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("avail"))
     j = totals.join(F.broadcast(wdf), domain_col, "left").select(
         domain_col,
-        F.col("avail"),
+        avail_checked.alias("avail"),
         F.coalesce(F.col("w_milli"), F.lit(0)).cast("long").alias("w_milli"),
     )
     pos = j.filter(F.col("w_milli") > 0)

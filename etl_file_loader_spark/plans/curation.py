@@ -135,7 +135,10 @@ class CurationConfig:
     # register-bounded, SQL-replayable). E.g. (333, 1000) keeps the most
     # fluent two thirds of each language. Mutually exclusive with the
     # absolute floor; unscoreable docs (n_bigrams = 0) pass through
-    # either way (length floors are stage 1's job).
+    # either way (length floors are stage 1's job), and so do docs with
+    # a NULL in any perplexity_band_by column (no group distribution to
+    # trim against — e.g. unidentified language; ADVICE r13: the
+    # equi-join used to drop them silently regardless of fluency).
     perplexity_band: tuple[int, int] | None = None
     perplexity_band_by: list[str] = field(default_factory=lambda: ["lang"])
     # stage 5: held-out split (label -> fraction; None disables)
@@ -397,11 +400,23 @@ class CurationPipeline:
             scoreable = scored.filter(F.col("n_bigrams") > 0).join(
                 cur.select(c.id_col, *c.perplexity_band_by), c.id_col
             )
+            # NULL-group docs (e.g. missing lang) have no distribution
+            # to trim against — pass through like n_bigrams == 0
+            # (ADVICE r13: quantile_trim's equi-join on the group keys
+            # never matches NULL, so they were dropped silently)
+            null_grp = F.lit(False)
+            for g in c.perplexity_band_by:
+                null_grp = null_grp | F.col(g).isNull()
             kept = quantile_trim(
-                scoreable, c.perplexity_band_by, "mean_logprob", lo, hi
+                scoreable.filter(~null_grp),
+                c.perplexity_band_by, "mean_logprob", lo, hi,
             )
-            keep_ids = kept.select(c.id_col).unionByName(
-                scored.filter(F.col("n_bigrams") == 0).select(c.id_col)
+            keep_ids = (
+                kept.select(c.id_col)
+                .unionByName(
+                    scored.filter(F.col("n_bigrams") == 0).select(c.id_col)
+                )
+                .unionByName(scoreable.filter(null_grp).select(c.id_col))
             )
         else:
             keep_ids = scored.filter(

@@ -793,6 +793,49 @@ def test_perplexity_band_trims_per_language(spark):
     assert res.stage_counts["perplexity_filter"] == len(kept)
 
 
+def test_perplexity_band_null_group_passes_through(spark):
+    """ADVICE r13: docs with NULL in a perplexity_band_by column (e.g.
+    unidentified language) have no group distribution to trim against —
+    they must pass through like the n_bigrams == 0 unscoreables, not be
+    silently dropped by the trim's equi-join."""
+    from etl_file_loader_spark.plans.curation import CurationConfig, CurationPipeline
+
+    en = _ppl_corpus(spark)
+    nolang = spark.createDataFrame(
+        [(21, "the model learns on the corpus and the model keeps learning", None)],
+        "doc_id long, text string, lang string",
+    )
+    docs = en.unionByName(nolang)
+    cfg = CurationConfig(
+        min_quality=None,
+        scrub_pii=False,
+        near_dedup=False,
+        perplexity_band=(500, 1000),
+    )
+    res = CurationPipeline(cfg).run(docs)
+    kept = {r["doc_id"] for r in res.packed.select("doc_id").collect()}
+    assert 21 in kept  # NULL-group doc survives regardless of fluency
+    # full replay: trimmed non-null groups + unscoreables + null-group
+    # (the LM is corpus-trained, so the band is replayed over the SAME
+    # corpus including doc 21 — its text shifts every doc's logprob)
+    from etl_file_loader_spark.operators.sketches import quantile_trim
+
+    scored = text.kn_bigram_logprob(docs, "doc_id", "text")
+    scoreable = scored.filter(F.col("n_bigrams") > 0).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    expect = {
+        r["doc_id"]
+        for r in quantile_trim(
+            scoreable.filter(F.col("lang").isNotNull()),
+            ["lang"], "mean_logprob", 500, 1000,
+        ).collect()
+    }
+    expect |= {r["doc_id"] for r in scored.filter(F.col("n_bigrams") == 0).collect()}
+    expect.add(21)
+    assert kept == expect
+
+
 def test_perplexity_floor_and_band_mutually_exclusive(spark):
     import pytest as _pytest
 

@@ -138,6 +138,35 @@ def test_waterfill_dataframe_weights_match_dict(spark):
     neg = spark.createDataFrame([("a", -5), ("b", 500)], "dom string, w_milli long")
     with pytest.raises(ValueError, match=">= 0"):
         mixture_waterfill(df, "dom", "toks", neg, 100)
+    # ADVICE r13: duplicate domain rows passed the sum check, then the
+    # join fanned out the totals row — now rejected up front
+    dup = spark.createDataFrame(
+        [("a", 300), ("a", 300), ("b", 300)], "dom string, w_milli long"
+    )
+    with pytest.raises(ValueError, match="duplicate domain"):
+        mixture_waterfill(df, "dom", "toks", dup, 100)
+
+
+def test_waterfill_overflowing_avail_raises(spark):
+    """ADVICE r13: a domain whose token supply exceeds the 9e15 ceiling
+    silently overflowed the avail*(W-W_prev) cross-multiply. It now
+    raises from the allocation pass, naming the domain."""
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("big", WATERFILL_MAX_TOKENS), ("big", 1), ("ok", 10)],
+        "dom string, toks long",
+    )
+    with pytest.raises(SparkRuntimeException, match="WATERFILL_MAX_TOKENS"):
+        mixture_waterfill(df, "dom", "toks", {"big": 500, "ok": 500}, 100).collect()
+    # at the ceiling exactly: no raise (the documented supported regime)
+    ok = spark.createDataFrame(
+        [("big", WATERFILL_MAX_TOKENS), ("ok", 10)], "dom string, toks long"
+    )
+    assert (
+        mixture_waterfill(ok, "dom", "toks", {"big": 500, "ok": 500}, 100).count()
+        == 2
+    )
 
 
 def test_waterfill_exact_at_the_ceiling(spark):
