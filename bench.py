@@ -3,6 +3,14 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with the
 noop sink (computes every column; count() would let Catalyst prune the plan).
+
+Artifact convention since round 14 (VERDICT r13 ask 5: four identical-code
+runs bracketed 460-514 s with ±2-3x per-query box swings): the clean
+BENCH_sf01_r{N}.json artifact is produced by tools/bench_multi.py — the
+MEDIAN over 3 fresh-process runs of this script, with every per-run series
+kept in the JSON (query_runs / run_totals_sec / *_runs) so code effects
+separate from box noise without forensics. A single run of this script is
+unchanged (the driver's per-round BENCH_r{N}.json stays one cold run).
 """
 
 from __future__ import annotations

@@ -72,6 +72,21 @@ def _series(spark, index, batches, tiers_of):
     return out
 
 
+def _legacy_equiv_sec(index) -> float:
+    """What ONE pre-round-14 absorb paid at the CURRENT state size: a
+    full-state re-fold materialized into a fresh checkpoint (that was
+    the old absorb's exact shape, every batch). Non-destructive — the
+    probe checkpoint is released immediately."""
+    from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
+    st = index._state
+    t0 = time.perf_counter()
+    probe = st._fold(st.view()).localCheckpoint(eager=True)
+    dt = time.perf_counter() - t0
+    release_local_checkpoint(probe)
+    return round(dt, 3)
+
+
 def _summarize(name, samples):
     secs = [s["sec"] for s in samples]
     half = len(secs) // 2
@@ -113,6 +128,7 @@ def main() -> None:
     ndi = NearDupIndex(docs.filter(F.col("doc_id") % slices < 3 * k), "doc_id", "text")
     ndi_s = _series(spark, ndi, doc_batches, lambda x: len(x._state._tiers))
     ndi_sum = _summarize("NearDupIndex", ndi_s)
+    ndi_sum["legacy_absorb_equiv_sec"] = _legacy_equiv_sec(ndi)
     ndi.release()
 
     bmi = BM25Index(
@@ -121,6 +137,7 @@ def main() -> None:
     )
     bmi_s = _series(spark, bmi, doc_batches, lambda x: len(x._state._tiers))
     bmi_sum = _summarize("BM25Index", bmi_s)
+    bmi_sum["legacy_absorb_equiv_sec"] = _legacy_equiv_sec(bmi)
     bmi.release()
 
     hll = sketches.HLLIndex(
