@@ -263,6 +263,9 @@ BENCH_QUERIES = [
     "quantile_trim_band",
     "mixture_waterfill_alloc",
     "bm25_index_stream",
+    # round 14: growing standing master — LinkageIndex.absorb (tiered
+    # O(batch) lowering, save/load boundary mid-stream, all-pairs oracle)
+    "fuzzy_link_absorb",
 ]
 
 

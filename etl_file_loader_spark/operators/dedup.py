@@ -1700,6 +1700,15 @@ class LinkageIndex:
     answer); ``link_best`` returns the tiered top-1 resolution
     (identical to ``link_best_match(tiered=True)``), with every tier's
     master-side work served from the standing base.
+
+    Round 14 — the master can GROW without a rebuild: :meth:`absorb`
+    lowers ONLY the newly-arrived entities into TieredState extension
+    tiers (O(batch) per absorb, geometric cascade bounding tier count;
+    the seed base stays pinned untouched), and every link thereafter
+    probes seed ∪ extensions. Links after absorbing B equal links from
+    an index rebuilt over master ∪ B — pinned by test and by the
+    ``fuzzy_link_absorb`` suite oracle (the candidate structure is a
+    pure function of the lowered rows, so absorption is unobservable).
     """
 
     def __init__(
@@ -1712,11 +1721,46 @@ class LinkageIndex:
         if max_distance < 1:
             raise ValueError("max_distance must be >= 1")
         self.master_id = master_id
+        self.master_col = master_col
         self.max_distance = max_distance
         self._lbase = pin(_pj_base(master, master_id, master_col))
-        self._exact = self._lbase.select(
-            F.col("_id").alias(master_id), F.col("_s").alias("_k")
-        )
+        self._extra = None  # TieredState of absorbed master additions
+
+    def _base_all(self) -> DataFrame:
+        """The standing lowered base: the pinned seed master plus any
+        absorbed extension tiers. Identical to ``self._lbase`` (same
+        object, same plan) until the first :meth:`absorb`."""
+        if self._extra is None:
+            return self._lbase
+        return self._lbase.unionByName(self._extra.view())
+
+    def absorb(self, new_master: DataFrame, master_col: str | None = None) -> None:
+        """Extend the standing master with newly-arrived entities —
+        lowers ONLY the new rows (round 14, the maintained-index-family
+        O(batch) absorb via TieredState; lowered rows are append-only,
+        so the fold is identity like BM25Index's postings). Absorption
+        is invisible to answers: link/link_best after absorbing B
+        equals rebuilding the index over master ∪ B (pinned by test —
+        the candidate structure is a pure function of the lowered
+        rows). Exactly-once per master row is the caller's contract
+        (a duplicated absorb duplicates its pairs).
+
+        ``master_col`` defaults to the build-time column name; pass it
+        explicitly when restoring from a pre-round-14 snapshot whose
+        meta predates the stored column."""
+        from etl_file_loader_spark.operators.tiered import TieredState
+
+        col = master_col or self.master_col
+        if col is None:
+            raise ValueError(
+                "master_col unknown (snapshot predates round 14) — pass "
+                "absorb(new_master, master_col=...)"
+            )
+        lowered = _pj_base(new_master, self.master_id, col)
+        if self._extra is None:
+            self._extra = TieredState.build(lowered)
+        else:
+            self._extra.absorb(lowered)
 
     def link(
         self, feed: DataFrame, feed_id: str, feed_col: str,
@@ -1732,9 +1776,10 @@ class LinkageIndex:
         # segments recomputed per link ON PURPOSE: from the cached base
         # they are a projection that fuses into the candidate join's
         # codegen; caching them measured SLOWER (see class docstring)
-        segs = _pj_segments(self._lbase, d + 1, "_lid", "_sl")
+        base = self._base_all()
+        segs = _pj_segments(base, d + 1, "_lid", "_sl")
         return _rs_probe(
-            self._lbase, segs, d, feed, self.master_id, feed_id, feed_col
+            base, segs, d, feed, self.master_id, feed_id, feed_col
         )
 
     def link_best(
@@ -1766,7 +1811,10 @@ class LinkageIndex:
                 r0 = unresolved.select(
                     F.col(feed_id), F.lower(F.col(feed_col)).alias("_k")
                 )
-                tier_pairs = r0.join(self._exact, "_k").select(
+                exact = self._base_all().select(
+                    F.col("_id").alias(self.master_id), F.col("_s").alias("_k")
+                )
+                tier_pairs = r0.join(exact, "_k").select(
                     feed_id, self.master_id, F.lit(0).cast("int").alias("distance")
                 )
             else:
@@ -1785,11 +1833,14 @@ class LinkageIndex:
 
     def release(self) -> None:
         """Unpersist the standing base (also covered by
-        ``release_operator_caches()``)."""
+        ``release_operator_caches()``) and any absorbed tiers."""
         try:
             self._lbase.unpersist()
         except Exception:
             pass
+        if self._extra is not None:
+            self._extra.release()
+            self._extra = None
 
     def save(
         self,
@@ -1800,14 +1851,19 @@ class LinkageIndex:
         """Write the lowered PassJoin base once, durably — the "written
         once (bucketed parquet)" sentence from the class docstring as
         code: the master is scanned/lowered exactly once per master
-        version, across sessions, not once per process. ``bucket_by``
+        version, across sessions, not once per process (absorbed
+        extension tiers are folded into the written base). ``bucket_by``
         publishes via saveAsTable for a co-located restore-side probe
         join (see NearDupIndex.save)."""
         from etl_file_loader_spark.operators.persist import save_index_state
 
         save_index_state(
-            self._lbase,
-            {"master_id": self.master_id, "max_distance": self.max_distance},
+            self._base_all(),
+            {
+                "master_id": self.master_id,
+                "master_col": self.master_col,
+                "max_distance": self.max_distance,
+            },
             path,
             bucket_by=bucket_by,
             n_buckets=n_buckets,
@@ -1829,11 +1885,10 @@ class LinkageIndex:
             state = state.repartition(par)
         obj = cls.__new__(cls)
         obj.master_id = meta["master_id"]
+        obj.master_col = meta.get("master_col")  # None on pre-r14 snapshots
         obj.max_distance = meta["max_distance"]
         obj._lbase = pin(state)
-        obj._exact = obj._lbase.select(
-            F.col("_id").alias(obj.master_id), F.col("_s").alias("_k")
-        )
+        obj._extra = None
         return obj
 
 

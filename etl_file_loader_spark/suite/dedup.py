@@ -1311,20 +1311,11 @@ QUERIES.update({"jaccard_prefix_candidates": q_jaccard_prefix_candidates})
 ORACLES.update({"jaccard_prefix_candidates": Q_JACCARD_PREFIX_CANDIDATES_SQL})
 
 
-def q_fuzzy_join_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact edit-distance R-S join (operators/dedup.py:
-    edit_distance_join — record linkage: match a dirty feed against the
-    part master). The feed plants, per selected part, a 1-edit variant
-    (interior delete) and a 2-edit variant (interior replace + appended
-    char) at key-derived positions, plus pure-noise rows that match
-    nothing; the oracle computes the ALL-PAIRS left x right answer, so
-    the row proves the one-directional R-S blocking lossless — every
-    within-distance (master, feed) pair, planted or incidental, with its
-    exact distance."""
-    part = _t(spark, sf_dir, "part")
-    left = part.select(
-        F.col("p_partkey").alias("pid"), F.col("p_name").alias("name")
-    )
+def _part_feed_variants(part: DataFrame) -> DataFrame:
+    """The shared dirty-feed fixture for the edit-distance R-S rows:
+    per selected part a 1-edit variant (interior delete) and a 2-edit
+    variant (interior replace + appended char) at key-derived positions,
+    plus pure-noise rows that match nothing."""
     src = part.filter(F.col("p_partkey") % 4 == 1).select(
         "p_partkey", "p_name", F.length("p_name").alias("_l")
     )
@@ -1352,7 +1343,24 @@ def q_fuzzy_join_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("zz qq zz qq zz "), F.col("p_partkey").cast("string")
         ).alias("s"),
     )
-    feed = v1.unionByName(v2).unionByName(noise)
+    return v1.unionByName(v2).unionByName(noise)
+
+
+def q_fuzzy_join_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance R-S join (operators/dedup.py:
+    edit_distance_join — record linkage: match a dirty feed against the
+    part master). The feed plants, per selected part, a 1-edit variant
+    (interior delete) and a 2-edit variant (interior replace + appended
+    char) at key-derived positions, plus pure-noise rows that match
+    nothing; the oracle computes the ALL-PAIRS left x right answer, so
+    the row proves the one-directional R-S blocking lossless — every
+    within-distance (master, feed) pair, planted or incidental, with its
+    exact distance."""
+    part = _t(spark, sf_dir, "part")
+    left = part.select(
+        F.col("p_partkey").alias("pid"), F.col("p_name").alias("name")
+    )
+    feed = _part_feed_variants(part)
     from etl_file_loader_spark.operators import dedup as dedup_ops
 
     return (
@@ -1700,6 +1708,54 @@ FROM pairs WHERE rn = 1 ORDER BY feed, rid
 
 QUERIES.update({"fuzzy_link_incremental": q_fuzzy_link_incremental})
 ORACLES.update({"fuzzy_link_incremental": Q_FUZZY_LINK_INCREMENTAL_SQL})
+
+
+def q_fuzzy_link_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 14: the GROWING standing master — LinkageIndex.absorb. The
+    index builds from HALF the part master (p_partkey % 2 == 0), then
+    absorbs the other half in two batches (% 4 == 1, then % 4 == 3 —
+    two tiers, exercising the TieredState cascade), CROSSING a
+    save/load boundary between them (the index-family durability
+    discipline). Only the new rows are lowered per absorb (O(batch));
+    the linked output must equal the all-pairs answer over the FULL
+    master — absorption is unobservable, so the oracle is exactly
+    fuzzy_join_feed's all-pairs SQL. Feed = the shared dirty-feed
+    fixture (1-edit + 2-edit variants + noise)."""
+    from etl_file_loader_spark.operators import dedup as dedup_ops
+
+    part = _t(spark, sf_dir, "part")
+
+    def half(pred):
+        return part.filter(pred).select(
+            F.col("p_partkey").alias("pid"), F.col("p_name").alias("name")
+        )
+
+    idx = dedup_ops.LinkageIndex(
+        half(F.col("p_partkey") % 2 == 0), "pid", "name", max_distance=2
+    )
+    idx.absorb(half(F.col("p_partkey") % 4 == 1))
+    ckpt = _suite_ckpt_dir(spark) + "/linkage_absorb_idx"
+    idx.save(ckpt)
+    idx.release()
+    idx = dedup_ops.LinkageIndex.load(spark, ckpt)
+    idx.absorb(half(F.col("p_partkey") % 4 == 3))
+    from etl_file_loader_spark.operators.cache import pin_checkpoint
+
+    out = pin_checkpoint(
+        idx.link(_part_feed_variants(part), "rid", "s")
+        .select("pid", "rid", F.col("distance").cast("int").alias("distance"))
+        .orderBy("pid", "rid")
+        .localCheckpoint(eager=True)
+    )
+    # result materialized (and registered for the caller's
+    # release_operator_caches barrier); free the standing base + tiers
+    # NOW so a bench/digest run does not accumulate a master per query
+    idx.release()
+    return out
+
+
+QUERIES.update({"fuzzy_link_absorb": q_fuzzy_link_absorb})
+ORACLES.update({"fuzzy_link_absorb": Q_FUZZY_JOIN_FEED_SQL})
 
 
 def q_jaccard_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:

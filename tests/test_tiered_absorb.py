@@ -193,3 +193,70 @@ def test_near_dup_save_load_compacts_to_one_tier(spark, tmp_path):
     assert len(back._state._tiers) == 1  # durable snapshot is compacted
     flags = back.flag(_docs(spark, 205, 208))
     assert flags.filter(F.col("is_near_dup") == 1).count() == 3
+
+
+def test_linkage_index_absorb_equals_rebuild(spark, tmp_path):
+    """Round 14: LinkageIndex.absorb — links after absorbing new master
+    entities equal links from an index rebuilt over the full master,
+    including across a save/load boundary; only the new rows lower."""
+    from etl_file_loader_spark.operators.dedup import LinkageIndex
+    from etl_file_loader_spark.operators.cache import release_operator_caches
+
+    def masters(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("pid"),
+            F.concat(F.lit("entity name number "), F.col("id").cast("string")).alias("name"),
+        )
+
+    feed = spark.range(0, 60, 3).select(
+        (F.col("id") + 10_000).alias("rid"),
+        # 1-edit variant of the master string (drop one interior char)
+        F.concat(F.lit("entity nme number "), F.col("id").cast("string")).alias("s"),
+    )
+
+    idx = LinkageIndex(masters(0, 40), "pid", "name", max_distance=2)
+    idx.absorb(masters(40, 50))
+    p = str(tmp_path / "li")
+    idx.save(p)
+    idx.release()
+    idx = LinkageIndex.load(spark, p)
+    assert idx.master_col == "name"  # persists for post-restore absorbs
+    idx.absorb(masters(50, 60))
+
+    full = LinkageIndex(masters(0, 60), "pid", "name", max_distance=2)
+    got = sorted(tuple(r) for r in idx.link(feed, "rid", "s").collect())
+    exp = sorted(tuple(r) for r in full.link(feed, "rid", "s").collect())
+    assert got and got == exp
+    got_b = sorted(tuple(r) for r in idx.link_best(feed, "rid", "s").collect())
+    exp_b = sorted(tuple(r) for r in full.link_best(feed, "rid", "s").collect())
+    assert got_b == exp_b
+    idx.release()
+    full.release()
+    release_operator_caches()
+
+
+def test_linkage_index_absorb_is_o_batch(spark):
+    """The absorbed tiers never touch the pinned seed base (same object),
+    and release() frees every extension checkpoint."""
+    from etl_file_loader_spark.operators.dedup import LinkageIndex
+    from etl_file_loader_spark.operators.cache import release_operator_caches
+
+    base_ids = _ids(spark)
+    m = spark.range(500).select(
+        F.col("id").alias("pid"),
+        F.concat(F.lit("name-"), F.col("id").cast("string")).alias("name"),
+    )
+    idx = LinkageIndex(m, "pid", "name", max_distance=1)
+    lbase = idx._lbase
+    for i in range(3):
+        idx.absorb(
+            spark.range(500 + 10 * i, 510 + 10 * i).select(
+                F.col("id").alias("pid"),
+                F.concat(F.lit("name-"), F.col("id").cast("string")).alias("name"),
+            )
+        )
+        assert idx._lbase is lbase  # seed base untouched by absorbs
+    assert idx._extra is not None and len(idx._extra._tiers) >= 1
+    idx.release()
+    release_operator_caches()
+    assert not (_ids(spark) - base_ids)

@@ -695,9 +695,13 @@ def main() -> None:
         from etl_file_loader_spark.operators.dedup import NearDupIndex
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        idx = NearDupIndex(docs.filter(F.col("doc_id") % 4 == 0), "doc_id", "text")
-        idx.absorb(docs.filter(F.col("doc_id") % 4 == 1))
-        return idx.flag(docs.filter(F.col("doc_id") % 4 == 2))
+        # seed = 75% of docs; the absorbed batch is 1% so the cascade
+        # does NOT merge it into the base — the dumped plan must show
+        # the genuine multi-tier union the probe join sees mid-stream
+        idx = NearDupIndex(docs.filter(F.col("doc_id") % 4 != 3), "doc_id", "text")
+        idx.absorb(docs.filter(F.col("doc_id") % 100 == 3))
+        assert len(idx._state._tiers) == 2
+        return idx.flag(docs.filter(F.col("doc_id") % 100 == 7))
 
     # plan-only entries: shapes worth auditing that are not themselves
     # registered suite queries (the suite row materializes its epochs, so
