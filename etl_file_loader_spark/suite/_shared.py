@@ -44,9 +44,34 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# (path -> planned scan split count) memo for _t's fan-out decision: the
+# split count is a pure function of the file layout and the session's
+# split confs (both stable for a run), and probing it costs a driver-side
+# RDD plan build we shouldn't repeat per query. Not a result cache — no
+# data, only the partition count of the scan plan.
+_SCAN_SPLITS: dict[str, int] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # Guide §2.5 input skew: the testdata tables are single-row-group
+    # parquet files, so the scan is ONE task and every scan-side
+    # derivation (gram explodes, signature hashing, pair math) runs on
+    # one core. Fan out adaptively — at real scale (multi-row-group
+    # files) the scan already fills the cluster and this is a no-op.
+    # Safe here because every suite operator keys on explicit columns
+    # (no file-position semantics; those live in sources/, not behind
+    # _t — see operators.skew.fan_out_scan's contract, which this
+    # inlines plus the per-path split-count memo).
+    key = path
+    n = _SCAN_SPLITS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_SPLITS[key] = n
+    if n < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     # events.ts is parquet TIMESTAMP(NANOS) -> read as int64 nanos
     # (nanosAsLong) -> truncate to micros with integer division (1e18 nanos
     # exceeds double's exact range; DIV stays in int64), matching DuckDB's

@@ -1050,14 +1050,28 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderkey") % 2 == 1), "o_custkey", _CMS_D, _CMS_W
     )
     merged = sketches.cms_merge([base, delta])
-    mismatch = (
+    # merge(base, delta) == direct as a 1-row aggregate INSIDE the plan
+    # (optimization round 14): the old eager ``.limit(1).count()`` ran the
+    # three sketch subtrees as their own job before the final action ran
+    # two more — one action now computes everything, same values.
+    merge_ok = (
         direct.withColumnRenamed("cnt", "a")
         .join(merged.withColumnRenamed("cnt", "b"), ["r", "c"], "full_outer")
-        .filter(
-            F.coalesce(F.col("a"), F.lit(0)) != F.coalesce(F.col("b"), F.lit(0))
+        .agg(
+            F.when(
+                F.count(
+                    F.when(
+                        F.coalesce(F.col("a"), F.lit(0))
+                        != F.coalesce(F.col("b"), F.lit(0)),
+                        F.lit(1),
+                    )
+                )
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("merge_ok")
         )
-        .limit(1)
-        .count()
     )
     cands = spark.createDataFrame(
         [(v,) for v in _CMS_CANDS], "o_custkey long"
@@ -1073,11 +1087,12 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         est.join(true_fix, "o_custkey")
+        .crossJoin(F.broadcast(merge_ok))
         .select(
             F.col("o_custkey").alias("custkey"),
             "est_count",
             "true_count",
-            F.lit(1 if mismatch == 0 else 0).alias("merge_ok"),
+            "merge_ok",
         )
         .orderBy("custkey")
     )
