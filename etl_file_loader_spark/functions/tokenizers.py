@@ -149,6 +149,12 @@ def fit_subword_vocab(
     serving approximation — not a true merge-order BPE, but learned from
     data and honest about it.
     """
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    # single-split scans run the whole pre-token explode in one task
+    # (guide §2.5; no-op at scale)
+    df = fan_out_scan(df)
+
     words = df.select(
         F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).alias("w")
     )
@@ -300,6 +306,12 @@ def fit_bpe_merges(
     the identical counting, tie-break, and single-pass merge rules, so
     the artifact itself is cross-engine verified — not just trusted.
     """
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    # single-split scans run the whole pre-token explode in one task
+    # (guide §2.5; no-op at scale)
+    df = fan_out_scan(df)
+
     import logging
 
     words = df.select(
@@ -470,6 +482,12 @@ def fit_wordpiece_vocab(
     with the same counting, scoring, and single-pass merge rules, then
     replays greedy matching — artifact and layout both value-verified.
     """
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    # single-split scans run the whole pre-token explode in one task
+    # (guide §2.5; no-op at scale)
+    df = fan_out_scan(df)
+
     import logging
 
     words = df.select(
@@ -689,6 +707,12 @@ def fit_unigram_pieces(
     seed counting, the unrolled Viterbi DP, usage pruning, re-scoring —
     so the artifact is cross-engine verified, not just trusted.
     """
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    # single-split scans run the whole pre-token explode in one task
+    # (guide §2.5; no-op at scale)
+    df = fan_out_scan(df)
+
     import logging
     import math
 

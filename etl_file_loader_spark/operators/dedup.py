@@ -112,6 +112,11 @@ def minhash_signatures(
       id; the reference implementation the oracle SQL mirrors line-by-line.
     """
     assert num_hashes <= len(_MH_A)
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    # a single-split scan runs the whole signature pass in ONE task (one
+    # Python worker on the arrow engine) — guide §2.5, no-op at scale
+    df = fan_out_scan(df, key_cols=[id_col])
     if engine == "arrow":
         return _minhash_signatures_arrow(df, id_col, text_col, num_hashes, n)
     ex = exploded_shingle_hashes(df, id_col, text_col, n)
@@ -487,7 +492,11 @@ def _simhash_arrow(df: DataFrame, id_col: str, text_col: str, bits: int) -> Data
     from pyspark.sql.functions import pandas_udf
 
     from etl_file_loader_spark.functions import py_tokens
+    from etl_file_loader_spark.operators.skew import fan_out_scan
 
+    # one Python worker per partition: widen single-split scans so the
+    # vote loop parallelizes (guide §2.5, no-op at scale)
+    df = fan_out_scan(df, key_cols=[id_col])
     n_hex = 8 if bits <= 32 else (bits + 3) // 4
     shifts = np.arange(bits, dtype=np.int64)
 
@@ -510,6 +519,16 @@ def _simhash_arrow(df: DataFrame, id_col: str, text_col: str, bits: int) -> Data
             votes = (2 * ((hs[:, None] >> shifts[None, :]) & 1) - 1).sum(axis=0)
             out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
         return pd.Series(out, dtype="object")
+
+    # Non-deterministic marker (guide §4.4): the isNotNull filter below
+    # references the UDF's output, and the optimizer pushes that filter
+    # toward the scan by DUPLICATING the evaluation — measured plan had
+    # TWO ArrowEvalPython nodes, the lower one running the whole corpus's
+    # vote loop in the pre-fan-out single scan task (simhash_dedup 9.5 ->
+    # 16.7 s once the fan-out exchange separated them). The marker (the
+    # value is in fact a pure function of the text) forbids the
+    # duplication: one evaluation, above the exchange, 32 tasks.
+    _fp = _fp.asNondeterministic()
 
     return df.select(F.col(id_col), _fp(F.col(text_col)).alias("simhash")).filter(
         F.col("simhash").isNotNull()

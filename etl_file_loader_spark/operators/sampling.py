@@ -502,6 +502,13 @@ def packed_sequences(
     (lang, source) or (lang, date_bucket)), which multiplies parallelism
     while keeping each training stream contiguous and deterministic.
     """
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    # tokenization runs scan-side, BEFORE the prefix-sum window's
+    # exchange: a single-split scan would tokenize the whole corpus in
+    # one task (one Python worker under a subword tokenizer) — guide
+    # §2.5, no-op at scale
+    df = fan_out_scan(df, key_cols=[id_col])
     order = [order_col, id_col] if order_col else [id_col]
     if partition_cols:
         w = Window.partitionBy(*partition_cols).orderBy(*order)

@@ -99,12 +99,28 @@ def mine_triplets(
     # discipline): HOF folds are interpreted, so re-folding each row's norm
     # per partner would triple the O(n²·d) interpreter work — measured 83 s
     # vs 15 s at sf0.1 before this was applied. Same floats, oracle-stable.
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    # Join strategy, picked deliberately (guide §3.1): with a bounded
+    # anchor seed set, BROADCAST the anchors and STREAM the corpus.
+    # Left to size estimates the planner inverts this — a plain filter
+    # does not shrink sizeInBytes, so both sides tie and the non-equi
+    # BNLJ defaults to BuildRight = broadcast the CORPUS (50 MB of
+    # vectors at sf0.1, unbounded at scale) while the |A| x N cosine
+    # pass streams through the 500-row anchor scan's single task. The
+    # explicit hint makes the broadcast O(|anchors|) and the fan-out of
+    # the streamed corpus side (guide §2.5; no-op at scale) spreads the
+    # cosine work across the cluster.
+    if anchors is not None:
+        df = fan_out_scan(df, key_cols=[id_col])
     a = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("_aid"),
         F.col(vec_col).alias("_av"),
         F.col(label_col).alias("_al"),
         norm(F.col(vec_col)).alias("_na"),
     )
+    if anchors is not None:
+        a = F.broadcast(a)
     b = df.select(
         F.col(id_col).alias("_bid"),
         F.col(vec_col).alias("_bv"),

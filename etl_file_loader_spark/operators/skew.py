@@ -14,36 +14,50 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def fan_out_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition a scan whose split count cannot fill the
-    cluster — the guide-§2.5 "input skew" fix (one small or unsplittable
-    file -> one task) applied adaptively.
+def fan_out_scan(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Repartition a scan whose split count cannot fill the cluster —
+    the guide-§2.5 "input skew" fix (one small or unsplittable file ->
+    one task) applied adaptively at the entry of derivation-heavy
+    operators.
 
     Parquet scans split at ROW-GROUP granularity: a file written as a
     single row group yields exactly one scan task no matter how small
     ``spark.sql.files.maxPartitionBytes`` / ``openCostInBytes`` are set,
     so every downstream scan-side derivation (token explodes, n-gram
-    generation, signature hashing, per-pair distance math) runs on ONE
-    core while the rest of the cluster idles. Measured at sf0.1: the
-    shared gram-table build spent 6.3 s of pure CPU in a single task
-    (stage-level profile, tools/profile_stages.py) against a ~0.3 s
-    round-robin shuffle of the 0.6 MB input.
+    generation, signature hashing, per-pair distance math) — and every
+    Arrow/pandas UDF, which otherwise runs in ONE Python worker — uses
+    one core while the rest of the cluster idles. Measured at sf0.1:
+    the shared gram-table build spent 6.3 s of pure CPU in a single
+    task (stage-level profile, tools/profile_stages.py) against a
+    ~0.3 s shuffle of the 0.6 MB input.
+
+    ``key_cols`` (recommended): hash-repartition on a high-cardinality
+    id — deterministic under retry BY VALUE, no extra work. Keyless
+    round-robin pays a LOCAL SORT of every column per input partition
+    (``spark.sql.execution.sortBeforeRepartition``, the SPARK-23207
+    retry guard) — measured 1.6 s vs 0.6 s scan-only on the
+    single-split sf0.1 lineitem. Use round-robin only when no
+    high-cardinality key exists (guide §2.5: a hash key needs many more
+    distinct values than partitions to spread).
 
     Adaptive, not blanket: when the scan already has at least
     ``min_partitions`` (default ``sparkContext.defaultParallelism``)
     splits — every real multi-row-group / multi-file table, i.e. any
-    100 TB input — this is a no-op and no exchange is added. The
-    repartition is round-robin (no key -> no hash-collision skew,
-    guide §2.5) and retry-safe (Spark sorts before round-robin
-    repartition by default, SPARK-23207). Only for order-independent
-    consumers: every suite operator keys on explicit columns; the
-    file-row-number sources (sources/csv.py) must NOT route through
-    this.
+    100 TB input — this is a no-op and no exchange is added. Only for
+    order-independent consumers: every suite operator keys on explicit
+    columns; the file-row-number sources (sources/csv.py) must NOT
+    route through this.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)
 
 

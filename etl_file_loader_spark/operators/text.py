@@ -12,6 +12,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_file_loader_spark.functions import token_hash32, tokens
 from etl_file_loader_spark.operators.cache import pin
@@ -931,11 +932,16 @@ def ngram_novelty(
     in this doc). Low novelty = boilerplate/template text even when no
     single document is a near-duplicate.
 
-    Plan: token n-grams (scan-side HOF) -> (doc, gram) counts -> gram
-    corpus counts (both hash aggs with map-side partials) -> one join
-    back on the gram -> per-doc ratio of exact BIGINTs with ONE division.
+    Plan: token n-grams (scan-side HOF) -> (doc, gram) counts -> corpus
+    count per gram as ONE window over the gram (guide §2.4: the old
+    groupBy(gram) + join back shuffled the count table twice for the
+    same key; an int-sum window over identical rows is the identical
+    value) -> per-doc ratio of exact BIGINTs with ONE division.
     Shuffle ∝ distinct grams — the contamination/span-dedup shape.
     """
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    df = fan_out_scan(df, key_cols=[id_col])  # guide §2.5, no-op at scale
     toks = tokens(F.col(text_col))
     # guard short docs: Spark's sequence(0, -1) is DESCENDING, not empty
     gram_arr = F.when(
@@ -949,8 +955,9 @@ def ngram_novelty(
     per_doc_gram = grams.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).alias("dc")
     )
-    corpus = per_doc_gram.groupBy("gram").agg(F.sum("dc").alias("cc"))
-    j = per_doc_gram.join(corpus, "gram")
+    j = per_doc_gram.withColumn(
+        "cc", F.sum("dc").over(Window.partitionBy("gram"))
+    )
     return (
         j.groupBy(id_col)
         .agg(
@@ -1792,12 +1799,16 @@ def gopher_repetition(
         th.update(thresholds)
 
     doc_side = _gopher_doc_side(df, id_col, text_col)
-    counts = _gram_count_table(df, id_col, text_col, range(2, 11))
+    # positions feed only the n >= 5 duplicated-coverage signals — the
+    # top-gram slices (2..4) shuffle counts alone (guide §2.3)
+    counts = _gram_count_table(
+        df, id_col, text_col, range(2, 11), pos_ns=range(5, 11)
+    )
     return _gopher_from_counts(counts, doc_side, id_col, th)
 
 
 def _gram_count_table(
-    df: DataFrame, id_col: str, text_col: str, ns
+    df: DataFrame, id_col: str, text_col: str, ns, pos_ns=None
 ) -> DataFrame:
     """The shared (doc, n, gram) count table behind the n-gram text
     signals (Gopher repetition, n-gram novelty, contamination, span
@@ -1807,10 +1818,23 @@ def _gram_count_table(
     (~ sum over ns of corpus tokens) is the dominant cost of every one of
     those signals — :func:`text_signals` persists this table and derives
     all four from it so the cost is paid once per pipeline, not once per
-    signal (VERDICT r8 ask 2)."""
-    from etl_file_loader_spark.functions import bind_once, tokens
+    signal (VERDICT r8 ask 2).
 
+    ``pos_ns`` (optimization round 14, guide §2.3 — shuffle fewer
+    bytes): the n values whose rows need the position list. Only the
+    duplicated-n-gram coverage signals (n >= 5) and the span window
+    consume ``_poss``; the top-gram (n = 2..4) and novelty slices use
+    counts alone, so their rows shuffle and cache an empty list instead
+    of one int per occurrence. Default (None) keeps positions for every
+    n — the pre-round-14 shape."""
+    from etl_file_loader_spark.functions import bind_once, tokens
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    # single-split scans leave the 9n-gram explode on one core
+    # (guide §2.5; no-op when the scan already fills the cluster)
+    df = fan_out_scan(df, key_cols=[id_col])
     ns = list(ns)
+    pos_ns = set(ns) if pos_ns is None else set(pos_ns)
     toks = tokens(F.col(text_col))
 
     def all_grams(t: Column) -> Column:
@@ -1847,7 +1871,16 @@ def _gram_count_table(
         F.col("_g")["gram"].alias("_gram"),
     ).agg(
         F.count(F.lit(1)).alias("_cnt"),
-        F.collect_list(F.col("_g")["pos"]).alias("_poss"),
+        # collect_list skips nulls: rows of an n outside pos_ns aggregate
+        # an empty list at no per-occurrence cost
+        F.collect_list(
+            F.when(
+                F.col("_g")["n"].isin(sorted(pos_ns))
+                if pos_ns
+                else F.lit(False),
+                F.col("_g")["pos"],
+            )
+        ).alias("_poss"),
     )
 
 
@@ -1856,9 +1889,13 @@ def _gopher_doc_side(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     dup-run stats + token char accounting). Kept separate from the gram
     branch — a shared struct would drag the 9x-token gram array through
     the per-doc branch, because the bind_once encoding hides the struct
-    from SimplifyExtractValueOps — so per-doc stats stay shuffle-free."""
+    from SimplifyExtractValueOps — so per-doc stats stay shuffle-free.
+    The fan-out below adds the one exchange a single-split scan needs to
+    parallelize the line/paragraph folds (guide §2.5; no-op at scale)."""
     from etl_file_loader_spark.functions import bind_once, tokens
+    from etl_file_loader_spark.operators.skew import fan_out_scan
 
+    df = fan_out_scan(df, key_cols=[id_col])
     text = F.col(text_col)
     lines = F.filter(F.split(text, "\n", -1), lambda l: F.length(F.trim(l)) > 0)
     paras = F.filter(F.split(text, r"\n{2,}", -1), lambda p: F.length(F.trim(p)) > 0)
@@ -2037,7 +2074,15 @@ def text_signals(
         th.update(thresholds)
 
     ns = sorted(set(range(2, 11)) | {n_novel, window})
-    counts = pin(_gram_count_table(df, id_col, text_col, ns))
+    # positions feed the n>=5 duplicated-coverage signals and the span
+    # window slice; novelty and the top-gram slices use counts alone, so
+    # their rows shuffle/cache an empty list (guide §2.3)
+    counts = pin(
+        _gram_count_table(
+            df, id_col, text_col, ns,
+            pos_ns=(set(range(5, 11)) & set(ns)) | {window},
+        )
+    )
 
     gopher = _gopher_from_counts(
         counts.filter(F.col("_n").between(2, 10)),
@@ -2046,13 +2091,18 @@ def text_signals(
         th,
     ).withColumnRenamed("keep", "rep_keep")
 
-    # novelty: per-doc gram counts are exactly the n == n_novel slice
+    # novelty: per-doc gram counts are exactly the n == n_novel slice.
+    # Corpus counts as ONE window over the gram (guide §2.4: aggregate +
+    # self-join keyed the same way collapses into a single exchange) —
+    # the old groupBy(gram) + join read the cached slice twice and
+    # shuffled it twice; sum over an int window is the identical value.
     dg = counts.filter(F.col("_n") == n_novel).select(
         F.col(id_col), F.col("_gram"), F.col("_cnt").alias("_dc")
     )
-    cg = dg.groupBy("_gram").agg(F.sum("_dc").alias("_cc"))
     novelty = (
-        dg.join(cg, "_gram")
+        dg.withColumn(
+            "_cc", F.sum("_dc").over(Window.partitionBy("_gram"))
+        )
         .groupBy(id_col)
         .agg(
             F.sum("_dc").alias("n_grams"),
@@ -2071,25 +2121,33 @@ def text_signals(
     )
 
     # span dedup: per-gram global first = min over docs of
-    # (doc, min in-doc pos); total occurrences = sum of per-doc counts
+    # (doc, min in-doc pos); total occurrences = sum of per-doc counts.
+    # Both per-gram reductions run as ONE window over the (doc, gram)
+    # slice (guide §2.4) — the old groupBy(gram) + join back shuffled
+    # the slice twice and read the cache twice; sum/min over the same
+    # rows are the identical values, and the _tot >= 2 gate that the
+    # inner join used to apply becomes an explicit filter.
     sl = counts.filter(F.col("_n") == window)
-    firsts = (
-        sl.groupBy("_gram")
-        .agg(
-            F.sum("_cnt").alias("_tot"),
+    wg = Window.partitionBy("_gram")
+    marked = (
+        sl.select(
+            F.col(id_col),
+            F.col("_gram"),
+            F.col("_cnt"),
+            F.col("_poss"),
+        )
+        .withColumn("_tot", F.sum("_cnt").over(wg))
+        .withColumn(
+            "_first",
             F.min(
                 F.struct(
                     F.col(id_col).alias("_fid"),
                     F.array_min("_poss").alias("_fpos"),
                 )
-            ).alias("_first"),
+            ).over(wg),
         )
         .filter(F.col("_tot") >= 2)
-        .select("_gram", "_first")
-    )
-    occ = sl.select(F.col(id_col), F.col("_gram"), F.explode("_poss").alias("_pos"))
-    marked = (
-        occ.join(firsts, "_gram")
+        .select(F.col(id_col), F.col("_first"), F.explode("_poss").alias("_pos"))
         .filter(
             ~(
                 (F.col(id_col) == F.col("_first._fid"))

@@ -44,34 +44,20 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-# (path -> planned scan split count) memo for _t's fan-out decision: the
-# split count is a pure function of the file layout and the session's
-# split confs (both stable for a run), and probing it costs a driver-side
-# RDD plan build we shouldn't repeat per query. Not a result cache — no
-# data, only the partition count of the scan plan.
-_SCAN_SPLITS: dict[str, int] = {}
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NOTE (optimization round 14): a blanket scan fan-out here was tried
+    # and REVERTED. The testdata tables are single-row-group parquet, so
+    # scans plan as one task (guide §2.5 input skew) — but a measured
+    # A/B showed the per-branch exchange+stage tax on multi-branch,
+    # scan-light queries (TPC-H +11.8 s, orders sketches +6.1 s, index
+    # streams +13.0 s over the suite) eats the win, which concentrates
+    # in a handful of derivation-heavy operators. The fan-out now lives
+    # INSIDE those operators (operators.skew.fan_out_scan: gram tables,
+    # signature UDFs, triplet mining), where the benefit is proven and
+    # the no-op-at-scale property is the same.
     _ensure_session_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    # Guide §2.5 input skew: the testdata tables are single-row-group
-    # parquet files, so the scan is ONE task and every scan-side
-    # derivation (gram explodes, signature hashing, pair math) runs on
-    # one core. Fan out adaptively — at real scale (multi-row-group
-    # files) the scan already fills the cluster and this is a no-op.
-    # Safe here because every suite operator keys on explicit columns
-    # (no file-position semantics; those live in sources/, not behind
-    # _t — see operators.skew.fan_out_scan's contract, which this
-    # inlines plus the per-path split-count memo).
-    key = path
-    n = _SCAN_SPLITS.get(key)
-    if n is None:
-        n = df.rdd.getNumPartitions()
-        _SCAN_SPLITS[key] = n
-    if n < spark.sparkContext.defaultParallelism:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
     # events.ts is parquet TIMESTAMP(NANOS) -> read as int64 nanos
     # (nanosAsLong) -> truncate to micros with integer division (1e18 nanos
     # exceeds double's exact range; DIV stays in int64), matching DuckDB's
