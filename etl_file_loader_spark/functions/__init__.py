@@ -152,6 +152,42 @@ def py_tokens(text: str | None) -> list[str]:
     return _JAVA_WS_RE.split(t)
 
 
+def local_rows_df(spark, rows, schema: str):
+    """Literal driver-side rows as a LocalRelation-backed DataFrame.
+
+    ``spark.createDataFrame(py_list, schema)`` parallelizes the rows into
+    a defaultParallelism-partition PYTHON RDD (a ``LogicalRDD`` plan):
+    every scan of the frame pays one Python-worker round trip per
+    partition, and a ``coalesce(1)`` on it chains the partitions into ONE
+    task that pays those round trips SEQUENTIALLY — measured 5-6 s to
+    write a one-row frame at local[32] (optimization round 14; guide §4 —
+    eliminate the JVM<->Python boundary). Routing the same rows through
+    pandas yields a ``LocalRelation``: pure JVM at every scan, exact stats
+    for the planner, broadcast-friendly. Values are identical — the rows
+    are exact Python ints/floats/strings either way and the explicit
+    ``schema`` pins the Spark types; only the transport differs. Columns
+    map to the schema POSITIONALLY (as with the list form).
+    """
+    rows = [tuple(r) for r in rows]
+    if not rows:  # pandas can't carry an empty positional frame's width
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    # object-dtype Series built per column: every cell stays the exact
+    # Python value (no pd.Timestamp coercion that the non-Arrow
+    # createDataFrame path type-rejects, no NaN-ifying int columns that
+    # contain None) — the explicit Spark ``schema`` is the single source
+    # of types. Sessions without arrow.pyspark.enabled fall back to the
+    # row-iterating path, which accepts exactly these Python values.
+    pdf = pd.DataFrame(
+        {
+            i: pd.Series([r[i] for r in rows], dtype=object)
+            for i in range(len(rows[0]))
+        }
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
 def bind_once(value: Column, body) -> Column:
     """Let-binding for higher-order-function bodies: evaluate ``value`` once
     per row and pass the bound result to ``body``.

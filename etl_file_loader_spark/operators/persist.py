@@ -46,6 +46,23 @@ def _bucket_table_name(path: str) -> str:
     return "efls_idx_" + hashlib.md5(path.encode("utf-8")).hexdigest()[:12]
 
 
+def _write_meta(spark: SparkSession, meta: dict, path: str) -> None:
+    """One-row meta parquet, built JVM-side (optimization round 14).
+
+    The old ``createDataFrame([(json,)], ...).coalesce(1)`` put the row in
+    a defaultParallelism-partition PYTHON RDD and the coalesce chained all
+    its partitions into one task that paid one Python-worker round trip
+    EACH — measured 5-6 s per save at local[32] (guide §4: eliminate the
+    Python boundary). A ``range(1).select(lit(...))`` plan writes the
+    identical one-row/one-column parquet in one JVM task, ~0.3 s.
+    """
+    from pyspark.sql import functions as F
+
+    spark.range(1).select(F.lit(json.dumps(meta)).alias("meta")).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def save_index_state(
     state: DataFrame,
     meta: dict,
@@ -84,14 +101,10 @@ def save_index_state(
             "state_path": state_path,
         }
         fs.rmtree(tmp) if fs.exists(tmp) else None
-        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{tmp}/meta")
+        _write_meta(spark, meta, f"{tmp}/meta")
     else:
         state.write.mode("overwrite").parquet(f"{tmp}/state")
-        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{tmp}/meta")
+        _write_meta(spark, meta, f"{tmp}/meta")
     if not fs.exists(f"{tmp}/_SUCCESS"):
         fs.write_text(f"{tmp}/_SUCCESS", "")
     if fs.exists(final):

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_file_loader_spark.functions import tokens
+from etl_file_loader_spark.functions import local_rows_df, tokens
 
 # one part in _SAMPLE_DENOM resolution for sampling rates
 _SAMPLE_DENOM = 10_000
@@ -829,8 +829,8 @@ def mixture_waterfill(
             raise ValueError(
                 f"weights_milli must sum in (0, 1000] for exact int64 math: {wsum}"
             )
-        wdf = spark.createDataFrame(
-            list(ws.items()), "domain string, w_milli long"
+        wdf = local_rows_df(
+            spark, list(ws.items()), "domain string, w_milli long"
         ).withColumnRenamed("domain", domain_col)
     totals = df.groupBy(domain_col).agg(
         F.sum(F.col(size_col).cast("long")).alias("avail")

@@ -1068,8 +1068,13 @@ class IVFIndexDF(IVFIndex):
              self.km.max_fit_rows)
             for cid, cv in enumerate(self.km.centers)
         ]
-        spark.createDataFrame(
-            rows, "cid int, cv array<double>, iters int, round_to int, max_fit_rows int"
+        # LocalRelation (guide §4): the list form would put these rows in a
+        # 32-partition Python RDD whose coalesce(1) pays one Python-worker
+        # round trip per partition inside a single task (~5 s per save)
+        from etl_file_loader_spark.functions import local_rows_df
+
+        local_rows_df(
+            spark, rows, "cid int, cv array<double>, iters int, round_to int, max_fit_rows int"
         ).coalesce(1).write.mode("overwrite").parquet(path)
 
     @classmethod
@@ -1295,9 +1300,12 @@ class PQEncoder:
             for j in range(m)
             for c in range(ksub)
         ]
-        spark.createDataFrame(rows, "subspace int, code int, center array<double>").write.mode(
-            "overwrite"
-        ).parquet(path)
+        from etl_file_loader_spark.functions import local_rows_df
+
+        # LocalRelation, not a 32-partition Python RDD (guide §4)
+        local_rows_df(
+            spark, rows, "subspace int, code int, center array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
 
     @classmethod
     def load(cls, path: str, spark=None, seed: int = 42) -> "PQEncoder":

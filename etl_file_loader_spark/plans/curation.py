@@ -237,8 +237,13 @@ class CurationPipeline:
             from etl_file_loader_spark.operators import web as web_ops
 
             if c.blocked_domains:
-                blocked = docs.sparkSession.createDataFrame(
-                    [(d,) for d in c.blocked_domains], ["domain"]
+                from etl_file_loader_spark.functions import local_rows_df
+
+                # LocalRelation, not a Python RDD (guide §4, optimization r14)
+                blocked = local_rows_df(
+                    docs.sparkSession,
+                    [(d,) for d in c.blocked_domains],
+                    "domain string",
                 )
                 cur = web_ops.blocklist_filter(
                     cur, c.url_col, blocked,
@@ -563,7 +568,11 @@ class VersionedCorpus:
         return vs[-1] if vs else 0
 
     def _register(self, version: int, docs: int, tokens: int) -> None:
-        row = self.spark.createDataFrame(
+        from etl_file_loader_spark.functions import local_rows_df
+
+        # LocalRelation, not a Python RDD (guide §4, optimization r14)
+        row = local_rows_df(
+            self.spark,
             [(version, f"{self.root}/delta_v{version}", docs, tokens)],
             "version int, delta_path string, docs long, tokens long",
         )

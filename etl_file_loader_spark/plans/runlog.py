@@ -76,7 +76,13 @@ class RunLog:
 
     def flush(self, warehouse: Warehouse) -> None:
         if self.entries:
-            df = warehouse.spark.createDataFrame(
+            from etl_file_loader_spark.functions import local_rows_df
+
+            # LocalRelation, not a 32-partition Python RDD: the list form
+            # paid one Python-worker round trip per partition at every
+            # scan of this handful of rows (guide §4, optimization r14)
+            df = local_rows_df(
+                warehouse.spark,
                 [tuple(e[f.name] for f in LOG_SCHEMA.fields) for e in self.entries],
                 LOG_SCHEMA,
             )

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from etl_file_loader_spark.functions import local_rows_df
 from etl_file_loader_spark.suite._shared import (
     ORACLES,
     QUERIES,
@@ -1073,8 +1074,8 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merge_ok")
         )
     )
-    cands = spark.createDataFrame(
-        [(v,) for v in _CMS_CANDS], "o_custkey long"
+    cands = local_rows_df(
+        spark, [(v,) for v in _CMS_CANDS], "o_custkey long"
     )
     est = sketches.cms_query(direct, cands, "o_custkey", _CMS_D, _CMS_W)
     true_fix = (
@@ -1321,8 +1322,8 @@ def q_bloom_filter_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_ok = 1 if sk_ops.merge_blooms(even, odd) == whole else 0
     rows = [(i, w, merge_ok) for i, w in enumerate(whole)]
-    return spark.createDataFrame(
-        rows, "word long, value long, merge_ok long"
+    return local_rows_df(
+        spark, rows, "word long, value long, merge_ok long"
     ).orderBy("word")
 
 
@@ -1787,7 +1788,7 @@ def q_cms_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_file_loader_spark.operators import sketches
 
     orders = _t(spark, sf_dir, "orders")
-    cands = spark.createDataFrame([(v,) for v in _CMS_CANDS], "o_custkey long")
+    cands = local_rows_df(spark, [(v,) for v in _CMS_CANDS], "o_custkey long")
     idx = sketches.CMSIndex(
         orders.filter(F.col("o_orderkey") % 4 == 0), "o_custkey", _CMS_D, _CMS_W
     )

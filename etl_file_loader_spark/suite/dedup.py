@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from etl_file_loader_spark.functions import local_rows_df
 from etl_file_loader_spark.operators import dedup as dedup_ops
 from etl_file_loader_spark.operators import similarity as sim_ops
 from etl_file_loader_spark.operators import text as text_ops
@@ -731,7 +732,8 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed = int(
         total > 0 and agree * 100 >= total * 95 and n_sem * 100 <= total * 110
     )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [("semantic_dedup_survivor_match", 95, passed)],
         "metric string, threshold_pct int, passed int",
     )
