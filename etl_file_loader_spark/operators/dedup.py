@@ -1282,6 +1282,7 @@ class NearDupIndex:
         self.n = n
         self.bands = bands
         self.rows_per_band = rows_per_band
+        self._pending = None  # (batch frame, its checkpointed band rows)
         self._state = TieredState.build(self._band_raw(corpus), _band_fold)
 
     def _band_raw(self, df: DataFrame) -> DataFrame:
@@ -1299,17 +1300,36 @@ class NearDupIndex:
             "band_idx", "band_hash", F.col(self.id_col).alias("_cid")
         )
 
+    def _batch_bands(self, new_df: DataFrame) -> DataFrame:
+        """The batch's band rows, signed ONCE per batch frame
+        (optimization round 14, guide §1.2 — flag-then-absorb is the
+        documented stream shape and both steps need the same band rows;
+        recomputing them ran the Arrow minhash pass twice per batch,
+        belying the class's own "signs each doc once" contract).
+        Single-slot memo: a strong reference to the batch frame (so the
+        identity can never be a recycled id) plus an eager checkpoint of
+        its band rows. Consumed by :meth:`absorb`, superseded by the
+        next distinct batch, freed by :meth:`release`."""
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
+        if self._pending is not None:
+            pdf, bands = self._pending
+            if pdf is new_df:
+                return bands
+            release_local_checkpoint(bands)
+            self._pending = None
+        bands = self._band_raw(new_df).localCheckpoint(eager=True)
+        self._pending = (new_df, bands)
+        return bands
+
     def flag(self, new_df: DataFrame) -> DataFrame:
         """(id, matched_corpus_id, is_near_dup) for every doc of the
-        batch, against the CURRENT index (docs absorbed so far)."""
-        new_bands = _band_rows(
-            minhash_signatures(
-                new_df, self.id_col, self.text_col,
-                num_hashes=self.num_hashes, n=self.n,
-            ),
-            self.id_col,
-            self.bands,
-            self.rows_per_band,
+        batch, against the CURRENT index (docs absorbed so far). The
+        batch's band rows materialize eagerly at this call (one job) and
+        are reused verbatim by a following ``absorb(new_df)`` — the
+        signature pass runs once per batch, not once per step."""
+        new_bands = self._batch_bands(new_df).select(
+            F.col("_cid").alias(self.id_col), "band_idx", "band_hash"
         )
         flagged = (
             new_bands.join(self._state.view(), ["band_idx", "band_hash"], "left")
@@ -1327,8 +1347,17 @@ class NearDupIndex:
         the batch is signed, min-reduced, and checkpointed; the tiered
         state's geometric cascade bounds tier count and releases every
         superseded checkpoint once its merge materialized (the round-13
-        leak fix, carried by TieredState for the whole ladder)."""
-        self._state.absorb(self._band_raw(new_df))
+        leak fix, carried by TieredState for the whole ladder). Reuses
+        (and consumes) the band rows a preceding ``flag(new_df)`` on the
+        same frame already materialized."""
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
+        bands = self._batch_bands(new_df)
+        self._state.absorb(bands)
+        # the state's fold checkpointed its own copy inside absorb —
+        # the batch bands are consumed; free them now
+        release_local_checkpoint(bands)
+        self._pending = None
 
     def index_frame(self) -> DataFrame:
         """The fully-folded (band_idx, band_hash, _cid) index — one row
@@ -1336,9 +1365,15 @@ class NearDupIndex:
         return self._state.compacted()
 
     def release(self) -> None:
-        """Free the index's block-manager state (all tiers); the object
+        """Free the index's block-manager state (all tiers, plus any
+        pending batch bands a flag() left for its absorb); the object
         is unusable afterwards. Call before rebinding to a loaded copy —
         the suite's save/load-crossing stream discipline."""
+        from etl_file_loader_spark.operators.cache import release_local_checkpoint
+
+        if self._pending is not None:
+            release_local_checkpoint(self._pending[1])
+            self._pending = None
         self._state.release()
 
     def save(
@@ -1396,6 +1431,7 @@ class NearDupIndex:
         obj.n = meta["n"]
         obj.bands = meta["bands"]
         obj.rows_per_band = meta["rows_per_band"]
+        obj._pending = None
         obj._state = TieredState.restored(state, _band_fold)
         return obj
 

@@ -118,7 +118,14 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = s.withColumn("ts", F.col("ts").cast("timestamp"))
         return s
 
-    doubled = _read().unionByName(_read())
+    # ONE scan (optimization round 14): duplicating every event via an
+    # exploded 2-element array replaces the second file-stream source
+    # reading the identical file — same doubled multiset, half the scan
+    doubled = (
+        _read()
+        .withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1))))
+        .drop("_copy")
+    )
     deduped = dedup_stream(doubled, ["event_id"], ts_col="ts", watermark="1 hour")
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     q = (
@@ -189,23 +196,32 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = s.withColumn("ts", F.col("ts").cast("timestamp"))
         return s.select("user_id", "ts")
 
-    real = _read()
-    sentinel = _read().withColumn(
-        "ts", F.timestamp_micros(F.lit(_SESSION_SENTINEL_US))
+    # ONE scan (optimization round 14, guide §2.4/§6): the old
+    # real.unionByName(sentinel-copy) read the events file through TWO
+    # file-stream sources; exploding a 2-element array emits the same
+    # (real ts, sentinel ts) row pair per event from a single scan.
+    doubled = _read().select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.col("ts"), F.timestamp_micros(F.lit(_SESSION_SENTINEL_US))
+            )
+        ).alias("ts"),
     )
-    # huge processing-time timeout: no timeout flush is needed — the
-    # sentinel closes every real session inside the data batches.
-    # ProcessingTimeTimeout streams NEVER terminate on their own (the
-    # engine keeps scheduling empty batches to service future timeouts,
-    # and processAllAvailable blocks on them), so drive by polling the
-    # sink: once the engine reports zero-input batches and the emitted
-    # row count is stable, the closed-session set is complete — stop.
-    import time
-
+    # timeout_ms=None -> GroupStateTimeout.NoTimeout (optimization round
+    # 14): the sentinel closes every REAL session inside the data batch,
+    # so the timeout flush was never needed here — and with NO timeout
+    # registered the availableNow trigger TERMINATES once the files are
+    # drained (with ProcessingTimeTimeout it never does: the engine keeps
+    # scheduling batches to service the sentinel sessions' outstanding
+    # timers — measured q.isActive 120 s after the sink was complete,
+    # which is what the former sink-polling loop worked around). One
+    # awaitTermination replaces the poll; sentinel sessions stay open in
+    # state and are discarded by the start-time filter as before.
     sessions = sessionize_stream(
-        real.unionByName(sentinel),
+        doubled,
         gap_seconds=_SESSION_GAP_S,
-        timeout_ms=3_600_000,
+        timeout_ms=None,
     )
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
     q = (
@@ -213,30 +229,9 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="efls_stream_ck_"))
+        .trigger(availableNow=True)
         .start()
     )
-    # Poll at 0.2 s, not 1 s: the completion signal (a zero-input batch
-    # reported + a stable sink count over 3 consecutive polls) is
-    # unchanged, but the old 1 s cadence charged every bench run a fixed
-    # ~3-4 s of pure sleep after the stream had already drained (the
-    # stability window alone was 3 s). Empty batches run back-to-back
-    # under the default trigger, so lastProgress refreshes well inside
-    # 0.2 s and the guard loses no robustness at the finer cadence.
-    deadline = time.time() + 300
-    stable, last = 0, -1
-    while time.time() < deadline:
-        time.sleep(0.2)
-        lp = q.lastProgress
-        n = spark.table(name).count()
-        drained = lp is not None and lp["numInputRows"] == 0
-        if drained and n == last and n > 0:
-            stable += 1
-            if stable >= 3:
-                break
-        else:
-            stable = 0
-        last = n
-    q.stop()
     q.awaitTermination()
     return (
         spark.table(name)
