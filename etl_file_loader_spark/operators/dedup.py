@@ -1520,14 +1520,15 @@ def _pj_base(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     many cores (measured at sf0.1: 136 s at 2 partitions -> 19 s at 32).
     Guarded so an already-well-partitioned corpus (the cluster case) is
     never reshuffled just to hit a number."""
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
     s = F.lower(F.col(str_col))
     slim = df.select(
         F.col(id_col).alias("_id"), s.alias("_s"), F.length(s).alias("_l")
     )
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if slim.rdd.getNumPartitions() < par:
-        slim = slim.repartition(par)
-    return slim
+    # memoized split probe (fan_out_scan): the raw .rdd probe ran full
+    # query planning per call, ~0.4 s of driver time
+    return fan_out_scan(slim)
 
 
 def _pj_seg_len(La: Column, i: int, k: int) -> Column:
@@ -1934,10 +1935,10 @@ class LinkageIndex:
         segments are recomputed per link from the base by design)."""
         from etl_file_loader_spark.operators.persist import load_index_state
 
+        from etl_file_loader_spark.operators.skew import fan_out_scan
+
         state, meta = load_index_state(spark, path)
-        par = spark.sparkContext.defaultParallelism
-        if state.rdd.getNumPartitions() < par:
-            state = state.repartition(par)
+        state = fan_out_scan(state)
         obj = cls.__new__(cls)
         obj.master_id = meta["master_id"]
         obj.master_col = meta.get("master_col")  # None on pre-r14 snapshots

@@ -928,6 +928,12 @@ def _dsir_features(df: DataFrame, id_col: str, text_col: str, num_buckets: int) 
     md5-prefix->int64 bucket idiom (bit-identical in DuckDB)."""
     from etl_file_loader_spark.functions import bind_once, token_hash32
 
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    # single-split scans run the whole feature explode in one task
+    # (guide §2.5; no-op at scale)
+    df = fan_out_scan(df, key_cols=[id_col])
+
     def feats(t: Column) -> Column:
         unis = F.transform(t, lambda w: F.lower(w))
         bis = F.when(
@@ -985,10 +991,20 @@ def dsir_weights(
     tgt = _dsir_features(target, id_col, text_col, num_buckets)
     rawf = _dsir_features(raw, id_col, text_col, num_buckets)
 
+    # Each corpus is featurized ONCE (optimization round 14, guide §1.2 /
+    # §2.4): totals derive from the bucket counts (sum over buckets ==
+    # feature count) and the raw bucket counts derive from the per-doc
+    # profile (sum of per-doc counts per bucket == bucket count) — exact
+    # integer algebra, identical values. Spark has no common-subtree
+    # sharing, so the OLD independent aggregates re-ran the explode per
+    # consumer (raw 3x: cq + tq + prof; target 2x: ct + tt); derived
+    # aggregates sit ABOVE their parent's exchange, which ReuseExchange
+    # dedupes — one explode per corpus in the executed plan.
+    prof = rawf.groupBy(id_col, "_bkt").agg(F.count(F.lit(1)).alias("_m"))
     ct = tgt.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_ct"))
-    cq = rawf.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cq"))
-    tt = tgt.agg(F.count(F.lit(1)).alias("_tt"))
-    tq = rawf.agg(F.count(F.lit(1)).alias("_tq"))
+    cq = prof.groupBy("_bkt").agg(F.sum("_m").cast("long").alias("_cq"))
+    tt = ct.agg(F.sum("_ct").cast("long").alias("_tt"))
+    tq = cq.agg(F.sum("_cq").cast("long").alias("_tq"))
 
     ab = float(alpha) * num_buckets
     lr_tab = (
@@ -1010,7 +1026,6 @@ def dsir_weights(
         )
     )
 
-    prof = rawf.groupBy(id_col, "_bkt").agg(F.count(F.lit(1)).alias("_m"))
     doc = (
         prof.join(F.broadcast(lr_tab), "_bkt")
         .groupBy(id_col)

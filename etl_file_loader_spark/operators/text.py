@@ -1838,29 +1838,76 @@ def _gram_count_table(
     toks = tokens(F.col(text_col))
 
     def all_grams(t: Column) -> Column:
-        def gram_at(n: int):
-            # closure factory: PySpark infers HOF arity from the lambda's
-            # parameter count, so the usual `lambda i, n=n` capture would be
-            # handed the array index as `n`
-            def build(i: Column) -> Column:
-                return F.struct(
-                    F.lit(n).alias("n"),
-                    i.alias("pos"),
-                    F.concat_ws(
-                        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
-                    ).alias("gram"),
-                )
+        """Chained gram ladder (optimization round 14, guide §1.2): level
+        n's gram strings extend level n-1's by one token — 2 element_at +
+        1 concat per gram instead of concat_ws over n element_at calls —
+        so per-gram interpreted-HOF work stops growing with n, and the
+        expression tree (whose size drives analysis, codegen-compile and
+        the cold first-run cost of every gram-table consumer) shrinks to
+        ~constant per level. A level whose predecessor is not on the
+        ``ns`` path builds directly (same as the old shape); identical
+        gram strings either way — both forms join the same n tokens with
+        single spaces."""
+        _empty_s = F.array().cast("array<string>")
+        _empty_g = F.array().cast("array<struct<n:int,pos:int,gram:string>>")
+        ns_sorted = sorted(set(ns))
+        want = set(ns_sorted)
 
-            return build
-
-        per_n = [
-            F.when(
+        def direct(n: int) -> Column:
+            return F.when(
                 F.size(t) >= n,
-                F.transform(F.sequence(F.lit(0), F.size(t) - n), gram_at(n)),
-            ).otherwise(F.array().cast("array<struct<n:int,pos:int,gram:string>>"))
-            for n in ns
-        ]
-        return F.flatten(F.array(*per_n))
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                    ),
+                ),
+            ).otherwise(_empty_s)
+
+        def chained(g: Column, n: int) -> Column:
+            # g = level n-1 gram array: g[i] (1-based) covers 1-based
+            # tokens i..i+n-2, so level n's gram i appends token i+n-1
+            return F.when(
+                F.size(g) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(g) - 1),
+                    lambda i: F.concat(
+                        F.element_at(g, i),
+                        F.lit(" "),
+                        F.element_at(t, i + (n - 1)),
+                    ),
+                ),
+            ).otherwise(_empty_s)
+
+        def structs(g: Column, n: int) -> Column:
+            # 2-arg transform: the second lambda arg is the 0-based array
+            # index == the gram's 0-based token start, the old pos value
+            return F.transform(
+                g,
+                lambda x, i: F.struct(
+                    F.lit(n).alias("n"), i.alias("pos"), x.alias("gram")
+                ),
+            )
+
+        def build_from(idx: int, g_prev: Column | None, n_prev: int) -> Column:
+            n = ns_sorted[idx]
+            g_expr = (
+                chained(g_prev, n)
+                if g_prev is not None and n == n_prev + 1
+                else direct(n)
+            )
+
+            def with_g(g: Column) -> Column:
+                head = structs(g, n)
+                if idx + 1 == len(ns_sorted):
+                    return head
+                return F.concat(head, build_from(idx + 1, g, n))
+
+            return bind_once(g_expr, with_g)
+
+        if not ns_sorted:
+            return _empty_g
+        return build_from(0, None, 0)
 
     ex = df.select(
         F.col(id_col), F.explode(bind_once(toks, all_grams)).alias("_g")

@@ -90,6 +90,14 @@ def engine_confs(cpus: int) -> dict[str, str]:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        # PySpark 4 captures the user call site (a Python stack walk +
+        # JVM thread-local write) on EVERY DataFrame API call to enrich
+        # error messages; profiled at ~15% of plan-construction time on
+        # the expression-heavy operators (0.8 s per text-signals build).
+        # Scale-independent driver overhead — off in production, errors
+        # still carry the full JVM+Python traceback, only the "user code
+        # line was here" annotation is lost. (optimization round 14)
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
     }
 
 
