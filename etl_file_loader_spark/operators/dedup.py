@@ -899,13 +899,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # pointer-doubling hop (optimization round 14, guide §1.2): also
+        # adopt the label OF the current label — labels are always ids of
+        # component members, so the hop preserves the invariant and the
+        # fixpoint (= per-component min) is unchanged, but long chains
+        # converge in O(log diameter) rounds instead of O(diameter);
+        # each round is one driver-sequential checkpoint, so rounds are
+        # the wall-clock term that matters
+        hop = labels.select(
+            F.col("id").alias("_hid"), F.col("label").alias("_hlabel")
+        )
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .join(hop, F.col("label") == F.col("_hid"), "left")
             .select(
                 F.col("id"),
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "new_label"
-                ),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.coalesce(F.col("_hlabel"), F.col("label")),
+                ).alias("new_label"),
                 F.col("label"),
             )
         ).localCheckpoint()

@@ -953,7 +953,10 @@ class KMeansDF:
         lexicographic struct order makes 'ties to lowest id' explicit."""
         structs = []
         for cid, ctr in enumerate(centers):
-            carr = F.array(*[F.lit(float(x)) for x in ctr])
+            # one array-literal py4j call per centroid, not one F.lit per
+            # element: k=32 x dim=64 was ~2k driver round trips (~2.5 s of
+            # plan-construction time) per assign (optimization round 14)
+            carr = F.lit([float(x) for x in ctr])
             d = F.aggregate(
                 F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0),
