@@ -502,8 +502,19 @@ def hyperplane_lsh_bands(
     plane matrix (see ``hyperplane_lsh_buckets`` for why not a Column
     expression) -> posexplode to (id, band, bucket). The candidate join
     shuffles on (band, bucket).
+
+    The banding input fans out first (optimization round 14, guide §2.5):
+    a single-split scan (one-row-group parquet, LocalRelation fixture)
+    runs the Arrow matmul in ONE Python worker while the cluster idles —
+    stage-profiled at 1.5 s single-task for the sf0.1 embeddings. No-op
+    for any input that already fills the cluster; only the banding branch
+    is repartitioned, so vector-fetch joins on ``df`` elsewhere keep
+    their LocalRelation stats and broadcast.
     """
-    dim = _vector_dim(df, vec_col)
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    dim = _vector_dim(df, vec_col)  # 1-row probe: before the fan-out exchange
+    df = fan_out_scan(df, key_cols=[id_col])
     w = _plane_matrix(dim, num_bands * planes_per_band)
     from pyspark.sql.functions import pandas_udf
 

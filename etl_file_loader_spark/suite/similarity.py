@@ -73,15 +73,27 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_flag(exact_ids: DataFrame, approx_ids: DataFrame, metric: str, pct: int) -> DataFrame:
     """One hashable row: did the approximate id-set recover >= pct% of the
-    exact id-set? Joins on all columns of ``exact_ids`` (id or pair)."""
-    hits = exact_ids.join(approx_ids, exact_ids.columns, "leftsemi").agg(
-        F.count(F.lit(1)).alias("hits")
-    )
-    total = exact_ids.agg(F.count(F.lit(1)).alias("total"))
-    return hits.crossJoin(total).select(
-        F.lit(metric).alias("metric"),
-        F.lit(pct).alias("threshold_pct"),
-        (F.col("hits") * 100 >= F.col("total") * pct).cast("int").alias("passed"),
+    exact id-set? Joins on all columns of ``exact_ids`` (id or pair).
+
+    ONE pass over ``exact_ids`` (optimization round 14, guide §1.2/§2.4):
+    the old shape evaluated the exact subtree twice per flag — a semi-join
+    for hits plus a separate count for the total — and the exact side is
+    an expensive exact-baseline miner/top-k in every caller (only work
+    above its last exchange was deduped by ReuseExchange). A left join
+    against the DEDUPED approx side marks hits, and one aggregate counts
+    rows and hits together. Values identical: count(_hit) over a build
+    side deduped on the join key == the left-semi row count (no fan-out,
+    same null-rejecting equi-join semantics), count(*) == the old total.
+    """
+    probe = approx_ids.dropDuplicates().withColumn("_hit", F.lit(1))
+    return (
+        exact_ids.join(probe, exact_ids.columns, "left")
+        .agg(F.count(F.lit(1)).alias("total"), F.count("_hit").alias("hits"))
+        .select(
+            F.lit(metric).alias("metric"),
+            F.lit(pct).alias("threshold_pct"),
+            (F.col("hits") * 100 >= F.col("total") * pct).cast("int").alias("passed"),
+        )
     )
 
 
@@ -707,14 +719,28 @@ def q_triplet_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     at num_bands=8, planes_per_band=2 — a real pruning configuration,
     not an everything-collides one."""
+    from etl_file_loader_spark.operators.cache import pin_checkpoint
+
     emb = _t(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < 500)
-    exact = sim_ops.mine_triplets(
-        emb, "vec_id", "embedding", "label", anchors=anchors
+    # Materialize each miner ONCE (optimization round 14, guide §1.2/§3.3):
+    # the three agreement flags below consume both results repeatedly (the
+    # exact subtree appeared 6x, the LSH one 3x in the union's single plan
+    # — only work above each last exchange was deduped by ReuseExchange,
+    # so the |anchors| x N cosine pass re-ran per consumer), and the
+    # un-truncated 3k-line plan alone cost ~6.7 s of driver planning. The
+    # results are ~|anchors| rows, so the checkpoint is tiny; registered
+    # for release like every other suite checkpoint.
+    exact = pin_checkpoint(
+        sim_ops.mine_triplets(
+            emb, "vec_id", "embedding", "label", anchors=anchors
+        ).localCheckpoint(eager=True)
     )
-    approx = sim_ops.mine_triplets_lsh(
-        emb, "vec_id", "embedding", "label",
-        anchors=anchors, num_bands=8, planes_per_band=2,
+    approx = pin_checkpoint(
+        sim_ops.mine_triplets_lsh(
+            emb, "vec_id", "embedding", "label",
+            anchors=anchors, num_bands=8, planes_per_band=2,
+        ).localCheckpoint(eager=True)
     )
     cov = _recall_flag(
         exact.select("vec_id"), approx.select("vec_id"),
