@@ -12,6 +12,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from etl_file_loader_spark.functions import token_hash32, tokens
@@ -1753,6 +1754,7 @@ def gopher_repetition(
     id_col: str,
     text_col: str,
     thresholds: dict[str, float] | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """The published Gopher repetition-filter rule set (Rae et al. 2021,
     Appendix A, Table A1) — the other half of the Gopher filter next to
@@ -1781,15 +1783,17 @@ def gopher_repetition(
     that signal (nothing repeats). Character denominators are word/element
     characters (whitespace excluded), engine-portable.
 
-    Plan shape: line/paragraph signals are in-place sorted-array folds
-    (zero shuffle, scan speed). The n-gram signals are ONE explode of
-    (n, pos, gram) for all nine n values -> groupBy(doc, n, gram) with
-    map-side partial aggregation -> per-(doc, n) reduce -> two slim
-    per-doc joins. Shuffle ~ 9x corpus tokens: the honest distributed
-    shape — counting is never done in task memory, so million-token
-    documents cannot blow an executor (same reasoning as
-    repetition_stats engine="explode"). At 100 TB this is the same
-    aggregate pattern as the LM count tables.
+    Plan shape (``engine="arrow"``, the default — optimization round 14,
+    guide §4.2 + §2.4): every signal is a pure function of its own
+    document, so the whole rule set is ONE zero-shuffle ``mapInArrow``
+    pass (:func:`_gopher_doc_signals_arrow`) followed by the expression
+    fraction/threshold tail. ``engine="explode"`` keeps the previous
+    shape — explode of (n, pos, gram) for all nine n values ->
+    groupBy(doc, n, gram) with map-side partial aggregation ->
+    per-(doc, n) reduce -> two slim per-doc joins; shuffle ~ 9x corpus
+    tokens, but counting never happens in task memory, so corpora with
+    multi-million-token documents cannot blow an executor (same
+    reasoning as repetition_stats engine="explode").
     """
     th = dict(GOPHER_REPETITION_THRESHOLDS)
     if thresholds:
@@ -1798,41 +1802,170 @@ def gopher_repetition(
             raise ValueError(f"unknown gopher repetition signals: {sorted(unknown)}")
         th.update(thresholds)
 
+    if engine == "arrow":
+        return _gopher_select(
+            _gopher_doc_signals_arrow(df, id_col, text_col),
+            id_col, th, _gopher_arrow_cov_chars(),
+        )
+    if engine != "explode":
+        raise ValueError(f"unknown gopher engine: {engine!r}")
     doc_side = _gopher_doc_side(df, id_col, text_col)
     # positions feed only the n >= 5 duplicated-coverage signals — the
     # top-gram slices (2..4) shuffle counts alone (guide §2.3)
     counts = _gram_count_table(
-        df, id_col, text_col, range(2, 11), pos_ns=range(5, 11)
+        df, id_col, text_col, range(2, 11), pos_ns=range(5, 11),
+        engine="explode",
     )
     return _gopher_from_counts(counts, doc_side, id_col, th)
 
 
 def _gram_count_table(
-    df: DataFrame, id_col: str, text_col: str, ns, pos_ns=None
+    df: DataFrame, id_col: str, text_col: str, ns, pos_ns=None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """The shared (doc, n, gram) count table behind the n-gram text
     signals (Gopher repetition, n-gram novelty, contamination, span
-    dedup): ONE explode of (n, pos, gram) structs for every n in ``ns``
-    -> groupBy(doc, n, gram) with map-side partial aggregation, keeping
-    the occurrence count and the in-doc position list. The explode+shuffle
-    (~ sum over ns of corpus tokens) is the dominant cost of every one of
-    those signals — :func:`text_signals` persists this table and derives
-    all four from it so the cost is paid once per pipeline, not once per
-    signal (VERDICT r8 ask 2).
+    dedup): per doc and n in ``ns``, one row per distinct gram with the
+    occurrence count and the in-doc position list. :func:`text_signals`
+    persists this table and derives all four signals from it so the cost
+    is paid once per pipeline, not once per signal (VERDICT r8 ask 2).
 
     ``pos_ns`` (optimization round 14, guide §2.3 — shuffle fewer
     bytes): the n values whose rows need the position list. Only the
     duplicated-n-gram coverage signals (n >= 5) and the span window
     consume ``_poss``; the top-gram (n = 2..4) and novelty slices use
-    counts alone, so their rows shuffle and cache an empty list instead
-    of one int per occurrence. Default (None) keeps positions for every
-    n — the pre-round-14 shape."""
-    from etl_file_loader_spark.functions import bind_once, tokens
+    counts alone, so their rows carry an empty list instead of one int
+    per occurrence.
+
+    ``engine="arrow"`` (optimization round 14, guide §4.2) counts grams
+    PER DOC in one ``mapInArrow`` pass: every output row is a pure
+    function of its own document (counts never cross docs — ids are the
+    frame's grain), so the old explode -> groupBy(doc, n, gram) exchange
+    moved ~9x corpus tokens only to co-locate rows that already sat in
+    the same task. The Arrow pass tokenizes with :func:`py_tokens` (the
+    pinned JVM-exact mirror) and joins gram tokens with single spaces —
+    byte-identical rows to the expression ladder, proven by
+    tests/test_gram_table_arrow.py over the real corpus and the edge
+    shapes (empty/whitespace/unicode-ws/None text). Stage-profiled
+    before the change: ~50 s of interpreted-HOF executor CPU at sf0.1
+    against ~2 s of Python for the same counts. Trade (documented, like
+    the minhash signer): transient per-doc Python memory ∝ doc tokens —
+    ``engine="explode"`` keeps the constant-memory expression shape for
+    corpora with multi-million-token documents.
+    """
     from etl_file_loader_spark.operators.skew import fan_out_scan
 
-    # single-split scans leave the 9n-gram explode on one core
+    # single-split scans leave the per-doc gram work on one core
     # (guide §2.5; no-op when the scan already fills the cluster)
     df = fan_out_scan(df, key_cols=[id_col])
+    ns = sorted(set(ns))
+    pos_ns = set(ns) if pos_ns is None else set(pos_ns)
+    if engine == "explode":
+        return _gram_count_table_expr(df, id_col, text_col, ns, pos_ns)
+    if engine != "arrow":
+        raise ValueError(f"unknown gram-table engine: {engine!r}")
+
+    import pyarrow as pa
+
+    from etl_file_loader_spark.functions import py_tokens
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("_n", T.IntegerType()),
+            T.StructField("_gram", T.StringType()),
+            T.StructField("_cnt", T.LongType()),
+            T.StructField("_poss", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    ns_local = list(ns)
+    pos_local = frozenset(pos_ns)
+
+    def count_grams(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            out_i: list[int] = []
+            out_n: list[int] = []
+            out_g: list[str] = []
+            out_c: list[int] = []
+            out_p: list[list[int]] = []
+            for row_idx, s in enumerate(texts):
+                if s is None:
+                    continue  # explode of a NULL gram array emits no rows
+                tk = py_tokens(s)
+                n_tok = len(tk)
+                prev: list[str] | None = None
+                prev_n = 0
+                for n in ns_local:
+                    if n_tok < n:
+                        break  # ns ascending: longer grams can't fit either
+                    # chained extension where possible — same strings as
+                    # the expression ladder (join n tokens with spaces)
+                    if prev is not None and n == prev_n + 1:
+                        grams = [
+                            prev[i] + " " + tk[i + n - 1]
+                            for i in range(n_tok - n + 1)
+                        ]
+                    else:
+                        grams = [
+                            " ".join(tk[i : i + n])
+                            for i in range(n_tok - n + 1)
+                        ]
+                    prev, prev_n = grams, n
+                    if n in pos_local:
+                        withpos: dict[str, list] = {}
+                        for p, g in enumerate(grams):
+                            e = withpos.get(g)
+                            if e is None:
+                                withpos[g] = [1, [p]]
+                            else:
+                                e[0] += 1
+                                e[1].append(p)
+                        for g, (c, poss) in withpos.items():
+                            out_i.append(row_idx)
+                            out_n.append(n)
+                            out_g.append(g)
+                            out_c.append(c)
+                            out_p.append(poss)
+                    else:
+                        nopos: dict[str, int] = {}
+                        for g in grams:
+                            nopos[g] = nopos.get(g, 0) + 1
+                        for g, c in nopos.items():
+                            out_i.append(row_idx)
+                            out_n.append(n)
+                            out_g.append(g)
+                            out_c.append(c)
+                            out_p.append([])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(out_i, type=pa.int32())),
+                    pa.array(out_n, type=pa.int32()),
+                    pa.array(out_g, type=pa.string()),
+                    pa.array(out_c, type=pa.int64()),
+                    pa.array(out_p, type=pa.list_(pa.int32())),
+                ],
+                names=[id_col, "_n", "_gram", "_cnt", "_poss"],
+            )
+
+    # project to exactly the two consumed columns before the opaque op
+    # (guide §4.1: Spark cannot prune through mapInArrow)
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        count_grams, out_schema
+    )
+
+
+def _gram_count_table_expr(
+    df: DataFrame, id_col: str, text_col: str, ns, pos_ns
+) -> DataFrame:
+    """Expression-engine twin of :func:`_gram_count_table`: ONE explode
+    of (n, pos, gram) structs for every n -> groupBy(doc, n, gram) with
+    map-side partial aggregation. Constant task memory (counting happens
+    in the aggregate, never per doc), at the cost of shuffling ~9x corpus
+    tokens; the equivalence test pins it against the arrow engine."""
+    from etl_file_loader_spark.functions import bind_once, tokens
+
     ns = list(ns)
     pos_ns = set(ns) if pos_ns is None else set(pos_ns)
     toks = tokens(F.col(text_col))
@@ -1933,7 +2066,10 @@ def _gram_count_table(
 
 def _gopher_doc_side(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc scan branch of the Gopher repetition rules (line/paragraph
-    dup-run stats + token char accounting). Kept separate from the gram
+    dup-run stats + token char accounting), expression engine — the
+    constant-task-memory twin used by the ``engine="explode"`` paths
+    (the arrow paths fuse these stats into
+    :func:`_gopher_doc_signals_arrow`). Kept separate from the gram
     branch — a shared struct would drag the 9x-token gram array through
     the per-doc branch, because the bind_once encoding hides the struct
     from SimplifyExtractValueOps — so per-doc stats stay shuffle-free.
@@ -2027,12 +2163,38 @@ def _gopher_from_counts(
 
     joined = doc_side.join(pivoted, id_col, "left")
 
+    lens = F.col("_tok_lens")
+    cov_chars = {
+        n: F.when(
+            F.col(f"_idx{n}").isNull(), F.lit(0).cast("long")
+        ).otherwise(
+            F.aggregate(
+                F.col(f"_idx{n}"),
+                F.lit(0).cast("long"),
+                lambda a, i: a + F.element_at(lens, i + 1),
+            )
+        )
+        for n in range(5, 11)
+    }
+    return _gopher_select(joined, id_col, th, cov_chars)
+
+
+def _gopher_select(
+    joined: DataFrame, id_col: str, th: dict[str, float], cov_chars
+) -> DataFrame:
+    """Shared signal/threshold tail of the Gopher repetition paths:
+    ``joined`` carries the per-doc integer ingredients (_l/_p dup-run
+    structs, _content_chars, _top{2..4} covered chars); ``cov_chars[n]``
+    is the covered-characters Column for the n>=5 dup-coverage signals.
+    Every fraction/round/threshold is computed HERE, in the expression
+    engine, from exact integers — so the arrow and explode producers
+    yield identical doubles by construction."""
+
     def frac(num: Column, den: Column) -> Column:
         return F.round(
             F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
         )
 
-    lens = F.col("_tok_lens")
     content = F.col("_content_chars")
     sig = {
         "dup_line_frac": frac(F.col("_l")["dups"], F.col("_l")["n"]),
@@ -2045,16 +2207,7 @@ def _gopher_from_counts(
             F.coalesce(F.col(f"_top{n}"), F.lit(0)), content
         )
     for n in range(5, 11):
-        covered_chars = F.when(
-            F.col(f"_idx{n}").isNull(), F.lit(0).cast("long")
-        ).otherwise(
-            F.aggregate(
-                F.col(f"_idx{n}"),
-                F.lit(0).cast("long"),
-                lambda a, i: a + F.element_at(lens, i + 1),
-            )
-        )
-        sig[f"dup_{n}gram_char_frac"] = frac(covered_chars, content)
+        sig[f"dup_{n}gram_char_frac"] = frac(cov_chars[n], content)
 
     keep = F.lit(True)
     for name, t in th.items():
@@ -2069,6 +2222,168 @@ def _gopher_from_counts(
     )
 
 
+def _gopher_doc_signals_arrow(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Fused per-doc Gopher pass (optimization round 14, guide §4.2 +
+    §2.4): every one of the thirteen repetition signals is a pure
+    function of its OWN document, so the whole branch — line/paragraph
+    dup-run stats, token char accounting, top-gram covered chars
+    (n=2..4), dup-n-gram covered chars (n=5..10) — comes out of ONE
+    ``mapInArrow`` pass with ZERO shuffle. The explode path moved ~9x
+    corpus tokens through a groupBy(doc, n, gram) exchange, reduced per
+    (doc, n), pivoted per doc and joined back to a separate doc-stats
+    scan, only to co-locate rows that already sat in the same task
+    (stage-profiled at ~50 s of interpreted-HOF executor CPU at sf0.1).
+
+    Only INTEGERS leave Python — fractions, rounding and thresholds stay
+    in :func:`_gopher_select`'s expressions — and tokenization mirrors
+    the JVM exactly (:func:`py_tokens`, ASCII-space trim, literal-\\n /
+    \\n{2,} splits, code-point lengths, byte-order = code-point-order
+    tie-breaks), so the output is bit-identical to the explode twin
+    (pinned by tests/test_gram_table_arrow.py over the real corpus and
+    the edge shapes). Trade (documented, like the minhash signer):
+    transient per-doc Python memory ∝ doc tokens; ``engine="explode"``
+    on the callers keeps the constant-memory expression shape for
+    corpora with multi-million-token documents."""
+    import re as _re
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from etl_file_loader_spark.functions import py_tokens
+    from etl_file_loader_spark.operators.skew import fan_out_scan
+
+    df = fan_out_scan(df, key_cols=[id_col])
+    stats_t = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("dups", T.LongType()),
+            T.StructField("dupchars", T.LongType()),
+            T.StructField("chars", T.LongType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("_l", stats_t),
+            T.StructField("_p", stats_t),
+            T.StructField("_content_chars", T.LongType()),
+            *[T.StructField(f"_top{n}", T.LongType()) for n in (2, 3, 4)],
+            *[T.StructField(f"_cov{n}", T.LongType()) for n in range(5, 11)],
+        ]
+    )
+    para_re = _re.compile(r"\n{2,}")
+    pa_stats = pa.struct(
+        [("n", pa.int64()), ("dups", pa.int64()),
+         ("dupchars", pa.int64()), ("chars", pa.int64())]
+    )
+
+    def dup_stats(elems: list[str]) -> tuple[int, int, int, int]:
+        # identical integers to the sorted-array fold: dups = sum over
+        # distinct values of (count - 1), dupchars the same weighted by
+        # element length, chars = total chars over every occurrence
+        c = Counter(elems)
+        return (
+            len(elems),
+            sum(v - 1 for v in c.values()),
+            sum((v - 1) * len(k) for k, v in c.items()),
+            sum(len(e) for e in elems),
+        )
+
+    def doc_signals(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            l_rows: list[tuple] = []
+            p_rows: list[tuple] = []
+            cc: list[int | None] = []
+            grams_cols: list[list[int | None]] = [[] for _ in range(9)]
+            for s in texts:
+                if s is None:
+                    # explode twin on NULL text: structs with NULL fields
+                    # (size/aggregate of a NULL array), NULL everywhere else
+                    l_rows.append((None, None, None, None))
+                    p_rows.append((None, None, None, None))
+                    cc.append(None)
+                    for col in grams_cols:
+                        col.append(None)
+                    continue
+                # Spark trim strips ONLY ASCII space 0x20
+                lines = [l for l in s.split("\n") if l.strip(" ")]
+                paras = [p for p in para_re.split(s) if p.strip(" ")]
+                tk = py_tokens(s)
+                n_tok = len(tk)
+                l_rows.append(dup_stats(lines))
+                p_rows.append(dup_stats(paras))
+                cc.append(sum(len(w) for w in tk))
+                prev: list[str] | None = None
+                for slot, n in enumerate(range(2, 11)):
+                    if n_tok < n:
+                        # no n-grams: the explode table had no (doc, n)
+                        # group, so the pivot's left join produced NULL
+                        grams_cols[slot].append(None)
+                        prev = None
+                        continue
+                    if prev is not None:
+                        grams = [
+                            prev[i] + " " + tk[i + n - 1]
+                            for i in range(n_tok - n + 1)
+                        ]
+                    else:
+                        grams = [
+                            " ".join(tk[i : i + n])
+                            for i in range(n_tok - n + 1)
+                        ]
+                    prev = grams
+                    c = Counter(grams)
+                    if n <= 4:
+                        # arg-min of (-count, gram): max count, lex-min
+                        # gram (UTF-8 byte order == code-point order, the
+                        # Spark struct-min tie-break); covered chars =
+                        # count * (gram length minus its n-1 spaces)
+                        negc, g = min((-v, k) for k, v in c.items())
+                        grams_cols[slot].append((-negc) * (len(g) - (n - 1)))
+                    else:
+                        covered: set[int] = set()
+                        for p, g in enumerate(grams):
+                            if c[g] > 1:
+                                covered.update(range(p, p + n))
+                        grams_cols[slot].append(
+                            sum(len(tk[i]) for i in covered)
+                        )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(l_rows, type=pa_stats),
+                    pa.array(p_rows, type=pa_stats),
+                    pa.array(cc, type=pa.int64()),
+                    *[
+                        pa.array(col, type=pa.int64())
+                        for col in grams_cols
+                    ],
+                ],
+                names=[id_col, "_l", "_p", "_content_chars",
+                       "_top2", "_top3", "_top4",
+                       *[f"_cov{n}" for n in range(5, 11)]],
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        doc_signals, out_schema
+    )
+
+
+def _gopher_arrow_cov_chars() -> dict[int, Column]:
+    """cov_chars mapping for :func:`_gopher_select` over the arrow
+    doc-signals frame: the integers are already computed per doc; NULL
+    (doc too short for n) maps to 0 exactly like the explode pivot's
+    missing group."""
+    return {
+        n: F.coalesce(F.col(f"_cov{n}"), F.lit(0).cast("long"))
+        for n in range(5, 11)
+    }
+
+
 def text_signals(
     df: DataFrame,
     id_col: str,
@@ -2077,17 +2392,24 @@ def text_signals(
     n_novel: int = 5,
     window: int = 5,
     thresholds: dict[str, float] | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
-    """ALL FOUR n-gram corpus-hygiene signals from ONE shared gram table
+    """ALL FOUR n-gram corpus-hygiene signals off one scan family
     (VERDICT r8 ask 2): Gopher repetition rules, n-gram novelty,
-    benchmark contamination, and exact-substring span-removal accounting
-    each independently explode + shuffle largely the same (doc, n, gram)
-    space (~9x corpus tokens for the repetition rules alone — the single
-    biggest cost block in the suite). This pipeline stage computes
-    :func:`_gram_count_table` ONCE, persists it, and derives all four,
-    so the explode shuffle is paid once per pipeline, not once per
-    signal. At 100 TB the persisted table would be a written-out parquet
-    stage instead of a Spark cache — same shape.
+    benchmark contamination, and exact-substring span-removal accounting.
+
+    ``engine="arrow"`` (default — optimization round 14, guide §4.2 +
+    §2.4): the repetition rules are purely per-doc, so they come out of
+    ONE zero-shuffle ``mapInArrow`` pass; the shared
+    :func:`_gram_count_table` is built (and persisted) ONLY for the n
+    values the CROSS-doc signals need — ``{n_novel, window}`` for
+    novelty/contamination and the span window — instead of 2..10, so
+    the pinned cache that the remaining consumers re-scan shrinks ~8x
+    (128 MB -> ~15 MB at sf0.1). ``engine="explode"`` keeps the previous
+    all-expression shape (full 2..10 table, gopher derived from it) —
+    constant task memory for corpora with multi-million-token docs. At
+    100 TB the persisted table would be a written-out parquet stage
+    instead of a Spark cache — same shape.
 
     Per input doc, one output row:
 
@@ -2120,23 +2442,41 @@ def text_signals(
             raise ValueError(f"unknown gopher repetition signals: {sorted(unknown)}")
         th.update(thresholds)
 
-    ns = sorted(set(range(2, 11)) | {n_novel, window})
-    # positions feed the n>=5 duplicated-coverage signals and the span
-    # window slice; novelty and the top-gram slices use counts alone, so
-    # their rows shuffle/cache an empty list (guide §2.3)
-    counts = pin(
-        _gram_count_table(
-            df, id_col, text_col, ns,
-            pos_ns=(set(range(5, 11)) & set(ns)) | {window},
+    if engine == "arrow":
+        # gopher is per-doc: one fused zero-shuffle Arrow pass; the
+        # pinned table carries only the cross-doc slices (novelty /
+        # contamination at n_novel, span at window), positions only for
+        # the span window (guide §2.3)
+        counts = pin(
+            _gram_count_table(
+                df, id_col, text_col, sorted({n_novel, window}),
+                pos_ns={window},
+            )
         )
-    )
-
-    gopher = _gopher_from_counts(
-        counts.filter(F.col("_n").between(2, 10)),
-        _gopher_doc_side(df, id_col, text_col),
-        id_col,
-        th,
-    ).withColumnRenamed("keep", "rep_keep")
+        gopher = _gopher_select(
+            _gopher_doc_signals_arrow(df, id_col, text_col),
+            id_col, th, _gopher_arrow_cov_chars(),
+        ).withColumnRenamed("keep", "rep_keep")
+    elif engine == "explode":
+        ns = sorted(set(range(2, 11)) | {n_novel, window})
+        # positions feed the n>=5 duplicated-coverage signals and the
+        # span window slice; novelty and the top-gram slices use counts
+        # alone, so their rows shuffle/cache an empty list (guide §2.3)
+        counts = pin(
+            _gram_count_table(
+                df, id_col, text_col, ns,
+                pos_ns=(set(range(5, 11)) & set(ns)) | {window},
+                engine="explode",
+            )
+        )
+        gopher = _gopher_from_counts(
+            counts.filter(F.col("_n").between(2, 10)),
+            _gopher_doc_side(df, id_col, text_col),
+            id_col,
+            th,
+        ).withColumnRenamed("keep", "rep_keep")
+    else:
+        raise ValueError(f"unknown text-signals engine: {engine!r}")
 
     # novelty: per-doc gram counts are exactly the n == n_novel slice.
     # Corpus counts as ONE window over the gram (guide §2.4: aggregate +
