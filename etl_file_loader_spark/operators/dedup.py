@@ -1563,13 +1563,18 @@ def _pj_segments(
     base: DataFrame, k: int, id_alias: str, str_alias: str
 ) -> DataFrame:
     """Indexed side: the k segments of every record with len >= k, keyed
-    (segment, length, ordinal); the string rides along so verification
-    fuses into the join stage."""
+    (segment, length, ordinal). Each segment row carries the LEFT and
+    RIGHT remainders (``<str_alias>l`` / ``<str_alias>r`` — the string
+    around the segment) instead of the whole string: the split
+    verification (:func:`_pj_split_verify`) compares remainders only,
+    and slicing them HERE costs one substr per segment row (O(k) per
+    record) instead of one per candidate meeting (round 15 — the
+    meeting-side substrs measured as large as the banded verify
+    itself)."""
     return (
         base.filter(F.col("_l") >= k)
         .select(
             F.col("_id").alias(id_alias),
-            F.col("_s").alias(str_alias),
             F.explode(
                 F.array(
                     *[
@@ -1581,13 +1586,32 @@ def _pj_segments(
                                 _pj_seg_start(F.col("_l"), i, k) + 1,
                                 _pj_seg_len(F.col("_l"), i, k),
                             ).alias("_seg"),
+                            F.substring(
+                                F.col("_s"),
+                                1,
+                                _pj_seg_start(F.col("_l"), i, k),
+                            ).alias("_rem_l"),
+                            F.substring(
+                                F.col("_s"),
+                                _pj_seg_start(F.col("_l"), i, k)
+                                + _pj_seg_len(F.col("_l"), i, k)
+                                + 1,
+                                F.col("_l"),
+                            ).alias("_rem_r"),
                         )
                         for i in range(k)
                     ]
                 )
             ).alias("_g"),
         )
-        .select(id_alias, str_alias, "_g._la", "_g._i", "_g._seg")
+        .select(
+            id_alias,
+            "_g._la",
+            "_g._i",
+            "_g._seg",
+            F.col("_g._rem_l").alias(f"{str_alias}l"),
+            F.col("_g._rem_r").alias(f"{str_alias}r"),
+        )
     )
 
 
@@ -1604,10 +1628,16 @@ def _pj_substrings(
     ``include_longer`` (the R-S join, where partners on both sides of the
     length window must be reachable from the one probe direction). Each
     substring is tagged with the exact (La, i) its window was derived
-    for, so the downstream equi-join IS the position filter."""
+    for, so the downstream equi-join IS the position filter. Like
+    :func:`_pj_segments`, every generated substring row carries its LEFT
+    and RIGHT remainders (``<str_alias>l`` / ``<str_alias>r``) sliced
+    once at generation for the split verification (round 15)."""
     k = d + 1
     up = d if include_longer else 0
-    _empty = "array<struct<_la:int,_i:int,_seg:string>>"
+    _empty = (
+        "array<struct<_la:int,_i:int,_seg:string,"
+        "_rem_l:string,_rem_r:string>>"
+    )
 
     def _subs_for_i(i: int) -> Column:
         # closure factory, not default args: PySpark HOFs dispatch on the
@@ -1633,6 +1663,10 @@ def _pj_substrings(
                         La.alias("_la"),
                         F.lit(i).alias("_i"),
                         F.substring(F.col("_s"), pos + 1, l_i).alias("_seg"),
+                        F.substring(F.col("_s"), 1, pos).alias("_rem_l"),
+                        F.substring(
+                            F.col("_s"), pos + l_i + 1, F.col("_l")
+                        ).alias("_rem_r"),
                     ),
                 ),
             ).otherwise(F.array().cast(_empty))
@@ -1652,13 +1686,101 @@ def _pj_substrings(
         base.filter(F.col("_l") >= k - up)
         .select(
             F.col("_id").alias(id_alias),
-            F.col("_s").alias(str_alias),
             F.explode(F.concat(*[_subs_for_i(i) for i in range(k)])).alias(
                 "_g"
             ),
         )
-        .select(id_alias, str_alias, "_g._la", "_g._i", "_g._seg")
+        .select(
+            id_alias,
+            "_g._la",
+            "_g._i",
+            "_g._seg",
+            F.col("_g._rem_l").alias(f"{str_alias}l"),
+            F.col("_g._rem_r").alias(f"{str_alias}r"),
+        )
     )
+
+
+def _pj_split_verify(
+    cand: DataFrame, sa: str, sb: str, d: int
+) -> DataFrame:
+    """EXTENSION-BASED verification (PassJoin, Li et al. 2011 §5) for one
+    candidate meeting of the (segment, La, i) equi-join — the round-15
+    replacement for the full banded ``levenshtein(sa, sb, d)`` per
+    meeting. The meeting says: segment ``_i`` of the indexed string
+    (length ``_la``) occurs VERBATIM in the probe string at a window
+    position. The matched block contributes 0 edits, so only the
+    REMAINDERS need verifying — both sides arrive pre-sliced from
+    generation (``{sa}l``/``{sa}r`` around the segment, ``{sb}l``/
+    ``{sb}r`` around the matched substring; slicing per exploded row is
+    O(segments + substrings), never per meeting): the left remainders
+    verify against threshold ``i`` and the right against ``d - i``:
+
+    - if either banded distance exceeds its budget, or their sum exceeds
+      ``d``, this MEETING proves nothing — the pair may still qualify
+      via another meeting;
+    - Lemma (exactness of min-over-meetings): for an optimal transcript
+      of cost ``c <= d``, walk ``L_j - j`` (edits strictly left of
+      segment j, minus j) from 0 down to ``c - d - 1``; every -1 step is
+      an untouched segment, so some untouched segment ``i`` has exactly
+      ``L_i = c - d + i`` <= i left edits and ``d - i`` right edits, its
+      window position is generated (the same windows that make candidate
+      generation lossless), and at that meeting
+      ``ld + rd <= L_i + R_i = c`` while ``ld + rd >= ed(sa, sb) = c``
+      always (transcript concatenation) — so the meeting yields exactly
+      ``c``, and no meeting of any pair can yield less than the true
+      distance. Aggregating ``min(distance)`` per pair therefore equals
+      the full-string levenshtein, while each meeting now verifies two
+      SHORTER strings under TIGHTER thresholds (i=0/i=d degenerate to an
+      empty side — the window pins ``_sp`` so the left/right remainders
+      are both empty — leaving ONE banded pass over the non-segment
+      remainder instead of a (2d+1)-wide band over the whole strings;
+      mismatching meetings exit their narrower band far earlier, and
+      ~3/4 of meetings mismatch on this workload).
+
+    Cost per meeting (d=2, ~35-char part names, measured shape): the old
+    full verify walks a 5-wide band over the whole string (~175 cells);
+    the split walks a (2i+1)-band over the left remainder plus a
+    (2(d-i)+1)-band over the right (~70-115 cells), of strings the
+    equi-join already co-located — no extra shuffle, same stage.
+
+    SINGLE-EVALUATION shape (this matters more than the band math): the
+    downstream ``filter`` on ``_dist`` is pushed into the candidate
+    join's non-equi condition, and join-condition codegen performs NO
+    subexpression elimination — a first cut that wrote
+    ``when(ld>=0 & rd>=0 & ld+rd<=d, ld+rd)`` inlined each banded
+    levenshtein FIVE times into the condition and measured 10x the
+    baseline's verify CPU. So the failure sentinel is encoded
+    arithmetically instead of conditionally: each branch wraps its
+    banded call as ``pmod(levenshtein(l, r, t), BIG)`` — a failed band
+    (-1) becomes BIG-1 while in-band values pass through — and
+    ``_dist = ld + rd`` is in [0, d] iff both sides verified and the sum
+    is within distance. The consumer's whole filter is ``_dist <= d``:
+    ONE reference to ``_dist``, one evaluation of each levenshtein in
+    the pushed condition (the survivor projection re-evaluates once
+    more, same as the round-10 full-verify shape).
+    """
+    big = 1 << 20  # failure sentinel: far above any max_distance
+    i_col = F.col("_i")
+    left_a, right_a = F.col(f"{sa}l"), F.col(f"{sa}r")
+    left_b, right_b = F.col(f"{sb}l"), F.col(f"{sb}r")
+    # levenshtein's threshold must be a literal: CASE over the d+1
+    # ordinals. i=0 pins the window so both left remainders are empty;
+    # i=d pins it so both right remainders are empty — those branches
+    # are literal 0.
+    ld: Column = F.lit(0)
+    for j in range(d, 0, -1):
+        ld = F.when(
+            i_col == j,
+            F.pmod(F.levenshtein(left_a, left_b, j), F.lit(big)),
+        ).otherwise(ld)
+    rd: Column = F.lit(0)
+    for j in range(d - 1, -1, -1):
+        rd = F.when(
+            i_col == j,
+            F.pmod(F.levenshtein(right_a, right_b, d - j), F.lit(big)),
+        ).otherwise(rd)
+    return cand.withColumn("_dist", ld + rd)
 
 
 def edit_distance_join(
@@ -1712,9 +1834,10 @@ def _rs_probe(
         rbase, d, include_longer=True, id_alias="_rid", str_alias="_sr"
     )
     matched = (
-        segs.join(subs, ["_la", "_i", "_seg"])
-        .withColumn("_dist", F.levenshtein(F.col("_sl"), F.col("_sr"), d))
-        .filter(F.col("_dist") >= 0)
+        _pj_split_verify(
+            segs.join(subs, ["_la", "_i", "_seg"]), "_sl", "_sr", d
+        )
+        .filter(F.col("_dist") <= d)
         .select(
             F.col("_lid").alias(left_id),
             F.col("_rid").alias(right_id),
@@ -1737,7 +1860,13 @@ def _rs_probe(
             F.col("_dist").alias("distance"),
         )
     )
-    return matched.unionAll(tiny_matched).distinct()
+    # min over meetings = exact distance (see _pj_split_verify's lemma);
+    # the tiny path's full levenshtein is exact and never below the sums
+    return (
+        matched.unionAll(tiny_matched)
+        .groupBy(left_id, right_id)
+        .agg(F.min("distance").alias("distance"))
+    )
 
 
 class LinkageIndex:
@@ -2187,17 +2316,23 @@ def edit_distance_pairs(
                           str_alias="_sb")
 
     # the (segment, La, i) equi-join IS the position filter (windows were
-    # enforced at generation), and the BANDED levenshtein (threshold arg:
-    # O(d*n) per pair, early-exit) verifies INSIDE the join's codegen
-    # stage — raw candidates are never shuffled; only verified pairs
-    # reach the distinct. On the sf0.1 low-entropy workload this is the
-    # difference between shuffling 140M candidate rows (the r9 shape)
-    # and shuffling the ~2x-duplicated true answer.
+    # enforced at generation), and the SPLIT verification (extension-based,
+    # _pj_split_verify: left remainder vs threshold i + right remainder vs
+    # d-i; round 15) runs INSIDE the join's codegen stage — raw candidates
+    # are never shuffled; only verified meetings reach the per-pair min.
+    # On the sf0.1 low-entropy workload this is the difference between
+    # shuffling 140M candidate rows (the r9 shape) and shuffling the
+    # ~2x-duplicated true answer.
     matched = (
-        segs.join(subs, ["_la", "_i", "_seg"])
-        .filter(F.col("_aid") != F.col("_bid"))
-        .withColumn("_dist", F.levenshtein(F.col("_sa"), F.col("_sb"), d))
-        .filter(F.col("_dist") >= 0)
+        _pj_split_verify(
+            segs.join(subs, ["_la", "_i", "_seg"]).filter(
+                F.col("_aid") != F.col("_bid")
+            ),
+            "_sa",
+            "_sb",
+            d,
+        )
+        .filter(F.col("_dist") <= d)
         .select(
             F.least(F.col("_aid"), F.col("_bid")).alias("id_a"),
             F.greatest(F.col("_aid"), F.col("_bid")).alias("id_b"),
@@ -2223,9 +2358,13 @@ def edit_distance_pairs(
             F.col("_dist").alias("distance"),
         )
     )
-    # distance is a function of the pair, so distinct() over
-    # (id_a, id_b, distance) dedupes exactly to one row per pair
-    return matched.unionAll(tiny_matched).distinct()
+    # min over meetings = exact distance (see _pj_split_verify's lemma);
+    # the tiny path's full levenshtein is exact and never below the sums
+    return (
+        matched.unionAll(tiny_matched)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("distance").alias("distance"))
+    )
 
 
 def jaccard_join_prefix(

@@ -2926,6 +2926,45 @@ def test_edit_distance_pairs_radius_one_and_validation(spark):
         dedup.edit_distance_pairs(df, "id", "s", 0)
 
 
+def test_edit_distance_split_verify_exactness(spark):
+    """Round-15 split verification (_pj_split_verify): the per-meeting
+    left/right banded sums may EXCEED the true distance at individual
+    meetings — the per-pair min must still equal full levenshtein.
+    Stressed two ways brute-force can catch a wrong min: repeated-motif
+    strings (many segment matches per pair, each with a different
+    left/right split) and multibyte codepoints (substr/levenshtein/length
+    must agree on codepoint — not byte — offsets through the split
+    path)."""
+    import itertools
+
+    from etl_file_loader_spark.operators import dedup
+
+    rows = [
+        # repeated motifs: every "ab" segment of one string occurs at
+        # many window positions of the other -> many meetings per pair
+        (0, "ababababab"), (1, "abababab"), (2, "ababababxb"),
+        (3, "babababab"), (4, "ababababa"),
+        # multibyte: 2- and 3-byte UTF-8 codepoints at edit positions
+        (5, "café crème"), (6, "cafe crème"),
+        (7, "café crèmés"), (8, "€€€ a"),
+        (9, "€€ a"), (10, "naïve bayes"),
+        (11, "naive bayes"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    data = {i: s.lower() for i, s in rows}
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in dedup.edit_distance_pairs(df, "id", "s", d).collect()
+        }
+        want = {
+            (a, b, _lev(data[a], data[b]))
+            for a, b in itertools.combinations(sorted(data), 2)
+            if _lev(data[a], data[b]) <= d
+        }
+        assert got == want, f"d={d}"
+
+
 # ---------------------------------------------------------------------------
 # jaccard_join_prefix (round 9): PPJoin prefix-filtered exact set join
 # ---------------------------------------------------------------------------
