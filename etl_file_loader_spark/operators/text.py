@@ -654,8 +654,15 @@ def bigram_logprob(
         F.col(id_col), F.col("_b.p").alias("p"), F.col("_b.w").alias("w")
     )
     cb = bg.groupBy("p", "w").agg(F.count(F.lit(1)).alias("cb"))
-    ctx = bg.groupBy("p").agg(F.count(F.lit(1)).alias("ctx"))
-    j = bg.join(cb, ["p", "w"]).join(ctx, "p")
+    # ctx derives from the TYPE table (Σ_w cb(p,w) == occurrences of p as
+    # a left side — exact integer algebra), and the count tables pre-join
+    # into one scored type table so the bigram STREAM is joined (and
+    # shuffled) once on (p, w) — reusing cb's exchange — instead of once
+    # per count table (round 15, guide §2.4; the old shape re-exploded
+    # the stream for ctx and reshuffled the full stream+payload by p).
+    ctx = cb.groupBy("p").agg(F.sum("cb").alias("ctx"))
+    typ = cb.join(ctx, "p")
+    j = bg.join(typ, ["p", "w"])
     prof = j.groupBy(id_col, "cb", "ctx").agg(F.count(F.lit(1)).alias("m"))
     doc = prof.groupBy(id_col).agg(
         F.sum("m").cast("long").alias("n_bigrams"),
@@ -749,20 +756,28 @@ def trigram_logprob(
     bg = base.select(F.explode(bg_arr).alias("_b")).select("_b.p1", "_b.w")
     ug = base.select(F.explode(t).alias("w"))
 
+    # context totals derive from the TYPE tables (Σ over the last key ==
+    # the context's occurrence count — exact integer algebra) instead of
+    # re-aggregating the exploded streams, and the five count tables
+    # pre-join into ONE scored type table keyed (p2, p1, w) so the
+    # trigram STREAM is joined/shuffled once — reusing c3's exchange —
+    # instead of five times with the full doc_id payload (round 15,
+    # guide §2.4; the old shape also re-tokenized the corpus for each
+    # context aggregate).
     c3 = tg.groupBy("p2", "p1", "w").agg(F.count(F.lit(1)).alias("c3"))
-    x3 = tg.groupBy("p2", "p1").agg(F.count(F.lit(1)).alias("x3"))
+    x3 = c3.groupBy("p2", "p1").agg(F.sum("c3").alias("x3"))
     c2 = bg.groupBy("p1", "w").agg(F.count(F.lit(1)).alias("c2"))
-    x2 = bg.groupBy("p1").agg(F.count(F.lit(1)).alias("x2"))
+    x2 = c2.groupBy("p1").agg(F.sum("c2").alias("x2"))
     c1 = ug.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    n1 = ug.agg(F.count(F.lit(1)).alias("n1"))
+    n1 = c1.agg(F.sum("c1").alias("n1"))
 
-    j = (
-        tg.join(c3, ["p2", "p1", "w"])
-        .join(x3, ["p2", "p1"])
+    typ = (
+        c3.join(x3, ["p2", "p1"])
         .join(c2, ["p1", "w"])
         .join(x2, ["p1"])
         .join(c1, ["w"])
     )
+    j = tg.join(typ, ["p2", "p1", "w"])
     prof = j.groupBy(id_col, "c3", "x3", "c2", "x2", "c1").agg(
         F.count(F.lit(1)).alias("m")
     )
@@ -862,7 +877,11 @@ def kn_bigram_logprob(
     )
     pc = cb.groupBy("w").agg(F.count(F.lit(1)).alias("pc"))
     bt = cb.agg(F.count(F.lit(1)).alias("bt"))
-    j = bg.join(cb, ["p", "w"]).join(ctxf, "p").join(pc, "w")
+    # pre-join the count tables into one scored type table so the bigram
+    # STREAM is joined/shuffled once on (p, w) — reusing cb's exchange —
+    # instead of three times with the doc_id payload (round 15, §2.4)
+    typ = cb.join(ctxf, "p").join(pc, "w")
+    j = bg.join(typ, ["p", "w"])
     prof = j.groupBy(id_col, "c", "ctx", "f", "pc").agg(
         F.count(F.lit(1)).alias("m")
     )
