@@ -719,8 +719,17 @@ def fit_unigram_pieces(
     words = df.select(
         F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).alias("w")
     )
-    # seed counting: every substring occurrence of length 1..max_piece_len
-    subs = words.select(
+    # ONE corpus pass (round 15, guide §1.2/§2.4): the word-count TYPE
+    # table is the only corpus-sized aggregate; substring seed counts
+    # derive from it exactly (pc(p) = Σ_w c(w) · occurrences of p in w —
+    # the old shape re-exploded every word OCCURRENCE's substrings and,
+    # because chars and multis were separate collect() actions, ran that
+    # corpus explode twice more). chars + top-K multis + the bounded
+    # word table then come back in ONE collect, so the word-count
+    # exchange under all three branches is computed once and reused.
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    subs = counts.select(
+        F.col("c"),
         F.explode(
             F.flatten(
                 F.transform(
@@ -734,17 +743,30 @@ def fit_unigram_pieces(
                     ).otherwise(F.array().cast("array<string>")),
                 )
             )
-        ).alias("p")
+        ).alias("p"),
     )
-    pc = subs.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
-    chars = {r["p"]: int(r["c"]) for r in pc.filter(F.length("p") == 1).collect()}
-    multi_rows = (
+    pc = subs.groupBy("p").agg(F.sum("c").alias("c"))
+    chars_df = pc.filter(F.length("p") == 1).select(
+        F.lit(0).alias("_t"), "p", "c"
+    )
+    multi_df = (
         pc.filter((F.length("p") >= 2) & (F.col("c") >= min_count))
         .orderBy(F.col("c").desc(), F.col("p"))
         .limit(vocab_size * seed_multiplier)
-        .collect()
+        .select(F.lit(1).alias("_t"), "p", "c")
     )
-    multi = {r["p"]: int(r["c"]) for r in multi_rows}
+    word_df = counts.select(
+        F.lit(2).alias("_t"), F.col("w").alias("p"), "c"
+    )
+    if max_words is not None:
+        word_df = (
+            counts.orderBy(F.col("c").desc(), F.col("w"))
+            .limit(max_words + 1)
+            .select(F.lit(2).alias("_t"), F.col("w").alias("p"), "c")
+        )
+    all_rows = chars_df.unionByName(multi_df).unionByName(word_df).collect()
+    chars = {r["p"]: int(r["c"]) for r in all_rows if r["_t"] == 0}
+    multi = {r["p"]: int(r["c"]) for r in all_rows if r["_t"] == 1}
     seed_counts = {**chars, **multi}
     total0 = sum(seed_counts.values())
     scores0 = {
@@ -754,23 +776,19 @@ def fit_unigram_pieces(
     inv_maxlen = max((len(p) for p in scores0), default=1)
 
     # bounded word table (identical discipline to fit_bpe_merges)
-    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    if max_words is not None:
-        rows = counts.orderBy(F.col("c").desc(), F.col("w")).limit(max_words + 1).collect()
-        if len(rows) > max_words:
-            logging.getLogger(__name__).warning(
-                "fit_unigram_pieces: word table truncated to top %d by "
-                "count; usage statistics exclude the dropped tail "
-                "(pass max_words=None to collect the full table)",
-                max_words,
-            )
-            rows = rows[:max_words]
-    else:
-        rows = counts.collect()
+    rows = [r for r in all_rows if r["_t"] == 2]
+    if max_words is not None and len(rows) > max_words:
+        logging.getLogger(__name__).warning(
+            "fit_unigram_pieces: word table truncated to top %d by "
+            "count; usage statistics exclude the dropped tail "
+            "(pass max_words=None to collect the full table)",
+            max_words,
+        )
+        rows = sorted(rows, key=lambda r: (-int(r["c"]), r["p"]))[:max_words]
 
     usage: dict[str, int] = {}
     for r in rows:
-        w, c = r["w"], int(r["c"])
+        w, c = r["p"], int(r["c"])
         lens, _ = _viterbi_segment(w, scores0, inv_maxlen, unk_milli=0)
         off = 0
         for ln in lens:
