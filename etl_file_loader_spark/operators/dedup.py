@@ -1560,21 +1560,47 @@ def _pj_seg_start(La: Column, i: int, k: int) -> Column:
 
 
 def _pj_segments(
-    base: DataFrame, k: int, id_alias: str, str_alias: str
+    base: DataFrame, k: int, id_alias: str, str_alias: str,
+    split: bool = True,
 ) -> DataFrame:
     """Indexed side: the k segments of every record with len >= k, keyed
-    (segment, length, ordinal). Each segment row carries the LEFT and
-    RIGHT remainders (``<str_alias>l`` / ``<str_alias>r`` — the string
-    around the segment) instead of the whole string: the split
-    verification (:func:`_pj_split_verify`) compares remainders only,
-    and slicing them HERE costs one substr per segment row (O(k) per
-    record) instead of one per candidate meeting (round 15 — the
-    meeting-side substrs measured as large as the banded verify
-    itself)."""
+    (segment, length, ordinal). With ``split=True`` each segment row
+    carries the LEFT and RIGHT remainders (``<str_alias>l`` /
+    ``<str_alias>r`` — the string around the segment) instead of the
+    whole string: the split verification (:func:`_pj_split_verify`)
+    compares remainders only, and slicing them HERE costs one substr per
+    segment row (O(k) per record) instead of one per candidate meeting
+    (round 15 — the meeting-side substrs measured as large as the banded
+    verify itself). With ``split=False`` the row carries the whole
+    string for the classic full banded verify — the cheaper-to-PLAN
+    shape the per-tier/per-feed link paths use (see _rs_probe)."""
+    if split:
+        fields = lambda i: [  # noqa: E731
+            F.substring(
+                F.col("_s"), 1, _pj_seg_start(F.col("_l"), i, k)
+            ).alias("_rem_l"),
+            F.substring(
+                F.col("_s"),
+                _pj_seg_start(F.col("_l"), i, k)
+                + _pj_seg_len(F.col("_l"), i, k)
+                + 1,
+                F.col("_l"),
+            ).alias("_rem_r"),
+        ]
+        out_cols = [
+            F.col("_g._rem_l").alias(f"{str_alias}l"),
+            F.col("_g._rem_r").alias(f"{str_alias}r"),
+        ]
+        head: list = []
+    else:
+        fields = lambda i: []  # noqa: E731
+        out_cols = []
+        head = [F.col("_s").alias(str_alias)]
     return (
         base.filter(F.col("_l") >= k)
         .select(
             F.col("_id").alias(id_alias),
+            *head,
             F.explode(
                 F.array(
                     *[
@@ -1586,18 +1612,7 @@ def _pj_segments(
                                 _pj_seg_start(F.col("_l"), i, k) + 1,
                                 _pj_seg_len(F.col("_l"), i, k),
                             ).alias("_seg"),
-                            F.substring(
-                                F.col("_s"),
-                                1,
-                                _pj_seg_start(F.col("_l"), i, k),
-                            ).alias("_rem_l"),
-                            F.substring(
-                                F.col("_s"),
-                                _pj_seg_start(F.col("_l"), i, k)
-                                + _pj_seg_len(F.col("_l"), i, k)
-                                + 1,
-                                F.col("_l"),
-                            ).alias("_rem_r"),
+                            *fields(i),
                         )
                         for i in range(k)
                     ]
@@ -1606,11 +1621,11 @@ def _pj_segments(
         )
         .select(
             id_alias,
+            *([str_alias] if not split else []),
             "_g._la",
             "_g._i",
             "_g._seg",
-            F.col("_g._rem_l").alias(f"{str_alias}l"),
-            F.col("_g._rem_r").alias(f"{str_alias}r"),
+            *out_cols,
         )
     )
 
@@ -1621,6 +1636,7 @@ def _pj_substrings(
     include_longer: bool,
     id_alias: str,
     str_alias: str,
+    split: bool = True,
 ) -> DataFrame:
     """Probe side: multi-match-aware substrings (Li et al. 2011, Lemma 3)
     toward every partner length La in [max(k, Lb-d), Lb] (self-join: the
@@ -1629,14 +1645,18 @@ def _pj_substrings(
     length window must be reachable from the one probe direction). Each
     substring is tagged with the exact (La, i) its window was derived
     for, so the downstream equi-join IS the position filter. Like
-    :func:`_pj_segments`, every generated substring row carries its LEFT
-    and RIGHT remainders (``<str_alias>l`` / ``<str_alias>r``) sliced
-    once at generation for the split verification (round 15)."""
+    :func:`_pj_segments`, ``split=True`` makes every generated substring
+    row carry its LEFT and RIGHT remainders (``<str_alias>l`` /
+    ``<str_alias>r``) sliced once at generation for the split
+    verification (round 15); ``split=False`` carries the whole string
+    for the classic full banded verify."""
     k = d + 1
     up = d if include_longer else 0
     _empty = (
         "array<struct<_la:int,_i:int,_seg:string,"
         "_rem_l:string,_rem_r:string>>"
+        if split
+        else "array<struct<_la:int,_i:int,_seg:string>>"
     )
 
     def _subs_for_i(i: int) -> Column:
@@ -1655,20 +1675,27 @@ def _pj_substrings(
                 p_i + F.lit(i),
                 p_i + delta + F.lit(d - i),
             ).cast("int")
-            return F.when(
-                hi >= lo,
-                F.transform(
-                    F.sequence(lo, hi),
-                    lambda pos: F.struct(
-                        La.alias("_la"),
-                        F.lit(i).alias("_i"),
-                        F.substring(F.col("_s"), pos + 1, l_i).alias("_seg"),
+
+            def per_pos(pos: Column) -> Column:
+                extra = (
+                    [
                         F.substring(F.col("_s"), 1, pos).alias("_rem_l"),
                         F.substring(
                             F.col("_s"), pos + l_i + 1, F.col("_l")
                         ).alias("_rem_r"),
-                    ),
-                ),
+                    ]
+                    if split
+                    else []
+                )
+                return F.struct(
+                    La.alias("_la"),
+                    F.lit(i).alias("_i"),
+                    F.substring(F.col("_s"), pos + 1, l_i).alias("_seg"),
+                    *extra,
+                )
+
+            return F.when(
+                hi >= lo, F.transform(F.sequence(lo, hi), per_pos)
             ).otherwise(F.array().cast(_empty))
 
         return F.flatten(
@@ -1681,22 +1708,31 @@ def _pj_substrings(
             )
         )
 
+    out_cols = (
+        [
+            F.col("_g._rem_l").alias(f"{str_alias}l"),
+            F.col("_g._rem_r").alias(f"{str_alias}r"),
+        ]
+        if split
+        else []
+    )
     # the La sequence must ascend: Lb + up >= k  <=>  Lb >= k - up
     return (
         base.filter(F.col("_l") >= k - up)
         .select(
             F.col("_id").alias(id_alias),
+            *([] if split else [F.col("_s").alias(str_alias)]),
             F.explode(F.concat(*[_subs_for_i(i) for i in range(k)])).alias(
                 "_g"
             ),
         )
         .select(
             id_alias,
+            *([] if split else [str_alias]),
             "_g._la",
             "_g._i",
             "_g._seg",
-            F.col("_g._rem_l").alias(f"{str_alias}l"),
-            F.col("_g._rem_r").alias(f"{str_alias}r"),
+            *out_cols,
         )
     )
 
@@ -1791,6 +1827,7 @@ def edit_distance_join(
     left_col: str,
     right_col: str,
     max_distance: int = 2,
+    split: bool = True,
 ) -> DataFrame:
     """Exact edit-distance R-S join (record linkage across TWO tables —
     match a dirty feed against a master table) with the same PassJoin
@@ -1813,8 +1850,10 @@ def edit_distance_join(
     if d < 1:
         raise ValueError("max_distance must be >= 1")
     lbase = pin(_pj_base(left, left_id, left_col))
-    segs = _pj_segments(lbase, d + 1, "_lid", "_sl")
-    return _rs_probe(lbase, segs, d, right, left_id, right_id, right_col)
+    segs = _pj_segments(lbase, d + 1, "_lid", "_sl", split=split)
+    return _rs_probe(
+        lbase, segs, d, right, left_id, right_id, right_col, split=split
+    )
 
 
 def _rs_probe(
@@ -1825,19 +1864,38 @@ def _rs_probe(
     left_id: str,
     right_id: str,
     right_col: str,
+    split: bool = True,
 ) -> DataFrame:
     """Probe a feed against a PREBUILT master base/segment pair — the
     shared core of :func:`edit_distance_join` (one-shot) and
-    :class:`LinkageIndex` (standing master, many feeds)."""
+    :class:`LinkageIndex` (standing master, many feeds).
+
+    ``split`` picks the verification shape — MEASURED both ways (round
+    15): the split verify cuts the verify stage's CPU ~28% on a big
+    one-shot probe (it is what the probe cost is made of there), but its
+    larger generator/verify expression trees cost ~+0.2 s of
+    plan+codegen PER LINK CALL, which dominates the tiered/incremental
+    link paths (many small probes per rep: fuzzy_link_best/tiers/
+    incremental measured 13-23% slower warm with split=True). One-shot
+    callers pass True; LinkageIndex's standing-master paths pass False.
+    Both shapes are exact (the oracle pins them); `segs` must be built
+    with the SAME ``split`` flag."""
     rbase = pin(_pj_base(right, right_id, right_col))
     subs = _pj_substrings(
-        rbase, d, include_longer=True, id_alias="_rid", str_alias="_sr"
+        rbase, d, include_longer=True, id_alias="_rid", str_alias="_sr",
+        split=split,
     )
-    matched = (
-        _pj_split_verify(
+    if split:
+        matched = _pj_split_verify(
             segs.join(subs, ["_la", "_i", "_seg"]), "_sl", "_sr", d
         )
-        .filter(F.col("_dist") <= d)
+    else:
+        matched = segs.join(subs, ["_la", "_i", "_seg"]).withColumn(
+            "_dist", F.pmod(F.levenshtein(F.col("_sl"), F.col("_sr"), d),
+                            F.lit(1 << 20))
+        )
+    matched = (
+        matched.filter(F.col("_dist") <= d)
         .select(
             F.col("_lid").alias(left_id),
             F.col("_rid").alias(right_id),
@@ -1963,9 +2021,13 @@ class LinkageIndex:
     def link(
         self, feed: DataFrame, feed_id: str, feed_col: str,
         max_distance: int | None = None,
+        split: bool = True,
     ) -> DataFrame:
         """All (master_id, feed_id, distance) pairs within the tier —
-        the standing-master twin of :func:`edit_distance_join`."""
+        the standing-master twin of :func:`edit_distance_join`.
+        ``split`` as in :func:`edit_distance_join`: True (default) for
+        one-shot full-feed links, False for the tiered escalation's
+        small remainder probes (see _rs_probe's measured trade)."""
         d = self.max_distance if max_distance is None else max_distance
         if not 1 <= d <= self.max_distance:
             raise ValueError(
@@ -1975,9 +2037,10 @@ class LinkageIndex:
         # they are a projection that fuses into the candidate join's
         # codegen; caching them measured SLOWER (see class docstring)
         base = self._base_all()
-        segs = _pj_segments(base, d + 1, "_lid", "_sl")
+        segs = _pj_segments(base, d + 1, "_lid", "_sl", split=split)
         return _rs_probe(
-            base, segs, d, feed, self.master_id, feed_id, feed_col
+            base, segs, d, feed, self.master_id, feed_id, feed_col,
+            split=split,
         )
 
     def link_best(
@@ -2016,7 +2079,11 @@ class LinkageIndex:
                     feed_id, self.master_id, F.lit(0).cast("int").alias("distance")
                 )
             else:
-                tier_pairs = self.link(unresolved, feed_id, feed_col, d)
+                # split=False: small per-tier remainder probes (see
+                # _rs_probe's measured trade)
+                tier_pairs = self.link(
+                    unresolved, feed_id, feed_col, d, split=False
+                )
             # registered for release between workloads (same rationale
             # as link_best_match's tier checkpoints)
             tier_best = pin_checkpoint(_best(tier_pairs).localCheckpoint(eager=True))
@@ -2231,8 +2298,13 @@ def link_best_match(
                 right_id, left_id, F.lit(0).cast("int").alias("distance")
             )
         else:
+            # split=False: each escalation tier is a SMALL probe (the
+            # still-unresolved remainder), where the split verify's
+            # per-call plan+codegen cost exceeds its per-meeting savings
+            # (measured round 15 — see _rs_probe's docstring)
             tier_pairs = edit_distance_join(
-                left, unresolved, left_id, right_id, left_col, right_col, d
+                left, unresolved, left_id, right_id, left_col, right_col,
+                d, split=False,
             )
         # per-tier checkpoints are registered for release: checkpoint
         # entries are strong-referenced by SparkContext until an explicit
